@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch main for interactive development (not part of the library API). */
+object Dev {
+  def session(cpus: Int = 8): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-dev")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    val store = model.Tpch.store(spark, "/root/testdata/sf0.001")
+    println(s"statements: ${store.statements.count()}")
+    val q1 =
+      """SELECT ?n ?b WHERE {
+        |  ?c a <urn:c:Customer> ;
+        |     <urn:p:c_acctbal> ?b ;
+        |     <urn:p:c_name> ?n .
+        |  FILTER(?b > 1000)
+        |} ORDER BY ?n LIMIT 10""".stripMargin
+    val df = engine.Engine.query(store, q1)
+    val got = df.collect().map(r => (r.getStruct(0).getString(2), r.getStruct(1).getDouble(5)))
+    got.foreach { case (n, b) => println(f"GOT  $n%-22s $b%10.2f") }
+    // independent oracle: Spark SQL over the raw parquet table
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .createOrReplaceTempView("customer")
+    val exp = spark.sql(
+      "SELECT c_name, c_acctbal FROM customer WHERE c_acctbal > 1000 ORDER BY c_name LIMIT 10")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    println("ORACLE-MATCH: " + (got.toSeq == exp.toSeq))
+    // probe 1: filter that excludes everything
+    val zero = engine.Engine.query(store,
+      "SELECT ?n WHERE { ?c a <urn:c:Customer> ; <urn:p:c_acctbal> ?b . FILTER(?b > 1.0E12) }")
+      .count()
+    println(s"PROBE-EMPTY-FILTER rows=$zero")
+    // probe 2: malformed query → clean parse error
+    try { engine.Engine.query(store, "SELECT ?x WHERE { ?x <urn:p:broken ") }
+    catch { case e: Exception => println("PROBE-PARSE-ERROR: " + e.getMessage) }
+    // probe 3: type-error semantics — comparing a string column numerically → false, 0 rows
+    val typeErr = engine.Engine.query(store,
+      "SELECT ?n WHERE { ?c a <urn:c:Customer> ; <urn:p:c_name> ?n . FILTER(?n > 5) }").count()
+    println(s"PROBE-TYPE-ERROR-FILTER rows=$typeErr (expect 0: type error → false)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,64 @@
+package graft.engine
+
+import graft.model.Term
+import graft.sparql.Ast._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** SPARQL aggregates over term structs (rbop/rdf/aggregate/{COUNT,SUM,AVERAGE,MIN,MAX,
+  * SAMPLE,GROUP_CONCAT}.java). Spark computes partial+final automatically
+  * (HashAggregateExec) — the reference's MemoryGroupByOp vs PipelinedAggregationOp split
+  * is free. Error semantics: a group whose input contains a non-numeric value *voids*
+  * the SUM/AVG (null term), matching SPARQL "type error voids the aggregate".
+  * MIN/MAX/SAMPLE use the SPARQL total order via sort-key structs; GROUP_CONCAT sorts
+  * its operands for determinism (SPARQL leaves the order implementation-defined).
+  */
+object Aggregates {
+  import Exprs._
+
+  def compile(a: EAgg, env: Exprs.Env, allCols: Seq[String]): Column = a.fn match {
+    case "COUNT" => a.arg match {
+      case None =>
+        val c =
+          if (a.distinct) countDistinct(struct(allCols.map(col): _*))
+          else count(lit(1))
+        Term.intLit(c)
+      case Some(e) =>
+        val t = Exprs.term(e, env)
+        Term.intLit(if (a.distinct) countDistinct(t) else count(t))
+    }
+
+    case "SUM" =>
+      val t = Exprs.term(a.arg.get, env)
+      val bad = max(when(t.isNotNull && fNum(t).isNull, 1).otherwise(0)) === 1
+      val nonInt = max(when(t.isNotNull && (fDt(t).isNull || fDt(t) =!= Term.XSD_INTEGER), 1)
+        .otherwise(0)) === 1
+      val sumL = if (a.distinct) sum_distinct(fLng(t)) else sum(fLng(t))
+      val sumD = if (a.distinct) sum_distinct(fNum(t)) else sum(fNum(t))
+      when(bad, Term.nullTerm)
+        .when(!nonInt, Term.intLit(coalesce(sumL, lit(0L))))
+        .otherwise(Term.doubleLit(coalesce(sumD, lit(0.0))))
+
+    case "AVG" =>
+      val t = Exprs.term(a.arg.get, env)
+      val bad = max(when(t.isNotNull && fNum(t).isNull, 1).otherwise(0)) === 1
+      val v =
+        if (a.distinct) sum_distinct(fNum(t)) / countDistinct(fNum(t))
+        else avg(fNum(t))
+      when(bad, Term.nullTerm).otherwise(Term.doubleLit(coalesce(v, lit(0.0))))
+
+    case "MIN" | "MAX" | "SAMPLE" =>
+      val t = Exprs.term(a.arg.get, env)
+      val kv = when(t.isNotNull, struct(Exprs.sortKey(t).as("k"), t.as("t")))
+        .otherwise(lit(null))
+      val picked = if (a.fn == "MAX") max(kv) else min(kv)
+      picked.getField("t")
+
+    case "GROUP_CONCAT" =>
+      val t = Exprs.term(a.arg.get, env)
+      val strs = if (a.distinct) collect_set(fStr(t)) else collect_list(fStr(t))
+      Term.strLit(array_join(array_sort(strs), a.sep.getOrElse(" ")))
+
+    case other => throw new UnsupportedOperationException(s"aggregate $other")
+  }
+}

@@ -1,0 +1,494 @@
+package graft.engine
+
+import graft.model.{GraftStore, Term}
+import graft.sparql.{Algebra, Ast, Parser}
+import graft.sparql.Algebra._
+import graft.sparql.Ast._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Eagerly-evaluated term identity hashes (constant-side of the Term.idOf convention). */
+object TermIds {
+  import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def id(kind: Byte, str: String, dt: String, lang: String): Long = {
+    def s(v: String) = Literal(UTF8String.fromString(if (v == null) " " else v), StringType)
+    XxHash64(Seq(Literal(kind, ByteType), s(str), s(dt), s(lang)), 42L)
+      .eval(null).asInstanceOf[Long]
+  }
+
+  def iriId(iri: String): Long = id(Term.KIND_IRI, iri, null, null)
+
+  def nodeId(n: Node): Long = n match {
+    case IriNode(i) => iriId(i)
+    case LitNode(lex, dt, lang) => id(Term.KIND_LITERAL, lex, dt.orNull, lang.orNull)
+    case VarNode(v) => throw new IllegalArgumentException(s"variable ?$v has no constant id")
+  }
+}
+
+final case class DatasetSpec(defaults: Option[Seq[String]], named: Option[Seq[String]])
+object DatasetSpec {
+  val all: DatasetSpec = DatasetSpec(None, None)
+  def from(ds: Seq[(String, Boolean)]): DatasetSpec =
+    if (ds.isEmpty) all
+    else DatasetSpec(
+      Some(ds.collect { case (g, false) => g }).filter(_.nonEmpty),
+      Some(ds.collect { case (g, true) => g }).filter(_.nonEmpty))
+}
+
+/** SPARQL algebra → DataFrame compiler.
+  *
+  * The whole vectored operator pipeline of the reference
+  * (`bop/engine/ChunkedRunningQuery.java:92`, `bop/join/PipelineJoin.java:113`,
+  * hash-join family `bop/join/HashIndexOp.java` / `SolutionSetHashJoinOp.java`) collapses
+  * into one lazy Catalyst DAG: a solution set is a DataFrame with one nullable
+  * term-struct column per SPARQL variable (null = unbound, matching left-join
+  * semantics natively); join variables are shared column names. Catalyst + AQE pick
+  * broadcast/shuffled-hash/sort-merge physical joins — the JVM/HTree operator split
+  * (`JVMHashJoinOp` vs `HTreeHashJoinOp`) is subsumed by Tungsten spill.
+  */
+final class Compiler(store: GraftStore, ds: DatasetSpec) {
+  private val spark = store.spark
+  import Exprs.{Env => _, _}
+
+  private def env(df: DataFrame): Exprs.Env = Exprs.Env(df.columns.toSet)
+
+  /** One-row, zero-column solution (the Join identity / StartOp analog). */
+  private def unitDf: DataFrame = spark.range(1).select()
+
+  // ======== BGP ========
+  private def isSimpleP(p: Path): Boolean = p match {
+    case PLink(_) | PNeg(_) => true
+    case PInv(PLink(_)) => true
+    case _ => false
+  }
+
+  /** Selectivity heuristic for initial join order (ASTStaticJoinOptimizer's
+    * bound-position weighting, `rdf/sparql/ast/optimizers/ASTStaticJoinOptimizer.java`);
+    * AQE refines at runtime.
+    */
+  private def score(t: Triple): Int = {
+    var s = 0
+    if (!t.s.isInstanceOf[VarNode]) s += 4
+    t.p match { case PLink(i) if !i.startsWith("?") => s += 2; case _ => () }
+    if (!t.o.isInstanceOf[VarNode]) s += 3
+    if (t.g.exists(g => !g.isInstanceOf[VarNode])) s += 1
+    s
+  }
+
+  def compileBgp(triples: Seq[Triple]): DataFrame = {
+    if (triples.isEmpty) return unitDf
+    val scans = triples.map(t => (t, if (isSimpleP(t.p)) scanTriple(t) else pathTriple(t)))
+    // greedy join order: most selective first, prefer var-connected next
+    val remaining = scala.collection.mutable.ArrayBuffer(scans.sortBy(s => -score(s._1)): _*)
+    var (t0, df) = remaining.remove(0)
+    var bound = Algebra.tripleVars(t0).toSet
+    while (remaining.nonEmpty) {
+      val idx = remaining.indexWhere(s => Algebra.tripleVars(s._1).exists(bound))
+      val (t, next) = remaining.remove(if (idx >= 0) idx else 0)
+      df = joinDf(df, next, "inner")
+      bound ++= Algebra.tripleVars(t)
+    }
+    df
+  }
+
+  /** Natural join on shared variable columns. */
+  private def joinDf(l: DataFrame, r: DataFrame, how: String): DataFrame = {
+    if (l.columns.isEmpty) return r
+    if (r.columns.isEmpty) return l.crossJoin(r) // preserves row-multiplicity of r
+    val shared = l.columns.intersect(r.columns).toSeq
+    if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared, how)
+  }
+
+  /** Single statement-pattern scan (the Predicate/SPOAccessPath analog,
+    * `bop/ap/Predicate.java`): constants → pushed-down filters (p via the p_id
+    * partition column = POS index selection), variables → projected columns.
+    */
+  def scanTriple(t: Triple): DataFrame = {
+    // inverse link: swap endpoints
+    t.p match {
+      case PInv(p) => return scanTriple(Triple(t.o, p, t.s, t.g))
+      case _ => ()
+    }
+    var df = store.statements
+    t.g match {
+      case None =>
+        ds.defaults.foreach(gs => df = df.filter(col("g").isNotNull &&
+          col("g")("str").isin(gs: _*)))
+      case Some(IriNode(g)) =>
+        df = df.filter(col("g").isNotNull && col("g")("id") === TermIds.iriId(g))
+      case Some(VarNode(_)) =>
+        df = df.filter(col("g").isNotNull)
+        ds.named.foreach(gs => df = df.filter(col("g")("str").isin(gs: _*)))
+      case Some(other) => throw new IllegalArgumentException(s"bad graph term $other")
+    }
+    t.p match {
+      case PLink(iri) if !iri.startsWith("?") => df = df.filter(col("p_id") === TermIds.iriId(iri))
+      case PLink(_) => () // variable predicate
+      case PNeg(set) =>
+        val fwd = set.collect { case (i, false) => TermIds.iriId(i) }
+        if (set.exists(_._2))
+          throw new UnsupportedOperationException("inverted members in negated property set")
+        df = df.filter(!col("p_id").isin(fwd: _*))
+      case other => throw new IllegalStateException(s"non-simple path $other in scan")
+    }
+    t.s match {
+      case VarNode(_) => ()
+      case n => df = df.filter(col("s")("id") === TermIds.nodeId(n))
+    }
+    t.o match {
+      case VarNode(_) => ()
+      case n => df = df.filter(col("o")("id") === TermIds.nodeId(n))
+    }
+    // project variable positions; equal vars within the triple → equality filter
+    val positions = Seq(
+      "s" -> (t.s match { case VarNode(n) => Some(n); case _ => None }),
+      "p" -> (t.p match { case PLink(i) if i.startsWith("?") => Some(i.substring(1)); case _ => None }),
+      "o" -> (t.o match { case VarNode(n) => Some(n); case _ => None }),
+      "g" -> (t.g match { case Some(VarNode(n)) => Some(n); case _ => None }))
+    val byVar = positions.collect { case (pos, Some(v)) => (v, pos) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byVar.values.filter(_.size > 1).foreach { ps =>
+      ps.tail.foreach(p2 => df = df.filter(col(ps.head)("id") === col(p2)("id")))
+    }
+    val sels = byVar.toSeq.map { case (v, ps) => col(ps.head).as(v) }
+    if (sels.isEmpty) df.select(lit(1).as("__exists")).limit(1).drop("__exists")
+    else df.select(sels: _*)
+  }
+
+  // ======== property paths (bop/paths/ArbitraryLengthPathOp.java:48) ========
+
+  /** All (a,b) node pairs connected by the path — the inner "edge" relation. */
+  def pathPairs(p: Path, g: Option[Node]): DataFrame = p match {
+    case PLink(_) | PNeg(_) =>
+      scanTriple(Triple(VarNode("a"), p, VarNode("b"), g))
+    case PInv(q) => pathPairs(q, g)
+      .select(col("b").as("a"), col("a").as("b"))
+    case PSeq(q, r) =>
+      val lq = pathPairs(q, g).select(col("a"), col("b").as("m"))
+      val rq = pathPairs(r, g).select(col("a").as("m"), col("b"))
+      lq.join(rq, Seq("m")).select("a", "b")
+    case PAlt(q, r) => pathPairs(q, g).unionByName(pathPairs(r, g))
+    case PZeroOrMore(q) => closure(pathPairs(q, g), includeZero = true, g)
+    case POneOrMore(q) => closure(pathPairs(q, g), includeZero = false, g)
+    case PZeroOrOne(q) => zeroPairs(g).unionByName(pathPairs(q, g)).dropDuplicates("a", "b")
+  }
+
+  /** Node domain for zero-length paths (ZeroLengthPathOp.java:53). */
+  private def zeroPairs(g: Option[Node]): DataFrame = {
+    val base = g match {
+      case Some(IriNode(gi)) => store.statements.filter(col("g").isNotNull &&
+        col("g")("id") === TermIds.iriId(gi))
+      case _ => store.statements
+    }
+    base.select(col("s").as("n")).unionByName(base.select(col("o").as("n")))
+      .dropDuplicates("n").select(col("n").as("a"), col("n").as("b"))
+  }
+
+  /** Semi-naive transitive closure with per-round dedup + localCheckpoint (lineage cut),
+    * the fixpoint driver of ArbitraryLengthPathTask.
+    */
+  private def closure(edges0: DataFrame, includeZero: Boolean, g: Option[Node]): DataFrame = {
+    val edges = edges0.dropDuplicates("a", "b").localCheckpoint()
+    var acc = edges
+    var frontier = edges
+    var n = frontier.count()
+    while (n > 0) {
+      val stepped = frontier.select(col("a"), col("b").as("m"))
+        .join(edges.select(col("a").as("m"), col("b")), Seq("m"))
+        .select("a", "b").dropDuplicates("a", "b")
+      frontier = stepped.join(acc, Seq("a", "b"), "left_anti").localCheckpoint()
+      n = frontier.count()
+      if (n > 0) acc = acc.unionByName(frontier).localCheckpoint()
+    }
+    if (includeZero) zeroPairs(g).unionByName(acc).dropDuplicates("a", "b") else acc
+  }
+
+  /** Bind a path relation into the pattern's endpoint terms. */
+  def pathTriple(t: Triple): DataFrame = {
+    // bound-endpoint optimization: seed the fixpoint from the constant side
+    val pairs = (t.s, t.o) match {
+      case (sN, _) if !sN.isInstanceOf[VarNode] => boundClosure(t.p, t.g, TermIds.nodeId(sN), fromSubject = true)
+      case (_, oN) if !oN.isInstanceOf[VarNode] => boundClosure(t.p, t.g, TermIds.nodeId(oN), fromSubject = false)
+      case _ => pathPairs(t.p, t.g)
+    }
+    var df = pairs
+    t.s match {
+      case VarNode(_) => ()
+      case n => df = df.filter(col("a")("id") === TermIds.nodeId(n))
+    }
+    t.o match {
+      case VarNode(_) => ()
+      case n => df = df.filter(col("b")("id") === TermIds.nodeId(n))
+    }
+    (t.s, t.o) match {
+      case (VarNode(sv), VarNode(ov)) if sv == ov =>
+        df.filter(col("a")("id") === col("b")("id")).select(col("a").as(sv))
+      case (VarNode(sv), VarNode(ov)) => df.select(col("a").as(sv), col("b").as(ov))
+      case (VarNode(sv), _) => df.select(col("a").as(sv))
+      case (_, VarNode(ov)) => df.select(col("b").as(ov))
+      case _ => df.select(lit(1).as("__e")).limit(1).drop("__e")
+    }
+  }
+
+  /** Closure restricted to one seed — BFS from the bound endpoint instead of the
+    * all-pairs fixpoint (critical at scale; full closure only when both ends are vars).
+    */
+  private def boundClosure(p: Path, g: Option[Node], seedId: Long, fromSubject: Boolean): DataFrame = p match {
+    case PZeroOrMore(_) | POneOrMore(_) =>
+      val q = p match {
+        case PZeroOrMore(inner) => inner
+        case POneOrMore(inner) => inner
+        case _ => throw new IllegalStateException
+      }
+      val raw = pathPairs(q, g)
+      val edges = (if (fromSubject) raw else raw.select(col("b").as("a"), col("a").as("b")))
+        .dropDuplicates("a", "b").localCheckpoint()
+      var acc = edges.filter(col("a")("id") === seedId)
+      var frontier = acc
+      var n = frontier.count()
+      while (n > 0) {
+        val stepped = frontier.select(col("a"), col("b").as("m"))
+          .join(edges.select(col("a").as("m"), col("b")), Seq("m"))
+          .select("a", "b").dropDuplicates("a", "b")
+        frontier = stepped.join(acc, Seq("a", "b"), "left_anti").localCheckpoint()
+        n = frontier.count()
+        if (n > 0) acc = acc.unionByName(frontier).localCheckpoint()
+      }
+      val withZero = p match {
+        case PZeroOrMore(_) =>
+          val seed = edges.filter(col("a")("id") === seedId).select(col("a")).limit(1)
+            .select(col("a"), col("a").as("b"))
+          // zero-length: the seed relates to itself (even with no outgoing edge rows —
+          // fall back to the node domain filtered to the seed)
+          val dom = zeroPairs(g).filter(col("a")("id") === seedId)
+          acc.unionByName(seed).unionByName(dom).dropDuplicates("a", "b")
+        case _ => acc
+      }
+      if (fromSubject) withZero else withZero.select(col("b").as("a"), col("a").as("b"))
+    case _ => pathPairs(p, g)
+  }
+
+  // ======== algebra ========
+  def compile(op: Op): DataFrame = op match {
+    case OpUnit => unitDf
+    case OpBgp(ts) => compileBgp(ts)
+    case OpJoin(l, r) => joinDf(compile(l), compile(r), "inner")
+    case OpLeftJoin(l, r, cond) => leftJoin(compile(l), compile(r), cond)
+    case OpUnion(l, r) =>
+      val (dl, dr) = (compile(l), compile(r))
+      val allCols = (dl.columns ++ dr.columns).distinct
+      def pad(d: DataFrame) = d.select(allCols.map(c =>
+        if (d.columns.contains(c)) col(c) else Term.nullTerm.as(c)): _*)
+      pad(dl).unionByName(pad(dr))
+    case OpMinus(l, r) =>
+      val (dl, dr) = (compile(l), compile(r))
+      val shared = dl.columns.intersect(dr.columns).toSeq
+      if (shared.isEmpty) dl // disjoint domains: MINUS removes nothing
+      else dl.join(dr.select(shared.map(col): _*).dropDuplicates(shared), shared, "left_anti")
+    case OpFilter(exprs, child) =>
+      exprs.foldLeft(compile(child))((df, e) => applyFilter(df, e))
+    case OpExtend(child, name, expr) =>
+      val df = compile(child)
+      df.withColumn(name, Exprs.term(expr, env(df)))
+    case OpValues(v) => valuesDf(v)
+    case OpSubquery(q) => compileSelect(q)
+    case OpService(iri, inner, silent) => Services.dispatch(this, iri, inner, silent)
+  }
+
+  private def applyFilter(df: DataFrame, e: Expr): DataFrame = e match {
+    case EExists(gp, not) =>
+      val sub = compile(Algebra.lower(gp))
+      val shared = df.columns.intersect(sub.columns).toSeq
+      val how = if (not) "left_anti" else "left_semi"
+      if (shared.isEmpty) df.join(sub.limit(1), lit(true), how)
+      else df.join(sub, shared, how)
+    case other => df.filter(Exprs.filterPred(other, env(df)))
+  }
+
+  private def leftJoin(dl: DataFrame, dr: DataFrame, cond: Seq[Expr]): DataFrame = {
+    val shared = dl.columns.intersect(dr.columns).toSeq
+    if (cond.isEmpty) {
+      if (dl.columns.isEmpty) return dr
+      if (shared.isEmpty) dl.join(dr, lit(true), "left_outer")
+      else dl.join(dr, shared, "left_outer")
+    } else {
+      // FILTER inside OPTIONAL joins on the condition (left-join scope rules)
+      val renamed = shared.foldLeft(dr)((d, c) => d.withColumnRenamed(c, "__r_" + c))
+      val eqs = shared.map(c => col(c) === col("__r_" + c))
+      val mergedCols = (dl.columns ++ dr.columns).distinct.toSet
+      val fEnv = Exprs.Env(mergedCols)
+      val fcs = cond.map(e => Exprs.filterPred(e, fEnv))
+      val condition = (eqs ++ fcs).reduce(_ && _)
+      dl.join(renamed, condition, "left_outer")
+        .drop(shared.map("__r_" + _): _*)
+    }
+  }
+
+  private def valuesDf(v: ValuesGP): DataFrame = {
+    val rows = v.rows.map { row =>
+      unitDf.select(v.vars.zip(row).map { case (vr, cell) =>
+        cell.map(Exprs.constTerm).getOrElse(Term.nullTerm).as(vr.name)
+      }: _*)
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  // ======== SELECT pipeline (projection/modifiers) ========
+  def compileSelect(q: SelectQuery): DataFrame = {
+    var df = compile(Algebra.lower(q.where))
+    q.values.foreach(v => df = joinDf(df, valuesDf(v), "inner"))
+
+    val projItems: Seq[(Expr, String)] = q.projection match {
+      case Star => df.columns.filterNot(_.startsWith("-")).map(c => (EVar(c): Expr, c)).toSeq
+      case ProjVars(items) => items.map {
+        case (EVar(n), None) => (EVar(n): Expr, n)
+        case (e2, Some(a)) => (e2, a)
+        case (e2, None) => throw new IllegalArgumentException(s"projection expr needs AS: $e2")
+      }
+    }
+
+    val aggsNeeded = (projItems.map(_._1) ++ q.having ++ q.orderBy.map(_._1))
+      .flatMap(Algebra.collectAggs).distinct
+    val grouped = q.groupBy.nonEmpty || aggsNeeded.nonEmpty || q.having.nonEmpty
+
+    var aggMap = Map.empty[EAgg, String]
+    if (grouped) {
+      // group keys (GroupByOp/GroupByState analog)
+      var keyCols = Seq.empty[String]
+      q.groupBy.zipWithIndex.foreach { case ((e, alias), i) =>
+        (e, alias) match {
+          case (EVar(n), None) => keyCols :+= n
+          case (e2, aliasOpt) =>
+            val name = aliasOpt.getOrElse(s"__gk$i")
+            df = df.withColumn(name, Exprs.term(e2, env(df)))
+            keyCols :+= name
+        }
+      }
+      aggMap = aggsNeeded.zipWithIndex.map { case (a, i) => a -> s"__ag$i" }.toMap
+      val preEnv = env(df)
+      val aggCols = aggsNeeded.zipWithIndex.map { case (a, i) =>
+        Aggregates.compile(a, preEnv, df.columns.toSeq).as(s"__ag$i")
+      }
+      df =
+        if (aggCols.isEmpty) df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n")).drop("__n")
+        else df.groupBy(keyCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      // HAVING (post-aggregation ConditionalRoutingOp)
+      q.having.foreach { h =>
+        df = df.filter(Exprs.filterPred(Algebra.replaceAggs(h, aggMap), env(df)))
+      }
+    }
+
+    // computed projections become columns (AssignmentNode/ProjectionOp)
+    var outNames = Seq.empty[String]
+    projItems.foreach { case (e, name) =>
+      val e2 = Algebra.replaceAggs(e, aggMap)
+      e2 match {
+        case EVar(n) if n == name => () // passthrough (may be absent → padded below)
+        case _ => df = df.withColumn(name, Exprs.term(e2, env(df)))
+      }
+      outNames :+= name
+    }
+    // pad vars never bound
+    outNames.filterNot(df.columns.contains).foreach { n =>
+      df = df.withColumn(n, Term.nullTerm)
+    }
+
+    // ORDER BY via SPARQL total-order sort keys (MemorySortOp + IVComparator)
+    val sortCols = q.orderBy.map { case (e, asc) =>
+      val k = Exprs.sortKey(Exprs.term(Algebra.replaceAggs(e, aggMap), env(df)))
+      if (asc) k.asc else k.desc
+    }
+
+    if (q.distinct || q.reduced) {
+      if (sortCols.nonEmpty)
+        df = df.dropDuplicates(outNames).orderBy(sortCols: _*).select(outNames.map(col): _*)
+      else df = df.select(outNames.map(col): _*).dropDuplicates(outNames)
+    } else {
+      if (sortCols.nonEmpty) df = df.orderBy(sortCols: _*)
+      df = df.select(outNames.map(col): _*)
+    }
+
+    // SliceOp
+    q.offset.foreach(o => df = df.offset(o.toInt))
+    q.limit.foreach(l => df = df.limit(l.toInt))
+    df
+  }
+
+  def compileAsk(q: AskQuery): DataFrame = {
+    val nonEmpty = compile(Algebra.lower(q.where)).limit(1).count() > 0
+    spark.sql(s"SELECT $nonEmpty AS ask")
+  }
+
+  /** CONSTRUCT: template instantiation + distinct-SPO
+    * (rdf/sparql/ast/eval/ASTConstructIterator.java).
+    */
+  def compileConstruct(q: ConstructQuery): DataFrame = {
+    var sol = compile(Algebra.lower(q.where))
+    q.offset.foreach(o => sol = sol.offset(o.toInt))
+    q.limit.foreach(l => sol = sol.limit(l.toInt))
+    val e = env(sol)
+    def nodeCol(n: Node): Column = n match {
+      case VarNode(v) => e.termOf(v)
+      case other => Exprs.constTerm(other)
+    }
+    val parts = q.template.map { t =>
+      val p = t.p match {
+        case PLink(i) => IriNode(i)
+        case other => throw new IllegalArgumentException(s"path in template: $other")
+      }
+      sol.select(nodeCol(t.s).as("s"), Exprs.constTerm(p).as("p"), nodeCol(t.o).as("o"))
+    }
+    parts.reduce(_.unionByName(_))
+      .filter(col("s").isNotNull && col("o").isNotNull &&
+        col("s")("kind") =!= Term.KIND_LITERAL)
+      .dropDuplicates("s", "p", "o")
+  }
+
+  /** DESCRIBE via Concise Bounded Description (rdf/sparql/ast/eval/CBD.java) — one
+    * expansion round (the test data is bnode-free, so CBD = direct subgraph).
+    */
+  def compileDescribe(q: DescribeQuery): DataFrame = {
+    val consts = q.targets.collect { case IriNode(i) => i }
+    val vars = q.targets.collect { case VarNode(v) => v }
+    val nodeDfs =
+      consts.map(i => unitDf.select(Term.iri(i).as("n"))) ++
+        vars.map { v =>
+          val sol = compile(Algebra.lower(q.where.getOrElse(GroupGP(Nil))))
+          sol.select(col(v).as("n")).filter(col("n").isNotNull)
+        }
+    val nodes = nodeDfs.reduce(_.unionByName(_)).dropDuplicates("n")
+    store.statements.join(nodes, col("s")("id") === col("n")("id"), "left_semi")
+      .select("s", "p", "o").dropDuplicates("s", "p", "o")
+  }
+}
+
+/** SERVICE dispatch (ServiceRegistry analog) — populated by graft.engine.Services. */
+object Services {
+  type ServiceFn = (Compiler, Op, Boolean) => DataFrame
+  private val registry = scala.collection.concurrent.TrieMap.empty[String, ServiceFn]
+  def register(iri: String, fn: ServiceFn): Unit = registry.put(iri, fn)
+  def dispatch(c: Compiler, iri: Ast.Node, inner: Op, silent: Boolean): DataFrame = iri match {
+    case IriNode(i) => registry.get(i) match {
+      case Some(fn) => fn(c, inner, silent)
+      case None => throw new UnsupportedOperationException(s"no service registered for <$i>")
+    }
+    case other => throw new UnsupportedOperationException(s"SERVICE with $other")
+  }
+}
+
+/** Front door: parse → dataset clause → compile (the ASTEvalHelper analog). */
+object Engine {
+  def query(store: GraftStore, sparql: String): DataFrame = {
+    val q = Parser.parseQuery(sparql)
+    val c = new Compiler(store, DatasetSpec.from(q.datasets))
+    q match {
+      case s: SelectQuery => c.compileSelect(s)
+      case a: AskQuery => c.compileAsk(a)
+      case cq: ConstructQuery => c.compileConstruct(cq)
+      case d: DescribeQuery => c.compileDescribe(d)
+    }
+  }
+}

@@ -1,0 +1,343 @@
+package graft.engine
+
+import graft.model.Term
+import graft.sparql.Ast._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SPARQL value-expression compiler: AST expression → Catalyst Column over term structs.
+  *
+  * Replaces the reference's ~80 `IVValueExpression` classes
+  * (`rdf/internal/constraints/` — CompareBOp.java:59, MathBOp.java, StrBOp.java, …) with
+  * builders over built-in codegen'd Catalyst expressions. The pervasive SPARQL rule
+  * (`SparqlTypeErrorBOp.java`): a *type error* is not an exception — in FILTER it makes
+  * the condition false, in BIND it leaves the var unbound, in aggregates it voids the
+  * value. Here: error = NULL term / NULL boolean; FILTER wraps with
+  * `coalesce(ebv, false)` (the EBVBOp analog).
+  */
+object Exprs {
+
+  private def nullB: Column = lit(null).cast(BooleanType)
+
+  // ---- term field accessors ----
+  def fId(t: Column): Column = t.getField("id")
+  def fKind(t: Column): Column = t.getField("kind")
+  def fStr(t: Column): Column = t.getField("str")
+  def fDt(t: Column): Column = t.getField("dt")
+  def fLang(t: Column): Column = t.getField("lang")
+  def fNum(t: Column): Column = t.getField("num")
+  def fLng(t: Column): Column = t.getField("lng")
+  def fTs(t: Column): Column = t.getField("ts")
+
+  def isLiteral(t: Column): Column = fKind(t) === Term.KIND_LITERAL
+  def isNumericT(t: Column): Column = fNum(t).isNotNull
+  private def isPlainStr(t: Column): Column = isLiteral(t) && fDt(t).isNull && fLang(t).isNull
+  private def isStringy(t: Column): Column = isLiteral(t) && fDt(t).isNull
+  private def isBool(t: Column): Column = fDt(t) === Term.XSD_BOOLEAN
+  private def isDateTime(t: Column): Column = fTs(t).isNotNull
+  private def isInt(t: Column): Column = fDt(t) === Term.XSD_INTEGER
+
+  /** Constant node → term Column (canonical construction — see Term scaladoc). */
+  def constTerm(n: Node): Column = n match {
+    case IriNode(i) => Term.iri(i)
+    case LitNode(lex, Some(Term.XSD_INTEGER), _) => Term.intLit(lit(lex.toLong))
+    case LitNode(lex, Some(Term.XSD_DOUBLE), _) => Term.doubleLit(lit(lex.toDouble))
+    case LitNode(lex, Some(Term.XSD_BOOLEAN), _) => Term.boolLit(lit(lex == "true"))
+    case LitNode(lex, Some(Term.XSD_DATETIME), _) =>
+      Term.tsLit(to_timestamp(lit(lex), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    case LitNode(lex, Some(dt), _) => Term.typedLit(lit(lex), dt)
+    case LitNode(lex, None, Some(lang)) => Term.strLit(lit(lex), lit(lang))
+    case LitNode(lex, None, None) => Term.strLit(lit(lex))
+    case VarNode(n2) => throw new IllegalArgumentException(s"variable ?$n2 is not a constant")
+  }
+
+  /** Effective boolean value of a term column (EBVBOp.java semantics). */
+  def ebvOfTerm(t: Column): Column =
+    when(t.isNull, nullB)
+      .when(isBool(t), fNum(t) =!= 0.0)
+      .when(isNumericT(t), !isnan(fNum(t)) && (fNum(t) =!= 0.0))
+      .when(isStringy(t), length(fStr(t)) > 0)
+      .otherwise(nullB)
+
+  /** Boolean → boolean-literal term (null-propagating). */
+  def boolTerm(b: Column): Column = when(b.isNotNull, Term.boolLit(b)).otherwise(Term.nullTerm)
+
+  // ---- comparison (CompareBOp.java:59 — type promotion; type error ≠ false) ----
+  private def bothNum(l: Column, r: Column) = fNum(l).isNotNull && fNum(r).isNotNull
+  private def bothStr(l: Column, r: Column) = isStringy(l) && isStringy(r)
+  private def bothTs(l: Column, r: Column) = isDateTime(l) && isDateTime(r)
+  private def bothBool(l: Column, r: Column) = isBool(l) && isBool(r)
+
+  def eqTerm(l: Column, r: Column): Column =
+    when(l.isNull || r.isNull, nullB)
+      .when(bothNum(l, r), fNum(l) === fNum(r))
+      .when(bothTs(l, r), fTs(l) === fTs(r))
+      .when(bothStr(l, r), fStr(l) === fStr(r) && coalesce(fLang(l), lit("")) === coalesce(fLang(r), lit("")))
+      .when(fId(l) === fId(r), lit(true)) // identical terms (any kind)
+      .when(fKind(l) =!= Term.KIND_LITERAL || fKind(r) =!= Term.KIND_LITERAL, lit(false))
+      .when(fDt(l) === fDt(r), fStr(l) === fStr(r)) // same unknown datatype: compare lexical
+      .otherwise(nullB) // incomparable literal datatypes → type error
+
+  /** Three-way compare for <,<=,>,>=: null = type error / incomparable. */
+  def cmpTerm(l: Column, r: Column): Column = {
+    val nullI = lit(null).cast(IntegerType)
+    def sgn(c: Column): Column = when(c < 0, -1).when(c > 0, 1).otherwise(0)
+    when(l.isNull || r.isNull, nullI)
+      .when(bothNum(l, r), sgn(fNum(l) - fNum(r)).cast(IntegerType))
+      .when(bothTs(l, r), sgn(fTs(l).cast(LongType) - fTs(r).cast(LongType)).cast(IntegerType))
+      .when(bothStr(l, r),
+        when(fStr(l) === fStr(r), 0).when(fStr(l) < fStr(r), -1).otherwise(1))
+      .when(bothBool(l, r), sgn(fNum(l) - fNum(r)).cast(IntegerType))
+      .otherwise(nullI)
+  }
+
+  // ---- arithmetic (MathBOp.java / MathUtility.java xsd promotion) ----
+  def arith(op: String, l: Column, r: Column): Column = {
+    val bothInt = isInt(l) && isInt(r)
+    val num = op match {
+      case "+" => fNum(l) + fNum(r)
+      case "-" => fNum(l) - fNum(r)
+      case "*" => fNum(l) * fNum(r)
+      case "/" => when(fNum(r) =!= 0.0, fNum(l) / fNum(r)).otherwise(lit(null).cast(DoubleType))
+    }
+    val lngOp = op match {
+      case "+" => fLng(l) + fLng(r)
+      case "-" => fLng(l) - fLng(r)
+      case "*" => fLng(l) * fLng(r)
+      case "/" => lit(null).cast(LongType) // int/int → decimal per SPARQL: use double
+    }
+    val intCase = if (op == "/") lit(false) else bothInt
+    when(l.isNull || r.isNull || !bothNum(l, r), Term.nullTerm)
+      .when(intCase, Term.intLit(lngOp))
+      .when(num.isNotNull, Term.doubleLit(num))
+      .otherwise(Term.nullTerm)
+  }
+
+  // ---- the SPARQL total order (bop/solutions/IVComparator.java:68) ----
+  /** Sort-key struct: unbound < bnode < IRI < literal; literals: numeric/dateTime by
+    * value, strings by codepoint, then datatype. DataFrames take no custom comparator,
+    * so the order is materialized as a lexicographically-ordered struct column.
+    */
+  def sortKey(t: Column): Column = struct(
+    when(t.isNull, 0).when(fKind(t) === Term.KIND_BNODE, 1)
+      .when(fKind(t) === Term.KIND_IRI, 2).otherwise(3).as("r0"),
+    when(fNum(t).isNotNull, 0).when(fTs(t).isNotNull, 1)
+      .when(isStringy(t), 2).otherwise(3).as("r1"),
+    coalesce(fNum(t), fTs(t).cast(DoubleType)).as("v"),
+    fStr(t).as("s"),
+    fDt(t).as("d"))
+
+  // ======== expression compilation ========
+  final case class Env(columns: Set[String]) {
+    def termOf(name: String): Column =
+      if (columns(name)) col(quoted(name)) else Term.nullTerm
+  }
+  private def quoted(name: String): String = "`" + name + "`"
+
+  /** Compile to a term-struct Column. */
+  def term(e: Expr, env: Env): Column = e match {
+    case EVar(n) => env.termOf(n)
+    case EConst(n) => constTerm(n)
+    case EBinary("&&" | "||" | "=" | "!=" | "<" | "<=" | ">" | ">=", _, _) =>
+      boolTerm(bool(e, env))
+    case EBinary(op, l, r) => arith(op, term(l, env), term(r, env))
+    case EUnary("!", _) => boolTerm(bool(e, env))
+    case EUnary("-", x) =>
+      val t = term(x, env)
+      when(isNumericT(t), when(isInt(t), Term.intLit(-fLng(t))).otherwise(Term.doubleLit(-fNum(t))))
+        .otherwise(Term.nullTerm)
+    case EIn(_, _, _) => boolTerm(bool(e, env))
+    case ECall(fn, args) => call(fn, args, env)
+    case EExists(_, _) =>
+      throw new UnsupportedOperationException("EXISTS only supported directly under FILTER")
+    case _: EAgg =>
+      throw new IllegalStateException("aggregate outside aggregation context")
+  }
+
+  /** Compile to a nullable Boolean Column (null = error). */
+  def bool(e: Expr, env: Env): Column = e match {
+    case EBinary("&&", l, r) => bool(l, env) && bool(r, env)
+    case EBinary("||", l, r) => bool(l, env) || bool(r, env)
+    case EUnary("!", x) => !bool(x, env)
+    case EBinary("=", l, r) => eqTerm(term(l, env), term(r, env))
+    case EBinary("!=", l, r) => !eqTerm(term(l, env), term(r, env))
+    case EBinary("<", l, r) => cmpTerm(term(l, env), term(r, env)) < 0
+    case EBinary("<=", l, r) => cmpTerm(term(l, env), term(r, env)) <= 0
+    case EBinary(">", l, r) => cmpTerm(term(l, env), term(r, env)) > 0
+    case EBinary(">=", l, r) => cmpTerm(term(l, env), term(r, env)) >= 0
+    case EIn(x, list, not) =>
+      val t = term(x, env)
+      val anyEq = list.map(i => coalesce(eqTerm(t, term(i, env)), lit(false)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      if (not) !anyEq else anyEq
+    case other => ebvOfTerm(term(other, env))
+  }
+
+  /** FILTER predicate: errors become false (SPARQLConstraint + EBVBOp). */
+  def filterPred(e: Expr, env: Env): Column = coalesce(bool(e, env), lit(false))
+
+  // ---- function library (registry analog of rdf/sparql/ast/FunctionRegistry.java) ----
+  private def str1(args: Seq[Column]): Column = fStr(args.head)
+
+  def call(fn: String, argEs: Seq[Expr], env: Env): Column = {
+    lazy val args = argEs.map(term(_, env))
+    def a0 = args.head
+    def a1 = args(1)
+    def strFn(result: Column, guard: Column = lit(true)): Column =
+      when(a0.isNotNull && isLiteral(a0) && guard, Term.strLit(result, fLang(a0)))
+        .otherwise(Term.nullTerm)
+    fn match {
+      case "BOUND" => argEs.head match {
+        case EVar(n) => boolTerm(lit(env.columns(n)) && col("`" + n + "`").isNotNull)
+        case _ => boolTerm(args.head.isNotNull)
+      }
+      case "COALESCE" => coalesce(args: _*)
+      case "IF" =>
+        val c = bool(argEs.head, env)
+        when(c.isNull, Term.nullTerm).when(c, term(argEs(1), env)).otherwise(term(argEs(2), env))
+      case "SAMETERM" => boolTerm(when(a0.isNull || a1.isNull, nullB).otherwise(fId(a0) === fId(a1)))
+      case "ISIRI" | "ISURI" => boolTerm(when(a0.isNull, nullB).otherwise(fKind(a0) === Term.KIND_IRI))
+      case "ISBLANK" => boolTerm(when(a0.isNull, nullB).otherwise(fKind(a0) === Term.KIND_BNODE))
+      case "ISLITERAL" => boolTerm(when(a0.isNull, nullB).otherwise(isLiteral(a0)))
+      case "ISNUMERIC" => boolTerm(when(a0.isNull, nullB).otherwise(isNumericT(a0)))
+      case "STR" => when(a0.isNull, Term.nullTerm)
+        .when(fKind(a0) === Term.KIND_BNODE, Term.nullTerm)
+        .otherwise(Term.strLit(fStr(a0)))
+      case "LANG" => when(a0.isNotNull && isLiteral(a0), Term.strLit(coalesce(fLang(a0), lit(""))))
+        .otherwise(Term.nullTerm)
+      case "DATATYPE" =>
+        when(a0.isNotNull && isLiteral(a0),
+          Term.iri(when(fLang(a0).isNotNull, Term.RDF + "langString")
+            .otherwise(coalesce(fDt(a0), lit(Term.XSD_STRING)))))
+          .otherwise(Term.nullTerm)
+      case "IRI" | "URI" => when(a0.isNotNull && (fKind(a0) === Term.KIND_IRI || isStringy(a0)),
+        Term.iri(fStr(a0))).otherwise(Term.nullTerm)
+      case "BNODE" => Term.bnode(expr("uuid()"))
+      case "STRDT" => strdt(a0, argEs(1))
+      case "STRLANG" => when(isPlainStr(a0) && isStringy(a1), Term.strLit(fStr(a0), lower(fStr(a1))))
+        .otherwise(Term.nullTerm)
+      case "STRLEN" => when(a0.isNotNull && isStringy(a0), Term.intLit(length(fStr(a0))))
+        .otherwise(Term.nullTerm)
+      case "SUBSTR" =>
+        val start = fLng(a1).cast(IntegerType)
+        val len = if (args.size > 2) fLng(args(2)).cast(IntegerType)
+          else length(fStr(a0)) - start + 1
+        strFn(fStr(a0).substr(start, len))
+      case "UCASE" => strFn(upper(fStr(a0)))
+      case "LCASE" => strFn(lower(fStr(a0)))
+      case "STRSTARTS" => boolTerm(when(isStringy(a0) && isStringy(a1),
+        fStr(a0).startsWith(fStr(a1))).otherwise(nullB))
+      case "STRENDS" => boolTerm(when(isStringy(a0) && isStringy(a1),
+        fStr(a0).endsWith(fStr(a1))).otherwise(nullB))
+      case "CONTAINS" => boolTerm(when(isStringy(a0) && isStringy(a1),
+        fStr(a0).contains(fStr(a1))).otherwise(nullB))
+      case "STRBEFORE" =>
+        val pos = locate_(fStr(a1), fStr(a0))
+        strFn(when(pos > 0, fStr(a0).substr(lit(1), pos - 1)).otherwise(lit("")), isStringy(a1))
+      case "STRAFTER" =>
+        val pos = locate_(fStr(a1), fStr(a0))
+        strFn(when(pos > 0, fStr(a0).substr(pos + length(fStr(a1)), length(fStr(a0))))
+          .otherwise(lit("")), isStringy(a1))
+      case "CONCAT" =>
+        when(args.map(a => a.isNotNull && isStringy(a)).reduce(_ && _),
+          Term.strLit(concat(args.map(fStr): _*))).otherwise(Term.nullTerm)
+      case "ENCODE_FOR_URI" => strFn(regexp_replace(url_encode(fStr(a0)), "\\+", "%20"))
+      case "REGEX" =>
+        val pat = withFlags(argEs, 1, 2)
+        boolTerm(when(a0.isNotNull && isStringy(a0), fStr(a0).rlike(pat)).otherwise(nullB))
+      case "REPLACE" =>
+        val pat = withFlags(argEs, 1, 3)
+        strFn(regexp_replace(fStr(a0), lit(pat), fStr(args(2))))
+      case "LANGMATCHES" =>
+        val tag = lower(fStr(a0)); val range = lower(fStr(a1))
+        boolTerm(when(a0.isNull || a1.isNull, nullB)
+          .when(range === "*", tag =!= "")
+          .otherwise(tag === range || tag.startsWith(concat(range, lit("-")))))
+      case "ABS" => numeric1(a0, abs(fNum(a0)), abs(fLng(a0)))
+      case "ROUND" => numeric1(a0, round(fNum(a0)), fLng(a0))
+      case "CEIL" => numeric1(a0, ceil(fNum(a0)).cast(DoubleType), fLng(a0))
+      case "FLOOR" => numeric1(a0, floor(fNum(a0)).cast(DoubleType), fLng(a0))
+      case "RAND" => Term.doubleLit(rand())
+      case "NOW" => Term.tsLit(current_timestamp())
+      case "YEAR" => dtPart(a0, year(fTs(a0)))
+      case "MONTH" => dtPart(a0, month(fTs(a0)))
+      case "DAY" => dtPart(a0, dayofmonth(fTs(a0)))
+      case "HOURS" => dtPart(a0, hour(fTs(a0)))
+      case "MINUTES" => dtPart(a0, minute(fTs(a0)))
+      case "SECONDS" => dtPart(a0, second(fTs(a0)))
+      case "TZ" => when(isDateTime(a0), Term.strLit(lit("Z"))).otherwise(Term.nullTerm)
+      case "MD5" => hashFn(a0, md5(fStr(a0)))
+      case "SHA1" => hashFn(a0, sha1(fStr(a0)))
+      case "SHA256" => hashFn(a0, sha2(fStr(a0), 256))
+      case "SHA384" => hashFn(a0, sha2(fStr(a0), 384))
+      case "SHA512" => hashFn(a0, sha2(fStr(a0), 512))
+      case "UUID" => Term.iri(concat(lit("urn:uuid:"), expr("uuid()")))
+      case "STRUUID" => Term.strLit(expr("uuid()"))
+      case cast if cast.startsWith("CAST:") => castFn(cast.substring(5), a0)
+      case other => throw new UnsupportedOperationException(s"function $other")
+    }
+  }
+
+  /** 1-based position of `substr` in `in`, 0 when absent (both Columns). */
+  private def locate_(substr: Column, in: Column): Column =
+    call_function("instr", in, substr)
+
+  /** REGEX/REPLACE patterns must be constants; XPath flags → Java inline flags. */
+  private def withFlags(argEs: Seq[Expr], patIdx: Int, flagIdx: Int): String = {
+    val pat = argEs(patIdx) match {
+      case EConst(LitNode(p, _, _)) => p
+      case _ => throw new UnsupportedOperationException("non-constant regex pattern")
+    }
+    val flags = if (argEs.size > flagIdx) argEs(flagIdx) match {
+      case EConst(LitNode(f, _, _)) => f; case _ => ""
+    } else ""
+    val inline = Seq('i' -> "i", 's' -> "s", 'm' -> "m", 'x' -> "x")
+      .collect { case (c, j) if flags.indexOf(c.toInt) >= 0 => j }.mkString
+    if (inline.isEmpty) pat else s"(?$inline)$pat"
+  }
+
+  private def numeric1(t: Column, dbl: Column, lng: Column): Column =
+    when(t.isNotNull && isNumericT(t),
+      when(isInt(t), Term.intLit(lng)).otherwise(Term.doubleLit(dbl)))
+      .otherwise(Term.nullTerm)
+
+  private def dtPart(t: Column, part: Column): Column =
+    when(isDateTime(t), Term.intLit(part)).otherwise(Term.nullTerm)
+
+  private def hashFn(t: Column, h: Column): Column =
+    when(t.isNotNull && isStringy(t), Term.strLit(h)).otherwise(Term.nullTerm)
+
+  private def strdt(v: Column, dtE: Expr): Column = dtE match {
+    case EConst(IriNode(dt)) => castFn(dt, v)
+    case _ => Term.nullTerm
+  }
+
+  /** xsd constructor casts (FuncBOp.java, XsdLongBOp.java, …): parse-failure → error. */
+  def castFn(dt: String, t: Column): Column = {
+    val local = if (dt.startsWith(Term.XSD)) dt.substring(Term.XSD.length) else dt
+    local match {
+      case "integer" | "int" | "long" | "short" | "byte" =>
+        val v = when(isNumericT(t), fNum(t).cast(LongType))
+          .when(isBool(t), fLng(t))
+          .otherwise(fStr(t).cast(LongType))
+        when(t.isNotNull && v.isNotNull, Term.intLit(v)).otherwise(Term.nullTerm)
+      case "double" | "float" | "decimal" =>
+        val v = when(isNumericT(t), fNum(t)).otherwise(fStr(t).cast(DoubleType))
+        when(t.isNotNull && v.isNotNull, Term.doubleLit(v)).otherwise(Term.nullTerm)
+      case "boolean" =>
+        val v = when(isBool(t), fNum(t) =!= 0.0)
+          .when(isNumericT(t), fNum(t) =!= 0.0)
+          .when(fStr(t) === "true" || fStr(t) === "1", lit(true))
+          .when(fStr(t) === "false" || fStr(t) === "0", lit(false))
+          .otherwise(nullB)
+        boolTerm(when(t.isNull, nullB).otherwise(v))
+      case "string" => when(t.isNotNull, Term.strLit(fStr(t))).otherwise(Term.nullTerm)
+      case "dateTime" =>
+        val v = when(isDateTime(t), fTs(t))
+          .otherwise(to_timestamp(regexp_replace(fStr(t), "Z$", ""), "yyyy-MM-dd'T'HH:mm:ss"))
+        when(t.isNotNull && v.isNotNull, Term.tsLit(v)).otherwise(Term.nullTerm)
+      case other => throw new UnsupportedOperationException(s"cast to $other")
+    }
+  }
+}

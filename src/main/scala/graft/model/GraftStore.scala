@@ -1,0 +1,58 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Quad store backed by a single statements DataFrame.
+  *
+  * The reference maintains 3 (triples) or 6 (quads) covering B+Tree permutations of the
+  * statement indexes (`rdf/spo/SPOKeyOrder.java:112-199`) so every bound-position access
+  * pattern has a perfect index. On Spark, one columnar table replaces them all: a
+  * predicate-partitioned Parquet layout gives partition pruning for p-bound patterns (the
+  * POS analog — by far the dominant access path in analytic SPARQL), and min/max row-group
+  * stats + predicate pushdown cover the rest. Catalyst shuffle/broadcast joins replace
+  * index nested-loop probes (`bop/join/PipelineJoin.java:113`).
+  *
+  * Schema:
+  *   p_id LONG          -- partition key = o.id of the predicate term (POS-index analog)
+  *   s, p, o, g  STRUCT -- Term.schema structs; g null = default-graph triple
+  *   stype BYTE         -- 0=Explicit, 1=Axiom, 2=Inferred (rdf/model/StatementEnum.java:42-59)
+  */
+final class GraftStore(val spark: SparkSession, val statements: DataFrame) {
+
+  /** Statements visible in the union default graph (all graphs merged). */
+  def defaultGraph: DataFrame = statements
+
+  /** Named-graph view (g bound). */
+  def namedGraphs: DataFrame = statements.filter(col("g").isNotNull)
+
+  def withStatements(df: DataFrame): GraftStore = new GraftStore(spark, df)
+}
+
+object GraftStore {
+  val STYPE_EXPLICIT: Byte = 0
+  val STYPE_AXIOM: Byte = 1
+  val STYPE_INFERRED: Byte = 2
+
+  val columns: Seq[String] = Seq("p_id", "s", "p", "o", "g", "stype")
+
+  /** Assemble the canonical statements layout from (s,p,o,g,stype) term columns. */
+  def assemble(df: DataFrame): DataFrame =
+    df.select(col("p")("id").as("p_id"), col("s"), col("p"), col("o"), col("g"), col("stype"))
+
+  /** Persist as predicate-partitioned parquet — the scalable at-rest layout. */
+  def save(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").partitionBy("p_id").parquet(path)
+
+  def load(spark: SparkSession, path: String): GraftStore =
+    new GraftStore(spark, spark.read.parquet(path)
+      .select(columns.map(col): _*)) // normalize column order; p_id read as partition col
+
+  /** In-memory (cached) store for small scale factors / tests. */
+  def cached(spark: SparkSession, df: DataFrame): GraftStore = {
+    val st = assemble(df.select("s", "p", "o", "g", "stype"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new GraftStore(spark, st)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.model
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** RDF term representation.
+  *
+  * The reference dictionary-encodes every term into a variable-length `IV`
+  * (`bigdata-core/bigdata-rdf/src/java/com/bigdata/rdf/internal/IV.java:53`) with small
+  * literals inlined directly into B+Tree keys (`rdf/internal/DTE.java:90-224`) so that
+  * filters/aggregates run without a lexicon join. The Spark-native analog used here is a
+  * *self-describing columnar term struct*: every term is a struct whose typed shadow
+  * fields (`num`, `lng`, `ts`) carry the inline value, and whose `str` field carries the
+  * lexical form. Parquet's per-column dictionary encoding plays the role of the explicit
+  * TERM2ID/ID2TERM lexicon (`rdf/lexicon/LexiconRelation.java:450-452`); a 64-bit
+  * `xxhash64` id gives the compact join/frontier key.
+  *
+  * Field layout (all nullable except kind/str):
+  *   - id:   LONG  xxhash64(kind, str, dt, lang) — compact identity for frontiers/GAS
+  *   - kind: BYTE  0=IRI, 1=bnode, 2=literal
+  *   - str:  STRING lexical form (IRI string, bnode label, literal lexical form)
+  *   - dt:   STRING datatype IRI for typed literals (null = plain string literal)
+  *   - lang: STRING language tag (lower-cased) or null
+  *   - num:  DOUBLE numeric value for any numeric literal (cross-type compares)
+  *   - lng:  LONG   exact value for integer-family literals
+  *   - ts:   TIMESTAMP value for xsd:dateTime/xsd:date literals
+  *
+  * Numeric-datatype normalization: all integer-family datatypes normalize to
+  * `xsd:integer`, all floating-family to `xsd:double`, so term equality coincides with
+  * value equality for numerics (the practical effect of the reference's inline-IV
+  * equality).
+  */
+object Term {
+  val XSD = "http://www.w3.org/2001/XMLSchema#"
+  val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  val RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+
+  val XSD_INTEGER = XSD + "integer"
+  val XSD_DOUBLE = XSD + "double"
+  val XSD_DECIMAL = XSD + "decimal"
+  val XSD_BOOLEAN = XSD + "boolean"
+  val XSD_STRING = XSD + "string"
+  val XSD_DATETIME = XSD + "dateTime"
+  val RDF_TYPE = RDF + "type"
+  val RDFS_SUBCLASSOF = RDFS + "subClassOf"
+  val RDFS_SUBPROPERTYOF = RDFS + "subPropertyOf"
+  val RDFS_DOMAIN = RDFS + "domain"
+  val RDFS_RANGE = RDFS + "range"
+
+  val KIND_IRI: Byte = 0
+  val KIND_BNODE: Byte = 1
+  val KIND_LITERAL: Byte = 2
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = true),
+    StructField("kind", ByteType, nullable = true),
+    StructField("str", StringType, nullable = true),
+    StructField("dt", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("num", DoubleType, nullable = true),
+    StructField("lng", LongType, nullable = true),
+    StructField("ts", TimestampType, nullable = true)
+  ))
+
+  val fieldNames: Seq[String] = schema.fieldNames.toSeq
+
+  private val nullStr = lit(null).cast(StringType)
+  private val nullDbl = lit(null).cast(DoubleType)
+  private val nullLng = lit(null).cast(LongType)
+  private val nullTs = lit(null).cast(TimestampType)
+
+  /** Identity hash over the term's lexical identity. */
+  private def idOf(kind: Column, str: Column, dt: Column, lang: Column): Column =
+    xxhash64(kind, str, coalesce(dt, lit(" ")), coalesce(lang, lit(" ")))
+
+  private def mk(kind: Column, str: Column, dt: Column, lang: Column,
+                 num: Column, lng: Column, ts: Column): Column =
+    struct(
+      idOf(kind, str, dt, lang).as("id"), kind.as("kind"), str.as("str"),
+      dt.as("dt"), lang.as("lang"), num.as("num"), lng.as("lng"), ts.as("ts"))
+
+  /** IRI term from a string column. */
+  def iri(s: Column): Column =
+    mk(lit(KIND_IRI), s, nullStr, nullStr, nullDbl, nullLng, nullTs)
+
+  def iri(s: String): Column = iri(lit(s))
+
+  /** Blank node with a label. */
+  def bnode(label: Column): Column =
+    mk(lit(KIND_BNODE), label, nullStr, nullStr, nullDbl, nullLng, nullTs)
+
+  /** Plain string literal (optionally language-tagged). */
+  def strLit(s: Column, lang: Column = nullStr): Column =
+    mk(lit(KIND_LITERAL), s, nullStr, lang, nullDbl, nullLng, nullTs)
+
+  /** Integer-family literal from an integral column (canonical dt = xsd:integer). */
+  def intLit(v: Column): Column = {
+    val l = v.cast(LongType)
+    mk(lit(KIND_LITERAL), l.cast(StringType), lit(XSD_INTEGER), nullStr,
+      l.cast(DoubleType), l, nullTs)
+  }
+
+  /** Floating-family literal (canonical dt = xsd:double). */
+  def doubleLit(v: Column): Column = {
+    val d = v.cast(DoubleType)
+    mk(lit(KIND_LITERAL), d.cast(StringType), lit(XSD_DOUBLE), nullStr, d, nullLng, nullTs)
+  }
+
+  def boolLit(v: Column): Column = {
+    val b = v.cast(BooleanType)
+    mk(lit(KIND_LITERAL), b.cast(StringType), lit(XSD_BOOLEAN), nullStr,
+      b.cast(DoubleType), b.cast(LongType), nullTs)
+  }
+
+  /** xsd:dateTime literal from a timestamp column (canonical UTC lexical form). */
+  def tsLit(v: Column): Column = {
+    val t = v.cast(TimestampType)
+    mk(lit(KIND_LITERAL), date_format(t, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      lit(XSD_DATETIME), nullStr, nullDbl, nullLng, t)
+  }
+
+  /** Typed literal with an arbitrary datatype IRI (no inline value). */
+  def typedLit(s: Column, dt: String): Column =
+    mk(lit(KIND_LITERAL), s, lit(dt), nullStr, nullDbl, nullLng, nullTs)
+
+  /** A term column that is NULL (unbound). */
+  def nullTerm: Column = lit(null).cast(schema)
+}

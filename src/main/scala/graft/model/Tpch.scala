@@ -1,0 +1,141 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic table→triples mapping for the driver test data (FIXTURES.md §4).
+  *
+  * Each row becomes one subject `urn:t:<table>:<pk>`; each column one predicate
+  * `urn:p:<col>` with a typed literal object; each foreign key additionally a link
+  * `urn:fk:<col>` to the referenced subject. Each table lands in its own named graph
+  * `urn:g:<table>` (quads mode, `rdf/store/AbstractTripleStore.java:872`). Class axioms
+  * `urn:c:<Table> rdfs:subClassOf urn:c:Any` are emitted as Axiom-typed statements for
+  * the RDFS closure tests.
+  *
+  * This is the analog of the reference's bulk-load path (`rdf/store/DataLoader.java`,
+  * `rdf/rio/StatementBuffer.java`): parse → assign IVs → write statements. Here the
+  * "parse" is a columnar scan and IV assignment is the inline term-struct construction —
+  * one distributed pass per table, no dictionary shuffle (Term.scala scaladoc).
+  */
+object Tpch {
+
+  sealed trait Enc
+  case object IntE extends Enc
+  case object DblE extends Enc
+  case object StrE extends Enc
+  case object TsE extends Enc
+
+  final case class Col(name: String, enc: Enc, fkTable: String = null)
+
+  final case class Table(name: String, pk: Seq[String], cols: Seq[Col]) {
+    def cls: String = "urn:c:" + name.capitalize
+  }
+
+  val tables: Seq[Table] = Seq(
+    Table("region", Seq("r_regionkey"), Seq(
+      Col("r_regionkey", IntE), Col("r_name", StrE))),
+    Table("nation", Seq("n_nationkey"), Seq(
+      Col("n_nationkey", IntE), Col("n_name", StrE),
+      Col("n_regionkey", IntE, fkTable = "region"))),
+    Table("customer", Seq("c_custkey"), Seq(
+      Col("c_custkey", IntE), Col("c_name", StrE),
+      Col("c_nationkey", IntE, fkTable = "nation"),
+      Col("c_acctbal", DblE), Col("c_mktsegment", StrE))),
+    Table("supplier", Seq("s_suppkey"), Seq(
+      Col("s_suppkey", IntE), Col("s_name", StrE),
+      Col("s_nationkey", IntE, fkTable = "nation"), Col("s_acctbal", DblE))),
+    Table("part", Seq("p_partkey"), Seq(
+      Col("p_partkey", IntE), Col("p_name", StrE), Col("p_brand", StrE),
+      Col("p_type", StrE), Col("p_size", IntE), Col("p_retailprice", DblE))),
+    Table("orders", Seq("o_orderkey"), Seq(
+      Col("o_orderkey", IntE), Col("o_custkey", IntE, fkTable = "customer"),
+      Col("o_orderstatus", StrE), Col("o_totalprice", DblE),
+      Col("o_orderdate", TsE), Col("o_orderpriority", StrE))),
+    Table("lineitem", Seq("l_orderkey", "l_linenumber"), Seq(
+      Col("l_orderkey", IntE, fkTable = "orders"),
+      Col("l_partkey", IntE, fkTable = "part"),
+      Col("l_suppkey", IntE, fkTable = "supplier"),
+      Col("l_linenumber", IntE), Col("l_quantity", DblE),
+      Col("l_extendedprice", DblE), Col("l_discount", DblE), Col("l_tax", DblE),
+      Col("l_returnflag", StrE), Col("l_linestatus", StrE), Col("l_shipdate", TsE))),
+    Table("events", Seq("event_id"), Seq(
+      Col("event_id", IntE), Col("ts", TsE), Col("user_id", IntE),
+      Col("event_type", StrE), Col("value", DblE), Col("props", StrE))),
+    Table("documents", Seq("doc_id"), Seq(
+      Col("doc_id", IntE), Col("text", StrE), Col("lang", StrE),
+      Col("source", StrE), Col("n_chars", IntE)))
+  )
+
+  private val byName: Map[String, Table] = tables.map(t => t.name -> t).toMap
+
+  def subjectStr(table: String, pkCols: Seq[Column]): Column =
+    concat((lit(s"urn:t:$table:") +: pkCols.flatMap(c => Seq(c.cast("string"), lit("-")))
+      .dropRight(1)): _*)
+
+  private def litTerm(c: Col, raw: Column, dfType: org.apache.spark.sql.types.DataType): Column = c.enc match {
+    case IntE => Term.intLit(raw)
+    case DblE => Term.doubleLit(raw)
+    case StrE => Term.strLit(raw)
+    case TsE => dfType match {
+      // driver parquet uses TIMESTAMP(NANOS) → read as long via
+      // spark.sql.legacy.parquet.nanosAsLong; convert to micros
+      case org.apache.spark.sql.types.LongType =>
+        Term.tsLit(timestamp_micros((raw / 1000L).cast(org.apache.spark.sql.types.LongType)))
+      case _ => Term.tsLit(raw)
+    }
+  }
+
+  /** Statements for one table: single scan, array-of-(p,o) explode, null objects dropped. */
+  def tableStatements(df: DataFrame, t: Table): DataFrame = {
+    val s = Term.iri(subjectStr(t.name, t.pk.map(df(_))))
+    val typePo = struct(Term.iri(Term.RDF_TYPE).as("p"), Term.iri(t.cls).as("o"))
+    val colPos = t.cols.map { c =>
+      val o = when(df(c.name).isNotNull, litTerm(c, df(c.name), df.schema(c.name).dataType))
+        .otherwise(Term.nullTerm)
+      struct(Term.iri("urn:p:" + c.name).as("p"), o.as("o"))
+    }
+    val fkPos = t.cols.filter(_.fkTable != null).map { c =>
+      val ref = byName(c.fkTable)
+      val o = when(df(c.name).isNotNull,
+        Term.iri(subjectStr(ref.name, Seq(df(c.name))))).otherwise(Term.nullTerm)
+      struct(Term.iri("urn:fk:" + c.name).as("p"), o.as("o"))
+    }
+    df.select(s.as("s"), explode(array(typePo +: (colPos ++ fkPos): _*)).as("po"))
+      .filter(col("po")("o").isNotNull)
+      .select(col("s"), col("po")("p").as("p"), col("po")("o").as("o"),
+        Term.iri("urn:g:" + t.name).as("g"),
+        lit(GraftStore.STYPE_EXPLICIT).cast("byte").as("stype"))
+  }
+
+  /** Class-hierarchy axioms: urn:c:<Table> rdfs:subClassOf urn:c:Any (default graph). */
+  def axioms(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    tables.map(_.cls).toDF("cls").select(
+      Term.iri(col("cls")).as("s"), Term.iri(Term.RDFS_SUBCLASSOF).as("p"),
+      Term.iri("urn:c:Any").as("o"), Term.nullTerm.as("g"),
+      lit(GraftStore.STYPE_AXIOM).cast("byte").as("stype"))
+  }
+
+  /** Full statements DataFrame for one scale-factor directory. */
+  def statements(spark: SparkSession, dir: String): DataFrame = {
+    val parts = tables.map { t =>
+      tableStatements(spark.read.parquet(s"$dir/${t.name}.parquet"), t)
+    } :+ axioms(spark)
+    GraftStore.assemble(parts.reduce(_.unionByName(_)))
+  }
+
+  /** Store registry: builds the predicate-partitioned parquet store once per sf dir and
+    * serves a shared handle. Parquet-backed (not just cached) so every query exercises
+    * the at-scale path: partition pruning on p_id + pushdown + column pruning.
+    */
+  private val registry = scala.collection.concurrent.TrieMap.empty[String, GraftStore]
+
+  def store(spark: SparkSession, dir: String): GraftStore =
+    registry.getOrElseUpdate(dir, {
+      val clean = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val path = s"/tmp/graft-store/$clean"
+      val marker = new java.io.File(path + "/_SUCCESS")
+      if (!marker.exists()) GraftStore.save(statements(spark, dir), path)
+      GraftStore.load(spark, path)
+    })
+}

@@ -1,0 +1,119 @@
+package graft.sparql
+
+import Ast._
+
+/** Lowering from parsed graph patterns to the SPARQL algebra (W3C SPARQL 1.1 §18.2.2),
+  * the same translation the reference performs over its AST
+  * (`rdf/sparql/ast/eval/AST2BOpUtility.java:230`, join-group conversion :3113): group
+  * elements fold left into joins, OPTIONAL → LeftJoin, MINUS → Minus, FILTERs collect to
+  * the end of their group, BIND → Extend, GRAPH pushes a context onto each triple.
+  */
+object Algebra {
+
+  /** Generalized triple: predicate is a path; graph context resolved. */
+  final case class Triple(s: Node, p: Path, o: Node, g: Option[Node])
+
+  sealed trait Op
+  case object OpUnit extends Op
+  final case class OpBgp(triples: Seq[Triple]) extends Op
+  final case class OpJoin(l: Op, r: Op) extends Op
+  final case class OpLeftJoin(l: Op, r: Op, cond: Seq[Expr]) extends Op
+  final case class OpUnion(l: Op, r: Op) extends Op
+  final case class OpMinus(l: Op, r: Op) extends Op
+  final case class OpFilter(exprs: Seq[Expr], child: Op) extends Op
+  final case class OpExtend(child: Op, name: String, expr: Expr) extends Op
+  final case class OpValues(values: ValuesGP) extends Op
+  final case class OpSubquery(q: SelectQuery) extends Op
+  final case class OpService(iri: Node, inner: Op, silent: Boolean) extends Op
+
+  def lower(gp: GP): Op = lower(gp, None)
+
+  def lower(gp: GP, ctx: Option[Node]): Op = gp match {
+    case t: TripleGP => OpBgp(Seq(Triple(t.s, t.p, t.o, ctx)))
+    case GroupGP(elems) => lowerGroup(elems, ctx)
+    case OptionalGP(inner) => // handled by lowerGroup; standalone OPTIONAL = LeftJoin(unit,…)
+      OpLeftJoin(OpUnit, lower(inner, ctx), Nil)
+    case UnionGP(alts) => alts.map(lower(_, ctx)).reduce(OpUnion(_, _))
+    case MinusGP(inner) => OpMinus(OpUnit, lower(inner, ctx))
+    case FilterGP(e) => OpFilter(Seq(e), OpUnit)
+    case BindGP(e, v) => OpExtend(OpUnit, v.name, e)
+    case v: ValuesGP => OpValues(v)
+    case GraphGP(g, inner) => lower(inner, Some(g))
+    case SubSelectGP(q) => OpSubquery(q)
+    case ServiceGP(iri, inner, silent) => OpService(iri, lower(inner, ctx), silent)
+  }
+
+  private def join(l: Op, r: Op): Op =
+    if (l == OpUnit) r else if (r == OpUnit) l else (l, r) match {
+      case (OpBgp(a), OpBgp(b)) => OpBgp(a ++ b)
+      case _ => OpJoin(l, r)
+    }
+
+  private def lowerGroup(elems: Seq[GP], ctx: Option[Node]): Op = {
+    var g: Op = OpUnit
+    val filters = Seq.newBuilder[Expr]
+    elems.foreach {
+      case t: TripleGP => g = join(g, lower(t, ctx))
+      case FilterGP(e) => filters += e
+      case OptionalGP(inner) =>
+        lower(inner, ctx) match {
+          case OpFilter(fs, a) => g = OpLeftJoin(g, a, fs)
+          case a => g = OpLeftJoin(g, a, Nil)
+        }
+      case MinusGP(inner) => g = OpMinus(g, lower(inner, ctx))
+      case BindGP(e, v) => g = OpExtend(g, v.name, e)
+      case other => g = join(g, lower(other, ctx))
+    }
+    val fs = filters.result()
+    if (fs.nonEmpty) OpFilter(fs, g) else g
+  }
+
+  /** Free variables an Op can bind (for join planning / projection *). */
+  def vars(op: Op): Set[String] = op match {
+    case OpUnit => Set.empty
+    case OpBgp(ts) => ts.flatMap(tripleVars).toSet
+    case OpJoin(l, r) => vars(l) ++ vars(r)
+    case OpLeftJoin(l, r, _) => vars(l) ++ vars(r)
+    case OpUnion(l, r) => vars(l) ++ vars(r)
+    case OpMinus(l, _) => vars(l)
+    case OpFilter(_, c) => vars(c)
+    case OpExtend(c, n, _) => vars(c) + n
+    case OpValues(v) => v.vars.map(_.name).toSet
+    case OpSubquery(q) => q.projection match {
+      case Star => vars(lower(q.where))
+      case ProjVars(items) => items.flatMap {
+        case (EVar(n), None) => Some(n)
+        case (_, a) => a
+      }.toSet
+    }
+    case OpService(_, inner, _) => vars(inner)
+  }
+
+  def tripleVars(t: Triple): Seq[String] = {
+    val sv = t.s match { case VarNode(n) => Seq(n); case _ => Nil }
+    val pv = t.p match { case PLink(i) if i.startsWith("?") => Seq(i.substring(1)); case _ => Nil }
+    val ov = t.o match { case VarNode(n) => Seq(n); case _ => Nil }
+    val gv = t.g match { case Some(VarNode(n)) => Seq(n); case _ => Nil }
+    sv ++ pv ++ ov ++ gv
+  }
+
+  /** Collect aggregate sub-expressions (left-to-right). */
+  def collectAggs(e: Expr): Seq[EAgg] = e match {
+    case a: EAgg => Seq(a)
+    case EBinary(_, l, r) => collectAggs(l) ++ collectAggs(r)
+    case EUnary(_, x) => collectAggs(x)
+    case ECall(_, args) => args.flatMap(collectAggs)
+    case EIn(x, list, _) => collectAggs(x) ++ list.flatMap(collectAggs)
+    case _ => Nil
+  }
+
+  /** Replace aggregate sub-expressions with variable references (post-grouping eval). */
+  def replaceAggs(e: Expr, mapping: Map[EAgg, String]): Expr = e match {
+    case a: EAgg => EVar(mapping(a))
+    case EBinary(op, l, r) => EBinary(op, replaceAggs(l, mapping), replaceAggs(r, mapping))
+    case EUnary(op, x) => EUnary(op, replaceAggs(x, mapping))
+    case ECall(f, args) => ECall(f, args.map(replaceAggs(_, mapping)))
+    case EIn(x, list, not) => EIn(replaceAggs(x, mapping), list.map(replaceAggs(_, mapping)), not)
+    case other => other
+  }
+}

@@ -1,0 +1,790 @@
+package graft.sparql
+
+import Ast._
+import scala.collection.mutable.ArrayBuffer
+
+/** Hand-rolled SPARQL 1.1 tokenizer + recursive-descent parser.
+  *
+  * Follows the grammar productions of the reference's JavaCC grammar
+  * (`sparql-grammar/src/main/java/com/bigdata/rdf/sail/sparql/ast/sparql.jjt`, itself the
+  * W3C SPARQL 1.1 grammar) for the query/update subset the engine evaluates. Blank nodes
+  * in patterns become non-distinguished variables (standard semantics).
+  */
+object Parser {
+
+  final case class ParseError(msg: String, pos: Int)
+      extends RuntimeException(s"$msg (at char $pos)")
+
+  // ======== tokenizer ========
+  sealed trait Tok { def pos: Int }
+  final case class TIri(v: String, pos: Int) extends Tok
+  final case class TPName(prefix: String, local: String, pos: Int) extends Tok
+  final case class TVar(name: String, pos: Int) extends Tok
+  final case class TStr(v: String, pos: Int) extends Tok
+  final case class TLang(v: String, pos: Int) extends Tok
+  final case class TNum(text: String, pos: Int) extends Tok
+  final case class TWord(upper: String, raw: String, pos: Int) extends Tok
+  final case class TBNode(label: String, pos: Int) extends Tok
+  final case class TPunct(s: String, pos: Int) extends Tok
+  final case class TEof(pos: Int) extends Tok
+
+  private val puncts = Seq("^^", "&&", "||", "!=", "<=", ">=", "{", "}", "(", ")",
+    "[", "]", ",", ";", "=", "<", ">", "!", "+", "-", "*", "/", "|", "^", "?", ".")
+
+  def tokenize(q: String): IndexedSeq[Tok] = {
+    val out = ArrayBuffer.empty[Tok]
+    var i = 0
+    val n = q.length
+    def isWS(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    def nameStart(c: Char) = c.isLetter || c == '_' || c.isDigit
+    def nameChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '-'
+    while (i < n) {
+      val c = q(i)
+      if (isWS(c)) i += 1
+      else if (c == '#') { while (i < n && q(i) != '\n') i += 1 }
+      else if (c == '<' && i + 1 < n && (q(i + 1).isLetter || "_:/#".contains(q(i + 1)))) {
+        // IRIREF — only when it looks like <scheme…>, else '<' is an operator
+        val j = q.indexOf('>', i)
+        if (j < 0) throw ParseError("unterminated IRI", i)
+        val body = q.substring(i + 1, j)
+        if (body.exists(ch => isWS(ch))) { out += TPunct("<", i); i += 1 }
+        else { out += TIri(body, i); i = j + 1 }
+      } else if (c == '"' || c == '\'') {
+        val (s, ni) = lexString(q, i)
+        out += TStr(s, i); i = ni
+      } else if (c == '?' && i + 1 < n && nameStart(q(i + 1))) {
+        var j = i + 1; while (j < n && nameChar(q(j))) j += 1
+        out += TVar(q.substring(i + 1, j), i); i = j
+      } else if (c == '$' && i + 1 < n && nameStart(q(i + 1))) {
+        var j = i + 1; while (j < n && nameChar(q(j))) j += 1
+        out += TVar(q.substring(i + 1, j), i); i = j
+      } else if (c == '@' ) {
+        var j = i + 1; while (j < n && (q(j).isLetterOrDigit || q(j) == '-')) j += 1
+        out += TLang(q.substring(i + 1, j), i); i = j
+      } else if (c == '_' && i + 1 < n && q(i + 1) == ':') {
+        var j = i + 2; while (j < n && nameChar(q(j))) j += 1
+        out += TBNode(q.substring(i + 2, j), i); i = j
+      } else if (c.isDigit || (c == '.' && i + 1 < n && q(i + 1).isDigit)) {
+        var j = i
+        while (j < n && q(j).isDigit) j += 1
+        if (j < n && q(j) == '.' && j + 1 < n && q(j + 1).isDigit) {
+          j += 1; while (j < n && q(j).isDigit) j += 1
+        }
+        if (j < n && (q(j) == 'e' || q(j) == 'E')) {
+          var k = j + 1
+          if (k < n && (q(k) == '+' || q(k) == '-')) k += 1
+          if (k < n && q(k).isDigit) { j = k; while (j < n && q(j).isDigit) j += 1 }
+        }
+        out += TNum(q.substring(i, j), i); i = j
+      } else if (c.isLetter) {
+        var j = i; while (j < n && (q(j).isLetterOrDigit || q(j) == '_' || q(j) == '-')) j += 1
+        // prefixed name? word directly followed by ':'
+        if (j < n && q(j) == ':') {
+          val prefix = q.substring(i, j)
+          var k = j + 1
+          var last = k
+          while (k < n && (q(k).isLetterOrDigit || q(k) == '_' || q(k) == '-' || q(k) == ':' ||
+            (q(k) == '.' && k + 1 < n && (q(k + 1).isLetterOrDigit || q(k + 1) == '_')))) { k += 1; last = k }
+          out += TPName(prefix, q.substring(j + 1, last), i); i = last
+        } else { val w = q.substring(i, j); out += TWord(w.toUpperCase, w, i); i = j }
+      } else if (c == ':') { // default-prefix pname
+        var k = i + 1
+        while (k < n && (q(k).isLetterOrDigit || q(k) == '_' || q(k) == '-' ||
+          (q(k) == '.' && k + 1 < n && (q(k + 1).isLetterOrDigit || q(k + 1) == '_')))) k += 1
+        out += TPName("", q.substring(i + 1, k), i); i = k
+      } else {
+        puncts.find(p => q.startsWith(p, i)) match {
+          case Some(p) => out += TPunct(p, i); i += p.length
+          case None => throw ParseError(s"unexpected char '$c'", i)
+        }
+      }
+    }
+    out += TEof(n)
+    out.toIndexedSeq
+  }
+
+  private def lexString(q: String, start: Int): (String, Int) = {
+    val quote = q(start)
+    val long = q.startsWith(quote.toString * 3, start)
+    val (open, close) = if (long) (3, quote.toString * 3) else (1, quote.toString)
+    val sb = new StringBuilder
+    var i = start + open
+    while (i < q.length) {
+      if (q.startsWith(close, i)) return (sb.toString, i + close.length)
+      val c = q(i)
+      if (c == '\\' && i + 1 < q.length) {
+        q(i + 1) match {
+          case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
+          case 'b' => sb += '\b'; case 'f' => sb += '\f'
+          case '"' => sb += '"'; case '\'' => sb += '\''; case '\\' => sb += '\\'
+          case 'u' => sb += Integer.parseInt(q.substring(i + 2, i + 6), 16).toChar; i += 4
+          case other => sb += other
+        }
+        i += 2
+      } else { sb += c; i += 1 }
+    }
+    throw ParseError("unterminated string", start)
+  }
+
+  // ======== canonicalization (must match graft.model.Term constructors) ========
+  private val intDts = Set("integer", "int", "long", "short", "byte", "nonNegativeInteger",
+    "nonPositiveInteger", "negativeInteger", "positiveInteger", "unsignedLong",
+    "unsignedInt", "unsignedShort", "unsignedByte")
+  private val dblDts = Set("double", "float", "decimal")
+
+  def canonicalLit(lex: String, dt: Option[String], lang: Option[String]): LitNode = {
+    dt match {
+      case Some(d) if d.startsWith(graft.model.Term.XSD) =>
+        val local = d.substring(graft.model.Term.XSD.length)
+        if (intDts(local)) LitNode(java.lang.Long.parseLong(lex.trim).toString,
+          Some(graft.model.Term.XSD_INTEGER))
+        else if (dblDts(local)) LitNode(java.lang.Double.toString(java.lang.Double.parseDouble(lex.trim)),
+          Some(graft.model.Term.XSD_DOUBLE))
+        else if (local == "boolean") LitNode(lex.trim.toLowerCase, Some(graft.model.Term.XSD_BOOLEAN))
+        else if (local == "dateTime" || local == "date") {
+          val inst = parseDateTime(lex.trim)
+          LitNode(inst, Some(graft.model.Term.XSD_DATETIME))
+        } else if (local == "string") LitNode(lex, None)
+        else LitNode(lex, dt)
+      case _ => LitNode(lex, dt, lang.map(_.toLowerCase))
+    }
+  }
+
+  /** Normalize a dateTime/date lexical to the canonical "yyyy-MM-dd'T'HH:mm:ss'Z'". */
+  def parseDateTime(lex: String): String = {
+    val base = if (lex.length == 10) lex + "T00:00:00Z"
+      else if (lex.endsWith("Z") || lex.contains("+")) lex else lex + "Z"
+    val inst = java.time.Instant.parse(base)
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      .withZone(java.time.ZoneOffset.UTC).format(inst)
+  }
+
+  def numLit(text: String): LitNode =
+    if (text.contains('.') || text.toLowerCase.contains('e'))
+      LitNode(java.lang.Double.toString(text.toDouble), Some(graft.model.Term.XSD_DOUBLE))
+    else LitNode(text.toLong.toString, Some(graft.model.Term.XSD_INTEGER))
+
+  // ======== parser ========
+  def parseQuery(q: String): Query = new P(tokenize(q)).parseQueryTop()
+  def parseUpdate(q: String): Seq[UpdateOp] = new P(tokenize(q)).parseUpdateTop()
+
+  private val builtinPrefixes = Map(
+    "rdf" -> graft.model.Term.RDF, "rdfs" -> graft.model.Term.RDFS,
+    "xsd" -> graft.model.Term.XSD, "owl" -> "http://www.w3.org/2002/07/owl#",
+    "bds" -> "http://www.bigdata.com/rdf/search#",
+    "geo" -> "http://www.bigdata.com/rdf/geospatial#",
+    "gas" -> "http://www.bigdata.com/rdf/gas#")
+
+  private final class P(toks: IndexedSeq[Tok]) {
+    private var i = 0
+    private var prefixes: Map[String, String] = builtinPrefixes
+    private var bnodeCtr = 0
+
+    private def cur: Tok = toks(i)
+    private def advance(): Tok = { val t = toks(i); i += 1; t }
+    private def fail(msg: String): Nothing = throw ParseError(s"$msg but found $cur", cur.pos)
+    private def isWord(w: String): Boolean = cur match {
+      case TWord(u, _, _) => u == w; case _ => false }
+    private def acceptWord(w: String): Boolean = if (isWord(w)) { i += 1; true } else false
+    private def expectWord(w: String): Unit = if (!acceptWord(w)) fail(s"expected $w")
+    private def isPunct(s: String): Boolean = cur match {
+      case TPunct(p, _) => p == s; case _ => false }
+    private def acceptPunct(s: String): Boolean = if (isPunct(s)) { i += 1; true } else false
+    private def expectPunct(s: String): Unit = if (!acceptPunct(s)) fail(s"expected '$s'")
+
+    private def freshBNodeVar(): VarNode = { bnodeCtr += 1; VarNode(s"-bn$bnodeCtr") }
+
+    private def resolvePName(p: String, l: String, pos: Int): String =
+      prefixes.get(p) match {
+        case Some(ns) => ns + l
+        case None => throw ParseError(s"unknown prefix '$p:'", pos)
+      }
+
+    def parseQueryTop(): Query = {
+      parsePrologue()
+      val q = cur match {
+        case TWord("SELECT", _, _) => parseSelect()
+        case TWord("ASK", _, _) => parseAsk()
+        case TWord("CONSTRUCT", _, _) => parseConstruct()
+        case TWord("DESCRIBE", _, _) => parseDescribe()
+        case _ => fail("expected SELECT/ASK/CONSTRUCT/DESCRIBE")
+      }
+      cur match { case TEof(_) => q; case _ => fail("trailing tokens") }
+    }
+
+    private def parsePrologue(): Unit = {
+      var go = true
+      while (go) {
+        if (acceptWord("PREFIX")) {
+          val (p, pos) = cur match {
+            case TPName(pr, "", po) => i += 1; (pr, po)
+            case TPName(pr, l, po) => i += 1; (pr + ":" + l, po) // e.g. odd empty-local
+            case TPunct(":", po) => i += 1; ("", po)
+            case _ => fail("expected prefix name")
+          }
+          val iri = cur match { case TIri(v, _) => i += 1; v; case _ => fail("expected IRI") }
+          prefixes += (p.stripSuffix(":") -> iri)
+          val _ = pos
+        } else if (acceptWord("BASE")) {
+          cur match { case TIri(_, _) => i += 1; case _ => fail("expected IRI") }
+        } else go = false
+      }
+    }
+
+    private def parseDatasets(): Seq[(String, Boolean)] = {
+      val out = ArrayBuffer.empty[(String, Boolean)]
+      while (acceptWord("FROM")) {
+        val named = acceptWord("NAMED")
+        out += ((parseIri(), named))
+      }
+      out.toSeq
+    }
+
+    private def parseIri(): String = cur match {
+      case TIri(v, _) => i += 1; v
+      case TPName(p, l, pos) => i += 1; resolvePName(p, l, pos)
+      case _ => fail("expected IRI")
+    }
+
+    private def parseSelect(): SelectQuery = {
+      expectWord("SELECT")
+      val distinct = acceptWord("DISTINCT")
+      val reduced = !distinct && acceptWord("REDUCED")
+      val proj: Projection =
+        if (acceptPunct("*")) Star
+        else {
+          val items = ArrayBuffer.empty[(Expr, Option[String])]
+          var go = true
+          while (go) cur match {
+            case TVar(n, _) => i += 1; items += ((EVar(n), None))
+            case TPunct("(", _) =>
+              i += 1
+              val e = parseExpr()
+              expectWord("AS")
+              val v = parseVar()
+              expectPunct(")")
+              items += ((e, Some(v.name)))
+            case _ => go = false
+          }
+          if (items.isEmpty) fail("empty projection")
+          ProjVars(items.toSeq)
+        }
+      val ds = parseDatasets()
+      val where = parseWhere()
+      val (groupBy, having, orderBy, offset, limit, values) = parseModifiers()
+      val q = SelectQuery(distinct, reduced, proj, where, groupBy, having, orderBy,
+        offset, limit, values)
+      q.datasets = ds
+      q
+    }
+
+    private def parseAsk(): AskQuery = {
+      expectWord("ASK")
+      val ds = parseDatasets()
+      val q = AskQuery(parseWhere())
+      q.datasets = ds
+      q
+    }
+
+    private def parseConstruct(): ConstructQuery = {
+      expectWord("CONSTRUCT")
+      expectPunct("{")
+      val buf = ArrayBuffer.empty[GP]
+      while (!isPunct("}")) {
+        parseTriplesSameSubject(buf)
+        if (!acceptPunct(".")) { if (!isPunct("}")) fail("expected '.' or '}'") }
+      }
+      expectPunct("}")
+      val ds = parseDatasets()
+      val where = parseWhere()
+      val (_, _, _, offset, limit, _) = parseModifiers()
+      val q = ConstructQuery(buf.toSeq.collect { case t: TripleGP => t }, where, offset, limit)
+      q.datasets = ds
+      q
+    }
+
+    private def parseDescribe(): DescribeQuery = {
+      expectWord("DESCRIBE")
+      val targets = ArrayBuffer.empty[Node]
+      var go = true
+      while (go) cur match {
+        case TVar(n, _) => i += 1; targets += VarNode(n)
+        case TIri(_, _) | TPName(_, _, _) => targets += IriNode(parseIri())
+        case _ => go = false
+      }
+      val where = if (isWord("WHERE") || isPunct("{")) Some(parseWhere()) else None
+      val q = DescribeQuery(targets.toSeq, where)
+      q
+    }
+
+    private def parseWhere(): GP = { acceptWord("WHERE"); parseGroupGP() }
+
+    private def parseModifiers(): (Seq[(Expr, Option[String])], Seq[Expr],
+        Seq[(Expr, Boolean)], Option[Long], Option[Long], Option[ValuesGP]) = {
+      var groupBy = Seq.empty[(Expr, Option[String])]
+      var having = Seq.empty[Expr]
+      var orderBy = Seq.empty[(Expr, Boolean)]
+      var offset: Option[Long] = None
+      var limit: Option[Long] = None
+      var values: Option[ValuesGP] = None
+      if (acceptWord("GROUP")) {
+        expectWord("BY")
+        val items = ArrayBuffer.empty[(Expr, Option[String])]
+        var go = true
+        while (go) cur match {
+          case TVar(n, _) => i += 1; items += ((EVar(n), None))
+          case TPunct("(", _) =>
+            i += 1
+            val e = parseExpr()
+            val alias = if (acceptWord("AS")) Some(parseVar().name) else None
+            expectPunct(")")
+            items += ((e, alias))
+          case TWord(_, _, _) if isBuiltinStart => items += ((parsePrimaryExpr(), None))
+          case _ => go = false
+        }
+        groupBy = items.toSeq
+      }
+      if (acceptWord("HAVING")) {
+        val hs = ArrayBuffer.empty[Expr]
+        while (isPunct("(") || isBuiltinStart) hs += parseConstraint()
+        having = hs.toSeq
+      }
+      if (acceptWord("ORDER")) {
+        expectWord("BY")
+        val keys = ArrayBuffer.empty[(Expr, Boolean)]
+        var go = true
+        while (go) cur match {
+          case TWord("ASC", _, _) => i += 1; keys += ((parseBracketted(), true))
+          case TWord("DESC", _, _) => i += 1; keys += ((parseBracketted(), false))
+          case TVar(n, _) => i += 1; keys += ((EVar(n), true))
+          case TPunct("(", _) => keys += ((parseBracketted(), true))
+          case TWord(_, _, _) if isBuiltinStart => keys += ((parsePrimaryExpr(), true))
+          case _ => go = false
+        }
+        orderBy = keys.toSeq
+      }
+      var go2 = true
+      while (go2) {
+        if (acceptWord("LIMIT")) limit = Some(parseLong())
+        else if (acceptWord("OFFSET")) offset = Some(parseLong())
+        else go2 = false
+      }
+      if (isWord("VALUES")) values = Some(parseValues())
+      (groupBy, having, orderBy, offset, limit, values)
+    }
+
+    private def parseBracketted(): Expr = { expectPunct("("); val e = parseExpr(); expectPunct(")"); e }
+
+    private def parseLong(): Long = cur match {
+      case TNum(t, _) => i += 1; t.toLong
+      case _ => fail("expected integer")
+    }
+
+    private def parseVar(): VarNode = cur match {
+      case TVar(n, _) => i += 1; VarNode(n)
+      case _ => fail("expected variable")
+    }
+
+    // ---- group graph pattern ----
+    private def parseGroupGP(): GP = {
+      expectPunct("{")
+      if (isWord("SELECT")) {
+        val sub = parseSelect()
+        expectPunct("}")
+        return GroupGP(Seq(SubSelectGP(sub)))
+      }
+      val elems = ArrayBuffer.empty[GP]
+      while (!isPunct("}")) {
+        cur match {
+          case TWord("OPTIONAL", _, _) => i += 1; elems += OptionalGP(parseGroupGP())
+          case TWord("MINUS", _, _) => i += 1; elems += MinusGP(parseGroupGP())
+          case TWord("FILTER", _, _) => i += 1; elems += FilterGP(parseConstraint())
+          case TWord("BIND", _, _) =>
+            i += 1; expectPunct("(")
+            val e = parseExpr(); expectWord("AS"); val v = parseVar(); expectPunct(")")
+            elems += BindGP(e, v)
+          case TWord("VALUES", _, _) => elems += parseValues()
+          case TWord("GRAPH", _, _) =>
+            i += 1
+            val g: Node = cur match {
+              case TVar(n, _) => i += 1; VarNode(n)
+              case _ => IriNode(parseIri())
+            }
+            elems += GraphGP(g, parseGroupGP())
+          case TWord("SERVICE", _, _) =>
+            i += 1
+            val silent = acceptWord("SILENT")
+            val g: Node = cur match {
+              case TVar(n, _) => i += 1; VarNode(n)
+              case _ => IriNode(parseIri())
+            }
+            elems += ServiceGP(g, parseGroupGP(), silent)
+          case TPunct("{", _) =>
+            // group or union chain
+            var g: GP = parseGroupGP()
+            if (isWord("UNION")) {
+              val alts = ArrayBuffer[GP](g)
+              while (acceptWord("UNION")) alts += parseGroupGP()
+              g = UnionGP(alts.toSeq)
+            }
+            elems += g
+          case _ =>
+            parseTriplesSameSubject(elems)
+            if (!isPunct("}")) {
+              if (!acceptPunct(".")) {
+                // allow next pattern keyword without '.'
+                cur match {
+                  case TWord("OPTIONAL" | "MINUS" | "FILTER" | "BIND" | "VALUES" |
+                    "GRAPH" | "SERVICE", _, _) | TPunct("{", _) => ()
+                  case _ => fail("expected '.' or '}'")
+                }
+              }
+            }
+        }
+        acceptPunct(".") // tolerate stray dots between elements
+      }
+      expectPunct("}")
+      GroupGP(elems.toSeq)
+    }
+
+    private def parseValues(): ValuesGP = {
+      expectWord("VALUES")
+      if (acceptPunct("(")) {
+        val vars = ArrayBuffer.empty[VarNode]
+        while (!isPunct(")")) vars += parseVar()
+        expectPunct(")")
+        expectPunct("{")
+        val rows = ArrayBuffer.empty[Seq[Option[Node]]]
+        while (acceptPunct("(")) {
+          val row = ArrayBuffer.empty[Option[Node]]
+          while (!isPunct(")")) row += parseDataValue()
+          expectPunct(")")
+          rows += row.toSeq
+        }
+        expectPunct("}")
+        ValuesGP(vars.toSeq, rows.toSeq)
+      } else {
+        val v = parseVar()
+        expectPunct("{")
+        val rows = ArrayBuffer.empty[Seq[Option[Node]]]
+        while (!isPunct("}")) rows += Seq(parseDataValue())
+        expectPunct("}")
+        ValuesGP(Seq(v), rows.toSeq)
+      }
+    }
+
+    private def parseDataValue(): Option[Node] = cur match {
+      case TWord("UNDEF", _, _) => i += 1; None
+      case _ => Some(parseGraphTerm())
+    }
+
+    // ---- triples ----
+    private def parseTriplesSameSubject(out: ArrayBuffer[GP]): Unit = {
+      val s: Node = cur match {
+        case TPunct("[", _) =>
+          i += 1
+          val v = freshBNodeVar()
+          if (!isPunct("]")) parsePropertyList(v, out)
+          expectPunct("]")
+          v
+        case _ => parseVarOrTerm()
+      }
+      parsePropertyList(s, out)
+    }
+
+    private def parsePropertyList(s: Node, out: ArrayBuffer[GP]): Unit = {
+      var go = true
+      while (go) {
+        if (isPunct("]") || isPunct("}") || isPunct(".") || cur.isInstanceOf[TEof]) { go = false }
+        else {
+          val p: Either[Path, VarNode] = cur match {
+            case TVar(n, _) => i += 1; Right(VarNode(n))
+            case _ => Left(parsePath())
+          }
+          // object list
+          var more = true
+          while (more) {
+            val o: Node = cur match {
+              case TPunct("[", _) =>
+                i += 1
+                val v = freshBNodeVar()
+                if (!isPunct("]")) parsePropertyList(v, out)
+                expectPunct("]")
+                v
+              case _ => parseVarOrTerm()
+            }
+            p match {
+              case Left(path) => out += TripleGP(s, path, o)
+              case Right(v) => out += TripleGP(s, PLink("?" + v.name), o) // var predicate marker
+            }
+            more = acceptPunct(",")
+          }
+          go = acceptPunct(";")
+          if (go && (isPunct("]") || isPunct("}") || isPunct("."))) go = false
+        }
+      }
+    }
+
+    private def parseVarOrTerm(): Node = cur match {
+      case TVar(n, _) => i += 1; VarNode(n)
+      case TBNode(l, _) => i += 1; VarNode("-bnl_" + l)
+      case _ => parseGraphTerm()
+    }
+
+    private def parseGraphTerm(): Node = cur match {
+      case TIri(v, _) => i += 1; IriNode(v)
+      case TPName(p, l, pos) => i += 1; IriNode(resolvePName(p, l, pos))
+      case TWord("A", "a", _) => i += 1; IriNode(graft.model.Term.RDF_TYPE)
+      case TWord("TRUE", _, _) => i += 1; LitNode("true", Some(graft.model.Term.XSD_BOOLEAN))
+      case TWord("FALSE", _, _) => i += 1; LitNode("false", Some(graft.model.Term.XSD_BOOLEAN))
+      case TNum(t, _) => i += 1; numLit(t)
+      case TPunct("-", _) if toks(i + 1).isInstanceOf[TNum] =>
+        i += 1
+        val TNum(t, _) = advance(): @unchecked
+        numLit("-" + t)
+      case TStr(s, _) =>
+        i += 1
+        cur match {
+          case TLang(lg, _) => i += 1; canonicalLit(s, None, Some(lg))
+          case TPunct("^^", _) => i += 1; canonicalLit(s, Some(parseIri()), None)
+          case _ => LitNode(s, None)
+        }
+      case _ => fail("expected RDF term")
+    }
+
+    // ---- property paths ----
+    private def parsePath(): Path = parsePathAlt()
+    private def parsePathAlt(): Path = {
+      var p = parsePathSeq()
+      while (acceptPunct("|")) p = PAlt(p, parsePathSeq())
+      p
+    }
+    private def parsePathSeq(): Path = {
+      var p = parsePathEltOrInverse()
+      while (acceptPunct("/")) p = PSeq(p, parsePathEltOrInverse())
+      p
+    }
+    private def parsePathEltOrInverse(): Path =
+      if (acceptPunct("^")) PInv(parsePathElt()) else parsePathElt()
+    private def parsePathElt(): Path = {
+      val prim = parsePathPrimary()
+      if (acceptPunct("*")) PZeroOrMore(prim)
+      else if (acceptPunct("+")) POneOrMore(prim)
+      else if (acceptPunct("?")) PZeroOrOne(prim)
+      else prim
+    }
+    private def parsePathPrimary(): Path = cur match {
+      case TWord("A", "a", _) => i += 1; PLink(graft.model.Term.RDF_TYPE)
+      case TPunct("(", _) => i += 1; val p = parsePath(); expectPunct(")"); p
+      case TPunct("!", _) =>
+        i += 1
+        val set = ArrayBuffer.empty[(String, Boolean)]
+        if (acceptPunct("(")) {
+          var go = true
+          while (go) {
+            val inv = acceptPunct("^")
+            set += ((if (isWord("A")) { i += 1; graft.model.Term.RDF_TYPE } else parseIri(), inv))
+            go = acceptPunct("|")
+          }
+          expectPunct(")")
+        } else {
+          val inv = acceptPunct("^")
+          set += ((parseIri(), inv))
+        }
+        PNeg(set.toSeq)
+      case _ => PLink(parseIri())
+    }
+
+    // ---- expressions ----
+    def parseConstraint(): Expr = cur match {
+      case TWord("EXISTS", _, _) => i += 1; EExists(parseGroupGP().asInstanceOf[GroupGP], not = false)
+      case TWord("NOT", _, _) =>
+        i += 1; expectWord("EXISTS"); EExists(parseGroupGP().asInstanceOf[GroupGP], not = true)
+      case TPunct("(", _) => parseBracketted()
+      case _ => parsePrimaryExpr()
+    }
+
+    private def isBuiltinStart: Boolean = cur match {
+      case TWord(w, _, _) => w != "UNION" && w != "OPTIONAL" && w != "MINUS" &&
+        w != "FILTER" && w != "BIND" && w != "VALUES" && w != "GRAPH" && w != "LIMIT" &&
+        w != "OFFSET" && w != "ORDER" && w != "GROUP" && w != "HAVING" && w != "ASC" && w != "DESC"
+      case _ => false
+    }
+
+    def parseExpr(): Expr = parseOr()
+    private def parseOr(): Expr = {
+      var e = parseAnd()
+      while (acceptPunct("||")) e = EBinary("||", e, parseAnd())
+      e
+    }
+    private def parseAnd(): Expr = {
+      var e = parseRelational()
+      while (acceptPunct("&&")) e = EBinary("&&", e, parseRelational())
+      e
+    }
+    private def parseRelational(): Expr = {
+      val e = parseAdditive()
+      cur match {
+        case TPunct(op @ ("=" | "!=" | "<" | "<=" | ">" | ">="), _) =>
+          i += 1; EBinary(op, e, parseAdditive())
+        case TWord("IN", _, _) => i += 1; EIn(e, parseExprList(), not = false)
+        case TWord("NOT", _, _) => i += 1; expectWord("IN"); EIn(e, parseExprList(), not = true)
+        case _ => e
+      }
+    }
+    private def parseExprList(): Seq[Expr] = {
+      expectPunct("(")
+      val out = ArrayBuffer.empty[Expr]
+      if (!isPunct(")")) { out += parseExpr(); while (acceptPunct(",")) out += parseExpr() }
+      expectPunct(")")
+      out.toSeq
+    }
+    private def parseAdditive(): Expr = {
+      var e = parseMultiplicative()
+      var go = true
+      while (go) {
+        if (acceptPunct("+")) e = EBinary("+", e, parseMultiplicative())
+        else if (acceptPunct("-")) e = EBinary("-", e, parseMultiplicative())
+        else go = false
+      }
+      e
+    }
+    private def parseMultiplicative(): Expr = {
+      var e = parseUnary()
+      var go = true
+      while (go) {
+        if (acceptPunct("*")) e = EBinary("*", e, parseUnary())
+        else if (acceptPunct("/")) e = EBinary("/", e, parseUnary())
+        else go = false
+      }
+      e
+    }
+    private def parseUnary(): Expr =
+      if (acceptPunct("!")) EUnary("!", parseUnary())
+      else if (acceptPunct("-")) EUnary("-", parseUnary())
+      else if (acceptPunct("+")) parseUnary()
+      else parsePrimaryExpr()
+
+    private val aggNames = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT")
+
+    private def parsePrimaryExpr(): Expr = cur match {
+      case TPunct("(", _) => parseBracketted()
+      case TVar(n, _) => i += 1; EVar(n)
+      case TNum(t, _) => i += 1; EConst(numLit(t))
+      case TStr(_, _) => EConst(parseGraphTerm())
+      case TWord("TRUE", _, _) => i += 1; EConst(LitNode("true", Some(graft.model.Term.XSD_BOOLEAN)))
+      case TWord("FALSE", _, _) => i += 1; EConst(LitNode("false", Some(graft.model.Term.XSD_BOOLEAN)))
+      case TWord("EXISTS", _, _) | TWord("NOT", _, _) => parseConstraint()
+      case TWord(up, _, _) if aggNames(up) =>
+        i += 1
+        expectPunct("(")
+        val distinct = acceptWord("DISTINCT")
+        if (acceptPunct("*")) {
+          expectPunct(")")
+          EAgg(up, distinct, None)
+        } else {
+          val arg = parseExpr()
+          var sep: Option[String] = None
+          if (acceptPunct(";")) {
+            expectWord("SEPARATOR")
+            expectPunct("=")
+            cur match { case TStr(s, _) => i += 1; sep = Some(s); case _ => fail("expected string") }
+          }
+          expectPunct(")")
+          EAgg(up, distinct, Some(arg), sep)
+        }
+      case TWord(up, _, _) =>
+        i += 1
+        if (isPunct("(")) ECall(up, parseArgs())
+        else fail(s"unexpected word $up in expression")
+      case TIri(_, _) | TPName(_, _, _) =>
+        val iri = parseIri()
+        if (isPunct("(")) ECall("CAST:" + iri, parseArgs())
+        else EConst(IriNode(iri))
+      case _ => fail("expected expression")
+    }
+
+    private def parseArgs(): Seq[Expr] = {
+      expectPunct("(")
+      val out = ArrayBuffer.empty[Expr]
+      if (!isPunct(")")) {
+        if (acceptPunct("*")) () // e.g. COUNT(*) handled above; ignore here
+        else { out += parseExpr(); while (acceptPunct(",")) out += parseExpr() }
+      }
+      expectPunct(")")
+      out.toSeq
+    }
+
+    // ---- update ----
+    def parseUpdateTop(): Seq[UpdateOp] = {
+      parsePrologue()
+      val ops = ArrayBuffer.empty[UpdateOp]
+      var go = true
+      while (go) {
+        cur match {
+          case TWord("INSERT", _, _) =>
+            i += 1
+            if (acceptWord("DATA")) ops += InsertData(parseQuadData())
+            else { // INSERT {} WHERE {}
+              val ins = parseQuadPatterns()
+              expectWord("WHERE")
+              ops += Modify(Nil, ins, parseGroupGP())
+            }
+          case TWord("DELETE", _, _) =>
+            i += 1
+            if (acceptWord("DATA")) ops += DeleteData(parseQuadData())
+            else {
+              val del = parseQuadPatterns()
+              val ins = if (acceptWord("INSERT")) parseQuadPatterns() else Nil
+              expectWord("WHERE")
+              ops += Modify(del, ins, parseGroupGP())
+            }
+          case TWord("CLEAR", _, _) =>
+            i += 1
+            acceptWord("SILENT")
+            if (acceptWord("ALL")) ops += ClearGraph(None)
+            else if (acceptWord("DEFAULT")) ops += ClearGraph(None)
+            else { expectWord("GRAPH"); ops += ClearGraph(Some(parseIri())) }
+          case _ => go = false
+        }
+        if (!acceptPunct(";")) go = false
+      }
+      cur match { case TEof(_) => ops.toSeq; case _ => fail("trailing tokens in update") }
+    }
+
+    private def parseQuadData(): Seq[QuadData] = parseQuadPatterns()
+
+    private def parseQuadPatterns(): Seq[QuadData] = {
+      expectPunct("{")
+      val out = ArrayBuffer.empty[QuadData]
+      while (!isPunct("}")) {
+        if (acceptWord("GRAPH")) {
+          val g = IriNode(parseIri())
+          expectPunct("{")
+          while (!isPunct("}")) { parseQuadTriple(out, Some(g)); acceptPunct(".") }
+          expectPunct("}")
+        } else { parseQuadTriple(out, None); acceptPunct(".") }
+      }
+      expectPunct("}")
+      out.toSeq
+    }
+
+    private def parseQuadTriple(out: ArrayBuffer[QuadData], g: Option[Node]): Unit = {
+      val s = parseVarOrTerm()
+      var go = true
+      while (go) {
+        val p = cur match {
+          case TVar(n, _) => i += 1; VarNode(n)
+          case TWord("A", "a", _) => i += 1; IriNode(graft.model.Term.RDF_TYPE)
+          case _ => IriNode(parseIri())
+        }
+        var more = true
+        while (more) {
+          out += QuadData(s, p, parseVarOrTerm(), g)
+          more = acceptPunct(",")
+        }
+        go = acceptPunct(";") && !isPunct("}") && !isPunct(".")
+      }
+    }
+  }
+}
