@@ -1,13 +1,413 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.engine.Engine
+import graft.model.Tpch
+import graft.pipeline.{Dedup, Similarity, TextStats}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from SURVEY.md §2,
+  * each with a DuckDB-equivalent oracle in `oracleSql` (the t2 correctness gate).
+  *
+  * SPARQL entries run the full stack (parse → algebra → Catalyst) over the
+  * table→triples mapping of FIXTURES.md §4, then project typed columns whose names match
+  * the oracle SQL aliases. Pipeline entries (dedup / similarity / text stats) run the
+  * DataFrame operators directly over the documents/embeddings tables; the ones whose
+  * semantics aren't SQL-expressible omit the oracle (driver records rows-only).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- typed projection helpers (term struct → native columns) ----
+  private def oStr(v: String): Column = col(v)("str").as(v)
+  private def oDbl(v: String): Column = col(v)("num").as(v)
+  private def oLng(v: String): Column = col(v)("lng").as(v)
+  private def oTs(v: String): Column = col(v)("ts").as(v)
+
+  private def sq(sparql: String, outs: Column*)(spark: SparkSession, dir: String): DataFrame = {
+    val df = Engine.query(Tpch.store(spark, dir), sparql)
+    if (outs.isEmpty) df else df.select(outs: _*)
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    sq("""SELECT ?nname (COUNT(*) AS ?cnt) (SUM(?qty) AS ?sum_qty) WHERE {
+         |  ?l <urn:fk:l_orderkey>/<urn:fk:o_custkey>/<urn:fk:c_nationkey> ?n ;
+         |     <urn:p:l_quantity> ?qty .
+         |  ?n <urn:p:n_name> ?nname .
+         |} GROUP BY ?nname ORDER BY DESC(?cnt) ?nname""".stripMargin,
+      oStr("nname"), oLng("cnt"), oDbl("sum_qty"))(spark, "/root/testdata/sf0.001")
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ======== SPARQL operator battery ========
+  private val sparqlQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    ("q_scan_filter", sq(
+      """SELECT ?name ?bal WHERE { ?c a <urn:c:Customer> ; <urn:p:c_name> ?name ;
+        |  <urn:p:c_acctbal> ?bal . FILTER(?bal > 5000.0) }""".stripMargin,
+      oStr("name"), oDbl("bal")) _,
+      Some("SELECT c_name AS name, c_acctbal AS bal FROM customer WHERE c_acctbal > 5000.0")),
+
+    ("q_range_count", sq(
+      "SELECT (COUNT(*) AS ?cnt) WHERE { ?s a <urn:c:Lineitem> }", oLng("cnt")) _,
+      Some("SELECT COUNT(*) AS cnt FROM lineitem")),
+
+    ("q_distinct_term", sq(
+      "SELECT DISTINCT ?seg WHERE { ?c <urn:p:c_mktsegment> ?seg }", oStr("seg")) _,
+      Some("SELECT DISTINCT c_mktsegment AS seg FROM customer")),
+
+    ("q_join3", sq(
+      """SELECT ?cname ?nname ?rname WHERE {
+        |  ?c a <urn:c:Customer> ; <urn:p:c_name> ?cname ; <urn:fk:c_nationkey> ?n .
+        |  ?n <urn:p:n_name> ?nname ; <urn:fk:n_regionkey> ?r .
+        |  ?r <urn:p:r_name> ?rname }""".stripMargin,
+      oStr("cname"), oStr("nname"), oStr("rname")) _,
+      Some("""SELECT c_name AS cname, n_name AS nname, r_name AS rname FROM customer
+             | JOIN nation ON c_nationkey=n_nationkey
+             | JOIN region ON n_regionkey=r_regionkey""".stripMargin)),
+
+    ("q_optional", sq(
+      """SELECT ?ckey ?okey WHERE { ?c a <urn:c:Customer> ; <urn:p:c_custkey> ?ckey .
+        |  OPTIONAL { ?o <urn:fk:o_custkey> ?c ; <urn:p:o_orderkey> ?okey } }""".stripMargin,
+      oLng("ckey"), oLng("okey")) _,
+      Some("SELECT c_custkey AS ckey, o_orderkey AS okey FROM customer LEFT JOIN orders ON o_custkey=c_custkey")),
+
+    ("q_optional_filter", sq(
+      """SELECT ?ckey ?tp WHERE { ?c a <urn:c:Customer> ; <urn:p:c_custkey> ?ckey .
+        |  OPTIONAL { ?o <urn:fk:o_custkey> ?c ; <urn:p:o_totalprice> ?tp .
+        |             FILTER(?tp > 200000.0) } }""".stripMargin,
+      oLng("ckey"), oDbl("tp")) _,
+      Some("""SELECT c_custkey AS ckey, o_totalprice AS tp FROM customer
+             | LEFT JOIN orders ON o_custkey=c_custkey AND o_totalprice > 200000.0""".stripMargin)),
+
+    ("q_union", sq(
+      """SELECT ?name WHERE {
+        |  { ?c a <urn:c:Customer> ; <urn:p:c_name> ?name }
+        |  UNION { ?s a <urn:c:Supplier> ; <urn:p:s_name> ?name } }""".stripMargin,
+      oStr("name")) _,
+      Some("SELECT c_name AS name FROM customer UNION ALL SELECT s_name AS name FROM supplier")),
+
+    ("q_minus", sq(
+      """SELECT ?ckey WHERE { ?c a <urn:c:Customer> ; <urn:p:c_custkey> ?ckey .
+        |  MINUS { ?o <urn:fk:o_custkey> ?c . } }""".stripMargin,
+      oLng("ckey")) _,
+      Some("SELECT c_custkey AS ckey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)")),
+
+    ("q_not_exists", sq(
+      """SELECT ?ckey WHERE { ?c a <urn:c:Customer> ; <urn:p:c_custkey> ?ckey .
+        |  FILTER NOT EXISTS { ?o <urn:fk:o_custkey> ?c } }""".stripMargin,
+      oLng("ckey")) _,
+      Some("SELECT c_custkey AS ckey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c.c_custkey)")),
+
+    ("q_exists", sq(
+      """SELECT ?ckey WHERE { ?c a <urn:c:Customer> ; <urn:p:c_custkey> ?ckey .
+        |  FILTER EXISTS { ?o <urn:fk:o_custkey> ?c } }""".stripMargin,
+      oLng("ckey")) _,
+      Some("SELECT c_custkey AS ckey FROM customer c WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c.c_custkey)")),
+
+    ("q_agg_group", sq(
+      """SELECT ?rf ?ls (COUNT(*) AS ?cnt) (SUM(?qty) AS ?sum_qty) (AVG(?qty) AS ?avg_qty)
+        |WHERE { ?l a <urn:c:Lineitem> ; <urn:p:l_returnflag> ?rf ;
+        |  <urn:p:l_linestatus> ?ls ; <urn:p:l_quantity> ?qty }
+        |GROUP BY ?rf ?ls""".stripMargin,
+      oStr("rf"), oStr("ls"), oLng("cnt"), oDbl("sum_qty"), oDbl("avg_qty")) _,
+      Some("""SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS cnt,
+             | SUM(l_quantity) AS sum_qty, AVG(l_quantity) AS avg_qty
+             | FROM lineitem GROUP BY 1, 2""".stripMargin)),
+
+    ("q_having", sq(
+      """SELECT ?nname (COUNT(*) AS ?cnt) WHERE {
+        |  ?c a <urn:c:Customer> ; <urn:fk:c_nationkey> ?n . ?n <urn:p:n_name> ?nname }
+        |GROUP BY ?nname HAVING (COUNT(*) > 20)""".stripMargin,
+      oStr("nname"), oLng("cnt")) _,
+      Some("""SELECT n_name AS nname, COUNT(*) AS cnt FROM customer
+             | JOIN nation ON c_nationkey=n_nationkey GROUP BY 1 HAVING COUNT(*) > 20""".stripMargin)),
+
+    ("q_count_distinct", sq(
+      "SELECT (COUNT(DISTINCT ?seg) AS ?nseg) WHERE { ?c <urn:p:c_mktsegment> ?seg }",
+      oLng("nseg")) _,
+      Some("SELECT COUNT(DISTINCT c_mktsegment) AS nseg FROM customer")),
+
+    ("q_orderby_limit", sq(
+      """SELECT ?okey ?tp WHERE { ?o a <urn:c:Orders> ; <urn:p:o_orderkey> ?okey ;
+        |  <urn:p:o_totalprice> ?tp } ORDER BY DESC(?tp) ?okey LIMIT 10""".stripMargin,
+      oLng("okey"), oDbl("tp")) _,
+      Some("SELECT o_orderkey AS okey, o_totalprice AS tp FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+
+    ("q_offset", sq(
+      """SELECT ?okey ?tp WHERE { ?o a <urn:c:Orders> ; <urn:p:o_orderkey> ?okey ;
+        |  <urn:p:o_totalprice> ?tp } ORDER BY DESC(?tp) ?okey OFFSET 10 LIMIT 10""".stripMargin,
+      oLng("okey"), oDbl("tp")) _,
+      Some("SELECT o_orderkey AS okey, o_totalprice AS tp FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10")),
+
+    ("q_distinct_pairs", sq(
+      """SELECT DISTINCT ?nname ?seg WHERE { ?c <urn:fk:c_nationkey> ?n ;
+        |  <urn:p:c_mktsegment> ?seg . ?n <urn:p:n_name> ?nname }""".stripMargin,
+      oStr("nname"), oStr("seg")) _,
+      Some("SELECT DISTINCT n_name AS nname, c_mktsegment AS seg FROM customer JOIN nation ON c_nationkey=n_nationkey")),
+
+    ("q_bind", sq(
+      """SELECT ?lkey ?ln ?rev WHERE { ?l a <urn:c:Lineitem> ; <urn:p:l_orderkey> ?lkey ;
+        |  <urn:p:l_linenumber> ?ln ; <urn:p:l_extendedprice> ?p ; <urn:p:l_discount> ?d .
+        |  BIND(?p * (1 - ?d) AS ?rev) }""".stripMargin,
+      oLng("lkey"), oLng("ln"), oDbl("rev")) _,
+      Some("SELECT l_orderkey AS lkey, l_linenumber AS ln, l_extendedprice * (1 - l_discount) AS rev FROM lineitem")),
+
+    ("q_values", sq(
+      """SELECT ?name ?seg WHERE { VALUES ?seg { "BUILDING" "MACHINERY" }
+        |  ?c <urn:p:c_mktsegment> ?seg ; <urn:p:c_name> ?name }""".stripMargin,
+      oStr("name"), oStr("seg")) _,
+      Some("SELECT c_name AS name, c_mktsegment AS seg FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY')")),
+
+    ("q_subquery", sq(
+      """SELECT ?nname ?avgbal WHERE {
+        |  ?n <urn:p:n_name> ?nname .
+        |  { SELECT ?n (AVG(ROUND(?bal * 100)) AS ?avgbal) WHERE {
+        |      ?c <urn:fk:c_nationkey> ?n ; <urn:p:c_acctbal> ?bal } GROUP BY ?n } }""".stripMargin,
+      oStr("nname"), oDbl("avgbal")) _,
+      Some("""SELECT n_name AS nname, avgbal FROM nation JOIN
+             | (SELECT c_nationkey, AVG(ROUND(c_acctbal*100, 0)) AS avgbal
+             |  FROM customer GROUP BY c_nationkey) sub ON n_nationkey=c_nationkey""".stripMargin)),
+
+    ("q_path_seq", sq(
+      """SELECT ?nname (COUNT(*) AS ?cnt) WHERE {
+        |  ?l <urn:fk:l_orderkey>/<urn:fk:o_custkey>/<urn:fk:c_nationkey> ?n .
+        |  ?n <urn:p:n_name> ?nname } GROUP BY ?nname""".stripMargin,
+      oStr("nname"), oLng("cnt")) _,
+      Some("""SELECT n_name AS nname, COUNT(*) AS cnt FROM lineitem
+             | JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey
+             | JOIN nation ON c_nationkey=n_nationkey GROUP BY 1""".stripMargin)),
+
+    ("q_path_alt", sq(
+      """SELECT ?nname (COUNT(*) AS ?cnt) WHERE {
+        |  ?x (<urn:fk:c_nationkey>|<urn:fk:s_nationkey>) ?n . ?n <urn:p:n_name> ?nname }
+        |GROUP BY ?nname""".stripMargin,
+      oStr("nname"), oLng("cnt")) _,
+      Some("""SELECT n_name AS nname, COUNT(*) AS cnt FROM
+             | (SELECT c_nationkey AS nk FROM customer UNION ALL SELECT s_nationkey FROM supplier) u
+             | JOIN nation ON nk=n_nationkey GROUP BY 1""".stripMargin)),
+
+    ("q_path_inv", sq(
+      """SELECT ?ckey (COUNT(*) AS ?cnt) WHERE {
+        |  ?c ^<urn:fk:o_custkey> ?o ; <urn:p:c_custkey> ?ckey } GROUP BY ?ckey""".stripMargin,
+      oLng("ckey"), oLng("cnt")) _,
+      Some("SELECT c_custkey AS ckey, COUNT(*) AS cnt FROM customer JOIN orders ON o_custkey=c_custkey GROUP BY 1")),
+
+    ("q_path_plus", sq(
+      """SELECT ?s ?t WHERE { ?s a <urn:c:Lineitem> .
+        |  ?s (<urn:fk:l_orderkey>|<urn:fk:o_custkey>)+ ?t . }""".stripMargin,
+      oStr("s"), oStr("t")) _,
+      Some("""WITH li AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+             |  ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount,
+             |           l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
+             |SELECT 'urn:t:lineitem:'||l_orderkey||'-'||l_linenumber||'-'||seq AS s,
+             |  'urn:t:orders:'||l_orderkey AS t FROM li
+             |UNION
+             |SELECT 'urn:t:lineitem:'||l_orderkey||'-'||l_linenumber||'-'||seq AS s,
+             |  'urn:t:customer:'||o_custkey AS t FROM li JOIN orders ON l_orderkey=o_orderkey""".stripMargin)),
+
+    ("q_named_graph", sq(
+      """SELECT ?seg (COUNT(*) AS ?cnt) WHERE {
+        |  GRAPH <urn:g:customer> { ?c <urn:p:c_mktsegment> ?seg } } GROUP BY ?seg""".stripMargin,
+      oStr("seg"), oLng("cnt")) _,
+      Some("SELECT c_mktsegment AS seg, COUNT(*) AS cnt FROM customer GROUP BY 1")),
+
+    ("q_graph_var", sq(
+      """SELECT ?g (COUNT(*) AS ?cnt) WHERE { GRAPH ?g { ?s a ?cls } } GROUP BY ?g""".stripMargin,
+      oStr("g"), oLng("cnt")) _,
+      Some("""SELECT 'urn:g:region' AS g, COUNT(*) AS cnt FROM region GROUP BY 1
+             |UNION ALL SELECT 'urn:g:nation', COUNT(*) FROM nation
+             |UNION ALL SELECT 'urn:g:customer', COUNT(*) FROM customer
+             |UNION ALL SELECT 'urn:g:supplier', COUNT(*) FROM supplier
+             |UNION ALL SELECT 'urn:g:part', COUNT(*) FROM part
+             |UNION ALL SELECT 'urn:g:orders', COUNT(*) FROM orders
+             |UNION ALL SELECT 'urn:g:lineitem', COUNT(*) FROM lineitem
+             |UNION ALL SELECT 'urn:g:events', COUNT(*) FROM events
+             |UNION ALL SELECT 'urn:g:documents', COUNT(*) FROM documents""".stripMargin)),
+
+    ("q_from_dataset", sq(
+      """SELECT (COUNT(*) AS ?cnt) FROM <urn:g:nation> WHERE { ?s <urn:p:n_name> ?o }""",
+      oLng("cnt")) _,
+      Some("SELECT COUNT(*) AS cnt FROM nation")),
+
+    ("q_ask", sq(
+      """ASK { ?c <urn:p:c_acctbal> ?b . FILTER(?b > 9990.0) }""") _,
+      Some("SELECT EXISTS(SELECT 1 FROM customer WHERE c_acctbal > 9990.0) AS ask")),
+
+    ("q_construct", ((s: SparkSession, dir: String) =>
+      sq("""CONSTRUCT { ?c <urn:p:rich> ?b } WHERE {
+           |  ?c <urn:p:c_acctbal> ?b . FILTER(?b > 9000.0) }""".stripMargin)(s, dir)
+        .select(col("s")("str").as("s"), col("p")("str").as("p"), col("o")("num").as("o"))): Q,
+      Some("SELECT 'urn:t:customer:'||c_custkey AS s, 'urn:p:rich' AS p, c_acctbal AS o FROM customer WHERE c_acctbal > 9000.0")),
+
+    ("q_describe", ((s: SparkSession, dir: String) =>
+      sq("DESCRIBE <urn:t:region:0>")(s, dir)
+        .select(col("s")("str").as("s"), col("p")("str").as("p"), col("o")("str").as("o"))): Q,
+      Some("""SELECT 'urn:t:region:0' AS s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p, 'urn:c:Region' AS o
+             |UNION ALL SELECT 'urn:t:region:0', 'urn:p:r_regionkey', '0'
+             |UNION ALL SELECT 'urn:t:region:0', 'urn:p:r_name', r_name FROM region WHERE r_regionkey=0""".stripMargin)),
+
+    ("q_expr_str", sq(
+      """SELECT ?ckey ?up ?l ?pre WHERE { ?c <urn:p:c_custkey> ?ckey ; <urn:p:c_name> ?name .
+        |  BIND(UCASE(?name) AS ?up) BIND(STRLEN(?name) AS ?l)
+        |  BIND(SUBSTR(?name, 1, 8) AS ?pre) }""".stripMargin,
+      oLng("ckey"), oStr("up"), oLng("l"), oStr("pre")) _,
+      Some("""SELECT c_custkey AS ckey, UPPER(c_name) AS up, LENGTH(c_name) AS l,
+             | SUBSTR(c_name, 1, 8) AS pre FROM customer""".stripMargin)),
+
+    ("q_expr_date", sq(
+      """SELECT ?okey ?y ?m WHERE { ?o <urn:p:o_orderkey> ?okey ; <urn:p:o_orderdate> ?d .
+        |  BIND(YEAR(?d) AS ?y) BIND(MONTH(?d) AS ?m) }""".stripMargin,
+      oLng("okey"), oLng("y"), oLng("m")) _,
+      Some("""SELECT o_orderkey AS okey, EXTRACT(YEAR FROM o_orderdate) AS y,
+             | EXTRACT(MONTH FROM o_orderdate) AS m FROM orders""".stripMargin)),
+
+    ("q_expr_if", sq(
+      """SELECT ?ckey ?cls WHERE { ?c <urn:p:c_custkey> ?ckey ; <urn:p:c_acctbal> ?b .
+        |  BIND(IF(?b > 5000.0, "high", "low") AS ?cls) }""".stripMargin,
+      oLng("ckey"), oStr("cls")) _,
+      Some("SELECT c_custkey AS ckey, CASE WHEN c_acctbal > 5000.0 THEN 'high' ELSE 'low' END AS cls FROM customer")),
+
+    ("q_regex", sq(
+      """SELECT ?name WHERE { ?c <urn:p:c_name> ?name . FILTER(REGEX(?name, "00$")) }""",
+      oStr("name")) _,
+      Some("SELECT c_name AS name FROM customer WHERE regexp_matches(c_name, '00$')")),
+
+    ("q_in_filter", sq(
+      """SELECT ?ckey WHERE { ?c <urn:p:c_custkey> ?ckey ; <urn:p:c_mktsegment> ?seg .
+        |  FILTER(?seg IN ("BUILDING", "AUTOMOBILE")) }""".stripMargin,
+      oLng("ckey")) _,
+      Some("SELECT c_custkey AS ckey FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')")),
+
+    ("q_group_concat", sq(
+      """SELECT (GROUP_CONCAT(?rname; SEPARATOR=",") AS ?names) WHERE { ?r <urn:p:r_name> ?rname }""",
+      oStr("names")) _,
+      Some("SELECT string_agg(r_name, ',' ORDER BY r_name) AS names FROM region")),
+
+    ("q_minmax", sq(
+      """SELECT (MIN(?d) AS ?mind) (MAX(?d) AS ?maxd) WHERE { ?l <urn:p:l_shipdate> ?d }""",
+      oTs("mind"), oTs("maxd")) _,
+      Some("SELECT MIN(l_shipdate) AS mind, MAX(l_shipdate) AS maxd FROM lineitem")),
+
+    ("q_sample_agg", sq(
+      """SELECT ?nname (SAMPLE(?cname) AS ?anyc) WHERE {
+        |  ?c <urn:fk:c_nationkey> ?n ; <urn:p:c_name> ?cname . ?n <urn:p:n_name> ?nname }
+        |GROUP BY ?nname""".stripMargin,
+      oStr("nname"), oStr("anyc")) _,
+      Some("""SELECT n_name AS nname, MIN(c_name) AS anyc FROM customer
+             | JOIN nation ON c_nationkey=n_nationkey GROUP BY 1""".stripMargin)),
+
+    ("q_search_contains", sq(
+      """SELECT ?d WHERE { ?doc <urn:p:text> ?t ; <urn:p:doc_id> ?d .
+        |  FILTER(CONTAINS(?t, "the")) }""".stripMargin,
+      oLng("d")) _,
+      Some("SELECT doc_id AS d FROM documents WHERE contains(text, 'the')")),
+
+    ("q_inference", ((s: SparkSession, dir: String) => {
+      val closed = graft.inference.Rdfs.closure(Tpch.store(s, dir))
+      Engine.query(closed, "SELECT (COUNT(*) AS ?cnt) WHERE { ?s a <urn:c:Any> }")
+        .select(oLng("cnt"))
+    }): Q,
+      Some("""SELECT (SELECT COUNT(*) FROM region) + (SELECT COUNT(*) FROM nation)
+             | + (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)
+             | + (SELECT COUNT(*) FROM part) + (SELECT COUNT(*) FROM orders)
+             | + (SELECT COUNT(*) FROM lineitem) + (SELECT COUNT(*) FROM events)
+             | + (SELECT COUNT(*) FROM documents) AS cnt""".stripMargin))
+  )
+
+  // ======== pipeline operator battery (documents / embeddings tables) ========
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private val pipelineQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    ("p_dedup_exact", ((s: SparkSession, dir: String) =>
+      Dedup.exactKeepers(docs(s, dir), "doc_id", "text")): Q,
+      Some("SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text")),
+
+    ("p_dedup_minhash", ((s: SparkSession, dir: String) =>
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text")): Q, None),
+
+    ("p_dedup_simhash", ((s: SparkSession, dir: String) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text")): Q, None),
+
+    ("p_ngram_jaccard", ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      Dedup.ngramJaccard(d, "doc_id", "text",
+        Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5))
+    }): Q, None),
+
+    ("p_ann_brute", ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val firstId = e.agg(min("vec_id")).first().getLong(0)
+      Similarity.topKForId(e, "vec_id", "embedding", firstId, 10)
+        .select(col("neighbor"), round(col("score"), 6).as("score"))
+    }): Q, None),
+
+    ("p_ann_ivf", ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val firstId = e.agg(min("vec_id")).first().getLong(0)
+      Similarity.ivfTopK(e, "vec_id", "embedding", firstId, 10)
+        .select(col("neighbor"), round(col("score"), 6).as("score"))
+    }): Q, None),
+
+    ("p_emb_neardup", ((s: SparkSession, dir: String) =>
+      // synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.37) — a high
+      // "dup" threshold is vacuous, so use 0.3 to exercise the verify stage
+      Similarity.lshPairs(emb(s, dir), "vec_id", "embedding", bits = 8, threshold = 0.3)
+        .select(col("a"), col("b"), round(col("score"), 6).as("score"))): Q,
+      None),
+
+    ("p_token_count", ((s: SparkSession, dir: String) =>
+      docs(s, dir).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("tokens"))): Q,
+      Some("SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tokens FROM documents")),
+
+    ("p_quality", ((s: SparkSession, dir: String) =>
+      TextStats.qualityFeatures(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("chars"), col("words"))): Q,
+      Some("""SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS chars,
+             | CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS words
+             | FROM documents""".stripMargin)),
+
+    ("p_quality_score", ((s: SparkSession, dir: String) =>
+      TextStats.qualityScore(docs(s, dir), "doc_id", "text")): Q, None),
+
+    ("p_lang_id", ((s: SparkSession, dir: String) =>
+      TextStats.langId(docs(s, dir), "doc_id", "text")): Q, None),
+
+    ("p_fingerprint", ((s: SparkSession, dir: String) =>
+      TextStats.fingerprint(docs(s, dir), "doc_id", "text")): Q, None),
+
+    ("p_gas_cc", ((s: SparkSession, dir: String) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      // bipartite part–supplier graph; namespaced vertex ids
+      val edges = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.gas.Gas.connectedComponents(edges)
+    }): Q, None),
+
+    ("p_gas_pagerank", ((s: SparkSession, dir: String) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val edges = o.select(col("o_custkey").as("src"), col("o_orderkey").as("dst"))
+      graft.gas.Gas.pageRank(edges, iters = 5)
+        .select(col("vertex"), round(col("rank"), 9).as("rank"))
+    }): Q, None),
+
+    ("p_gas_bfs", ((s: SparkSession, dir: String) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val edges = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val src = edges.agg(min("src")).first().getLong(0)
+      graft.gas.Gas.bfs(edges, src)
+    }): Q, None)
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    (sparqlQueries ++ pipelineQueries).map { case (n, f, _) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    (sparqlQueries ++ pipelineQueries).collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

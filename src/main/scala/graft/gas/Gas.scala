@@ -1,0 +1,126 @@
+package graft.gas
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gather-Apply-Scatter graph analytics, DataFrame-native.
+  *
+  * The reference exposes BFS/SSSP/CC/PageRank through its GAS API
+  * (`bigdata-gas/src/main/java/com/bigdata/rdf/graph/IGASProgram.java`, algorithms in
+  * `…/graph/analytics/{BFS,SSSP,CC,PR}.java`) as `SERVICE gas:program {…}` calls. Here
+  * each algorithm is an iterate-aggregate loop over an edges DataFrame — the
+  * `aggregateMessages` pattern expressed with joins + groupBy so Catalyst/AQE handle
+  * physical planning; `localCheckpoint()` per round cuts lineage. Frontier-based
+  * algorithms (BFS/SSSP) touch only the active frontier per round; label-propagation
+  * (CC) and PageRank are full-graph per iteration — both shapes partition by vertex id
+  * and scale horizontally.
+  *
+  * Edges: DataFrame(src: long, dst: long[, weight: double]).
+  */
+object Gas {
+
+  private def undirected(edges: DataFrame): DataFrame =
+    edges.select("src", "dst")
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+
+  /** BFS levels from a source vertex: (vertex, level). */
+  def bfs(edges: DataFrame, source: Long, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val adj = undirected(edges).localCheckpoint()
+    import spark.implicits._
+    var visited = Seq((source, 0)).toDF("vertex", "level").localCheckpoint()
+    var frontier = visited
+    var level = 0
+    var n = 1L
+    while (n > 0 && level < maxIter) {
+      level += 1
+      val next = frontier.join(adj, col("vertex") === col("src"))
+        .select(col("dst").as("vertex")).dropDuplicates("vertex")
+        .join(visited, Seq("vertex"), "left_anti")
+        .withColumn("level", lit(level)).localCheckpoint()
+      n = next.count()
+      if (n > 0) { visited = visited.unionByName(next).localCheckpoint(); frontier = next }
+    }
+    visited
+  }
+
+  /** Single-source shortest paths (weighted, Bellman-Ford style frontier relaxation). */
+  def sssp(edges: DataFrame, source: Long, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val w = if (edges.columns.contains("weight")) edges
+      else edges.withColumn("weight", lit(1.0))
+    val adj = w.select("src", "dst", "weight")
+      .unionByName(w.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      .groupBy("src", "dst").agg(min("weight").as("weight")).localCheckpoint()
+    var dist = Seq((source, 0.0)).toDF("vertex", "dist").localCheckpoint()
+    var frontier = dist
+    var iter = 0
+    var n = 1L
+    while (n > 0 && iter < maxIter) {
+      iter += 1
+      val cand = frontier.join(adj, col("vertex") === col("src"))
+        .select(col("dst").as("vertex"), (col("dist") + col("weight")).as("nd"))
+        .groupBy("vertex").agg(min("nd").as("nd"))
+      val improved = cand.join(dist, Seq("vertex"), "left_outer")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("vertex"), col("nd").as("dist")).localCheckpoint()
+      n = improved.count()
+      if (n > 0) {
+        dist = dist.join(improved, Seq("vertex"), "left_anti")
+          .unionByName(improved).localCheckpoint()
+        frontier = improved
+      }
+    }
+    dist
+  }
+
+  /** Connected components by min-label propagation: (vertex, component = min id). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val adj = undirected(edges).localCheckpoint()
+    var labels = adj.select(col("src").as("vertex"))
+      .unionByName(adj.select(col("dst").as("vertex")))
+      .dropDuplicates("vertex").withColumn("label", col("vertex")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      iter += 1
+      val nbrMin = labels.join(adj, col("vertex") === col("src"))
+        .groupBy(col("dst").as("v2")).agg(min("label").as("nl"))
+      val updated = labels.join(nbrMin, col("vertex") === col("v2"), "left_outer")
+        .select(col("vertex"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label2"),
+          col("label"))
+      changed = updated.filter(col("label2") < col("label")).count()
+      labels = updated.select(col("vertex"), col("label2").as("label")).localCheckpoint()
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** PageRank with fixed iteration count (dangling mass redistributed uniformly). */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val out = edges.select("src", "dst").dropDuplicates("src", "dst").localCheckpoint()
+    val vertices = out.select(col("src").as("vertex"))
+      .unionByName(out.select(col("dst").as("vertex")))
+      .dropDuplicates("vertex").localCheckpoint()
+    val nV = vertices.count().toDouble
+    val deg = out.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = vertices.withColumn("rank", lit(1.0 / nV)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = ranks.join(deg, col("vertex") === col("src"), "inner")
+        .join(out, "src")
+        .select(col("dst").as("vertex"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("vertex").agg(sum("c").as("recv"))
+      val inbound = vertices.join(contribs, Seq("vertex"), "left_outer")
+        .select(col("vertex"), coalesce(col("recv"), lit(0.0)).as("recv"))
+      val danglingMass = ranks.join(deg, col("vertex") === col("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0))).first().getDouble(0)
+      ranks = inbound.select(col("vertex"),
+        (lit((1.0 - damping) / nV) +
+          lit(damping) * (col("recv") + lit(danglingMass / nV))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

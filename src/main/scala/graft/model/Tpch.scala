@@ -85,9 +85,22 @@ object Tpch {
     }
   }
 
-  /** Statements for one table: single scan, array-of-(p,o) explode, null objects dropped. */
-  def tableStatements(df: DataFrame, t: Table): DataFrame = {
-    val s = Term.iri(subjectStr(t.name, t.pk.map(df(_))))
+  /** Statements for one table: single scan, array-of-(p,o) explode, null objects dropped.
+    *
+    * lineitem's (l_orderkey, l_linenumber) is NOT unique in the driver data, so its
+    * subject gets a deterministic per-duplicate sequence: row_number over the remaining
+    * columns (full rows are unique → total order; identical oracle expression in DuckDB).
+    */
+  def tableStatements(df0: DataFrame, t: Table): DataFrame = {
+    val needsSeq = t.name == "lineitem"
+    val df = if (!needsSeq) df0 else {
+      val rest = df0.columns.filterNot(t.pk.contains).map(df0(_))
+      df0.withColumn("__seq", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(t.pk.map(df0(_)): _*).orderBy(rest: _*)))
+    }
+    val pkCols = t.pk.map(df(_)) ++ (if (needsSeq) Seq(df("__seq")) else Nil)
+    val s = Term.iri(subjectStr(t.name, pkCols))
     val typePo = struct(Term.iri(Term.RDF_TYPE).as("p"), Term.iri(t.cls).as("o"))
     val colPos = t.cols.map { c =>
       val o = when(df(c.name).isNotNull, litTerm(c, df(c.name), df.schema(c.name).dataType))

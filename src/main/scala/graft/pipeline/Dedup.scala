@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * All operators are pure DataFrame pipelines: shingle/token explosion, columnar hashing
+  * (xxhash64 = codegen'd), aggregation with map-side partial combine, and band-bucket
+  * self-joins instead of all-pairs comparison — the standard shape that scales to
+  * billions of documents (candidate generation is linear in corpus size; only
+  * within-bucket pairs are compared).
+  */
+object Dedup {
+
+  /** Exact dedup: canonical keeper (min id) per identical text. */
+  def exactKeepers(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)).select(idCol)
+
+  /** Exact-dup groups of size > 1: (keeper, dup) pairs. */
+  def exactPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = docs.select(col(idCol).as("id"), xxhash64(col(textCol)).as("th"))
+    val keep = h.groupBy("th").agg(min("id").as("keeper"))
+    h.join(keep, "th").filter(col("id") =!= col("keeper"))
+      .select(col("keeper"), col("id").as("dup"))
+  }
+
+  /** Word n-gram shingles of a text column (lower-cased, whitespace-tokenized). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    // sliding n-grams via transform over index range
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(transform(idx, i => concat_ws(" ",
+      slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signatures: k independent hash mins over the shingle set. */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 32, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleN)).as("sh"))
+    val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with signature-estimated Jaccard.
+    * bands×rows = k; two docs collide if any band of `rows` consecutive minhashes
+    * matches. Returns (a, b, est_jaccard) with a < b, est ≥ threshold.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                   threshold: Double = 0.7): DataFrame = {
+    val rows = k / bands
+    val sig = minhashSignature(docs, idCol, textCol, k, shingleN).localCheckpoint()
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val l = banded.select(col("band"), col("bh"), col("id").as("a"), col("sig").as("siga"))
+    val r = banded.select(col("band"), col("bh"), col("id").as("b"), col("sig").as("sigb"))
+    val cand = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select("a", "b", "siga", "sigb").dropDuplicates("a", "b")
+    cand.withColumn("est_jaccard",
+      aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select("a", "b", "est_jaccard")
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs (verification stage after LSH). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    pairs.select("a", "b")
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .select("a", "b", "jaccard")
+  }
+
+  /** 64-bit SimHash over tf-weighted tokens. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"b$i")
+    }
+    val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("id"), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (pigeonhole banding on 4×16-bit chunks:
+    * any pair within hamming ≤3 shares at least one exact chunk).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol).localCheckpoint()
+    val chunked = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
+    val l = chunked.select(col("chunk"), col("cv"), col("id").as("a"), col("simhash").as("ha"))
+    val r = chunked.select(col("chunk"), col("cv"), col("id").as("b"), col("simhash").as("hb"))
+    l.join(r, Seq("chunk", "cv")).filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+}

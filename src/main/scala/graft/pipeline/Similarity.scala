@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — one columnar pass, `zip_with`+`aggregate`
+  * (codegen'd, no UDF). Scale path: LSH (random-hyperplane signs) or IVF (coarse
+  * quantizer buckets + probe nearest cells) so the candidate set is a small fraction of
+  * the corpus; both are deterministic here (hash-derived hyperplanes, first-m-vectors
+  * centroids) so results are reproducible.
+  */
+object Similarity {
+
+  /** Cosine similarity between two double-array columns (sequential fold — bit-stable). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force cosine top-k for one query id: scan + TakeOrderedAndProject. */
+  def topKForId(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("qv"))
+    emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol).as("neighbor"),
+        cosine(asDouble(col(vecCol)), col("qv")).as("score"))
+      .orderBy(col("score").desc, col("neighbor").asc)
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits from hash-derived pseudo-planes.
+    * Plane i's component for dimension d = centered hash of (d, i) — deterministic,
+    * no stored plane matrix, computable inside codegen.
+    */
+  def lshBucket(vec: Column, bits: Int): Column = {
+    val signs = (0 until bits).map { i =>
+      val dot = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, d) => x.cast("double") *
+          ((pmod(xxhash64(d, lit(i)), lit(1000L)).cast("double") / 500.0d) - 1.0d)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dot > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    signs.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed near-neighbor pairs: join within bucket, verify cosine ≥ threshold. */
+  def lshPairs(emb: DataFrame, idCol: String, vecCol: String,
+               bits: Int = 12, threshold: Double = 0.8): DataFrame = {
+    val b = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), bits)).localCheckpoint()
+    val l = b.select(col("bucket"), col("id").as("a"), col("v").as("va"))
+    val r = b.select(col("bucket"), col("id").as("b"), col("v").as("vb"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .filter(col("score") >= threshold)
+      .select("a", "b", "score")
+  }
+
+  /** IVF-style top-k: coarse-quantize to the nearest of m deterministic centroids
+    * (the first m vectors by id — a stand-in for trained k-means), search only the
+    * query's cell plus `probes-1` nearest cells. At scale: centroids broadcast,
+    * per-cell partitions pruned before the fine scan.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, m: Int = 16, probes: Int = 4): DataFrame = {
+    val docs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val centroids = docs.orderBy("id").limit(m)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val assigned = docs.crossJoin(broadcast(centroids))
+      .withColumn("cs", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("cs").desc, col("cid").asc)))
+      .filter(col("rn") === 1).select(col("id"), col("v"), col("cid"))
+    val qRow = assigned.filter(col("id") === queryId)
+      .select(col("v").as("qv")).localCheckpoint()
+    val qCells = centroids.crossJoin(broadcast(qRow))
+      .withColumn("cs", cosine(col("cv"), col("qv")))
+      .orderBy(col("cs").desc, col("cid").asc).limit(probes)
+      .select("cid")
+    assigned.join(broadcast(qCells), "cid").filter(col("id") =!= queryId)
+      .crossJoin(broadcast(qRow))
+      .select(col("id").as("neighbor"), cosine(col("v"), col("qv")).as("score"))
+      .orderBy(col("score").desc, col("neighbor").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting, quality
+  * scoring, language identification, document fingerprinting. All pure columnar
+  * expressions (codegen'd) — no UDFs in the hot path.
+  */
+object TextStats {
+
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Quality features: chars, words, avg word length, punctuation ratio, digit ratio,
+    * uppercase ratio, stopword ratio — the usual cheap heuristics.
+    */
+  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val chars = length(t).cast("double")
+    val words = tokenCount(t).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", ""))).cast("double")
+    val digits = (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double")
+    val uppers = (length(t) - length(regexp_replace(t, "[A-Z]", ""))).cast("double")
+    val stop = stopwordCount(t, EN_STOP).cast("double")
+    docs.select(col(idCol),
+      chars.as("chars"), words.as("words"),
+      (chars / words).as("avg_word_len"),
+      (punct / chars).as("punct_ratio"),
+      (digits / chars).as("digit_ratio"),
+      (uppers / chars).as("upper_ratio"),
+      (stop / words).as("stopword_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: penalize extreme lengths, high punct/digit
+    * ratios, low stopword ratio (boilerplate/code smell).
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val f = qualityFeatures(docs, idCol, textCol)
+    f.select(col(idCol),
+      (least(col("words") / 20.0d, lit(1.0d)) * 0.25d +
+        least(col("stopword_ratio") * 3.0d, lit(1.0d)) * 0.35d +
+        greatest(lit(0.0d), lit(1.0d) - col("punct_ratio") * 8.0d) * 0.2d +
+        greatest(lit(0.0d), lit(1.0d) - col("digit_ratio") * 5.0d) * 0.2d)
+        .as("quality"))
+  }
+
+  private val EN_STOP = Seq("the", "of", "and", "to", "a", "in", "is", "it", "that",
+    "was", "for", "on", "are", "with", "as", "be", "at", "by", "this", "have", "from")
+  private val DE_STOP = Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu",
+    "den", "von", "mit", "nicht", "auf", "sich", "des", "im", "dem", "für", "an", "auch")
+  private val FR_STOP = Seq("le", "la", "les", "de", "des", "et", "est", "un", "une",
+    "du", "dans", "que", "qui", "pour", "sur", "pas", "avec", "au", "par", "ce")
+  private val ES_STOP = Seq("el", "la", "los", "las", "de", "y", "es", "un", "una",
+    "en", "que", "del", "se", "por", "con", "para", "su", "al", "lo", "como")
+
+  private def stopwordCount(text: Column, stops: Seq[String]): Column =
+    size(filter(tokens(text), tk => tk.isin(stops: _*)))
+
+  /** Stopword-profile language ID over {en,de,fr,es}: argmax of per-language stopword
+    * hit counts, "und" → unknown when no profile fires (n-gram-free heuristic; a
+    * production version adds char-trigram profiles the same columnar way).
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    def hits(stops: Seq[String]) =
+      size(filter(tk, t => t.isin(stops: _*)))
+    val scored = docs.select(col(idCol), col(textCol),
+      hits(EN_STOP).as("en"), hits(DE_STOP).as("de"),
+      hits(FR_STOP).as("fr"), hits(ES_STOP).as("es"))
+    val best = greatest(col("en"), col("de"), col("fr"), col("es"))
+    scored.select(col(idCol),
+      when(best === 0, "und")
+        .when(col("en") === best, "en")
+        .when(col("de") === best, "de")
+        .when(col("fr") === best, "fr")
+        .otherwise("es").as("lang_pred"))
+  }
+
+  /** Winnowing-style document fingerprint: min rolling hash over word 3-gram shingles
+    * (robust to small edits; equal fingerprints → near-dup candidates).
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      array_min(transform(Dedup.shingles(col(textCol), n), sh => xxhash64(sh)))
+        .as("fingerprint"))
+}
