@@ -201,7 +201,7 @@ final class Compiler(store: GraftStore, ds: DatasetSpec) {
         .select("a", "b").dropDuplicates("a", "b")
       frontier = stepped.join(acc, Seq("a", "b"), "left_anti").localCheckpoint()
       n = frontier.count()
-      if (n > 0) acc = acc.unionByName(frontier).localCheckpoint()
+      if (n > 0) acc = acc.unionByName(DfOps.reid(frontier)).localCheckpoint()
     }
     if (includeZero) zeroPairs(g).unionByName(acc).dropDuplicates("a", "b") else acc
   }
@@ -255,7 +255,7 @@ final class Compiler(store: GraftStore, ds: DatasetSpec) {
           .select("a", "b").dropDuplicates("a", "b")
         frontier = stepped.join(acc, Seq("a", "b"), "left_anti").localCheckpoint()
         n = frontier.count()
-        if (n > 0) acc = acc.unionByName(frontier).localCheckpoint()
+        if (n > 0) acc = acc.unionByName(DfOps.reid(frontier)).localCheckpoint()
       }
       val withZero = p match {
         case PZeroOrMore(_) =>

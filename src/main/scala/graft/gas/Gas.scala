@@ -40,7 +40,7 @@ object Gas {
         .join(visited, Seq("vertex"), "left_anti")
         .withColumn("level", lit(level)).localCheckpoint()
       n = next.count()
-      if (n > 0) { visited = visited.unionByName(next).localCheckpoint(); frontier = next }
+      if (n > 0) { visited = visited.unionByName(graft.engine.DfOps.reid(next)).localCheckpoint(); frontier = next }
     }
     visited
   }
@@ -69,7 +69,7 @@ object Gas {
       n = improved.count()
       if (n > 0) {
         dist = dist.join(improved, Seq("vertex"), "left_anti")
-          .unionByName(improved).localCheckpoint()
+          .unionByName(graft.engine.DfOps.reid(improved)).localCheckpoint()
         frontier = improved
       }
     }

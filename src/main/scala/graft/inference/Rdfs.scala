@@ -69,7 +69,9 @@ object Rdfs {
       .filter(col("s2")("kind") =!= Term.KIND_LITERAL)
       .select(col("s2").as("s"), Term.iri(Term.RDF_TYPE).as("p"), col("cls").as("o"))
 
-    Seq(rdfs11, rdfs9, rdfs5, rdfs7, rdfs2, rdfs3).reduce(_.unionByName(_))
+    // rule branches share the `spo` lineage — reid each before the union
+    Seq(rdfs11, rdfs9, rdfs5, rdfs7, rdfs2, rdfs3)
+      .map(graft.engine.DfOps.reid).reduce(_.unionByName(_))
   }
 
   /** Materialize the closure; derived rows get stype=Inferred and the default graph. */
@@ -84,8 +86,8 @@ object Rdfs {
       val fresh = candidates.join(all, Seq("s", "p", "o"), "left_anti").localCheckpoint()
       newCount = fresh.count()
       if (newCount > 0) {
-        all = all.unionByName(fresh).localCheckpoint()
-        derived = if (derived == null) fresh else derived.unionByName(fresh).localCheckpoint()
+        all = all.unionByName(graft.engine.DfOps.reid(fresh)).localCheckpoint()
+        derived = if (derived == null) fresh else derived.unionByName(graft.engine.DfOps.reid(fresh)).localCheckpoint()
       }
       round += 1
     }

@@ -1,0 +1,136 @@
+package graft
+
+import graft.pipeline.{Dedup, Similarity, TextStats}
+import graft.gas.Gas
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends GraftSuite {
+  private val ss = SharedSpark.spark
+  import ss.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "der schnelle braune fuchs springt und der hund")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per text") {
+    val keep = Dedup.exactKeepers(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted
+    assert(keep.toSeq == Seq(1L, 2L, 3L, 5L))
+    val pairs = Dedup.exactPairs(docs, "doc_id", "text").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 4L)))
+  }
+
+  test("minhash finds near-dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // one-word diff
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: exact dup = 1.0") {
+    val d = docs
+    val j = Dedup.ngramJaccard(d, "doc_id", "text",
+      Seq((1L, 4L)).toDF("a", "b"))
+      .first().getDouble(2)
+    assert(j == 1.0)
+  }
+
+  test("simhash hamming 0 for identical docs") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L))
+  }
+
+  test("cosine topk ranks the most similar vector first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.topKForId(emb, "vec_id", "embedding", 0L, 2).collect()
+    assert(top(0).getLong(0) == 1L)
+    assert(top(0).getDouble(1) > 0.99)
+  }
+
+  test("lsh pairs find the close pair") {
+    val emb = Seq(
+      (0L, Array.fill(16)(1.0f)),
+      (1L, Array.fill(16)(0.99f)),
+      (2L, Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshPairs(emb, "vec_id", "embedding", bits = 6, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("token count and quality features") {
+    val tc = docs.select(col("doc_id"), TextStats.tokenCount(col("text")).as("t"))
+      .filter(col("doc_id") === 1L).first().getLong(1)
+    assert(tc == 9)
+    val qf = TextStats.qualityFeatures(docs, "doc_id", "text")
+      .filter(col("doc_id") === 1L).first()
+    assert(qf.getAs[Double]("words") == 9.0)
+    assert(qf.getAs[Double]("stopword_ratio") > 0.2) // "the" x2, "over"
+  }
+
+  test("langid separates english from german") {
+    val preds = TextStats.langId(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en")
+    assert(preds(5L) == "de")
+  }
+
+  test("fingerprint equal for identical docs, differs for different") {
+    val fp = TextStats.fingerprint(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("bfs levels and connected components on a path graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val levels = Gas.bfs(edges, 1L).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(levels == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    val cc = Gas.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("sssp picks the shorter weighted path") {
+    val edges = Seq((1L, 2L, 10.0), (1L, 3L, 1.0), (3L, 2L, 1.0))
+      .toDF("src", "dst", "weight")
+    val dist = Gas.sssp(edges, 1L).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dist(2L) == 2.0)
+  }
+
+  test("pagerank mass conserved and symmetric graph uniform") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = Gas.pageRank(edges, iters = 3).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(math.abs(pr(1L) - pr(2L)) < 1e-12)
+  }
+
+  test("rdfs closure derives transitive subclass types") {
+    import graft.model.{GraftStore, Term}
+    val t = Seq(
+      ("urn:i:x", Term.RDF_TYPE, "urn:c:A"),
+      ("urn:c:A", Term.RDFS_SUBCLASSOF, "urn:c:B"),
+      ("urn:c:B", Term.RDFS_SUBCLASSOF, "urn:c:C")
+    ).toDF("si", "pi", "oi")
+      .select(Term.iri(col("si")).as("s"), Term.iri(col("pi")).as("p"),
+        Term.iri(col("oi")).as("o"), Term.nullTerm.as("g"),
+        lit(0).cast("byte").as("stype"))
+    val st = GraftStore.cached(spark, t)
+    val closed = graft.inference.Rdfs.closure(st)
+    val types = graft.engine.Engine.query(closed,
+      "SELECT ?c WHERE { <urn:i:x> a ?c }").collect()
+      .map(_.getStruct(0).getAs[String]("str")).toSet
+    assert(types == Set("urn:c:A", "urn:c:B", "urn:c:C"))
+  }
+}
