@@ -94,12 +94,25 @@ final class Compiler(store: GraftStore, ds: DatasetSpec) {
     df
   }
 
-  /** Natural join on shared variable columns. */
-  private def joinDf(l: DataFrame, r: DataFrame, how: String): DataFrame = {
-    if (l.columns.isEmpty) return r
-    if (r.columns.isEmpty) return l.crossJoin(r) // preserves row-multiplicity of r
-    val shared = l.columns.intersect(r.columns).toSeq
-    if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared, how)
+  /** Natural join on shared variable columns.
+    *
+    * The join condition compares term *ids* (LONG), not full structs: Catalyst then
+    * partitions/sorts the exchange on an 8-byte key instead of an 8-field struct with
+    * strings — the shuffle-width payoff of dictionary encoding. Equal ids ⇒ equal terms
+    * by construction (Term.idOf).
+    */
+  private def joinDf(l: DataFrame, r0: DataFrame, how: String): DataFrame = {
+    if (l.columns.isEmpty) return r0
+    if (r0.columns.isEmpty) return l.crossJoin(r0) // preserves row-multiplicity of r
+    val shared = l.columns.intersect(r0.columns).toSeq
+    if (shared.isEmpty) return l.crossJoin(r0)
+    val r = shared.foldLeft(r0)((d, c) => d.withColumnRenamed(c, "__j_" + c))
+    val cond = shared.map(c => col(c)("id") === col("__j_" + c)("id")).reduce(_ && _)
+    val joined = l.join(r, cond, how)
+    how match {
+      case "left_semi" | "left_anti" => joined
+      case _ => joined.drop(shared.map("__j_" + _): _*)
+    }
   }
 
   /** Single statement-pattern scan (the Predicate/SPOAccessPath analog,
@@ -189,9 +202,16 @@ final class Compiler(store: GraftStore, ds: DatasetSpec) {
 
   /** Semi-naive transitive closure with per-round dedup + localCheckpoint (lineage cut),
     * the fixpoint driver of ArbitraryLengthPathTask.
+    *
+    * The iteration runs in *id space* (LONG pairs) — the dictionary-encoding payoff: a
+    * frontier shuffle moves 16 bytes/row instead of two 8-field term structs; terms are
+    * re-attached once at the end via the node dictionary extracted from the edges.
     */
   private def closure(edges0: DataFrame, includeZero: Boolean, g: Option[Node]): DataFrame = {
-    val edges = edges0.dropDuplicates("a", "b").localCheckpoint()
+    val nodes = edges0.select(col("a").as("n")).unionByName(edges0.select(col("b").as("n")))
+      .withColumn("nid", col("n")("id")).dropDuplicates("nid").localCheckpoint()
+    val edges = edges0.select(col("a")("id").as("a"), col("b")("id").as("b"))
+      .dropDuplicates("a", "b").localCheckpoint()
     var acc = edges
     var frontier = edges
     var n = frontier.count()
@@ -203,7 +223,12 @@ final class Compiler(store: GraftStore, ds: DatasetSpec) {
       n = frontier.count()
       if (n > 0) acc = acc.unionByName(DfOps.reid(frontier)).localCheckpoint()
     }
-    if (includeZero) zeroPairs(g).unionByName(acc).dropDuplicates("a", "b") else acc
+    val withTerms = acc
+      .join(nodes.select(col("nid").as("a"), col("n").as("ta")), Seq("a"))
+      .join(nodes.select(col("nid").as("b"), col("n").as("tb")), Seq("b"))
+      .select(col("ta").as("a"), col("tb").as("b"))
+    if (includeZero) zeroPairs(g).unionByName(withTerms).dropDuplicates("a", "b")
+    else withTerms
   }
 
   /** Bind a path relation into the pattern's endpoint terms. */
@@ -244,9 +269,12 @@ final class Compiler(store: GraftStore, ds: DatasetSpec) {
         case _ => throw new IllegalStateException
       }
       val raw = pathPairs(q, g)
-      val edges = (if (fromSubject) raw else raw.select(col("b").as("a"), col("a").as("b")))
+      val oriented = if (fromSubject) raw else raw.select(col("b").as("a"), col("a").as("b"))
+      val nodes = oriented.select(col("a").as("n")).unionByName(oriented.select(col("b").as("n")))
+        .withColumn("nid", col("n")("id")).dropDuplicates("nid").localCheckpoint()
+      val edges = oriented.select(col("a")("id").as("a"), col("b")("id").as("b"))
         .dropDuplicates("a", "b").localCheckpoint()
-      var acc = edges.filter(col("a")("id") === seedId)
+      var acc = edges.filter(col("a") === seedId)
       var frontier = acc
       var n = frontier.count()
       while (n > 0) {
@@ -257,15 +285,17 @@ final class Compiler(store: GraftStore, ds: DatasetSpec) {
         n = frontier.count()
         if (n > 0) acc = acc.unionByName(DfOps.reid(frontier)).localCheckpoint()
       }
+      val withTerms = acc
+        .join(nodes.select(col("nid").as("a"), col("n").as("ta")), Seq("a"))
+        .join(nodes.select(col("nid").as("b"), col("n").as("tb")), Seq("b"))
+        .select(col("ta").as("a"), col("tb").as("b"))
       val withZero = p match {
         case PZeroOrMore(_) =>
-          val seed = edges.filter(col("a")("id") === seedId).select(col("a")).limit(1)
-            .select(col("a"), col("a").as("b"))
-          // zero-length: the seed relates to itself (even with no outgoing edge rows —
-          // fall back to the node domain filtered to the seed)
+          // zero-length: the seed relates to itself (node-domain fallback keeps seeds
+          // that have no outgoing edges)
           val dom = zeroPairs(g).filter(col("a")("id") === seedId)
-          acc.unionByName(seed).unionByName(dom).dropDuplicates("a", "b")
-        case _ => acc
+          withTerms.unionByName(dom).dropDuplicates("a", "b")
+        case _ => withTerms
       }
       if (fromSubject) withZero else withZero.select(col("b").as("a"), col("a").as("b"))
     case _ => pathPairs(p, g)
@@ -287,7 +317,7 @@ final class Compiler(store: GraftStore, ds: DatasetSpec) {
       val (dl, dr) = (compile(l), compile(r))
       val shared = dl.columns.intersect(dr.columns).toSeq
       if (shared.isEmpty) dl // disjoint domains: MINUS removes nothing
-      else dl.join(dr.select(shared.map(col): _*).dropDuplicates(shared), shared, "left_anti")
+      else joinDf(dl, dr.select(shared.map(col): _*), "left_anti")
     case OpFilter(exprs, child) =>
       exprs.foldLeft(compile(child))((df, e) => applyFilter(df, e))
     case OpExtend(child, name, expr) =>
@@ -304,7 +334,7 @@ final class Compiler(store: GraftStore, ds: DatasetSpec) {
       val shared = df.columns.intersect(sub.columns).toSeq
       val how = if (not) "left_anti" else "left_semi"
       if (shared.isEmpty) df.join(sub.limit(1), lit(true), how)
-      else df.join(sub, shared, how)
+      else joinDf(df, sub, how)
     case other => df.filter(Exprs.filterPred(other, env(df)))
   }
 
@@ -313,11 +343,11 @@ final class Compiler(store: GraftStore, ds: DatasetSpec) {
     if (cond.isEmpty) {
       if (dl.columns.isEmpty) return dr
       if (shared.isEmpty) dl.join(dr, lit(true), "left_outer")
-      else dl.join(dr, shared, "left_outer")
+      else joinDf(dl, dr, "left_outer")
     } else {
       // FILTER inside OPTIONAL joins on the condition (left-join scope rules)
       val renamed = shared.foldLeft(dr)((d, c) => d.withColumnRenamed(c, "__r_" + c))
-      val eqs = shared.map(c => col(c) === col("__r_" + c))
+      val eqs = shared.map(c => col(c)("id") === col("__r_" + c)("id"))
       val mergedCols = (dl.columns ++ dr.columns).distinct.toSet
       val fEnv = Exprs.Env(mergedCols)
       val fcs = cond.map(e => Exprs.filterPred(e, fEnv))

@@ -92,8 +92,9 @@ object Gas {
         .select(col("vertex"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label2"),
           col("label"))
+        .localCheckpoint() // materialize once; the changed-count and next labels reuse it
       changed = updated.filter(col("label2") < col("label")).count()
-      labels = updated.select(col("vertex"), col("label2").as("label")).localCheckpoint()
+      labels = updated.select(col("vertex"), col("label2").as("label"))
     }
     labels.withColumnRenamed("label", "component")
   }
