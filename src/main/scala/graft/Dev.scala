@@ -51,6 +51,18 @@ object Dev {
     val typeErr = engine.Engine.query(store,
       "SELECT ?n WHERE { ?c a <urn:c:Customer> ; <urn:p:c_name> ?n . FILTER(?n > 5) }").count()
     println(s"PROBE-TYPE-ERROR-FILTER rows=$typeErr (expect 0: type error → false)")
+    // probe 4: unregistered SERVICE → clean error naming the IRI
+    try engine.Engine.query(store, "SELECT ?x WHERE { SERVICE <urn:svc:nope> { ?x ?p ?o } }").count()
+    catch { case e: Exception => println("PROBE-BAD-SERVICE: " + e.getMessage) }
+    // probe 5: bds: group without bds:search → clean error
+    try engine.Engine.query(store,
+      "SELECT ?x WHERE { ?x <http://www.bigdata.com/rdf/search#relevance> ?r }").count()
+    catch { case e: Exception => println("PROBE-BDS-NO-QUERY: " + e.getMessage) }
+    // probe 6: UPDATE deleting a nonexistent statement is a no-op, not an error
+    val before = store.statements.count()
+    val after = engine.Update(store, "DELETE DATA { <urn:no:such> <urn:p:x> 1 . }")
+      .statements.count()
+    println(s"PROBE-DELETE-MISSING: $before -> $after (expect equal)")
     spark.stop()
   }
 }

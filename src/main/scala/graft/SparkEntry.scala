@@ -303,6 +303,68 @@ object SparkEntry {
       oLng("d")) _,
       Some("SELECT doc_id AS d FROM documents WHERE contains(text, 'the')")),
 
+    ("q_text_search", sq(
+      """SELECT ?d WHERE { ?lit <http://www.bigdata.com/rdf/search#search> "spark merge" ;
+        |    <http://www.bigdata.com/rdf/search#matchAllTerms> "true" .
+        |  ?doc <urn:p:text> ?lit ; <urn:p:doc_id> ?d }""".stripMargin,
+      oLng("d")) _,
+      Some("""SELECT doc_id AS d FROM documents
+             | WHERE regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')
+             |   AND regexp_matches(lower(text), '(^|[^a-z0-9])merge([^a-z0-9]|$)')""".stripMargin)),
+
+    ("q_text_rank", sq(
+      """SELECT ?d ?rank WHERE {
+        |  ?lit <http://www.bigdata.com/rdf/search#search> "window hash join" ;
+        |       <http://www.bigdata.com/rdf/search#rank> ?rank ;
+        |       <http://www.bigdata.com/rdf/search#maxRank> 10 .
+        |  ?doc <urn:p:text> ?lit ; <urn:p:doc_id> ?d }""".stripMargin,
+      oLng("d"), oLng("rank")) _, None),
+
+    ("q_gas_service_bfs", ((s: SparkSession, dir: String) =>
+      sq("""SELECT ?v ?lvl WHERE {
+           |  SERVICE <http://www.bigdata.com/rdf/gas#service> {
+           |    ?x <http://www.bigdata.com/rdf/gas#program> "BFS" ;
+           |       <http://www.bigdata.com/rdf/gas#linkType> <urn:fk:o_custkey> ;
+           |       <http://www.bigdata.com/rdf/gas#in> <urn:t:orders:1> ;
+           |       <http://www.bigdata.com/rdf/gas#out> ?v ;
+           |       <http://www.bigdata.com/rdf/gas#out1> ?lvl } }""".stripMargin)(s, dir)
+        .select(col("v")("str").as("v"), col("lvl")("lng").as("lvl"))): Q,
+      Some("""SELECT 'urn:t:orders:1' AS v, 0 AS lvl
+             |UNION SELECT 'urn:t:customer:'||o_custkey, 1 FROM orders WHERE o_orderkey=1
+             |UNION SELECT 'urn:t:orders:'||o2.o_orderkey, 2 FROM orders o1
+             |  JOIN orders o2 ON o1.o_custkey=o2.o_custkey
+             |  WHERE o1.o_orderkey=1 AND o2.o_orderkey<>1""".stripMargin)),
+
+    ("q_update_insert", ((s: SparkSession, dir: String) => {
+      val updated = graft.engine.Update(Tpch.store(s, dir),
+        """INSERT DATA { <urn:t:region:99> a <urn:c:Region> .
+          |  <urn:t:region:99> <urn:p:r_name> "ATLANTIS" } ;
+          |DELETE { ?r <urn:p:r_name> ?n } INSERT { ?r <urn:p:r_name> "SUNK" }
+          |WHERE { ?r <urn:p:r_name> ?n . FILTER(?n = "ATLANTIS") }""".stripMargin)
+      Engine.query(updated,
+        """SELECT ?name (COUNT(*) AS ?cnt) WHERE { ?r a <urn:c:Region> .
+          |OPTIONAL { ?r <urn:p:r_name> ?name } } GROUP BY ?name ORDER BY ?name""".stripMargin)
+        .select(oStr("name"), oLng("cnt"))
+    }): Q,
+      Some("""SELECT r_name AS name, COUNT(*) AS cnt FROM
+             | (SELECT r_name FROM region UNION ALL SELECT 'SUNK') GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    ("q_rio_roundtrip", ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val st = Tpch.store(s, dir)
+      val nation = st.statements.filter(col("g").isNotNull &&
+        col("g")("id") === graft.engine.TermIds.iriId("urn:g:nation"))
+      val lines = graft.sources.Rio.toNQuadLines(nation).as[String]
+      val back = graft.sources.Rio.statementsFromLines(lines)
+      // roundtrip fidelity: every re-parsed statement matches an original by id triple
+      val orig = nation.select(col("s")("id").as("sk"), col("p_id").as("pk"),
+        col("o")("id").as("ok"))
+      val matched = back.select(col("s")("id").as("sk"), col("p_id").as("pk"),
+        col("o")("id").as("ok")).join(orig, Seq("sk", "pk", "ok"), "left_semi")
+      matched.agg(count(lit(1)).as("cnt"))
+    }): Q,
+      Some("SELECT COUNT(*)*5 AS cnt FROM nation")),
+
     ("q_inference", ((s: SparkSession, dir: String) => {
       val closed = graft.inference.Rdfs.closure(Tpch.store(s, dir))
       Engine.query(closed, "SELECT (COUNT(*) AS ?cnt) WHERE { ?s a <urn:c:Any> }")
@@ -402,7 +464,38 @@ object SparkEntry {
         (col("l_suppkey") * 2 + 1).as("dst"))
       val src = edges.agg(min("src")).first().getLong(0)
       graft.gas.Gas.bfs(edges, src)
-    }): Q, None)
+    }): Q, None),
+
+    ("p_geo_rect", ((s: SparkSession, dir: String) => {
+      val g = graft.search.Geo.eventsGeo(s.read.parquet(s"$dir/events.parquet"))
+      g.filter(graft.search.Geo.inRectangle(col("lat"), col("lon"), 10.0, 20.0, 45.0, 90.0))
+        .select("event_id")
+    }): Q,
+      Some("""SELECT event_id FROM events
+             | WHERE ((user_id % 1800)/10.0 - 90.0) BETWEEN 10.0 AND 45.0
+             |   AND ((event_id % 3600)/10.0 - 180.0) BETWEEN 20.0 AND 90.0""".stripMargin)),
+
+    ("p_geo_circle", ((s: SparkSession, dir: String) => {
+      val g = graft.search.Geo.eventsGeo(s.read.parquet(s"$dir/events.parquet"))
+      g.filter(graft.search.Geo.inCircle(col("lat"), col("lon"), 30.0, 40.0, 2000000.0))
+        .select("event_id")
+    }): Q, None),
+
+    ("p_mm_meta", ((s: SparkSession, dir: String) =>
+      graft.pipeline.Multimodal.decodeMeta(
+        graft.pipeline.Multimodal.withPayload(docs(s, dir), "text"), "payload")
+        .select(col("doc_id"), col("meta")("n_bytes").as("n_bytes"))): Q,
+      Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents")),
+
+    ("p_mm_features", ((s: SparkSession, dir: String) =>
+      graft.pipeline.Multimodal.extractFeatures(
+        graft.pipeline.Multimodal.withPayload(docs(s, dir), "text"), "payload", dim = 16)
+        .select(col("doc_id"), col("features"))): Q, None),
+
+    ("p_mm_frames", ((s: SparkSession, dir: String) =>
+      graft.pipeline.Multimodal.frameSample(
+        graft.pipeline.Multimodal.withPayload(docs(s, dir), "text"), "payload", nFrames = 4)
+        .select(col("doc_id"), col("frame_idx"), col("frame_offset_ms"))): Q, None)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

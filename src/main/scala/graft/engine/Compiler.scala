@@ -49,7 +49,7 @@ object DatasetSpec {
   * broadcast/shuffled-hash/sort-merge physical joins — the JVM/HTree operator split
   * (`JVMHashJoinOp` vs `HTreeHashJoinOp`) is subsumed by Tungsten spill.
   */
-final class Compiler(store: GraftStore, ds: DatasetSpec) {
+final class Compiler(val store: GraftStore, ds: DatasetSpec) {
   private val spark = store.spark
   import Exprs.{Env => _, _}
 
@@ -78,8 +78,45 @@ final class Compiler(store: GraftStore, ds: DatasetSpec) {
     s
   }
 
-  def compileBgp(triples: Seq[Triple]): DataFrame = {
-    if (triples.isEmpty) return unitDf
+  private val BDS_NS = "http://www.bigdata.com/rdf/search#"
+
+  private def isMagic(t: Triple): Boolean = t.p match {
+    case PLink(i) => i.startsWith(BDS_NS)
+    case _ => false
+  }
+
+  /** bds:search magic-predicate group → solution DataFrame
+    * (SearchServiceFactory + ASTSearchOptimizer analog): the group's subject var binds
+    * to matching literals; bds:relevance/bds:rank bind score columns.
+    */
+  private def searchScan(subjVar: String, ts: Seq[Triple]): DataFrame = {
+    def constStr(p: String): Option[String] = ts.collectFirst {
+      case Triple(_, PLink(pp), LitNode(lex, _, _), _) if pp == BDS_NS + p => lex
+    }
+    def varOf(p: String): Option[String] = ts.collectFirst {
+      case Triple(_, PLink(pp), VarNode(v), _) if pp == BDS_NS + p => v
+    }
+    val query = constStr("search").getOrElse(
+      throw new IllegalArgumentException("bds: group without bds:search"))
+    val idx = graft.search.TextIndex.forStore(store)
+    val hits = idx.search(query,
+      matchAllTerms = constStr("matchAllTerms").contains("true"),
+      minRelevance = constStr("minRelevance").map(_.toDouble).getOrElse(0.0),
+      maxRank = constStr("maxRank").map(_.toDouble.toInt).getOrElse(Int.MaxValue))
+    var sels = Seq(col("lit").as(subjVar))
+    varOf("relevance").foreach(v => sels :+= Term.doubleLit(col("relevance")).as(v))
+    varOf("rank").foreach(v => sels :+= Term.intLit(col("rank")).as(v))
+    hits.select(sels: _*)
+  }
+
+  def compileBgp(triples0: Seq[Triple]): DataFrame = {
+    val (magicT, triples) = triples0.partition(isMagic)
+    val searchDfs = magicT.groupBy(_.s).toSeq.map {
+      case (VarNode(v), ts) => searchScan(v, ts)
+      case (other, _) => throw new IllegalArgumentException(s"bds: subject must be a var, got $other")
+    }
+    if (triples.isEmpty && searchDfs.isEmpty) return unitDf
+    if (triples.isEmpty) return searchDfs.reduce(joinDf(_, _, "inner"))
     val scans = triples.map(t => (t, if (isSimpleP(t.p)) scanTriple(t) else pathTriple(t)))
     // greedy join order: most selective first, prefer var-connected next
     val remaining = scala.collection.mutable.ArrayBuffer(scans.sortBy(s => -score(s._1)): _*)
@@ -91,7 +128,7 @@ final class Compiler(store: GraftStore, ds: DatasetSpec) {
       df = joinDf(df, next, "inner")
       bound ++= Algebra.tripleVars(t)
     }
-    df
+    searchDfs.foldLeft(df)(joinDf(_, _, "inner"))
   }
 
   /** Natural join on shared variable columns.
@@ -495,17 +532,82 @@ final class Compiler(store: GraftStore, ds: DatasetSpec) {
   }
 }
 
-/** SERVICE dispatch (ServiceRegistry analog) — populated by graft.engine.Services. */
+/** SERVICE dispatch — the ServiceRegistry analog
+  * (`rdf/sparql/ast/service/ServiceRegistry.java:117-177`, where the reference registers
+  * BDS search, geospatial, GAS, values/sample/slice services).
+  */
 object Services {
   type ServiceFn = (Compiler, Op, Boolean) => DataFrame
   private val registry = scala.collection.concurrent.TrieMap.empty[String, ServiceFn]
   def register(iri: String, fn: ServiceFn): Unit = registry.put(iri, fn)
-  def dispatch(c: Compiler, iri: Ast.Node, inner: Op, silent: Boolean): DataFrame = iri match {
-    case IriNode(i) => registry.get(i) match {
-      case Some(fn) => fn(c, inner, silent)
-      case None => throw new UnsupportedOperationException(s"no service registered for <$i>")
+  def dispatch(c: Compiler, iri: Ast.Node, inner: Op, silent: Boolean): DataFrame = {
+    BuiltinServices.init
+    iri match {
+      case IriNode(i) => registry.get(i) match {
+        case Some(fn) => fn(c, inner, silent)
+        case None => throw new UnsupportedOperationException(s"no service registered for <$i>")
+      }
+      case other => throw new UnsupportedOperationException(s"SERVICE with $other")
     }
-    case other => throw new UnsupportedOperationException(s"SERVICE with $other")
+  }
+}
+
+/** Built-in services: `SERVICE gas:service { … }` graph analytics
+  * (GASService, registered at ServiceRegistry.java:176; programs
+  * `bigdata-gas/…/analytics/{BFS,SSSP,CC,PR}.java`).
+  *
+  * Config triples inside the service group (gas: = http://www.bigdata.com/rdf/gas#):
+  *   [] gas:program "BFS"|"SSSP"|"CC"|"PR" ; gas:linkType <p> ; gas:in <seed> ;
+  *      gas:out ?vertex ; gas:out1 ?value ; gas:maxIterations n .
+  */
+object BuiltinServices {
+  val GAS_NS = "http://www.bigdata.com/rdf/gas#"
+
+  lazy val init: Unit = Services.register(GAS_NS + "service", gasService)
+
+  private def gasService(c: Compiler, inner: Op, silent: Boolean): DataFrame = {
+    val ts = inner match {
+      case OpBgp(t) => t
+      case other => throw new IllegalArgumentException(s"gas:service expects a BGP, got $other")
+    }
+    def constStr(p: String): Option[String] = ts.collectFirst {
+      case Algebra.Triple(_, PLink(pp), LitNode(lex, _, _), _) if pp == GAS_NS + p => lex
+    }
+    def constIri(p: String): Option[String] = ts.collectFirst {
+      case Algebra.Triple(_, PLink(pp), IriNode(i), _) if pp == GAS_NS + p => i
+    }
+    def varOf(p: String): Option[String] = ts.collectFirst {
+      case Algebra.Triple(_, PLink(pp), VarNode(v), _) if pp == GAS_NS + p => v
+    }
+    val program = constStr("program").getOrElse(
+      throw new IllegalArgumentException("gas:service needs gas:program"))
+    val linkType = constIri("linkType").getOrElse(Term.RDF_TYPE)
+    val outVar = varOf("out").getOrElse("out")
+    val out1Var = varOf("out1")
+    val maxIter = constStr("maxIterations").map(_.toInt).getOrElse(20)
+
+    val stmts = c.store.statements.filter(col("p_id") === TermIds.iriId(linkType))
+      .filter(col("o")("kind") =!= Term.KIND_LITERAL)
+    val edges = stmts.select(col("s")("id").as("src"), col("o")("id").as("dst"))
+    val nodes = stmts.select(col("s").as("n")).unionByName(stmts.select(col("o").as("n")))
+      .withColumn("nid", col("n")("id")).dropDuplicates("nid").localCheckpoint()
+    def seedId: Long = constIri("in").map(TermIds.iriId).getOrElse(
+      throw new IllegalArgumentException(s"gas:program $program needs gas:in seed"))
+
+    val result = program.toUpperCase match {
+      case "BFS" => graft.gas.Gas.bfs(edges, seedId, maxIter)
+        .select(col("vertex").as("nid"), Term.intLit(col("level")).as("value"))
+      case "SSSP" => graft.gas.Gas.sssp(edges, seedId, maxIter)
+        .select(col("vertex").as("nid"), Term.doubleLit(col("dist")).as("value"))
+      case "CC" => graft.gas.Gas.connectedComponents(edges, maxIter)
+        .select(col("vertex").as("nid"), Term.intLit(col("component")).as("value"))
+      case "PR" => graft.gas.Gas.pageRank(edges, maxIter)
+        .select(col("vertex").as("nid"), Term.doubleLit(col("rank")).as("value"))
+      case other => throw new UnsupportedOperationException(s"gas:program $other")
+    }
+    val joined = result.join(nodes, Seq("nid")).select(
+      (col("n").as(outVar) +: out1Var.map(v => col("value").as(v)).toSeq): _*)
+    joined
   }
 }
 

@@ -124,6 +124,23 @@ object Term {
   def typedLit(s: Column, dt: String): Column =
     mk(lit(KIND_LITERAL), s, lit(dt), nullStr, nullDbl, nullLng, nullTs)
 
+  /** Typed literal whose datatype/lang are *columns* (loader path): inline-value
+    * construction dispatches on the datatype at runtime.
+    */
+  def literalFromParts(str: Column, dt: Column, lang: Column): Column =
+    when(dt === XSD_INTEGER, intLit(str.cast(LongType)))
+      .when(dt === XSD_DOUBLE, doubleLit(str.cast(DoubleType)))
+      .when(dt === XSD_BOOLEAN, boolLit(str === "true"))
+      .when(dt === XSD_DATETIME,
+        tsLit(to_timestamp(regexp_replace(str, "Z$", ""), "yyyy-MM-dd'T'HH:mm:ss")))
+      .otherwise(mk(lit(KIND_LITERAL), str, dt, lang, nullDbl, nullLng, nullTs))
+
+  /** Term from flat parsed fields (kind + lexical + datatype + lang), loader path. */
+  def fromParts(kind: Column, str: Column, dt: Column, lang: Column): Column =
+    when(kind === KIND_IRI, iri(str))
+      .when(kind === KIND_BNODE, bnode(str))
+      .otherwise(literalFromParts(str, dt, lang))
+
   /** A term column that is NULL (unbound). */
   def nullTerm: Column = lit(null).cast(schema)
 }

@@ -1,0 +1,74 @@
+package graft.search
+
+import graft.model.{GraftStore, Term}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Full-text search over string literals — the BDS search service analog.
+  *
+  * The reference maintains token→(docId, weight) postings in a B+Tree
+  * (`bigdata/src/java/com/bigdata/search/FullTextIndex.java`, cosine/TF-IDF relevance in
+  * `Hit.java`/`Hiterator.java`) queried through the `bds:search` magic predicates
+  * (vocabulary `rdf/store/BDS.java:94-143`, plan hook
+  * `rdf/sparql/ast/eval/SearchServiceFactory.java`). Here the postings are a DataFrame
+  * built in one pass over the distinct string literals of the store — token explode →
+  * tf per (literal, token) → df/idf per token — and a search is a token semi-join +
+  * map-side TF-IDF sum: linear scans and shuffles on the postings table only, which is
+  * the scalable shape (the postings build is a one-time cost, like the reference's text
+  * index maintained at load).
+  */
+final class TextIndex(val postings: DataFrame, val nDocs: Long) {
+
+  /** Match literals for a whitespace/OR query; returns (lit term, relevance, rank). */
+  def search(query: String, matchAllTerms: Boolean = false,
+             minRelevance: Double = 0.0, maxRank: Int = Int.MaxValue): DataFrame = {
+    val terms = TextIndex.tokenize(query)
+    val hits = postings.filter(col("token").isin(terms: _*))
+      .groupBy("lit_id")
+      .agg(first(col("lit")).as("lit"), sum(col("tfidf")).as("relevance"),
+        countDistinct(col("token")).as("nmatched"))
+    val filtered = if (matchAllTerms) hits.filter(col("nmatched") === terms.length) else hits
+    filtered
+      .filter(col("relevance") >= minRelevance)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("relevance").desc, col("lit_id").asc)))
+      .filter(col("rank") <= maxRank)
+      .select(col("lit"), col("relevance"), col("rank"))
+  }
+}
+
+object TextIndex {
+
+  def tokenize(s: String): Seq[String] =
+    s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+
+  /** Build postings over every distinct plain-string literal in object position. */
+  def build(store: GraftStore): TextIndex = {
+    val lits = store.statements
+      .filter(col("o")("kind") === Term.KIND_LITERAL && col("o")("dt").isNull)
+      .select(col("o").as("lit"), col("o")("id").as("lit_id"))
+      .dropDuplicates("lit_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = lits.count()
+    val tf = lits.select(col("lit"), col("lit_id"),
+      explode(split(lower(col("lit")("str")), "[^\\p{L}\\p{N}]+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("lit_id", "token")
+      .agg(first(col("lit")).as("lit"), count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val postings = tf.join(df, "token")
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble + 1.0) / (col("df") + 1.0)))
+      .select("token", "lit_id", "lit", "tfidf")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new TextIndex(postings, n)
+  }
+
+  private val cache = new java.util.WeakHashMap[GraftStore, TextIndex]()
+  def forStore(store: GraftStore): TextIndex = cache.synchronized {
+    var idx = cache.get(store)
+    if (idx == null) { idx = build(store); cache.put(store, idx) }
+    idx
+  }
+}

@@ -1,0 +1,147 @@
+package graft.sources
+
+import graft.model.{GraftStore, Term}
+import graft.sparql.Parser
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed N-Triples / N-Quads load + dump — the RIO bulk-load analog
+  * (`rdf/rio/StatementBuffer.java`, `rdf/store/DataLoader.java`, own parsers under
+  * `rdf/rio/ntriples/`).
+  *
+  * Line-oriented formats are trivially splittable: `spark.read.text` distributes the
+  * parse (one executor-side regex-free scanner per line); term-struct construction stays
+  * columnar so the inline-value encoding and xxhash64 ids are identical to every other
+  * ingestion path. Turtle/TriG (multi-line grammars) would parse single-node →
+  * `parallelize`, as SURVEY §2.1 notes — not needed for the driver data.
+  */
+object Rio {
+
+  /** One parsed line: flat fields per position (kind 0=iri 1=bnode 2=literal). */
+  final case class ParsedQuad(
+      sKind: Byte, sStr: String,
+      pStr: String,
+      oKind: Byte, oStr: String, oDt: String, oLang: String,
+      gStr: String)
+
+  /** Executor-side scanner for one N-Triples/N-Quads line. Returns null for blank or
+    * comment lines; throws on malformed input (surfaced as task failure = load error).
+    */
+  def parseLine(line0: String): ParsedQuad = {
+    val line = line0.trim
+    if (line.isEmpty || line.startsWith("#")) return null
+    var i = 0
+    def ws(): Unit = { while (i < line.length && (line(i) == ' ' || line(i) == '\t')) i += 1 }
+    def unescape(s: String): String = {
+      if (!s.contains('\\')) return s
+      val sb = new StringBuilder
+      var j = 0
+      while (j < s.length) {
+        val c = s(j)
+        if (c == '\\' && j + 1 < s.length) {
+          s(j + 1) match {
+            case 'n' => sb += '\n'; j += 2
+            case 't' => sb += '\t'; j += 2
+            case 'r' => sb += '\r'; j += 2
+            case '"' => sb += '"'; j += 2
+            case '\\' => sb += '\\'; j += 2
+            case 'u' => sb += Integer.parseInt(s.substring(j + 2, j + 6), 16).toChar; j += 6
+            case 'U' => sb.appendAll(Character.toChars(Integer.parseInt(s.substring(j + 2, j + 10), 16))); j += 10
+            case other => sb += other; j += 2
+          }
+        } else { sb += c; j += 1 }
+      }
+      sb.toString
+    }
+    def term(): (Byte, String, String, String) = {
+      ws()
+      line(i) match {
+        case '<' =>
+          val j = line.indexOf('>', i)
+          val v = line.substring(i + 1, j); i = j + 1
+          (Term.KIND_IRI, unescape(v), null, null)
+        case '_' =>
+          var j = i + 2
+          while (j < line.length && line(j) != ' ' && line(j) != '\t') j += 1
+          val v = line.substring(i + 2, j); i = j
+          (Term.KIND_BNODE, v, null, null)
+        case '"' =>
+          var j = i + 1
+          // closing quote = '"' preceded by an even number of backslashes
+          while (line(j) != '"' || {
+            var k = j - 1; var n = 0
+            while (k >= 0 && line(k) == '\\') { n += 1; k -= 1 }
+            n % 2 == 1
+          }) j += 1
+          val lex = unescape(line.substring(i + 1, j)); i = j + 1
+          if (i < line.length && line(i) == '@') {
+            var k = i + 1
+            while (k < line.length && (line(k).isLetterOrDigit || line(k) == '-')) k += 1
+            val lang = line.substring(i + 1, k).toLowerCase; i = k
+            (Term.KIND_LITERAL, lex, null, lang)
+          } else if (i + 1 < line.length && line(i) == '^' && line(i + 1) == '^') {
+            i += 2
+            val j2 = line.indexOf('>', i)
+            val dt = line.substring(i + 1, j2); i = j2 + 1
+            // canonicalize numeric datatypes exactly like the query parser
+            val n = Parser.canonicalLit(lex, Some(dt), None)
+            (Term.KIND_LITERAL, n.lex, n.dt.orNull, null)
+          } else (Term.KIND_LITERAL, lex, null, null)
+        case other =>
+          throw new IllegalArgumentException(
+            s"malformed N-Triples term at char $i ('$other'): $line")
+      }
+    }
+    val s = term()
+    val p = term()
+    val o = term()
+    ws()
+    val g = if (i < line.length && line(i) == '<') term() else (0.toByte, null, null, null)
+    ParsedQuad(s._1, s._2, p._2, o._1, o._2, o._3, o._4, g._2)
+  }
+
+  /** Parse a Dataset of N-Triples/N-Quads lines into the statements layout. */
+  def statementsFromLines(lines: org.apache.spark.sql.Dataset[String]): DataFrame = {
+    val parsed = lines
+      .map(parseLine)(org.apache.spark.sql.Encoders.product[ParsedQuad])
+      .filter(_ != null)
+      .toDF()
+    GraftStore.assemble(parsed.select(
+      Term.fromParts(col("sKind"), col("sStr"), lit(null).cast("string"), lit(null).cast("string")).as("s"),
+      Term.iri(col("pStr")).as("p"),
+      Term.fromParts(col("oKind"), col("oStr"), col("oDt"), col("oLang")).as("o"),
+      when(col("gStr").isNotNull, Term.iri(col("gStr"))).otherwise(Term.nullTerm).as("g"),
+      lit(GraftStore.STYPE_EXPLICIT).cast("byte").as("stype")))
+  }
+
+  /** Load N-Triples/N-Quads file(s) into a statements DataFrame. */
+  def readStatements(spark: SparkSession, path: String): DataFrame =
+    statementsFromLines(spark.read.textFile(path))
+
+  def load(spark: SparkSession, path: String): GraftStore =
+    new GraftStore(spark, readStatements(spark, path))
+
+  // ---- dump (SPARQL result sinks analog for RDF output) ----
+  private def escapeNt(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+      "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r")
+
+  /** Serialize one term column to its N-Triples token. */
+  def ntToken(t: Column): Column =
+    when(t("kind") === Term.KIND_IRI, concat(lit("<"), t("str"), lit(">")))
+      .when(t("kind") === Term.KIND_BNODE, concat(lit("_:"), t("str")))
+      .otherwise(concat(lit("\""), escapeNt(t("str")), lit("\""),
+        when(t("lang").isNotNull, concat(lit("@"), t("lang")))
+          .when(t("dt").isNotNull, concat(lit("^^<"), t("dt"), lit(">")))
+          .otherwise(lit(""))))
+
+  /** statements/CONSTRUCT triples → N-Quads text lines (write with df.write.text). */
+  def toNQuadLines(df: DataFrame): DataFrame = {
+    val gTok =
+      if (df.columns.contains("g"))
+        when(col("g").isNotNull, ntToken(col("g"))).otherwise(lit(""))
+      else lit("")
+    df.select(concat_ws(" ",
+      ntToken(col("s")), ntToken(col("p")), ntToken(col("o")), gTok, lit(".")).as("value"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.model.GraftStore
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming surfaces.
+  *
+  * The reference has no streaming operators (SURVEY §2.18) — its nearest analog is the
+  * change-log listener API (`rdf/changesets/IChangeLog.java`) feeding incremental
+  * maintenance. Mirrored here as: (1) watermarked windowed aggregation over the events
+  * stream, (2) custom per-key state via flatMapGroupsWithState (sessionization), and
+  * (3) `foreachBatch` incremental triple ingest — each micro-batch parses N-Triples
+  * lines and appends to the statement store (the IChangeLog "inserted statements" hook).
+  */
+object Streams {
+
+  /** Tumbling-window event counts with a watermark (late data dropped after `watermark`). */
+  def windowedEventStats(events: DataFrame, watermarkDur: String = "10 minutes",
+                         windowDur: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  final case class Session(userId: Long, nEvents: Long, totalValue: Double)
+  final case class Ev(user_id: Long, value: Double)
+
+  /** Per-user running session state via flatMapGroupsWithState
+    * (KeyValueGroupedDataset custom state — the mapGroupsWithState surface).
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Session]) =>
+          val prev = state.getOption.getOrElse(Session(user, 0L, 0.0))
+          val batch = evs.toSeq
+          val next = Session(user, prev.nEvents + batch.size,
+            prev.totalValue + batch.map(_.value).sum)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Mutable holder for an incrementally-maintained store. */
+  final class StreamingStore(spark: SparkSession, initial: GraftStore) {
+    @volatile var store: GraftStore = initial
+
+    /** Start incremental ingest from a streaming Dataset of N-Triples lines. */
+    def start(lines: Dataset[String], checkpointDir: String): StreamingQuery = {
+      lines.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: Dataset[String], _: Long) =>
+          val stmts = graft.sources.Rio.statementsFromLines(batch)
+          if (!stmts.isEmpty)
+            store = store.withStatements(
+              store.statements.unionByName(stmts).localCheckpoint())
+        }
+        .start()
+    }
+  }
+}

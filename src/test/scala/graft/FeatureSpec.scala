@@ -1,0 +1,186 @@
+package graft
+
+import graft.engine.{Engine, SparqlResults, Update}
+import graft.model.{GraftStore, Term}
+import graft.pipeline.Multimodal
+import graft.search.{Geo, TextIndex}
+import graft.sources.Rio
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+class FeatureSpec extends GraftSuite {
+  private val ss = SharedSpark.spark
+  import ss.implicits._
+
+  // ---- SPARQL UPDATE ----
+  test("insert data / delete data / modify / clear") {
+    val s0 = Update(store, "INSERT DATA { <urn:x:1> a <urn:c:Thing> ; <urn:p:v> 42 . }")
+    assert(Engine.query(s0, "ASK { <urn:x:1> <urn:p:v> 42 }").first().getBoolean(0))
+    val s1 = Update(s0, "DELETE DATA { <urn:x:1> <urn:p:v> 42 . }")
+    assert(!Engine.query(s1, "ASK { <urn:x:1> <urn:p:v> 42 }").first().getBoolean(0))
+    val s2 = Update(s0,
+      "DELETE { ?s <urn:p:v> ?o } INSERT { ?s <urn:p:v2> ?o } WHERE { ?s <urn:p:v> ?o . FILTER(?o = 42) }")
+    assert(Engine.query(s2, "ASK { <urn:x:1> <urn:p:v2> 42 }").first().getBoolean(0))
+    assert(!Engine.query(s2, "ASK { <urn:x:1> <urn:p:v> ?o }").first().getBoolean(0))
+    val s3 = Update.applyOp(s0, graft.sparql.Ast.ClearGraph(Some("urn:g:nation")))
+    assert(Engine.query(s3, "SELECT ?s WHERE { GRAPH <urn:g:nation> { ?s ?p ?o } }").count() == 0)
+  }
+
+  test("insert is idempotent (no duplicate statements)") {
+    val s0 = Update(store, "INSERT DATA { <urn:x:2> <urn:p:v> 1 . }")
+    val s1 = Update(s0, "INSERT DATA { <urn:x:2> <urn:p:v> 1 . }")
+    assert(s1.statements.count() == s0.statements.count())
+  }
+
+  // ---- RIO N-Triples/N-Quads ----
+  test("nquads roundtrip preserves term identity") {
+    val lines = Seq(
+      """<urn:s:1> <urn:p:a> "plain" <urn:g:x> .""",
+      """<urn:s:1> <urn:p:b> "5"^^<http://www.w3.org/2001/XMLSchema#int> .""",
+      """<urn:s:1> <urn:p:c> "hi there\n2nd line"@en-US .""",
+      """_:b0 <urn:p:d> <urn:s:1> .""",
+      "# comment", "").toDS()
+    val st = Rio.statementsFromLines(lines)
+    assert(st.count() == 4)
+    // int normalized to canonical xsd:integer with inline value
+    val intRow = st.filter(col("p")("str") === "urn:p:b").select("o").first().getStruct(0)
+    assert(intRow.getAs[String]("dt") == Term.XSD_INTEGER && intRow.getAs[Long]("lng") == 5L)
+    // dump → reparse → same id triples
+    val dumped = Rio.toNQuadLines(st).as[String]
+    val back = Rio.statementsFromLines(dumped)
+    val orig = st.select(col("s")("id"), col("p")("id"), col("o")("id")).collect().toSet
+    val rt = back.select(col("s")("id"), col("p")("id"), col("o")("id")).collect().toSet
+    assert(rt == orig)
+  }
+
+  // ---- full-text search ----
+  test("text index ranks multi-term matches and respects matchAllTerms") {
+    val t = Seq(
+      ("urn:d:1", "spark joins merge batches"),
+      ("urn:d:2", "spark only here"),
+      ("urn:d:3", "nothing relevant at all")
+    ).toDF("si", "txt").select(Term.iri(col("si")).as("s"),
+      Term.iri("urn:p:text").as("p"), Term.strLit(col("txt")).as("o"),
+      Term.nullTerm.as("g"), lit(0).cast("byte").as("stype"))
+    val st = GraftStore.cached(spark, t)
+    val idx = TextIndex.build(st)
+    val all = idx.search("spark merge", matchAllTerms = true).collect()
+    assert(all.length == 1 && all(0).getStruct(0).getAs[String]("str").contains("merge"))
+    val any = idx.search("spark merge").collect()
+    assert(any.length == 2)
+    assert(any.map(_.getAs[Int]("rank")).toSeq.sorted == Seq(1, 2))
+  }
+
+  test("bds magic predicates bind literals through the engine") {
+    val df = Engine.query(store,
+      """SELECT ?name ?r WHERE {
+        |  ?name <http://www.bigdata.com/rdf/search#search> "BUILDING" ;
+        |        <http://www.bigdata.com/rdf/search#relevance> ?r .
+        |} LIMIT 5""".stripMargin)
+    assert(df.count() > 0)
+  }
+
+  // ---- geospatial ----
+  test("haversine and circle/rectangle filters") {
+    val pts = Seq((1L, 48.8566, 2.3522), (2L, 51.5074, -0.1278), (3L, -33.86, 151.2))
+      .toDF("id", "lat", "lon")
+    // Paris–London ≈ 343 km
+    val d = pts.filter(col("id") === 1)
+      .select(Geo.haversineMeters(col("lat"), col("lon"), lit(51.5074), lit(-0.1278)))
+      .first().getDouble(0)
+    assert(math.abs(d - 343000) < 2000)
+    val inC = pts.filter(Geo.inCircle(col("lat"), col("lon"), 48.8566, 2.3522, 400000))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(inC == Set(1L, 2L))
+    val inR = pts.filter(Geo.inRectangle(col("lat"), col("lon"), 40, -10, 55, 10))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(inR == Set(1L, 2L))
+    // z-order: nearby points share high bits
+    val z = pts.select(Geo.zorder(col("lat"), col("lon"))).collect().map(_.getLong(0))
+    assert(z.distinct.length == 3)
+  }
+
+  // ---- gas service through SPARQL ----
+  test("gas:service CC over fk edges") {
+    val df = Engine.query(store,
+      """SELECT ?v ?c WHERE {
+        |  SERVICE <http://www.bigdata.com/rdf/gas#service> {
+        |    ?x <http://www.bigdata.com/rdf/gas#program> "CC" ;
+        |       <http://www.bigdata.com/rdf/gas#linkType> <urn:fk:n_regionkey> ;
+        |       <http://www.bigdata.com/rdf/gas#out> ?v ;
+        |       <http://www.bigdata.com/rdf/gas#out1> ?c } }""".stripMargin)
+    // nations+regions form 5 components (one per region)
+    assert(df.select(col("c")("lng")).distinct().count() == 5)
+  }
+
+  // ---- serializers ----
+  test("sparql json/xml/csv/tsv serializers") {
+    val df = Engine.query(store,
+      """SELECT ?name ?bal WHERE { ?c <urn:p:c_name> ?name ; <urn:p:c_acctbal> ?bal }
+        |ORDER BY ?name LIMIT 2""".stripMargin)
+    val json = SparqlResults.toJson(df)
+    assert(json.startsWith("""{"head":{"vars":["name","bal"]}"""))
+    assert(json.contains(""""type":"literal""""))
+    assert(json.contains("XMLSchema#double"))
+    val xml = SparqlResults.toXml(df)
+    assert(xml.contains("<variable name=\"name\"/>") && xml.contains("<literal"))
+    val csv = SparqlResults.toCsv(df)
+    assert(csv.startsWith("name,bal\n") && csv.linesIterator.size == 3)
+    val tsv = SparqlResults.toTsv(df)
+    assert(tsv.startsWith("?name\t?bal\n") && tsv.contains("^^<"))
+  }
+
+  // ---- multimodal ----
+  test("multimodal meta/features/frames plumbing is deterministic") {
+    val docs = Seq((1L, "hello world"), (2L, "other content")).toDF("doc_id", "text")
+    val meta = Multimodal.decodeMeta(Multimodal.withPayload(docs, "text"), "payload")
+    val m1 = meta.filter(col("doc_id") === 1).select("meta").first().getStruct(0)
+    assert(m1.getAs[Long]("n_bytes") == 11L)
+    assert(Seq("jpeg", "png", "wav", "mp4").contains(m1.getAs[String]("format")))
+    val f = Multimodal.extractFeatures(Multimodal.withPayload(docs, "text"), "payload", 8)
+    val v1 = f.filter(col("doc_id") === 1).select("features").first().getSeq[Float](0)
+    assert(v1.length == 8)
+    val v1again = Multimodal.extractFeatures(Multimodal.withPayload(docs, "text"), "payload", 8)
+      .filter(col("doc_id") === 1).select("features").first().getSeq[Float](0)
+    assert(v1 == v1again)
+    val frames = Multimodal.frameSample(Multimodal.withPayload(docs, "text"), "payload", 3)
+    assert(frames.count() == 6)
+  }
+
+  // ---- streaming ----
+  test("incremental triple ingest via structured streaming") {
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
+    val holder = new Streams.StreamingStore(spark, store)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = holder.start(mem.toDS(), dir)
+    mem.addData("<urn:stream:1> <urn:p:v> \"7\"^^<http://www.w3.org/2001/XMLSchema#integer> .")
+    q.processAllAvailable()
+    assert(Engine.query(holder.store, "ASK { <urn:stream:1> <urn:p:v> 7 }")
+      .first().getBoolean(0))
+    q.stop()
+  }
+
+  test("windowed event stats and sessionization run on a stream") {
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val stats = Streams.windowedEventStats(
+      mem.toDF().toDF("ts", "event_type", "value"), "1 minute", "1 hour")
+    val q = stats.writeStream.format("memory").queryName("winstats")
+      .outputMode("update").start()
+    mem.addData((java.sql.Timestamp.valueOf("2026-01-01 10:01:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:20:00"), "click", 2.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM winstats").collect()
+    assert(rows.exists(r => r.getAs[Long]("cnt") == 2L && r.getAs[Double]("sum_value") == 3.0))
+    q.stop()
+
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Ev](spark)
+    val sess = Streams.sessionize(mem2.toDS())
+    val q2 = sess.writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    mem2.addData(Streams.Ev(7L, 1.5), Streams.Ev(7L, 2.5), Streams.Ev(8L, 1.0))
+    q2.processAllAvailable()
+    val s7 = spark.sql("SELECT * FROM sessions WHERE userId = 7").collect()
+    assert(s7.exists(r => r.getAs[Long]("nEvents") == 2L && r.getAs[Double]("totalValue") == 4.0))
+    q2.stop()
+  }
+}
