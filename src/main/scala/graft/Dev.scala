@@ -63,6 +63,18 @@ object Dev {
     val after = engine.Update(store, "DELETE DATA { <urn:no:such> <urn:p:x> 1 . }")
       .statements.count()
     println(s"PROBE-DELETE-MISSING: $before -> $after (expect equal)")
+    // flagship smoke (driver contract)
+    val flag = SparkEntry.entry(spark)
+    println(s"ENTRY-ROWS: ${flag.count()}")
+    flag.show(3, truncate = false)
+    // plan inspection: partition pruning + pushdown on a pattern scan
+    println("=== PLAN: scan with p + o constants ===")
+    engine.Engine.query(store,
+      "SELECT ?c WHERE { ?c <urn:p:c_mktsegment> \"BUILDING\" }").explain("formatted")
+    println("=== PLAN: star join + agg ===")
+    engine.Engine.query(store,
+      """SELECT ?rf (SUM(?qty) AS ?sq) WHERE { ?l <urn:p:l_returnflag> ?rf ;
+        |<urn:p:l_quantity> ?qty } GROUP BY ?rf""".stripMargin).explain("formatted")
     spark.stop()
   }
 }

@@ -206,6 +206,25 @@ object SparkEntry {
              |SELECT 'urn:t:lineitem:'||l_orderkey||'-'||l_linenumber||'-'||seq AS s,
              |  'urn:t:customer:'||o_custkey AS t FROM li JOIN orders ON l_orderkey=o_orderkey""".stripMargin)),
 
+    ("q_path_range", sq(
+      """SELECT ?s ?t WHERE { ?s a <urn:c:Lineitem> .
+        |  ?s (<urn:fk:l_orderkey>|<urn:fk:o_custkey>){2,2} ?t . }""".stripMargin,
+      oStr("s"), oStr("t")) _,
+      Some("""WITH li AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+             |  ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount,
+             |           l_tax, l_returnflag, l_linestatus, l_shipdate) AS seq FROM lineitem)
+             |SELECT 'urn:t:lineitem:'||l_orderkey||'-'||l_linenumber||'-'||seq AS s,
+             |  'urn:t:customer:'||o_custkey AS t FROM li JOIN orders ON l_orderkey=o_orderkey""".stripMargin)),
+
+    ("q_named_subquery", sq(
+      """SELECT ?nname ?cnt
+        |WITH { SELECT ?n (COUNT(*) AS ?cnt) WHERE {
+        |         ?c <urn:fk:c_nationkey> ?n } GROUP BY ?n } AS %counts
+        |WHERE { INCLUDE %counts . ?n <urn:p:n_name> ?nname }""".stripMargin,
+      oStr("nname"), oLng("cnt")) _,
+      Some("""SELECT n_name AS nname, COUNT(*) AS cnt FROM customer
+             | JOIN nation ON c_nationkey=n_nationkey GROUP BY 1""".stripMargin)),
+
     ("q_named_graph", sq(
       """SELECT ?seg (COUNT(*) AS ?cnt) WHERE {
         |  GRAPH <urn:g:customer> { ?c <urn:p:c_mktsegment> ?seg } } GROUP BY ?seg""".stripMargin,

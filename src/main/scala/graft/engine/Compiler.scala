@@ -51,6 +51,8 @@ object DatasetSpec {
   */
 final class Compiler(val store: GraftStore, ds: DatasetSpec) {
   private val spark = store.spark
+  /** Named solution sets from WITH … AS %name (evaluated once, INCLUDE reuses). */
+  private var namedSets: Map[String, DataFrame] = Map.empty
   import Exprs.{Env => _, _}
 
   private def env(df: DataFrame): Exprs.Env = Exprs.Env(df.columns.toSet)
@@ -363,6 +365,8 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     case OpValues(v) => valuesDf(v)
     case OpSubquery(q) => compileSelect(q)
     case OpService(iri, inner, silent) => Services.dispatch(this, iri, inner, silent)
+    case OpInclude(name) => namedSets.getOrElse(name,
+      throw new IllegalArgumentException(s"INCLUDE %$name: no such named subquery"))
   }
 
   private def applyFilter(df: DataFrame, e: Expr): DataFrame = e match {
@@ -405,6 +409,11 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
 
   // ======== SELECT pipeline (projection/modifiers) ========
   def compileSelect(q: SelectQuery): DataFrame = {
+    // named subqueries: evaluate ONCE, materialize, then INCLUDE hash-joins the cached
+    // set (HTreeNamedSubqueryOp / NamedSubqueryInclude semantics)
+    q.withSubqueries.foreach { case (name, sub) =>
+      namedSets += name -> compileSelect(sub).localCheckpoint()
+    }
     var df = compile(Algebra.lower(q.where))
     q.values.foreach(v => df = joinDf(df, valuesDf(v), "inner"))
 

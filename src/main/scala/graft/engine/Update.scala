@@ -62,7 +62,7 @@ object Update {
   }
 
   private def statementKey(df: DataFrame): DataFrame =
-    df.withColumn("__k", struct(col("s")("id"), col("p")("id"), col("o")("id"),
+    df.withColumn("__k", xxhash64(col("s")("id"), col("p")("id"), col("o")("id"),
       coalesce(col("g")("id"), lit(0L))))
 
   private def insert(store: GraftStore, quads: DataFrame): GraftStore = {

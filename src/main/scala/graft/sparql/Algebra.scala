@@ -25,6 +25,7 @@ object Algebra {
   final case class OpValues(values: ValuesGP) extends Op
   final case class OpSubquery(q: SelectQuery) extends Op
   final case class OpService(iri: Node, inner: Op, silent: Boolean) extends Op
+  final case class OpInclude(name: String) extends Op
 
   def lower(gp: GP): Op = lower(gp, None)
 
@@ -41,6 +42,7 @@ object Algebra {
     case GraphGP(g, inner) => lower(inner, Some(g))
     case SubSelectGP(q) => OpSubquery(q)
     case ServiceGP(iri, inner, silent) => OpService(iri, lower(inner, ctx), silent)
+    case IncludeGP(name) => OpInclude(name)
   }
 
   private def join(l: Op, r: Op): Op =
@@ -87,6 +89,7 @@ object Algebra {
       }.toSet
     }
     case OpService(_, inner, _) => vars(inner)
+    case OpInclude(_) => Set.empty // resolved at compile time from the named set
   }
 
   def tripleVars(t: Triple): Seq[String] = {

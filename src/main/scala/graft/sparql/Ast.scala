@@ -56,6 +56,8 @@ object Ast {
   final case class GraphGP(g: Node, inner: GP) extends GP
   final case class SubSelectGP(q: SelectQuery) extends GP
   final case class ServiceGP(iri: Node, inner: GP, silent: Boolean) extends GP
+  /** INCLUDE %name — named-subquery solution-set reuse (NamedSubqueryInclude). */
+  final case class IncludeGP(name: String) extends GP
 
   // ---- query forms ---------------------------------------------------------
   sealed trait Projection
@@ -67,7 +69,9 @@ object Ast {
       groupBy: Seq[(Expr, Option[String])], having: Seq[Expr],
       orderBy: Seq[(Expr, Boolean)], // (key, ascending)
       offset: Option[Long], limit: Option[Long],
-      values: Option[ValuesGP] = None) extends Query
+      values: Option[ValuesGP] = None,
+      /** WITH { subselect } AS %name — evaluated once (HTreeNamedSubqueryOp). */
+      withSubqueries: Seq[(String, SelectQuery)] = Nil) extends Query
 
   final case class AskQuery(where: GP) extends Query
   final case class ConstructQuery(template: Seq[TripleGP], where: GP,

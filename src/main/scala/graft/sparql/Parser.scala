@@ -25,6 +25,7 @@ object Parser {
   final case class TNum(text: String, pos: Int) extends Tok
   final case class TWord(upper: String, raw: String, pos: Int) extends Tok
   final case class TBNode(label: String, pos: Int) extends Tok
+  final case class TPct(name: String, pos: Int) extends Tok
   final case class TPunct(s: String, pos: Int) extends Tok
   final case class TEof(pos: Int) extends Tok
 
@@ -61,6 +62,9 @@ object Parser {
       } else if (c == '@' ) {
         var j = i + 1; while (j < n && (q(j).isLetterOrDigit || q(j) == '-')) j += 1
         out += TLang(q.substring(i + 1, j), i); i = j
+      } else if (c == '%' && i + 1 < n && nameStart(q(i + 1))) {
+        var j = i + 1; while (j < n && nameChar(q(j))) j += 1
+        out += TPct(q.substring(i + 1, j), i); i = j
       } else if (c == '_' && i + 1 < n && q(i + 1) == ':') {
         var j = i + 2; while (j < n && nameChar(q(j))) j += 1
         out += TBNode(q.substring(i + 2, j), i); i = j
@@ -270,10 +274,22 @@ object Parser {
           ProjVars(items.toSeq)
         }
       val ds = parseDatasets()
+      val withs = ArrayBuffer.empty[(String, SelectQuery)]
+      while (acceptWord("WITH")) {
+        expectPunct("{")
+        val sub = parseSelect()
+        expectPunct("}")
+        expectWord("AS")
+        val name = cur match {
+          case TPct(nm, _) => i += 1; nm
+          case _ => fail("expected %name")
+        }
+        withs += ((name, sub))
+      }
       val where = parseWhere()
       val (groupBy, having, orderBy, offset, limit, values) = parseModifiers()
       val q = SelectQuery(distinct, reduced, proj, where, groupBy, having, orderBy,
-        offset, limit, values)
+        offset, limit, values, withSubqueries = withs.toSeq)
       q.datasets = ds
       q
     }
@@ -411,6 +427,12 @@ object Parser {
               case _ => IriNode(parseIri())
             }
             elems += GraphGP(g, parseGroupGP())
+          case TWord("INCLUDE", _, _) =>
+            i += 1
+            cur match {
+              case TPct(nm, _) => i += 1; elems += IncludeGP(nm)
+              case _ => fail("expected %name after INCLUDE")
+            }
           case TWord("SERVICE", _, _) =>
             i += 1
             val silent = acceptWord("SILENT")
@@ -571,7 +593,31 @@ object Parser {
       if (acceptPunct("*")) PZeroOrMore(prim)
       else if (acceptPunct("+")) POneOrMore(prim)
       else if (acceptPunct("?")) PZeroOrOne(prim)
+      else if (isPunct("{")) { // {n}, {n,}, {n,m} bounded repetition (Blazegraph extension)
+        i += 1
+        val lo = parseLong().toInt
+        val hi: Option[Int] =
+          if (acceptPunct(",")) { if (isPunct("}")) None else Some(parseLong().toInt) }
+          else Some(lo)
+        expectPunct("}")
+        expandRange(prim, lo, hi)
+      }
       else prim
+    }
+
+    /** Rewrite {n,m} into seq/alt/closure combinations of the core path algebra. */
+    private def expandRange(q: Path, lo: Int, hi: Option[Int]): Path = {
+      def rep(k: Int): Path = Seq.fill(k)(q).reduce(PSeq(_, _))
+      hi match {
+        case None =>
+          if (lo == 0) PZeroOrMore(q)
+          else if (lo == 1) POneOrMore(q)
+          else PSeq(rep(lo - 1), POneOrMore(q))
+        case Some(m) =>
+          val upper = math.max(m, 1)
+          val alts = (math.max(lo, 1) to upper).map(rep).reduce(PAlt(_, _))
+          if (lo == 0) PZeroOrOne(alts) else alts
+      }
     }
     private def parsePathPrimary(): Path = cur match {
       case TWord("A", "a", _) => i += 1; PLink(graft.model.Term.RDF_TYPE)
