@@ -514,7 +514,14 @@ object SparkEntry {
     ("p_mm_frames", ((s: SparkSession, dir: String) =>
       graft.pipeline.Multimodal.frameSample(
         graft.pipeline.Multimodal.withPayload(docs(s, dir), "text"), "payload", nFrames = 4)
-        .select(col("doc_id"), col("frame_idx"), col("frame_offset_ms"))): Q, None)
+        .select(col("doc_id"), col("frame_idx"), col("frame_offset_ms"))): Q, None),
+
+    // SampleIndex analog (bop/ap/SampleIndex.java): seeded uniform sample of a pattern
+    ("p_sample", ((s: SparkSession, dir: String) =>
+      Tpch.store(s, dir).statements
+        .filter(col("p_id") === graft.engine.TermIds.iriId("urn:p:c_acctbal"))
+        .sample(withReplacement = false, 0.1, seed = 42)
+        .select(col("s")("str").as("s"), col("o")("num").as("bal"))): Q, None)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

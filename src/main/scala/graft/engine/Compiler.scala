@@ -632,4 +632,44 @@ object Engine {
       case d: DescribeQuery => c.compileDescribe(d)
     }
   }
+
+  /** Formatted physical plan for a SPARQL query (the QueryLog/EXPLAIN analog). */
+  def explain(store: GraftStore, sparql: String): String =
+    query(store, sparql).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  /** Evaluate with a deadline; cancels the Spark job group on timeout
+    * (QueryDeadline / AbstractRunningQuery.cancel analog via cancelJobGroup).
+    */
+  def queryWithTimeout(store: GraftStore, sparql: String,
+                       timeoutMs: Long): Array[org.apache.spark.sql.Row] = {
+    val spark = store.spark
+    val group = "graft-" + java.util.UUID.randomUUID()
+    val result = new java.util.concurrent.CompletableFuture[Array[org.apache.spark.sql.Row]]()
+    val t = new Thread(() => {
+      try {
+        spark.sparkContext.setJobGroup(group, sparql, interruptOnCancel = true)
+        result.complete(query(store, sparql).collect())
+      } catch { case e: Throwable => result.completeExceptionally(e) }
+      finally spark.sparkContext.clearJobGroup()
+    })
+    t.setDaemon(true)
+    t.start()
+    try result.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        // cancel until the worker thread actually dies: cancelJobGroup only kills
+        // ACTIVE jobs, so a cancel racing with planning/submission must be retried
+        var waited = 0
+        while (t.isAlive && waited < 30000) {
+          spark.sparkContext.cancelJobGroup(group)
+          t.interrupt()
+          Thread.sleep(100)
+          waited += 100
+        }
+        throw new java.util.concurrent.TimeoutException(
+          s"query exceeded ${timeoutMs}ms and was cancelled")
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
+  }
 }

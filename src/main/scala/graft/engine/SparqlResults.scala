@@ -28,8 +28,16 @@ object SparqlResults {
     case c => c.toString
   }
 
+  /** True when the frame is an ASK result (single boolean column). */
+  private def askValue(df: DataFrame): Option[Boolean] =
+    if (df.schema.length == 1 &&
+      df.schema.head.dataType == org.apache.spark.sql.types.BooleanType)
+      Some(df.first().getBoolean(0))
+    else None
+
   /** application/sparql-results+json */
   def toJson(df: DataFrame): String = {
+    askValue(df).foreach { b => return s"""{"head":{},"boolean":$b}""" }
     val vars = df.columns
     val sb = new StringBuilder
     sb ++= """{"head":{"vars":["""
@@ -63,6 +71,9 @@ object SparqlResults {
 
   /** application/sparql-results+xml */
   def toXml(df: DataFrame): String = {
+    askValue(df).foreach { b =>
+      return s"""<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#"><head/><boolean>$b</boolean></sparql>"""
+    }
     val vars = df.columns
     val sb = new StringBuilder
     sb ++= """<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#"><head>"""
@@ -94,6 +105,7 @@ object SparqlResults {
 
   /** text/csv (SPARQL 1.1 CSV results: lexical forms, quoted when needed). */
   def toCsv(df: DataFrame): String = {
+    askValue(df).foreach { b => return s"ask\n$b\n" }
     val vars = df.columns
     def cell(s: String): String =
       if (s == null) ""
@@ -112,6 +124,7 @@ object SparqlResults {
 
   /** text/tab-separated-values (terms in N-Triples syntax). */
   def toTsv(df: DataFrame): String = {
+    askValue(df).foreach { b => return s"?ask\n$b\n" }
     val vars = df.columns
     def tok(r: Row): String =
       if (r == null) ""

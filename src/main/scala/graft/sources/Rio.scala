@@ -101,11 +101,13 @@ object Rio {
   }
 
   /** Parse a Dataset of N-Triples/N-Quads lines into the statements layout. */
-  def statementsFromLines(lines: org.apache.spark.sql.Dataset[String]): DataFrame = {
-    val parsed = lines
+  def statementsFromLines(lines: org.apache.spark.sql.Dataset[String]): DataFrame =
+    statementsFromParsed(lines
       .map(parseLine)(org.apache.spark.sql.Encoders.product[ParsedQuad])
       .filter(_ != null)
-      .toDF()
+      .toDF())
+
+  private def statementsFromParsed(parsed: DataFrame): DataFrame = {
     GraftStore.assemble(parsed.select(
       Term.fromParts(col("sKind"), col("sStr"), lit(null).cast("string"), lit(null).cast("string")).as("s"),
       Term.iri(col("pStr")).as("p"),
@@ -120,6 +122,42 @@ object Rio {
 
   def load(spark: SparkSession, path: String): GraftStore =
     new GraftStore(spark, readStatements(spark, path))
+
+  /** Turtle subset loader (single-node parse → distributed encode, the SURVEY §2.1
+    * Turtle/TriG strategy): supports @prefix/@base, prefixed names, `a`, `;`/`,` lists,
+    * typed/lang literals, numeric shorthand, labeled bnodes. Rides the SPARQL grammar's
+    * quad-data production (`INSERT DATA`), which shares Turtle's triples syntax.
+    */
+  def readTurtle(spark: SparkSession, turtle: String): DataFrame = {
+    val lines = turtle.linesIterator.toSeq.map { l =>
+      val t = l.trim
+      if (t.toLowerCase.startsWith("@prefix"))
+        t.stripSuffix(".").trim.replaceFirst("(?i)@prefix", "PREFIX")
+      else if (t.toLowerCase.startsWith("@base"))
+        t.stripSuffix(".").trim.replaceFirst("(?i)@base", "BASE")
+      else l
+    }
+    val (pfx, body) = lines.partition(l =>
+      l.trim.startsWith("PREFIX") || l.trim.startsWith("BASE"))
+    val ops = Parser.parseUpdate(
+      pfx.mkString("\n") + "\nINSERT DATA {\n" + body.mkString("\n") + "\n}")
+    import graft.sparql.Ast._
+    def flat(n: Node): (Byte, String, String, String) = n match {
+      case IriNode(i) => (Term.KIND_IRI, i, null, null)
+      case VarNode(v) => (Term.KIND_BNODE, v, null, null) // parser's bnode placeholder
+      case LitNode(lex, dt, lang) => (Term.KIND_LITERAL, lex, dt.orNull, lang.orNull)
+    }
+    val quads = ops.collect { case InsertData(q) => q }.flatten.map { q =>
+      val s = flat(q.s); val o = flat(q.o)
+      val p = q.p match { case IriNode(i) => i
+        case other => throw new IllegalArgumentException(s"predicate must be IRI: $other") }
+      val g = q.g.map { case IriNode(i) => i
+        case other => throw new IllegalArgumentException(s"graph must be IRI: $other") }
+      ParsedQuad(s._1, s._2, p, o._1, o._2, o._3, o._4, g.orNull)
+    }
+    import spark.implicits._
+    statementsFromParsed(quads.toDF())
+  }
 
   // ---- dump (SPARQL result sinks analog for RDF output) ----
   private def escapeNt(c: Column): Column =

@@ -1,0 +1,96 @@
+package graft
+
+import graft.server.SparqlServer
+import graft.sources.Rio
+import graft.engine.Engine
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets
+
+class ServerSpec extends GraftSuite {
+
+  private def get(url: String, accept: String = ""): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+    if (accept.nonEmpty) b.header("Accept", accept)
+    HttpClient.newHttpClient().send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def post(url: String, body: String): HttpResponse[String] =
+    HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(url))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def enc(s: String) = URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+  test("http endpoint serves query, content negotiation, update, and errors") {
+    val srv = new SparqlServer(store).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val q = "SELECT ?name WHERE { ?r <urn:p:r_name> ?name } ORDER BY ?name"
+      val json = get(s"$base/sparql?query=${enc(q)}")
+      assert(json.statusCode() == 200)
+      assert(json.headers().firstValue("Content-Type").get.contains("sparql-results+json"))
+      assert(json.body().contains("AFRICA"))
+      val csv = get(s"$base/sparql?query=${enc(q)}", accept = "text/csv")
+      assert(csv.body().startsWith("name\nAFRICA"))
+      val xml = get(s"$base/sparql?query=${enc(q)}", accept = "application/sparql-results+xml")
+      assert(xml.body().contains("<literal>AFRICA</literal>"))
+      // POST form query
+      val viaPost = post(s"$base/sparql", s"query=${enc("ASK { ?s ?p ?o }")}")
+      assert(viaPost.body().contains("true"))
+      // update mutates the served store
+      val up = post(s"$base/sparql/update",
+        s"update=${enc("INSERT DATA { <urn:http:1> <urn:p:v> 9 }")}")
+      assert(up.statusCode() == 200)
+      val after = get(s"$base/sparql?query=${enc("ASK { <urn:http:1> <urn:p:v> 9 }")}")
+      assert(after.body().contains("true"))
+      // errors: missing param, parse error
+      assert(get(s"$base/sparql").statusCode() == 400)
+      assert(get(s"$base/sparql?query=${enc("SELECT ?x WHERE {")}").statusCode() == 400)
+    } finally srv.stop()
+  }
+
+  test("turtle subset loader") {
+    val ttl =
+      """@prefix ex: <urn:ex:> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |ex:a a ex:Widget ;
+        |  ex:name "thing one" ;
+        |  ex:size "5"^^xsd:int , 7 ;
+        |  ex:linked ex:b .
+        |ex:b ex:name "thing two"@en .
+        |_:bn ex:name "anon" .
+        |""".stripMargin
+    val st = new graft.model.GraftStore(spark, Rio.readTurtle(spark, ttl))
+    assert(st.statements.count() == 7)
+    val sizes = Engine.query(st,
+      "SELECT ?s WHERE { <urn:ex:a> <urn:ex:size> ?s } ORDER BY ?s")
+      .collect().map(_.getStruct(0).getAs[Long]("lng"))
+    assert(sizes.toSeq == Seq(5L, 7L))
+    assert(Engine.query(st, "ASK { <urn:ex:a> <urn:ex:linked> ?b . ?b <urn:ex:name> ?n }")
+      .first().getBoolean(0))
+  }
+
+  test("explain returns a formatted physical plan with pushed filters") {
+    val plan = Engine.explain(store,
+      "SELECT ?c WHERE { ?c <urn:p:c_mktsegment> \"BUILDING\" }")
+    assert(plan.contains("Physical Plan"))
+    assert(plan.contains("PartitionFilters") && plan.contains("p_id"))
+    assert(plan.contains("PushedFilters"))
+  }
+
+  test("query timeout cancels the job group") {
+    // generous timeout: completes
+    val rows = Engine.queryWithTimeout(store,
+      "SELECT ?s WHERE { ?s a <urn:c:Region> }", 60000)
+    assert(rows.length == 5)
+    // tiny timeout on a heavy query (114k × 114k cross product): cancelled
+    intercept[java.util.concurrent.TimeoutException] {
+      Engine.queryWithTimeout(store,
+        """SELECT (COUNT(*) AS ?c) WHERE { ?a ?p1 ?x . ?b ?p2 ?y }""", 50)
+    }
+  }
+}
