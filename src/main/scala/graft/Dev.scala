@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Scratch main for interactive development (not part of the library API). */
 object Dev {
@@ -71,6 +72,16 @@ object Dev {
     println("=== PLAN: scan with p + o constants ===")
     engine.Engine.query(store,
       "SELECT ?c WHERE { ?c <urn:p:c_mktsegment> \"BUILDING\" }").explain("formatted")
+    // bucketed-store co-located join demo
+    model.GraftStore.saveBucketed(store.statements, "graft_bucketed_dev", 8)
+    val bt = spark.table("graft_bucketed_dev")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bj = bt.filter(col("p_id") === engine.TermIds.iriId("urn:p:c_name")).select(col("s_id"), col("o").as("n"))
+      .join(bt.filter(col("p_id") === engine.TermIds.iriId("urn:p:c_acctbal")).select(col("s_id"), col("o").as("b")), "s_id")
+    val bplan = bj.queryExecution.executedPlan.toString
+    println("BUCKETED-JOIN shuffle-free: " + !bplan.contains("Exchange hashpartitioning") +
+      s" rows=${bj.count()}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     println("=== PLAN: star join + agg ===")
     engine.Engine.query(store,
       """SELECT ?rf (SUM(?qty) AS ?sq) WHERE { ?l <urn:p:l_returnflag> ?rf ;

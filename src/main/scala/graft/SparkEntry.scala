@@ -521,7 +521,40 @@ object SparkEntry {
       Tpch.store(s, dir).statements
         .filter(col("p_id") === graft.engine.TermIds.iriId("urn:p:c_acctbal"))
         .sample(withReplacement = false, 0.1, seed = 42)
-        .select(col("s")("str").as("s"), col("o")("num").as("bal"))): Q, None)
+        .select(col("s")("str").as("s"), col("o")("num").as("bal"))): Q, None),
+
+    // tumbling-window aggregation over the events table (batch form of the
+    // Structured Streaming operator — same window() semantics)
+    ("p_window_agg", ((s: SparkSession, dir: String) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts2", timestamp_micros((col("ts") / 1000L).cast("long")))
+      ev.groupBy(window(col("ts2"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(round(col("value") * 100)).as("cents"))
+        .select(col("w")("start").as("window_start"), col("event_type"),
+          col("cnt"), col("cents").cast("long").as("cents"))
+    }): Q,
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+             | COUNT(*) AS cnt, CAST(SUM(ROUND(value*100, 0)) AS BIGINT) AS cents
+             | FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // HLL sketch (approximate distinct — the "novel sketch" scale path; exact
+    // countDistinct is the oracle-checked q_count_distinct)
+    ("p_sketch_distinct", ((s: SparkSession, dir: String) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))): Q, None),
+
+    // skew-salted join demo: orders joined to a hot dimension via explicit salting
+    ("p_salted_join", ((s: SparkSession, dir: String) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey").as("k"))
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      graft.engine.DfOps.saltedJoin(o, c, "k", salt = 8)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+    }): Q,
+      Some("""SELECT c_mktsegment, COUNT(*) AS cnt FROM orders
+             | JOIN customer ON o_custkey=c_custkey GROUP BY 1""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -10,4 +10,18 @@ object DfOps {
     */
   def reid(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
+
+  /** Salted equi-join for skewed keys (SURVEY §7 "salting for skew"): the build side is
+    * replicated `salt` times, the probe side gets a random salt in [0, salt), and the
+    * exchange partitions on (key, salt) — spreading a hot key over `salt` reducers.
+    * AQE's skew-join split handles moderate skew automatically; this is the explicit
+    * lever for pathological keys (e.g. a celebrity node in a 100 TB graph).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 salt: Int, how: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = probe.withColumn("__salt", (rand(42) * salt).cast("int"))
+    val b = build.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    p.join(b, Seq(key, "__salt"), how).drop("__salt")
+  }
 }

@@ -55,4 +55,19 @@ object GraftStore {
       .persist(StorageLevel.MEMORY_AND_DISK)
     new GraftStore(spark, st)
   }
+
+  /** Bucketed at-rest variant: statements bucketed + sorted by the subject id so
+    * same-subject star joins (the dominant BGP shape) are co-located — bucketed
+    * SortMergeJoin with NO shuffle exchange on either side. This is the 100 TB layout
+    * lever the predicate-partitioned layout doesn't cover: p_id pruning picks the
+    * predicate, s_id bucketing removes the join shuffle.
+    */
+  def saveBucketed(df: DataFrame, table: String, buckets: Int): Unit =
+    df.withColumn("s_id", org.apache.spark.sql.functions.col("s")("id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "s_id").sortBy("s_id")
+      .format("parquet").saveAsTable(table)
+
+  def loadBucketed(spark: SparkSession, table: String): GraftStore =
+    new GraftStore(spark, spark.table(table))
 }

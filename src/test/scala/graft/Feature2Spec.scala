@@ -48,6 +48,29 @@ class Feature2Spec extends GraftSuite {
     assert(e.getMessage.contains("%nope"))
   }
 
+  test("bucketed store: subject-star self-join runs without a shuffle exchange") {
+    import graft.model.GraftStore
+    import graft.engine.TermIds
+    GraftStore.saveBucketed(store.statements, "graft_bucketed_test", 8)
+    val t = spark.table("graft_bucketed_test")
+    val a = t.filter(col("p_id") === TermIds.iriId("urn:p:c_name"))
+      .select(col("s_id"), col("o").as("name"))
+    val b = t.filter(col("p_id") === TermIds.iriId("urn:p:c_acctbal"))
+      .select(col("s_id"), col("o").as("bal"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = a.join(b, "s_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+      val custRows = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+      assert(joined.count() == custRows)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
+    }
+  }
+
   test("property graph facade: vertices, edges, traversal, values") {
     val g = new PropertyGraph(store)
     val nNations = g.verticesOfClass("urn:c:Nation").count()
