@@ -189,7 +189,8 @@ object Exprs {
         .otherwise(Term.nullTerm)
     fn match {
       case "BOUND" => argEs.head match {
-        case EVar(n) => boolTerm(lit(env.columns(n)) && col("`" + n + "`").isNotNull)
+        case EVar(n) if env.columns(n) => boolTerm(col("`" + n + "`").isNotNull)
+        case EVar(_) => boolTerm(lit(false)) // var never bound anywhere in scope
         case _ => boolTerm(args.head.isNotNull)
       }
       case "COALESCE" => coalesce(args: _*)
@@ -313,17 +314,19 @@ object Exprs {
     case _ => Term.nullTerm
   }
 
-  /** xsd constructor casts (FuncBOp.java, XsdLongBOp.java, …): parse-failure → error. */
+  /** xsd constructor casts (FuncBOp.java, XsdLongBOp.java, …): parse-failure → error
+    * (= null term, NOT an ANSI cast exception — hence try_cast for string parses).
+    */
   def castFn(dt: String, t: Column): Column = {
     val local = if (dt.startsWith(Term.XSD)) dt.substring(Term.XSD.length) else dt
     local match {
       case "integer" | "int" | "long" | "short" | "byte" =>
         val v = when(isNumericT(t), fNum(t).cast(LongType))
           .when(isBool(t), fLng(t))
-          .otherwise(fStr(t).cast(LongType))
+          .otherwise(fStr(t).try_cast(LongType))
         when(t.isNotNull && v.isNotNull, Term.intLit(v)).otherwise(Term.nullTerm)
       case "double" | "float" | "decimal" =>
-        val v = when(isNumericT(t), fNum(t)).otherwise(fStr(t).cast(DoubleType))
+        val v = when(isNumericT(t), fNum(t)).otherwise(fStr(t).try_cast(DoubleType))
         when(t.isNotNull && v.isNotNull, Term.doubleLit(v)).otherwise(Term.nullTerm)
       case "boolean" =>
         val v = when(isBool(t), fNum(t) =!= 0.0)

@@ -40,7 +40,9 @@ object Gas {
         .join(visited, Seq("vertex"), "left_anti")
         .withColumn("level", lit(level)).localCheckpoint()
       n = next.count()
-      if (n > 0) { visited = visited.unionByName(graft.engine.DfOps.reid(next)).localCheckpoint(); frontier = next }
+      // frontiers are checkpointed; the visited accumulator is a shallow union tree
+      // over materialized nodes — no checkpoint needed per round
+      if (n > 0) { visited = visited.unionByName(graft.engine.DfOps.reid(next)); frontier = next }
     }
     visited
   }
@@ -69,7 +71,7 @@ object Gas {
       n = improved.count()
       if (n > 0) {
         dist = dist.join(improved, Seq("vertex"), "left_anti")
-          .unionByName(graft.engine.DfOps.reid(improved)).localCheckpoint()
+          .unionByName(graft.engine.DfOps.reid(improved)).localCheckpoint() // dist is re-joined each round: keep materialized
         frontier = improved
       }
     }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.engine.Engine
+import org.apache.spark.sql.Row
+
+/** SPARQL function-library semantics, evaluated end-to-end through the engine on the
+  * unit solution (the per-function IVValueExpression test analog).
+  */
+class ExprSpec extends GraftSuite {
+
+  private def eval1(bindExpr: String): Row = {
+    val df = Engine.query(store, s"SELECT ?x WHERE { BIND($bindExpr AS ?x) }")
+    val r = df.first()
+    if (r.isNullAt(0)) null else r.getStruct(0)
+  }
+  private def str1(e: String): String = eval1(e).getAs[String]("str")
+  private def lng1(e: String): Long = eval1(e).getAs[Long]("lng")
+  private def dbl1(e: String): Double = eval1(e).getAs[Double]("num")
+
+  test("string functions") {
+    assert(str1("""REPLACE("abcabc", "b", "X")""") == "aXcaXc")
+    assert(str1("""STRBEFORE("hello-world", "-")""") == "hello")
+    assert(str1("""STRAFTER("hello-world", "-")""") == "world")
+    assert(str1("""STRBEFORE("nodash", "-")""") == "")
+    assert(str1("""CONCAT("a", "b", "c")""") == "abc")
+    assert(str1("""UCASE(SUBSTR("hello", 2, 3))""") == "ELL")
+    assert(lng1("""STRLEN("héllo")""") == 5L)
+    assert(str1("""ENCODE_FOR_URI("a b/c")""") == "a%20b%2Fc")
+    assert(str1("""MD5("abc")""") == "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("boolean / conditional") {
+    assert(str1("""IF(1 < 2, "yes", "no")""") == "yes")
+    assert(str1("""COALESCE(?unbound, "fallback")""") == "fallback")
+    assert(str1("""IF(LANGMATCHES(LANG("chat"@fr), "FR"), "m", "n")""") == "m")
+    assert(str1("""IF("x" IN ("x", "y"), "in", "out")""") == "in")
+    assert(str1("""IF(sameTerm(5, 5), "same", "diff")""") == "same")
+    // type error in IF condition → whole expression errors → unbound
+    assert(eval1("""IF(<urn:x> > 3, "a", "b")""") == null)
+  }
+
+  test("numeric promotion and errors") {
+    assert(lng1("2 + 3") == 5L)
+    assert(eval1("2 + 3").getAs[String]("dt").endsWith("integer"))
+    assert(dbl1("2 + 3.5") == 5.5)
+    assert(dbl1("7 / 2") == 3.5) // int/int → non-integer division
+    assert(dbl1("ABS(-4.25)") == 4.25)
+    assert(lng1("FLOOR(3.9)") == 3L || dbl1("FLOOR(3.9)") == 3.0)
+    assert(eval1("""5 + "abc"""") == null) // type error → unbound
+    assert(eval1("5 / 0") == null) // division by zero → error
+  }
+
+  test("casts") {
+    assert(lng1("""<http://www.w3.org/2001/XMLSchema#integer>("42")""") == 42L)
+    assert(dbl1("""<http://www.w3.org/2001/XMLSchema#double>("4.5")""") == 4.5)
+    assert(eval1("""<http://www.w3.org/2001/XMLSchema#integer>("nope")""") == null)
+    assert(str1("""STR(42)""") == "42")
+    assert(str1("""STRDT("7", <http://www.w3.org/2001/XMLSchema#integer>)""") == "7")
+    assert(lng1("""STRDT("7", <http://www.w3.org/2001/XMLSchema#integer>)""") == 7L)
+  }
+
+  test("term inspection") {
+    assert(str1("""DATATYPE(3.5)""").endsWith("double"))
+    assert(str1("""DATATYPE("plain")""").endsWith("string"))
+    assert(str1("""LANG("chat"@fr)""") == "fr")
+    assert(str1("""IF(isIRI(<urn:a>), "iri", "no")""") == "iri")
+    assert(str1("""IF(isNumeric(5), "n", "no")""") == "n")
+    assert(str1("""IF(isLiteral("x"), "lit", "no")""") == "lit")
+    assert(str1("""IF(BOUND(?nope), "b", "ub")""") == "ub")
+  }
+
+  test("datetime functions") {
+    assert(lng1("""YEAR("2024-03-05T10:20:30Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""") == 2024L)
+    assert(lng1("""MONTH("2024-03-05T10:20:30Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""") == 3L)
+    assert(lng1("""SECONDS("2024-03-05T10:20:30Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""") == 30L)
+  }
+
+  test("comparison edge semantics") {
+    // numeric cross-type comparison
+    assert(str1("""IF(2 < 2.5, "y", "n")""") == "y")
+    // string vs number: type error, not false → IF errors → unbound
+    assert(eval1("""IF("2" < 3, "y", "n")""") == null)
+    // dateTime comparison
+    assert(str1("""IF("2020-01-01T00:00:00Z"^^<http://www.w3.org/2001/XMLSchema#dateTime> <
+      "2021-01-01T00:00:00Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>, "y", "n")""") == "y")
+    // boolean EBV of plain strings
+    assert(str1("""IF("nonempty", "t", "f")""") == "t")
+    assert(str1("""IF("", "t", "f")""") == "f")
+  }
+}
