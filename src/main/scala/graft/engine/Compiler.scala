@@ -340,12 +340,56 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     case _ => pathPairs(p, g)
   }
 
+  /** Solution-compatibility join (SPARQL μ1 ~ μ2): rows join when every shared var is
+    * equal OR unbound on either side; merged value = the bound one. Required when a
+    * shared var is maybe-unbound (UNION arms, OPTIONAL output, UNDEF, errored BIND) —
+    * the bottom-up-semantics case the fast equi-join gets wrong
+    * (ASTBottomUpOptimizer / StaticAnalysis territory). Slower (theta join), so the
+    * compiler only picks it when Algebra.maybeUnbound flags an overlap.
+    */
+  private def compatJoin(l: DataFrame, r0: DataFrame, how: String): DataFrame = {
+    val shared = l.columns.intersect(r0.columns).toSeq
+    if (shared.isEmpty) return joinDf(l, r0, how)
+    val r = shared.foldLeft(r0)((d, c) => d.withColumnRenamed(c, "__c_" + c))
+    val cond = shared.map { c =>
+      col(c).isNull || col("__c_" + c).isNull || col(c)("id") === col("__c_" + c)("id")
+    }.reduce(_ && _)
+    how match {
+      case "left_semi" => l.join(r, cond, how)
+      case "left_anti" =>
+        // MINUS-style anti: compatible AND at least one shared var bound on both
+        // sides (disjoint domains remove nothing)
+        val overlap = shared.map(c => col(c)("id") === col("__c_" + c)("id"))
+          .reduce(_ || _)
+        l.join(r, cond && overlap, how)
+      case _ =>
+        val joined = l.join(r, cond, how)
+        val merged = joined.columns.filterNot(_.startsWith("__c_")).map {
+          case c if shared.contains(c) => coalesce(col(c), col("__c_" + c)).as(c)
+          case c => col(c)
+        }
+        joined.select(merged.toSeq: _*)
+    }
+  }
+
+  /** Pick equi- vs compatibility-join based on static unbound analysis. */
+  private def joinOp(lOp: Op, rOp: Op, dl: DataFrame, dr: DataFrame, how: String): DataFrame = {
+    val shared = dl.columns.intersect(dr.columns).toSet
+    val risky = (Algebra.maybeUnbound(lOp) ++ Algebra.maybeUnbound(rOp)) & shared
+    if (risky.nonEmpty) compatJoin(dl, dr, how) else joinDf(dl, dr, how)
+  }
+
   // ======== algebra ========
   def compile(op: Op): DataFrame = op match {
     case OpUnit => unitDf
     case OpBgp(ts) => compileBgp(ts)
-    case OpJoin(l, r) => joinDf(compile(l), compile(r), "inner")
-    case OpLeftJoin(l, r, cond) => leftJoin(compile(l), compile(r), cond)
+    case OpJoin(l, r) => joinOp(l, r, compile(l), compile(r), "inner")
+    case OpLeftJoin(l, r, cond) =>
+      val (dl, dr) = (compile(l), compile(r))
+      val shared = dl.columns.intersect(dr.columns).toSet
+      val risky = (Algebra.maybeUnbound(l) ++ Algebra.maybeUnbound(r)) & shared
+      if (cond.isEmpty && risky.nonEmpty) compatJoin(dl, dr, "left_outer")
+      else leftJoin(dl, dr, cond)
     case OpUnion(l, r) =>
       val (dl, dr) = (compile(l), compile(r))
       val allCols = (dl.columns ++ dr.columns).distinct
@@ -356,7 +400,11 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
       val (dl, dr) = (compile(l), compile(r))
       val shared = dl.columns.intersect(dr.columns).toSeq
       if (shared.isEmpty) dl // disjoint domains: MINUS removes nothing
-      else joinDf(dl, dr.select(shared.map(col): _*), "left_anti")
+      else {
+        val risky = (Algebra.maybeUnbound(l) ++ Algebra.maybeUnbound(r)) & shared.toSet
+        if (risky.nonEmpty) compatJoin(dl, dr.select(shared.map(col): _*), "left_anti")
+        else joinDf(dl, dr.select(shared.map(col): _*), "left_anti")
+      }
     case OpFilter(exprs, child) =>
       exprs.foldLeft(compile(child))((df, e) => applyFilter(df, e))
     case OpExtend(child, name, expr) =>

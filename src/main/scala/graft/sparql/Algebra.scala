@@ -92,6 +92,44 @@ object Algebra {
     case OpInclude(_) => Set.empty // resolved at compile time from the named set
   }
 
+  /** Vars that may be UNBOUND in some solution of `op` (StaticAnalysis's
+    * "maybe produced" vs "definitely produced" distinction,
+    * `rdf/sparql/ast/StaticAnalysis.java`). Drives the solution-compatibility join:
+    * SPARQL joins rows when shared vars are equal OR unbound on either side; the fast
+    * equi-join is only sound for definitely-bound vars. Conservative (over-approximate).
+    */
+  def maybeUnbound(op: Op): Set[String] = op match {
+    case OpUnit => Set.empty
+    case OpBgp(_) => Set.empty // triple patterns bind their vars in every row
+    case OpJoin(l, r) =>
+      (maybeUnbound(l) ++ maybeUnbound(r)) --
+        ((vars(l) -- maybeUnbound(l)) ++ (vars(r) -- maybeUnbound(r)))
+    case OpLeftJoin(l, r, _) => maybeUnbound(l) ++ (vars(r) -- (vars(l) -- maybeUnbound(l)))
+    case OpUnion(l, r) =>
+      maybeUnbound(l) ++ maybeUnbound(r) ++
+        (vars(l) diff vars(r)) ++ (vars(r) diff vars(l))
+    case OpMinus(l, _) => maybeUnbound(l)
+    case OpFilter(_, c) => maybeUnbound(c)
+    case OpExtend(c, n, _) => maybeUnbound(c) + n // BIND expr may error → unbound
+    case OpValues(v) =>
+      v.vars.map(_.name).zipWithIndex.collect {
+        case (n, i) if v.rows.exists(r => r.lift(i).flatten.isEmpty) => n
+      }.toSet
+    case OpSubquery(q) => q.projection match {
+      case Star => maybeUnbound(lower(q.where))
+      case ProjVars(items) =>
+        val inner = maybeUnbound(lower(q.where))
+        items.flatMap {
+          case (EVar(n), None) => if (inner(n)) Some(n) else None
+          case (EVar(n), Some(a)) => if (inner(n)) Some(a) else None
+          case (_, Some(a)) => Some(a) // computed projection may error
+          case _ => None
+        }.toSet
+    }
+    case OpService(_, inner, _) => maybeUnbound(inner)
+    case OpInclude(_) => Set.empty // named sets: resolved by the compiler's own analysis
+  }
+
   def tripleVars(t: Triple): Seq[String] = {
     val sv = t.s match { case VarNode(n) => Seq(n); case _ => Nil }
     val pv = t.p match { case PLink(i) if i.startsWith("?") => Seq(i.substring(1)); case _ => Nil }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.engine.Engine
+import org.apache.spark.sql.functions._
+
+/** Solution-compatibility semantics: joins with maybe-unbound shared vars
+  * (the ASTBottomUpOptimizer / bottom-up evaluation edge cases).
+  */
+class CompatJoinSpec extends GraftSuite {
+
+  test("UNDEF in VALUES is compatible with every binding") {
+    val df = Engine.query(store,
+      """SELECT ?x ?tag ?z WHERE {
+        |  VALUES (?x ?tag) { (1 "a") (UNDEF "b") }
+        |  VALUES (?x ?z) { (1 10) (2 20) }
+        |}""".stripMargin)
+    val rows = df.collect().map { r =>
+      (if (r.isNullAt(0)) -1L else r.getStruct(0).getAs[Long]("lng"),
+        r.getStruct(1).getAs[String]("str"),
+        r.getStruct(2).getAs[Long]("lng"))
+    }.toSet
+    // x=1/"a" matches only x=1; x=UNDEF/"b" is compatible with both rows,
+    // and the merged ?x takes the bound side's value
+    assert(rows == Set((1L, "a", 10L), (1L, "b", 10L), (2L, "b", 20L)))
+  }
+
+  test("union arm without the join var still joins (unbound-compatible)") {
+    val df = Engine.query(store,
+      """SELECT ?r ?name ?tag WHERE {
+        |  { <urn:t:region:0> <urn:p:r_name> ?name . BIND("withname" AS ?tag) }
+        |  UNION { BIND("bare" AS ?tag) }
+        |  ?r <urn:p:r_name> ?name .
+        |}""".stripMargin)
+    // arm 1 binds ?name=AFRICA → joins region:0 only; arm 2 leaves ?name unbound →
+    // compatible with all 5 regions
+    assert(df.filter(col("tag")("str") === "withname").count() == 1)
+    assert(df.filter(col("tag")("str") === "bare").count() == 5)
+    // merged ?name is always bound in the output
+    assert(df.filter(col("name").isNull).count() == 0)
+  }
+
+  test("MINUS with all-unbound shared vars removes nothing (disjoint domains)") {
+    val df = Engine.query(store,
+      """SELECT ?x WHERE {
+        |  VALUES ?x { 1 2 }
+        |  MINUS { VALUES (?x ?y) { (UNDEF 9) } }
+        |}""".stripMargin)
+    assert(df.count() == 2)
+    // ...but a bound match still removes
+    val df2 = Engine.query(store,
+      """SELECT ?x WHERE {
+        |  VALUES ?x { 1 2 }
+        |  MINUS { VALUES ?x { 1 } }
+        |}""".stripMargin)
+    assert(df2.collect().map(_.getStruct(0).getAs[Long]("lng")).toSeq == Seq(2L))
+  }
+
+  test("definitely-bound joins still use the fast equi-join path") {
+    val plan = Engine.explain(store,
+      """SELECT ?c ?n WHERE { ?c <urn:fk:c_nationkey> ?n . ?n <urn:p:n_name> ?o }""")
+    // no compat columns in the plan → equi path chosen
+    assert(!plan.contains("__c_"))
+  }
+}
