@@ -397,10 +397,13 @@ object SparkEntry {
   )
 
   // ======== pipeline operator battery (documents / embeddings tables) ========
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+  private def read(s: SparkSession, dir: String, name: String): DataFrame = {
+    // driver parquet uses TIMESTAMP(NANOS); tolerate sessions built without the flag
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+  private def docs(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
 
   private val pipelineQueries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -463,7 +466,7 @@ object SparkEntry {
       TextStats.fingerprint(docs(s, dir), "doc_id", "text")): Q, None),
 
     ("p_gas_cc", ((s: SparkSession, dir: String) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val li = read(s, dir, "lineitem")
       // bipartite part–supplier graph; namespaced vertex ids
       val edges = li.select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
@@ -471,14 +474,14 @@ object SparkEntry {
     }): Q, None),
 
     ("p_gas_pagerank", ((s: SparkSession, dir: String) => {
-      val o = s.read.parquet(s"$dir/orders.parquet")
+      val o = read(s, dir, "orders")
       val edges = o.select(col("o_custkey").as("src"), col("o_orderkey").as("dst"))
       graft.gas.Gas.pageRank(edges, iters = 5)
         .select(col("vertex"), round(col("rank"), 9).as("rank"))
     }): Q, None),
 
     ("p_gas_bfs", ((s: SparkSession, dir: String) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val li = read(s, dir, "lineitem")
       val edges = li.select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       val src = edges.agg(min("src")).first().getLong(0)
@@ -486,7 +489,7 @@ object SparkEntry {
     }): Q, None),
 
     ("p_geo_rect", ((s: SparkSession, dir: String) => {
-      val g = graft.search.Geo.eventsGeo(s.read.parquet(s"$dir/events.parquet"))
+      val g = graft.search.Geo.eventsGeo(read(s, dir, "events"))
       g.filter(graft.search.Geo.inRectangle(col("lat"), col("lon"), 10.0, 20.0, 45.0, 90.0))
         .select("event_id")
     }): Q,
@@ -495,7 +498,7 @@ object SparkEntry {
              |   AND ((event_id % 3600)/10.0 - 180.0) BETWEEN 20.0 AND 90.0""".stripMargin)),
 
     ("p_geo_circle", ((s: SparkSession, dir: String) => {
-      val g = graft.search.Geo.eventsGeo(s.read.parquet(s"$dir/events.parquet"))
+      val g = graft.search.Geo.eventsGeo(read(s, dir, "events"))
       g.filter(graft.search.Geo.inCircle(col("lat"), col("lon"), 30.0, 40.0, 2000000.0))
         .select("event_id")
     }): Q, None),
@@ -526,7 +529,7 @@ object SparkEntry {
     // tumbling-window aggregation over the events table (batch form of the
     // Structured Streaming operator — same window() semantics)
     ("p_window_agg", ((s: SparkSession, dir: String) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = read(s, dir, "events")
         .withColumn("ts2", timestamp_micros((col("ts") / 1000L).cast("long")))
       ev.groupBy(window(col("ts2"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(round(col("value") * 100)).as("cents"))
@@ -540,15 +543,15 @@ object SparkEntry {
     // HLL sketch (approximate distinct — the "novel sketch" scale path; exact
     // countDistinct is the oracle-checked q_count_distinct)
     ("p_sketch_distinct", ((s: SparkSession, dir: String) =>
-      s.read.parquet(s"$dir/lineitem.parquet")
+      read(s, dir, "lineitem")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))): Q, None),
 
     // skew-salted join demo: orders joined to a hot dimension via explicit salting
     ("p_salted_join", ((s: SparkSession, dir: String) => {
-      val o = s.read.parquet(s"$dir/orders.parquet")
+      val o = read(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey").as("k"))
-      val c = s.read.parquet(s"$dir/customer.parquet")
+      val c = read(s, dir, "customer")
         .select(col("c_custkey").as("k"), col("c_mktsegment"))
       graft.engine.DfOps.saltedJoin(o, c, "k", salt = 8)
         .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))

@@ -131,6 +131,9 @@ object Tpch {
 
   /** Full statements DataFrame for one scale-factor directory. */
   def statements(spark: SparkSession, dir: String): DataFrame = {
+    // driver parquet uses TIMESTAMP(NANOS); ensure the session can read it even when
+    // the caller's SparkSession was built without the legacy flag
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val parts = tables.map { t =>
       tableStatements(spark.read.parquet(s"$dir/${t.name}.parquet"), t)
     } :+ axioms(spark)
