@@ -146,10 +146,15 @@ object Tpch {
     */
   private val registry = scala.collection.concurrent.TrieMap.empty[String, GraftStore]
 
+  /** Bump whenever Term encoding / the triples mapping changes — invalidates the
+    * cached parquet stores (stale xxhash ids otherwise survive across sessions).
+    */
+  val STORE_VERSION = 2
+
   def store(spark: SparkSession, dir: String): GraftStore =
     registry.getOrElseUpdate(dir, {
       val clean = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val path = s"/tmp/graft-store/$clean"
+      val path = s"/tmp/graft-store/v$STORE_VERSION$clean"
       val marker = new java.io.File(path + "/_SUCCESS")
       if (!marker.exists()) GraftStore.save(statements(spark, dir), path)
       GraftStore.load(spark, path)
