@@ -110,7 +110,12 @@ object Algebra {
         (vars(l) diff vars(r)) ++ (vars(r) diff vars(l))
     case OpMinus(l, _) => maybeUnbound(l)
     case OpFilter(_, c) => maybeUnbound(c)
-    case OpExtend(c, n, _) => maybeUnbound(c) + n // BIND expr may error → unbound
+    case OpExtend(c, n, e) =>
+      // a constant BIND cannot error → definitely bound; anything else may
+      e match {
+        case EConst(_) => maybeUnbound(c)
+        case _ => maybeUnbound(c) + n
+      }
     case OpValues(v) =>
       v.vars.map(_.name).zipWithIndex.collect {
         case (n, i) if v.rows.exists(r => r.lift(i).flatten.isEmpty) => n
