@@ -64,6 +64,18 @@ object Dev {
     val after = engine.Update(store, "DELETE DATA { <urn:no:such> <urn:p:x> 1 . }")
       .statements.count()
     println(s"PROBE-DELETE-MISSING: $before -> $after (expect equal)")
+    // probe 7 (r2): ANSI-safe arithmetic end-to-end
+    val ovf = engine.Engine.query(store,
+      """SELECT ?x ?inf ?err WHERE { <urn:t:nation:5> <urn:p:n_nationkey> ?k .
+        |  BIND(9223372036854775807 + ?k AS ?x) BIND(-1.0/0.0 AS ?inf) BIND(5/0 AS ?err) }""".stripMargin)
+      .select(col("x")("num"), col("inf")("num"), col("err")).first()
+    println(s"PROBE-ANSI-ARITH: overflow->${ovf.getDouble(0)} inf->${ovf.getDouble(1)} intDiv0Null->${ovf.isNullAt(2)}")
+    // probe 8 (r2): CLEAR DEFAULT keeps named graphs
+    val s0 = engine.Update(store,
+      "INSERT DATA { <urn:dv:1> <urn:p:v> 1 . GRAPH <urn:g:dv> { <urn:dv:2> <urn:p:v> 2 . } }")
+    val cd = engine.Update(s0, "CLEAR DEFAULT")
+    println(s"PROBE-CLEAR-DEFAULT: default=${cd.statements.filter(col("g").isNull).count()} " +
+      s"named=${cd.statements.filter(col("g").isNotNull).count()} (expect 0 / >0)")
     // flagship smoke (driver contract)
     val flag = SparkEntry.entry(spark)
     println(s"ENTRY-ROWS: ${flag.count()}")
@@ -73,6 +85,9 @@ object Dev {
     engine.Engine.query(store,
       "SELECT ?c WHERE { ?c <urn:p:c_mktsegment> \"BUILDING\" }").explain("formatted")
     // bucketed-store co-located join demo
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_dev")
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path("spark-warehouse/graft_bucketed_dev"), true)
     model.GraftStore.saveBucketed(store.statements, "graft_bucketed_dev", 8)
     val bt = spark.table("graft_bucketed_dev")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

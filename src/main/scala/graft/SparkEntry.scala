@@ -509,10 +509,14 @@ object SparkEntry {
         .select(col("doc_id"), col("meta")("n_bytes").as("n_bytes"))): Q,
       Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents")),
 
+    // project a sortable checksum of the vector, not the raw array<float> (the driver's
+    // rows-only check sorts rows in pandas; numpy arrays are unhashable there)
     ("p_mm_features", ((s: SparkSession, dir: String) =>
       graft.pipeline.Multimodal.extractFeatures(
         graft.pipeline.Multimodal.withPayload(docs(s, dir), "text"), "payload", dim = 16)
-        .select(col("doc_id"), col("features"))): Q, None),
+        .select(col("doc_id"), size(col("features")).as("dim"),
+          xxhash64(concat_ws(",", transform(col("features"), _.cast("string"))))
+            .as("feat_hash"))): Q, None),
 
     ("p_mm_frames", ((s: SparkSession, dir: String) =>
       graft.pipeline.Multimodal.frameSample(

@@ -389,7 +389,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
       val shared = dl.columns.intersect(dr.columns).toSet
       val risky = (Algebra.maybeUnbound(l) ++ Algebra.maybeUnbound(r)) & shared
       if (cond.isEmpty && risky.nonEmpty) compatJoin(dl, dr, "left_outer")
-      else leftJoin(dl, dr, cond)
+      else leftJoin(dl, dr, cond, risky)
     case OpUnion(l, r) =>
       val (dl, dr) = (compile(l), compile(r))
       val allCols = (dl.columns ++ dr.columns).distinct
@@ -427,22 +427,38 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     case other => df.filter(Exprs.filterPred(other, env(df)))
   }
 
-  private def leftJoin(dl: DataFrame, dr: DataFrame, cond: Seq[Expr]): DataFrame = {
+  private def leftJoin(dl: DataFrame, dr: DataFrame, cond: Seq[Expr],
+                       risky: Set[String] = Set.empty): DataFrame = {
     val shared = dl.columns.intersect(dr.columns).toSeq
     if (cond.isEmpty) {
       if (dl.columns.isEmpty) return dr
       if (shared.isEmpty) dl.join(dr, lit(true), "left_outer")
       else joinDf(dl, dr, "left_outer")
     } else {
-      // FILTER inside OPTIONAL joins on the condition (left-join scope rules)
+      // FILTER inside OPTIONAL joins on the condition (left-join scope rules).
+      // A maybe-unbound shared var joins with the null-tolerant compatibility
+      // condition (μ1 ~ μ2) and is coalesce-merged afterwards.
       val renamed = shared.foldLeft(dr)((d, c) => d.withColumnRenamed(c, "__r_" + c))
-      val eqs = shared.map(c => col(c)("id") === col("__r_" + c)("id"))
+      val eqs = shared.map { c =>
+        if (risky(c))
+          col(c).isNull || col("__r_" + c).isNull || col(c)("id") === col("__r_" + c)("id")
+        else col(c)("id") === col("__r_" + c)("id")
+      }
       val mergedCols = (dl.columns ++ dr.columns).distinct.toSet
-      val fEnv = Exprs.Env(mergedCols)
+      val overrides = shared.filter(risky)
+        .map(c => c -> coalesce(col(c), col("__r_" + c))).toMap
+      val fEnv = Exprs.Env(mergedCols, overrides)
       val fcs = cond.map(e => Exprs.filterPred(e, fEnv))
       val condition = (eqs ++ fcs).reduce(_ && _)
-      dl.join(renamed, condition, "left_outer")
-        .drop(shared.map("__r_" + _): _*)
+      val joined = dl.join(renamed, condition, "left_outer")
+      if (risky.isEmpty) joined.drop(shared.map("__r_" + _): _*)
+      else {
+        val out = joined.columns.filterNot(_.startsWith("__r_")).map {
+          case c if risky(c) => coalesce(col(c), col("__r_" + c)).as(c)
+          case c => col(c)
+        }
+        joined.select(out.toSeq: _*)
+      }
     }
   }
 

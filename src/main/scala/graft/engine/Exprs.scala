@@ -95,20 +95,31 @@ object Exprs {
   // ---- arithmetic (MathBOp.java / MathUtility.java xsd promotion) ----
   def arith(op: String, l: Column, r: Column): Column = {
     val bothInt = isInt(l) && isInt(r)
+    // double path follows IEEE-754 (xsd:double): x/0 → ±INF, 0/0 → NaN. ANSI-mode
+    // Divide throws DIVIDE_BY_ZERO for every numeric type, so the INF/NaN results
+    // are reconstructed from the operand signs around try_divide.
     val num = op match {
       case "+" => fNum(l) + fNum(r)
       case "-" => fNum(l) - fNum(r)
       case "*" => fNum(l) * fNum(r)
-      case "/" => when(fNum(r) =!= 0.0, fNum(l) / fNum(r)).otherwise(lit(null).cast(DoubleType))
+      case "/" =>
+        when(fNum(r) =!= 0.0, try_divide(fNum(l), fNum(r)))
+          .when(fNum(l) > 0.0, lit(Double.PositiveInfinity))
+          .when(fNum(l) < 0.0, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.NaN))
     }
+    // long path must not abort the query under ANSI mode: try_* yields NULL on
+    // overflow, which falls through to the double (promoted) result
     val lngOp = op match {
-      case "+" => fLng(l) + fLng(r)
-      case "-" => fLng(l) - fLng(r)
-      case "*" => fLng(l) * fLng(r)
+      case "+" => try_add(fLng(l), fLng(r))
+      case "-" => try_subtract(fLng(l), fLng(r))
+      case "*" => try_multiply(fLng(l), fLng(r))
       case "/" => lit(null).cast(LongType) // int/int → decimal per SPARQL: use double
     }
-    val intCase = if (op == "/") lit(false) else bothInt
+    val intCase = if (op == "/") lit(false) else bothInt && lngOp.isNotNull
+    val intDivZero = if (op == "/") bothInt && fNum(r) === 0.0 else lit(false)
     when(l.isNull || r.isNull || !bothNum(l, r), Term.nullTerm)
+      .when(intDivZero, Term.nullTerm) // xsd:integer ÷ 0 → type error
       .when(intCase, Term.intLit(lngOp))
       .when(num.isNotNull, Term.doubleLit(num))
       .otherwise(Term.nullTerm)
@@ -129,9 +140,10 @@ object Exprs {
     fDt(t).as("d"))
 
   // ======== expression compilation ========
-  final case class Env(columns: Set[String]) {
+  final case class Env(columns: Set[String], overrides: Map[String, Column] = Map.empty) {
     def termOf(name: String): Column =
-      if (columns(name)) col(quoted(name)) else Term.nullTerm
+      overrides.getOrElse(name,
+        if (columns(name)) col(quoted(name)) else Term.nullTerm)
   }
   private def quoted(name: String): String = "`" + name + "`"
 
@@ -145,7 +157,10 @@ object Exprs {
     case EUnary("!", _) => boolTerm(bool(e, env))
     case EUnary("-", x) =>
       val t = term(x, env)
-      when(isNumericT(t), when(isInt(t), Term.intLit(-fLng(t))).otherwise(Term.doubleLit(-fNum(t))))
+      val negLng = try_subtract(lit(0L), fLng(t)) // Long.MinValue negation overflows under ANSI
+      when(isNumericT(t),
+        when(isInt(t) && negLng.isNotNull, Term.intLit(negLng))
+          .otherwise(Term.doubleLit(-fNum(t))))
         .otherwise(Term.nullTerm)
     case EIn(_, _, _) => boolTerm(bool(e, env))
     case ECall(fn, args) => call(fn, args, env)

@@ -24,6 +24,10 @@ object Update {
     case InsertData(quads) => insert(store, constQuads(store, quads))
     case DeleteData(quads) => delete(store, constQuads(store, quads))
     case ClearGraph(None) => store.withStatements(store.statements.limit(0))
+    case ClearDefault =>
+      store.withStatements(store.statements.filter(col("g").isNotNull))
+    case ClearNamed =>
+      store.withStatements(store.statements.filter(col("g").isNull))
     case ClearGraph(Some(g)) =>
       store.withStatements(store.statements.filter(
         col("g").isNull || col("g")("id") =!= TermIds.iriId(g)))

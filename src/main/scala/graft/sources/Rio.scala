@@ -22,7 +22,7 @@ object Rio {
       sKind: Byte, sStr: String,
       pStr: String,
       oKind: Byte, oStr: String, oDt: String, oLang: String,
-      gStr: String)
+      gKind: Byte, gStr: String)
 
   /** Executor-side scanner for one N-Triples/N-Quads line. Returns null for blank or
     * comment lines; throws on malformed input (surfaced as task failure = load error).
@@ -63,6 +63,9 @@ object Rio {
         case '_' =>
           var j = i + 2
           while (j < line.length && line(j) != ' ' && line(j) != '\t') j += 1
+          // PN_CHARS can't end a label with '.' — trailing dots are the statement
+          // terminator ('<s> <p> _:b.' is valid N-Triples)
+          while (j > i + 2 && line(j - 1) == '.') j -= 1
           val v = line.substring(i + 2, j); i = j
           (Term.KIND_BNODE, v, null, null)
         case '"' =>
@@ -96,8 +99,10 @@ object Rio {
     val p = term()
     val o = term()
     ws()
-    val g = if (i < line.length && line(i) == '<') term() else (0.toByte, null, null, null)
-    ParsedQuad(s._1, s._2, p._2, o._1, o._2, o._3, o._4, g._2)
+    // graph position (N-Quads): IRI or blank node
+    val g = if (i < line.length && (line(i) == '<' || line(i) == '_')) term()
+            else (Term.KIND_IRI, null, null, null)
+    ParsedQuad(s._1, s._2, p._2, o._1, o._2, o._3, o._4, g._1, g._2)
   }
 
   /** Parse a Dataset of N-Triples/N-Quads lines into the statements layout. */
@@ -112,7 +117,9 @@ object Rio {
       Term.fromParts(col("sKind"), col("sStr"), lit(null).cast("string"), lit(null).cast("string")).as("s"),
       Term.iri(col("pStr")).as("p"),
       Term.fromParts(col("oKind"), col("oStr"), col("oDt"), col("oLang")).as("o"),
-      when(col("gStr").isNotNull, Term.iri(col("gStr"))).otherwise(Term.nullTerm).as("g"),
+      when(col("gStr").isNotNull,
+        Term.fromParts(col("gKind"), col("gStr"), lit(null).cast("string"), lit(null).cast("string")))
+        .otherwise(Term.nullTerm).as("g"),
       lit(GraftStore.STYPE_EXPLICIT).cast("byte").as("stype")))
   }
 
@@ -153,7 +160,7 @@ object Rio {
         case other => throw new IllegalArgumentException(s"predicate must be IRI: $other") }
       val g = q.g.map { case IriNode(i) => i
         case other => throw new IllegalArgumentException(s"graph must be IRI: $other") }
-      ParsedQuad(s._1, s._2, p, o._1, o._2, o._3, o._4, g.orNull)
+      ParsedQuad(s._1, s._2, p, o._1, o._2, o._3, o._4, Term.KIND_IRI, g.orNull)
     }
     import spark.implicits._
     statementsFromParsed(quads.toDF())

@@ -87,6 +87,8 @@ object Ast {
   final case class InsertData(quads: Seq[QuadData]) extends UpdateOp
   final case class DeleteData(quads: Seq[QuadData]) extends UpdateOp
   final case class Modify(delete: Seq[QuadData], insert: Seq[QuadData], where: GP) extends UpdateOp
-  final case class ClearGraph(graph: Option[String]) extends UpdateOp // None = ALL/DEFAULT
+  final case class ClearGraph(graph: Option[String]) extends UpdateOp // None = ALL
+  case object ClearDefault extends UpdateOp // default-graph (g IS NULL) triples only
+  case object ClearNamed extends UpdateOp   // every named graph, default kept
   final case class QuadData(s: Node, p: Node, o: Node, g: Option[Node])
 }

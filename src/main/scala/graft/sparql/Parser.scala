@@ -789,7 +789,8 @@ object Parser {
             i += 1
             acceptWord("SILENT")
             if (acceptWord("ALL")) ops += ClearGraph(None)
-            else if (acceptWord("DEFAULT")) ops += ClearGraph(None)
+            else if (acceptWord("DEFAULT")) ops += ClearDefault
+            else if (acceptWord("NAMED")) ops += ClearNamed
             else { expectWord("GRAPH"); ops += ClearGraph(Some(parseIri())) }
           case _ => go = false
         }
