@@ -119,18 +119,84 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     }
     if (triples.isEmpty && searchDfs.isEmpty) return unitDf
     if (triples.isEmpty) return searchDfs.reduce(joinDf(_, _, "inner"))
-    val scans = triples.map(t => (t, if (isSimpleP(t.p)) scanTriple(t) else pathTriple(t)))
-    // greedy join order: most selective first, prefer var-connected next
-    val remaining = scala.collection.mutable.ArrayBuffer(scans.sortBy(s => -score(s._1)): _*)
-    var (t0, df) = remaining.remove(0)
-    var bound = Algebra.tripleVars(t0).toSet
-    while (remaining.nonEmpty) {
-      val idx = remaining.indexWhere(s => Algebra.tripleVars(s._1).exists(bound))
-      val (t, next) = remaining.remove(if (idx >= 0) idx else 0)
-      df = joinDf(df, next, "inner")
-      bound ++= Algebra.tripleVars(t)
+    // defer var–var path triples: once the plain part of the BGP has bound one
+    // endpoint, the path evaluates seeded from those values (BFS from the restricted
+    // frontier) instead of as the all-pairs relation — the ASTRangeOptimizer-style
+    // restriction pushdown the reference applies to ALP nodes
+    def containsClosure(p: Path): Boolean = p match {
+      case PZeroOrMore(_) | POneOrMore(_) => true
+      case PInv(q) => containsClosure(q)
+      case PZeroOrOne(q) => containsClosure(q)
+      case PSeq(q, r) => containsClosure(q) || containsClosure(r)
+      case PAlt(q, r) => containsClosure(q) || containsClosure(r)
+      case _ => false
+    }
+    // seeding pays off when it turns an all-pairs fixpoint into a BFS; plain
+    // seq/alt/inv relations join fine as-is
+    def deferrable(t: Triple): Boolean = containsClosure(t.p) &&
+      t.s.isInstanceOf[VarNode] && t.o.isInstanceOf[VarNode] &&
+      (t.g.isEmpty || !containsZero(t.p))
+    val (deferred0, plain) = triples.partition(deferrable)
+    val deferred = scala.collection.mutable.ArrayBuffer(deferred0: _*)
+    var df: DataFrame = null
+    var bound = Set.empty[String]
+    if (plain.nonEmpty) {
+      val scans = plain.map(t => (t, if (isSimpleP(t.p)) scanTriple(t) else pathTriple(t)))
+      // greedy join order: most selective first, prefer var-connected next
+      val remaining = scala.collection.mutable.ArrayBuffer(scans.sortBy(s => -score(s._1)): _*)
+      val (t0, d0) = remaining.remove(0)
+      df = d0
+      bound = Algebra.tripleVars(t0).toSet
+      while (remaining.nonEmpty) {
+        val idx = remaining.indexWhere(s => Algebra.tripleVars(s._1).exists(bound))
+        val (t, next) = remaining.remove(if (idx >= 0) idx else 0)
+        df = joinDf(df, next, "inner")
+        bound ++= Algebra.tripleVars(t)
+      }
+    }
+    while (deferred.nonEmpty) {
+      val idx = deferred.indexWhere(t => Algebra.tripleVars(t).exists(bound))
+      if (idx < 0 || df == null) {
+        val t = deferred.remove(0)
+        val next = pathTriple(t)
+        df = if (df == null) next else joinDf(df, next, "inner")
+        bound ++= Algebra.tripleVars(t)
+      } else {
+        val t = deferred.remove(idx)
+        df = joinSeededPath(df, t, bound)
+        bound ++= Algebra.tripleVars(t)
+      }
     }
     searchDfs.foldLeft(df)(joinDf(_, _, "inner"))
+  }
+
+  /** Join a deferred var–var path triple against solutions that already bind one (or
+    * both) endpoints, evaluating the path seeded from the bound values.
+    */
+  private def joinSeededPath(df: DataFrame, t: Triple, bound: Set[String]): DataFrame = {
+    val sv = t.s.asInstanceOf[VarNode].name
+    val ov = t.o.asInstanceOf[VarNode].name
+    if (sv == ov) {
+      val seeds = df.select(col(sv)("id").as("seed")).dropDuplicates("seed")
+      val pairs = seededPathIds(t.p, t.g, seeds, fromSubject = true)
+        .filter(col("a") === col("b"))
+      return df.join(pairs.select(col("a").as("__pa")),
+        col(sv)("id") === col("__pa"), "left_semi")
+    }
+    val fromSubject = bound(sv)
+    val seedVar = if (fromSubject) sv else ov
+    val seeds = df.select(col(seedVar)("id").as("seed")).dropDuplicates("seed")
+    val pairs = seededPathIds(t.p, t.g, seeds, fromSubject)
+      .select(col("a").as("__pa"), col("b").as("__pb"))
+    if (bound(sv) && bound(ov))
+      df.join(pairs, col(sv)("id") === col("__pa") && col(ov)("id") === col("__pb"),
+        "left_semi")
+    else if (fromSubject)
+      df.join(attachTerm(pairs, "__pb", ov), col(sv)("id") === col("__pa"))
+        .drop("__pa", "__pb")
+    else
+      df.join(attachTerm(pairs, "__pa", sv), col(ov)("id") === col("__pb"))
+        .drop("__pa", "__pb")
   }
 
   /** Natural join on shared variable columns.
@@ -211,46 +277,47 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
   }
 
   // ======== property paths (bop/paths/ArbitraryLengthPathOp.java:48) ========
+  //
+  // All path relations are computed as (a: LONG, b: LONG) term-id pairs — the
+  // dictionary-encoding payoff: every seq-join/closure shuffle moves 16 bytes per row
+  // (and the leaf parquet scans read only the nested id columns), with term structs
+  // re-attached once at the end via the cached store.nodeTerms lexicon.
 
-  /** All (a,b) node pairs connected by the path — the inner "edge" relation. */
-  def pathPairs(p: Path, g: Option[Node]): DataFrame = p match {
+  /** All (a,b) id pairs connected by the path — the inner "edge" relation. */
+  def pathPairIds(p: Path, g: Option[Node]): DataFrame = p match {
     case PLink(_) | PNeg(_) =>
       scanTriple(Triple(VarNode("a"), p, VarNode("b"), g))
-    case PInv(q) => pathPairs(q, g)
+        .select(col("a")("id").as("a"), col("b")("id").as("b"))
+    case PInv(q) => pathPairIds(q, g)
       .select(col("b").as("a"), col("a").as("b"))
     case PSeq(q, r) =>
-      val lq = pathPairs(q, g).select(col("a"), col("b").as("m"))
-      val rq = pathPairs(r, g).select(col("a").as("m"), col("b"))
+      val lq = pathPairIds(q, g).select(col("a"), col("b").as("m"))
+      val rq = pathPairIds(r, g).select(col("a").as("m"), col("b"))
       lq.join(rq, Seq("m")).select("a", "b")
-    case PAlt(q, r) => pathPairs(q, g).unionByName(pathPairs(r, g))
-    case PZeroOrMore(q) => closure(pathPairs(q, g), includeZero = true, g)
-    case POneOrMore(q) => closure(pathPairs(q, g), includeZero = false, g)
-    case PZeroOrOne(q) => zeroPairs(g).unionByName(pathPairs(q, g)).dropDuplicates("a", "b")
+    case PAlt(q, r) => pathPairIds(q, g).unionByName(pathPairIds(r, g))
+    case PZeroOrMore(q) =>
+      closureIds(pathPairIds(q, g)).unionByName(zeroPairIds(g)).dropDuplicates("a", "b")
+    case POneOrMore(q) => closureIds(pathPairIds(q, g))
+    case PZeroOrOne(q) =>
+      zeroPairIds(g).unionByName(pathPairIds(q, g)).dropDuplicates("a", "b")
   }
 
-  /** Node domain for zero-length paths (ZeroLengthPathOp.java:53). */
-  private def zeroPairs(g: Option[Node]): DataFrame = {
+  /** Node domain for zero-length paths (ZeroLengthPathOp.java:53), as ids. */
+  private def zeroPairIds(g: Option[Node]): DataFrame = {
     val base = g match {
       case Some(IriNode(gi)) => store.statements.filter(col("g").isNotNull &&
         col("g")("id") === TermIds.iriId(gi))
       case _ => store.statements
     }
-    base.select(col("s").as("n")).unionByName(base.select(col("o").as("n")))
+    base.select(col("s")("id").as("n")).unionByName(base.select(col("o")("id").as("n")))
       .dropDuplicates("n").select(col("n").as("a"), col("n").as("b"))
   }
 
   /** Semi-naive transitive closure with per-round dedup + localCheckpoint (lineage cut),
-    * the fixpoint driver of ArbitraryLengthPathTask.
-    *
-    * The iteration runs in *id space* (LONG pairs) — the dictionary-encoding payoff: a
-    * frontier shuffle moves 16 bytes/row instead of two 8-field term structs; terms are
-    * re-attached once at the end via the node dictionary extracted from the edges.
+    * the fixpoint driver of ArbitraryLengthPathTask. Input/output: (a,b) id pairs.
     */
-  private def closure(edges0: DataFrame, includeZero: Boolean, g: Option[Node]): DataFrame = {
-    val nodes = edges0.select(col("a").as("n")).unionByName(edges0.select(col("b").as("n")))
-      .withColumn("nid", col("n")("id")).dropDuplicates("nid").localCheckpoint()
-    val edges = edges0.select(col("a")("id").as("a"), col("b")("id").as("b"))
-      .dropDuplicates("a", "b").localCheckpoint()
+  private def closureIds(edges0: DataFrame): DataFrame = {
+    val edges = edges0.dropDuplicates("a", "b").localCheckpoint()
     var acc = edges
     var frontier = edges
     var n = frontier.count()
@@ -260,84 +327,128 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
         .select("a", "b").dropDuplicates("a", "b")
       frontier = stepped.join(acc, Seq("a", "b"), "left_anti").localCheckpoint()
       n = frontier.count()
-      if (n > 0) acc = acc.unionByName(DfOps.reid(frontier)).localCheckpoint()
+      // accumulator stays a lazy union tree over checkpointed frontiers — re-reads
+      // cached blocks, no per-round re-materialization
+      if (n > 0) acc = acc.unionByName(DfOps.reid(frontier))
     }
-    val withTerms = acc
-      .join(nodes.select(col("nid").as("a"), col("n").as("ta")), Seq("a"))
-      .join(nodes.select(col("nid").as("b"), col("n").as("tb")), Seq("b"))
-      .select(col("ta").as("a"), col("tb").as("b"))
-    if (includeZero) zeroPairs(g).unionByName(withTerms).dropDuplicates("a", "b")
-    else withTerms
+    acc
   }
+
+  /** True when the path can relate a node to itself with zero steps (needs the
+    * graph-scoped node domain, which the seeded evaluation approximates globally).
+    */
+  private def containsZero(p: Path): Boolean = p match {
+    case PZeroOrMore(_) | PZeroOrOne(_) => true
+    case PInv(q) => containsZero(q)
+    case PSeq(q, r) => containsZero(q) && containsZero(r)
+    case PAlt(q, r) => containsZero(q) || containsZero(r)
+    case _ => false
+  }
+
+  /** Path relation restricted to a seed set on one endpoint — the bound-endpoint /
+    * BGP-restricted evaluation: seeds push into the first leg of sequences, both arms
+    * of alternations, and turn closures into BFS from the seed frontier instead of the
+    * all-pairs fixpoint (critical at scale). `seeds0`: one LONG column named `seed`.
+    */
+  private[engine] def seededPathIds(p: Path, g: Option[Node], seeds0: DataFrame,
+                                    fromSubject: Boolean): DataFrame = p match {
+    case PInv(q) =>
+      seededPathIds(q, g, seeds0, !fromSubject).select(col("b").as("a"), col("a").as("b"))
+    case PAlt(q, r) =>
+      seededPathIds(q, g, seeds0, fromSubject)
+        .unionByName(seededPathIds(r, g, seeds0, fromSubject))
+    case PSeq(q, r) =>
+      if (fromSubject) {
+        val lseg = seededPathIds(q, g, seeds0, fromSubject = true)
+        val seeds2 = lseg.select(col("b").as("seed")).dropDuplicates("seed")
+        val rseg = seededPathIds(r, g, seeds2, fromSubject = true)
+        lseg.select(col("a"), col("b").as("m"))
+          .join(rseg.select(col("a").as("m"), col("b")), Seq("m")).select("a", "b")
+      } else {
+        val rseg = seededPathIds(r, g, seeds0, fromSubject = false)
+        val seeds2 = rseg.select(col("a").as("seed")).dropDuplicates("seed")
+        val lseg = seededPathIds(q, g, seeds2, fromSubject = false)
+        lseg.select(col("a"), col("b").as("m"))
+          .join(rseg.select(col("a").as("m"), col("b")), Seq("m")).select("a", "b")
+      }
+    case PZeroOrMore(q) => seededClosureIds(q, g, seeds0, fromSubject, includeZero = true)
+    case POneOrMore(q) => seededClosureIds(q, g, seeds0, fromSubject, includeZero = false)
+    case PZeroOrOne(q) =>
+      val selfP = seeds0.join(store.nodeTerms.select(col("nid").as("seed")), Seq("seed"))
+        .select(col("seed").as("a"), col("seed").as("b"))
+      selfP.unionByName(seededPathIds(q, g, seeds0, fromSubject)).dropDuplicates("a", "b")
+    case PLink(_) | PNeg(_) =>
+      val raw = pathPairIds(p, g)
+      val key = if (fromSubject) "a" else "b"
+      raw.join(seeds0.withColumnRenamed("seed", key), Seq(key)).select("a", "b")
+  }
+
+  /** BFS closure from a seed frontier (semi-naive, id space). */
+  private def seededClosureIds(inner: Path, g: Option[Node], seeds0: DataFrame,
+                               fromSubject: Boolean, includeZero: Boolean): DataFrame = {
+    val raw = pathPairIds(inner, g)
+    val oriented = if (fromSubject) raw else raw.select(col("b").as("a"), col("a").as("b"))
+    val edges = oriented.dropDuplicates("a", "b").localCheckpoint()
+    val seeds = seeds0.select(col("seed").as("a")).dropDuplicates("a")
+    var acc = edges.join(seeds, Seq("a")).localCheckpoint()
+    var frontier = acc
+    var n = frontier.count()
+    while (n > 0) {
+      val stepped = frontier.select(col("a"), col("b").as("m"))
+        .join(edges.select(col("a").as("m"), col("b")), Seq("m"))
+        .select("a", "b").dropDuplicates("a", "b")
+      frontier = stepped.join(acc, Seq("a", "b"), "left_anti").localCheckpoint()
+      n = frontier.count()
+      if (n > 0) acc = acc.unionByName(DfOps.reid(frontier))
+    }
+    val out =
+      if (!includeZero) acc
+      else {
+        // zero-length: every in-domain seed relates to itself (node-domain semantics)
+        val selfP = seeds.join(store.nodeTerms.select(col("nid").as("a")), Seq("a"))
+          .select(col("a"), col("a").as("b"))
+        acc.unionByName(selfP).dropDuplicates("a", "b")
+      }
+    if (fromSubject) out else out.select(col("b").as("a"), col("a").as("b"))
+  }
+
+  /** Attach term structs to an id column via the store lexicon. */
+  private def attachTerm(d: DataFrame, idCol: String, v: String): DataFrame =
+    d.join(store.nodeTerms.select(col("nid").as(idCol), col("n").as(v)), Seq(idCol))
+
+  private def singleSeed(id: Long): DataFrame =
+    spark.range(1).select(lit(id).as("seed"))
 
   /** Bind a path relation into the pattern's endpoint terms. */
   def pathTriple(t: Triple): DataFrame = {
-    // bound-endpoint optimization: seed the fixpoint from the constant side
+    // seeded evaluation from a constant endpoint; global-domain zero approximation is
+    // wrong for GRAPH-scoped zero paths, so those fall back to the full relation
+    val seedable = t.g.isEmpty || !containsZero(t.p)
     val pairs = (t.s, t.o) match {
-      case (sN, _) if !sN.isInstanceOf[VarNode] => boundClosure(t.p, t.g, TermIds.nodeId(sN), fromSubject = true)
-      case (_, oN) if !oN.isInstanceOf[VarNode] => boundClosure(t.p, t.g, TermIds.nodeId(oN), fromSubject = false)
-      case _ => pathPairs(t.p, t.g)
+      case (sN, _) if !sN.isInstanceOf[VarNode] && seedable =>
+        seededPathIds(t.p, t.g, singleSeed(TermIds.nodeId(sN)), fromSubject = true)
+      case (_, oN) if !oN.isInstanceOf[VarNode] && seedable =>
+        seededPathIds(t.p, t.g, singleSeed(TermIds.nodeId(oN)), fromSubject = false)
+      case _ => pathPairIds(t.p, t.g)
     }
     var df = pairs
     t.s match {
       case VarNode(_) => ()
-      case n => df = df.filter(col("a")("id") === TermIds.nodeId(n))
+      case n => df = df.filter(col("a") === TermIds.nodeId(n))
     }
     t.o match {
       case VarNode(_) => ()
-      case n => df = df.filter(col("b")("id") === TermIds.nodeId(n))
+      case n => df = df.filter(col("b") === TermIds.nodeId(n))
     }
     (t.s, t.o) match {
       case (VarNode(sv), VarNode(ov)) if sv == ov =>
-        df.filter(col("a")("id") === col("b")("id")).select(col("a").as(sv))
-      case (VarNode(sv), VarNode(ov)) => df.select(col("a").as(sv), col("b").as(ov))
-      case (VarNode(sv), _) => df.select(col("a").as(sv))
-      case (_, VarNode(ov)) => df.select(col("b").as(ov))
+        attachTerm(df.filter(col("a") === col("b")), "a", sv).select(col(sv))
+      case (VarNode(sv), VarNode(ov)) =>
+        attachTerm(attachTerm(df, "a", sv), "b", ov).select(col(sv), col(ov))
+      case (VarNode(sv), _) => attachTerm(df, "a", sv).select(col(sv))
+      case (_, VarNode(ov)) => attachTerm(df, "b", ov).select(col(ov))
       case _ => df.select(lit(1).as("__e")).limit(1).drop("__e")
     }
-  }
-
-  /** Closure restricted to one seed — BFS from the bound endpoint instead of the
-    * all-pairs fixpoint (critical at scale; full closure only when both ends are vars).
-    */
-  private def boundClosure(p: Path, g: Option[Node], seedId: Long, fromSubject: Boolean): DataFrame = p match {
-    case PZeroOrMore(_) | POneOrMore(_) =>
-      val q = p match {
-        case PZeroOrMore(inner) => inner
-        case POneOrMore(inner) => inner
-        case _ => throw new IllegalStateException
-      }
-      val raw = pathPairs(q, g)
-      val oriented = if (fromSubject) raw else raw.select(col("b").as("a"), col("a").as("b"))
-      val nodes = oriented.select(col("a").as("n")).unionByName(oriented.select(col("b").as("n")))
-        .withColumn("nid", col("n")("id")).dropDuplicates("nid").localCheckpoint()
-      val edges = oriented.select(col("a")("id").as("a"), col("b")("id").as("b"))
-        .dropDuplicates("a", "b").localCheckpoint()
-      var acc = edges.filter(col("a") === seedId)
-      var frontier = acc
-      var n = frontier.count()
-      while (n > 0) {
-        val stepped = frontier.select(col("a"), col("b").as("m"))
-          .join(edges.select(col("a").as("m"), col("b")), Seq("m"))
-          .select("a", "b").dropDuplicates("a", "b")
-        frontier = stepped.join(acc, Seq("a", "b"), "left_anti").localCheckpoint()
-        n = frontier.count()
-        if (n > 0) acc = acc.unionByName(DfOps.reid(frontier)).localCheckpoint()
-      }
-      val withTerms = acc
-        .join(nodes.select(col("nid").as("a"), col("n").as("ta")), Seq("a"))
-        .join(nodes.select(col("nid").as("b"), col("n").as("tb")), Seq("b"))
-        .select(col("ta").as("a"), col("tb").as("b"))
-      val withZero = p match {
-        case PZeroOrMore(_) =>
-          // zero-length: the seed relates to itself (node-domain fallback keeps seeds
-          // that have no outgoing edges)
-          val dom = zeroPairs(g).filter(col("a")("id") === seedId)
-          withTerms.unionByName(dom).dropDuplicates("a", "b")
-        case _ => withTerms
-      }
-      if (fromSubject) withZero else withZero.select(col("b").as("a"), col("a").as("b"))
-    case _ => pathPairs(p, g)
   }
 
   /** Solution-compatibility join (SPARQL μ1 ~ μ2): rows join when every shared var is

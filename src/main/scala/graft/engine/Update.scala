@@ -69,9 +69,28 @@ object Update {
     df.withColumn("__k", xxhash64(col("s")("id"), col("p")("id"), col("o")("id"),
       coalesce(col("g")("id"), lit(0L))))
 
+  /** Distinct predicate ids of a quad delta — small by construction (an UPDATE touches
+    * few predicates); capped so a pathological delta falls back to the full-store path.
+    */
+  private def deltaPids(quads: DataFrame): Option[Seq[Long]] = {
+    val pids = quads.select(col("p")("id")).distinct().limit(1001)
+      .collect().map(_.getLong(0)).toSeq
+    if (pids.size > 1000) None else Some(pids)
+  }
+
+  /** Mutations touch only the delta's p_id partitions: the untouched partitions pass
+    * through as plain pruned parquet scans (no hashing, no join), so both the mutation
+    * and every later query on other predicates keep partition pruning — the columnar
+    * analog of the reference writing only the affected index ranges
+    * (`rbop/rdf/update/InsertStatementsOp.java`).
+    */
   private def insert(store: GraftStore, quads: DataFrame): GraftStore = {
+    val existing = deltaPids(quads) match {
+      case Some(pids) => store.statements.filter(col("p_id").isin(pids: _*))
+      case None => store.statements
+    }
     val fresh = statementKey(quads.dropDuplicates())
-      .join(statementKey(store.statements.select("s", "p", "o", "g")).select("__k"),
+      .join(statementKey(existing.select("s", "p", "o", "g")).select("__k"),
         Seq("__k"), "left_anti")
       .drop("__k")
       .withColumn("stype", lit(GraftStore.STYPE_EXPLICIT).cast("byte"))
@@ -81,8 +100,14 @@ object Update {
 
   private def delete(store: GraftStore, quads: DataFrame): GraftStore = {
     val victims = statementKey(quads).select("__k").dropDuplicates()
-    val kept = statementKey(store.statements).join(victims, Seq("__k"), "left_anti")
-      .drop("__k")
+    def purge(df: DataFrame): DataFrame =
+      statementKey(df).join(victims, Seq("__k"), "left_anti").drop("__k")
+    val kept = deltaPids(quads) match {
+      case Some(pids) =>
+        store.statements.filter(!col("p_id").isin(pids: _*))
+          .unionByName(purge(store.statements.filter(col("p_id").isin(pids: _*))))
+      case None => purge(store.statements)
+    }
     store.withStatements(kept.select(GraftStore.columns.map(col): _*))
   }
 }

@@ -19,7 +19,8 @@ import org.apache.spark.storage.StorageLevel
   *   s, p, o, g  STRUCT -- Term.schema structs; g null = default-graph triple
   *   stype BYTE         -- 0=Explicit, 1=Axiom, 2=Inferred (rdf/model/StatementEnum.java:42-59)
   */
-final class GraftStore(val spark: SparkSession, val statements: DataFrame) {
+final class GraftStore(val spark: SparkSession, val statements: DataFrame,
+                       val lexiconPath: Option[String] = None) {
 
   /** Statements visible in the union default graph (all graphs merged). */
   def defaultGraph: DataFrame = statements
@@ -27,7 +28,32 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame) {
   /** Named-graph view (g bound). */
   def namedGraphs: DataFrame = statements.filter(col("g").isNotNull)
 
-  def withStatements(df: DataFrame): GraftStore = new GraftStore(spark, df)
+  // a mutated store's lexicon must be rebuilt from its own statements, not the cache
+  def withStatements(df: DataFrame): GraftStore = new GraftStore(spark, df, None)
+
+  /** Node dictionary (nid → term struct) over every subject/object term — the ID2TERM
+    * lexicon analog (`rdf/lexicon/LexiconRelation.java:450-452`). Fixpoint operators run
+    * in 8-byte id space and re-attach terms here once, at the end. Built at load (like
+    * the reference's lexicon indexes) and cached as parquet next to the statement store
+    * when `lexiconPath` is set; in-session it is held hash-partitioned + sorted on the
+    * lookup key so attach joins only ever shuffle the (small) probe side.
+    */
+  @transient lazy val nodeTerms: DataFrame = {
+    val base = lexiconPath match {
+      case Some(p) =>
+        if (!new java.io.File(p + "/_SUCCESS").exists())
+          buildNodeTerms.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None => buildNodeTerms
+    }
+    base.repartition(col("nid")).sortWithinPartitions("nid").localCheckpoint()
+  }
+
+  private def buildNodeTerms: DataFrame =
+    statements.select(col("s").as("n"))
+      .unionByName(statements.select(col("o").as("n")))
+      .withColumn("nid", col("n")("id"))
+      .dropDuplicates("nid")
 }
 
 object GraftStore {

@@ -157,6 +157,9 @@ object Tpch {
       val path = s"/tmp/graft-store/v$STORE_VERSION$clean"
       val marker = new java.io.File(path + "/_SUCCESS")
       if (!marker.exists()) GraftStore.save(statements(spark, dir), path)
-      GraftStore.load(spark, path)
+      val st = new GraftStore(spark, GraftStore.load(spark, path).statements,
+        lexiconPath = Some(path + "-lexicon"))
+      st.nodeTerms // lexicon builds at load time, like the reference's TERM2ID/ID2TERM
+      st
     })
 }

@@ -18,15 +18,18 @@ import org.apache.spark.storage.StorageLevel
   * the scalable shape (the postings build is a one-time cost, like the reference's text
   * index maintained at load).
   */
-final class TextIndex(val postings: DataFrame, val nDocs: Long) {
+final class TextIndex(val postings: DataFrame, val lits: DataFrame, val nDocs: Long) {
 
-  /** Match literals for a whitespace/OR query; returns (lit term, relevance, rank). */
+  /** Match literals for a whitespace/OR query; returns (lit term, relevance, rank).
+    * Scoring runs entirely on (lit_id, token, tfidf) — 8-byte keys; the literal term
+    * struct attaches once, after ranking, against the (small, ranked) hit set.
+    */
   def search(query: String, matchAllTerms: Boolean = false,
              minRelevance: Double = 0.0, maxRank: Int = Int.MaxValue): DataFrame = {
     val terms = TextIndex.tokenize(query)
     val hits = postings.filter(col("token").isin(terms: _*))
       .groupBy("lit_id")
-      .agg(first(col("lit")).as("lit"), sum(col("tfidf")).as("relevance"),
+      .agg(sum(col("tfidf")).as("relevance"),
         countDistinct(col("token")).as("nmatched"))
     val filtered = if (matchAllTerms) hits.filter(col("nmatched") === terms.length) else hits
     filtered
@@ -35,7 +38,11 @@ final class TextIndex(val postings: DataFrame, val nDocs: Long) {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("relevance").desc, col("lit_id").asc)))
       .filter(col("rank") <= maxRank)
-      .select(col("lit"), col("relevance"), col("rank"))
+      .join(lits, "lit_id")
+      // terms are self-describing: the plain-string literal struct reconstructs
+      // canonically from its lexical form — no struct dictionary needed
+      .select(Term.strLit(col("lit_str"), col("lit_lang")).as("lit"),
+        col("relevance"), col("rank"))
   }
 }
 
@@ -48,21 +55,24 @@ object TextIndex {
   def build(store: GraftStore): TextIndex = {
     val lits = store.statements
       .filter(col("o")("kind") === Term.KIND_LITERAL && col("o")("dt").isNull)
-      .select(col("o").as("lit"), col("o")("id").as("lit_id"))
+      .select(col("o")("id").as("lit_id"), col("o")("str").as("lit_str"),
+        col("o")("lang").as("lit_lang"))
       .dropDuplicates("lit_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = lits.count()
-    val tf = lits.select(col("lit"), col("lit_id"),
-      explode(split(lower(col("lit")("str")), "[^\\p{L}\\p{N}]+")).as("token"))
+    // postings carry ids only (the dictionary-encoding shuffle-width payoff); the
+    // struct re-attach lives in search(), against the ranked hit set
+    val tf = lits.select(col("lit_id"),
+      explode(split(lower(col("lit_str")), "[^\\p{L}\\p{N}]+")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("lit_id", "token")
-      .agg(first(col("lit")).as("lit"), count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val postings = tf.join(df, "token")
       .withColumn("tfidf", col("tf") * log(lit(n.toDouble + 1.0) / (col("df") + 1.0)))
-      .select("token", "lit_id", "lit", "tfidf")
+      .select("token", "lit_id", "tfidf")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    new TextIndex(postings, n)
+    new TextIndex(postings, lits, n)
   }
 
   private val cache = new java.util.WeakHashMap[GraftStore, TextIndex]()
