@@ -35,6 +35,52 @@ object Prof {
       engine.Engine.query(store,
         "SELECT ?s ?t WHERE { ?s (<urn:fk:n_regionkey>|<urn:p:n_name>) ?t . }").count()
     }
+    // minhash staging
+    val d = spark.read.parquet(dir + "/documents.parquet")
+    println("PROF docs rows " + d.count())
+    d.agg(avg("n_chars"), avg(size(split(col("text"), "\\s+")))).show()
+    t("split+explode tokens") {
+      println("PROF tok rows " + d.select(explode(split(lower(trim(col("text"))), "\\s+"))).count())
+    }
+    t("shingle explode only") {
+      println("PROF shingle rows " +
+        d.select(col("doc_id"), explode(pipeline.Dedup.shingles(col("text"), 3)).as("sh")).count())
+    }
+    t("shingle+hash explode") {
+      d.select(col("doc_id"),
+        explode(transform(pipeline.Dedup.shingles(col("text"), 3), s => xxhash64(s))).as("h"))
+        .agg(bit_xor(col("h"))).collect()
+    }
+    t("map-only signature") {
+      val withH = d.select(col("doc_id").as("id"),
+        transform(pipeline.Dedup.shingles(col("text"), 3), s => xxhash64(s)).as("hs"))
+        .filter(size(col("hs")) > 0)
+      val sigCol = transform(sequence(lit(0), lit(31)),
+        i => array_min(transform(col("hs"), h => xxhash64(h, i))))
+      withH.select(col("id"), sigCol.as("sig")).agg(bit_xor(element_at(col("sig"), 1))).collect()
+    }
+    val sig = t("minhash signatures") {
+      pipeline.Dedup.minhashSignature(d, "doc_id", "text").localCheckpoint()
+    }
+    println("PROF sig rows " + sig.count())
+    t("minhash pairs (from sig)") {
+      // band + self-join part only, replicated from minhashPairs
+      val bands = 8; val rows = 4; val k = 32
+      val banded = sig.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      val l = banded.select(col("band"), col("bh"), col("id").as("a"), col("sig").as("siga"))
+      val r = banded.select(col("band"), col("bh"), col("id").as("b"), col("sig").as("sigb"))
+      val cand = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+        .select("a", "b", "siga", "sigb").dropDuplicates("a", "b")
+      val n = cand.withColumn("est_jaccard",
+        aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc2, v) => acc2 + v).cast("double") / k)
+        .filter(col("est_jaccard") >= 0.7).count()
+      println("PROF pairs rows " + n)
+    }
+    t("full minhashPairs")(pipeline.Dedup.minhashPairs(d, "doc_id", "text").count())
     // manual replication of the seeded q_path_plus pipeline
     val ids = engine.TermIds
     val edges = t("edges build") {

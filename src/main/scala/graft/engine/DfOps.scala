@@ -11,6 +11,16 @@ object DfOps {
   def reid(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
 
+  /** Spread a narrow input across the session's cores. A small parquet table often
+    * arrives as ONE split, so per-row pipelines (shingling, hashing, feature extraction)
+    * run single-threaded; one cheap round-robin shuffle restores parallelism. No-op
+    * when the input is already wide enough (the at-scale case).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Salted equi-join for skewed keys (SURVEY §7 "salting for skew"): the build side is
     * replicated `salt` times, the probe side gets a random salt in [0, salt), and the
     * exchange partitions on (key, salt) — spreading a hot key over `salt` reducers.

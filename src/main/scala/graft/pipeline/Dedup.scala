@@ -43,11 +43,15 @@ object Dedup {
     * array allocation beats the partial-agg shuffle only when signatures are recomputed
     * many times per doc.)
     */
-  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+  def minhashSignature(docs0: DataFrame, idCol: String, textCol: String,
                        k: Int = 32, shingleN: Int = 3): DataFrame = {
+    val docs = graft.engine.DfOps.spread(docs0)
+    // each shingle string is hashed ONCE; the k-member hash family then mixes the
+    // 8-byte value (fixed-width xxhash64 rounds) — k× cheaper than re-hashing the
+    // string per member, same independence in practice
     val sh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleN)).as("sh"))
-    val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
+      explode(transform(shingles(col(textCol), shingleN), s => xxhash64(s))).as("h"))
+    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
@@ -77,8 +81,9 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for candidate pairs (verification stage after LSH). */
-  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+  def ngramJaccard(docs0: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val docs = graft.engine.DfOps.spread(docs0)
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     pairs.select("a", "b")
       .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
@@ -90,7 +95,8 @@ object Dedup {
   }
 
   /** 64-bit SimHash over tf-weighted tokens. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = graft.engine.DfOps.spread(docs0)
     val toks = docs.select(col(idCol).as("id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))

@@ -24,8 +24,9 @@ object Similarity {
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Brute-force cosine top-k for one query id: scan + TakeOrderedAndProject. */
-  def topKForId(emb: DataFrame, idCol: String, vecCol: String,
+  def topKForId(emb0: DataFrame, idCol: String, vecCol: String,
                 queryId: Long, k: Int): DataFrame = {
+    val emb = graft.engine.DfOps.spread(emb0)
     val q = emb.filter(col(idCol) === queryId)
       .select(asDouble(col(vecCol)).as("qv"))
     emb.filter(col(idCol) =!= queryId)
@@ -52,8 +53,9 @@ object Similarity {
   }
 
   /** LSH-bucketed near-neighbor pairs: join within bucket, verify cosine ≥ threshold. */
-  def lshPairs(emb: DataFrame, idCol: String, vecCol: String,
+  def lshPairs(emb0: DataFrame, idCol: String, vecCol: String,
                bits: Int = 12, threshold: Double = 0.8): DataFrame = {
+    val emb = graft.engine.DfOps.spread(emb0)
     val b = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), bits)).localCheckpoint()
     val l = b.select(col("bucket"), col("id").as("a"), col("v").as("va"))
@@ -69,8 +71,9 @@ object Similarity {
     * query's cell plus `probes-1` nearest cells. At scale: centroids broadcast,
     * per-cell partitions pruned before the fine scan.
     */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+  def ivfTopK(emb0: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, m: Int = 16, probes: Int = 4): DataFrame = {
+    val emb = graft.engine.DfOps.spread(emb0)
     val docs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val centroids = docs.orderBy("id").limit(m)
       .select(col("id").as("cid"), col("v").as("cv"))
