@@ -337,7 +337,32 @@ object SparkEntry {
         |       <http://www.bigdata.com/rdf/search#rank> ?rank ;
         |       <http://www.bigdata.com/rdf/search#maxRank> 10 .
         |  ?doc <urn:p:text> ?lit ; <urn:p:doc_id> ?d }""".stripMargin,
-      oLng("d"), oLng("rank")) _, None),
+      oLng("d"), oLng("rank")) _,
+      // full TF-IDF replica over the store's plain-literal corpus (every StrE column
+      // of the table→triples mapping), same tokenizer/idf/tie-break as TextIndex
+      Some {
+        val strCols = Seq("region" -> "r_name", "nation" -> "n_name",
+          "customer" -> "c_name", "customer" -> "c_mktsegment", "supplier" -> "s_name",
+          "part" -> "p_name", "part" -> "p_brand", "part" -> "p_type",
+          "orders" -> "o_orderstatus", "orders" -> "o_orderpriority",
+          "lineitem" -> "l_returnflag", "lineitem" -> "l_linestatus",
+          "events" -> "event_type", "events" -> "props",
+          "documents" -> "text", "documents" -> "lang", "documents" -> "source")
+        val union = strCols.map { case (t, c) => s"SELECT $c AS lex FROM $t" }
+          .mkString(" UNION ALL ")
+        s"""WITH lits AS (SELECT DISTINCT lex FROM ($union) WHERE lex IS NOT NULL),
+           |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM lits),
+           |tok AS (SELECT lex, t.tokn AS token FROM lits,
+           |        unnest(regexp_split_to_array(lower(lex), '[^\\p{L}\\p{N}]+')) AS t(tokn)
+           |        WHERE len(t.tokn) > 0),
+           |tf AS (SELECT lex, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+           |hits AS (SELECT tf.lex, SUM(tf.tf * ln(((SELECT cnt FROM n)+1.0)/(dfq.df+1.0))) AS rel
+           |         FROM tf JOIN dfq USING (token) WHERE token IN ('window','hash','join') GROUP BY tf.lex),
+           |ranked AS (SELECT lex, row_number() OVER (ORDER BY rel DESC, lex ASC) AS rank FROM hits)
+           |SELECT d.doc_id AS d, CAST(r.rank AS BIGINT) AS rank FROM ranked r
+           |JOIN documents d ON d.text = r.lex WHERE r.rank <= 10""".stripMargin
+      }),
 
     ("q_gas_service_bfs", ((s: SparkSession, dir: String) =>
       sq("""SELECT ?v ?lvl WHERE {
@@ -417,18 +442,42 @@ object SparkEntry {
     ("p_dedup_simhash", ((s: SparkSession, dir: String) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text")): Q, None),
 
-    ("p_ngram_jaccard", ((s: SparkSession, dir: String) => {
-      val d = docs(s, dir)
-      Dedup.ngramJaccard(d, "doc_id", "text",
-        Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5))
-    }): Q, None),
+    ("p_ngram_jaccard", ((s: SparkSession, dir: String) =>
+      Dedup.minShinglePairs(docs(s, dir), "doc_id", "text")): Q,
+      Some("""WITH sh AS (SELECT doc_id AS id,
+             |  list_distinct(list_transform(
+             |    generate_series(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+'))-3, 0)),
+             |    i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[i+1:i+3], ' '))) AS sh
+             | FROM documents),
+             |k AS (SELECT id, sh, list_aggregate(sh, 'min') AS key FROM sh)
+             |SELECT a, b, jaccard FROM (
+             |  SELECT l.id AS a, r.id AS b,
+             |    CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+             |      / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS jaccard
+             |  FROM k l JOIN k r ON l.key = r.key AND l.id < r.id)
+             |WHERE jaccard >= 0.5""".stripMargin)),
 
     ("p_ann_brute", ((s: SparkSession, dir: String) => {
       val e = emb(s, dir)
       val firstId = e.agg(min("vec_id")).first().getLong(0)
       Similarity.topKForId(e, "vec_id", "embedding", firstId, 10)
         .select(col("neighbor"), round(col("score"), 6).as("score"))
-    }): Q, None),
+    }): Q,
+      // oracle mirrors the engine's sequential-fold cosine exactly (list_reduce is
+      // left-to-right, float→double per element) so doubles are bit-identical
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings
+             |          WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+             |sc AS (SELECT e.vec_id AS neighbor,
+             |  list_reduce(list_transform(generate_series(1, len(e.embedding)),
+             |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x,y) -> x+y)
+             |  / ( sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+             |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+             |    * sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)),
+             |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x,y) -> x+y)) ) AS score
+             | FROM embeddings e, q
+             | WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings))
+             |SELECT neighbor, round(score, 6) AS score FROM sc
+             |ORDER BY score DESC, neighbor ASC LIMIT 10""".stripMargin)),
 
     ("p_ann_ivf", ((s: SparkSession, dir: String) => {
       val e = emb(s, dir)
@@ -457,10 +506,34 @@ object SparkEntry {
              | FROM documents""".stripMargin)),
 
     ("p_quality_score", ((s: SparkSession, dir: String) =>
-      TextStats.qualityScore(docs(s, dir), "doc_id", "text")): Q, None),
+      TextStats.qualityScore(docs(s, dir), "doc_id", "text")): Q,
+      Some("""WITH f AS (SELECT doc_id,
+             |  CAST(length(text) AS DOUBLE) AS chars,
+             |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS words,
+             |  CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE) AS punct,
+             |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+             |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |       t -> t IN ('the','of','and','to','a','in','is','it','that','was','for','on','are','with','as','be','at','by','this','have','from'))) AS DOUBLE) AS stop
+             | FROM documents)
+             |SELECT doc_id,
+             |  least(words/20.0, 1.0)*0.25 + least((stop/words)*3.0, 1.0)*0.35 +
+             |  greatest(0.0, 1.0 - (punct/chars)*8.0)*0.2 + greatest(0.0, 1.0 - (digits/chars)*5.0)*0.2 AS quality
+             |FROM f""".stripMargin)),
 
     ("p_lang_id", ((s: SparkSession, dir: String) =>
-      TextStats.langId(docs(s, dir), "doc_id", "text")): Q, None),
+      TextStats.langId(docs(s, dir), "doc_id", "text")): Q,
+      Some {
+        def hits(ws: Seq[String]) =
+          s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
+        val en = Seq("the","of","and","to","a","in","is","it","that","was","for","on","are","with","as","be","at","by","this","have","from")
+        val de = Seq("der","die","das","und","ist","ein","eine","zu","den","von","mit","nicht","auf","sich","des","im","dem","für","an","auch")
+        val fr = Seq("le","la","les","de","des","et","est","un","une","du","dans","que","qui","pour","sur","pas","avec","au","par","ce")
+        val es = Seq("el","la","los","las","de","y","es","un","una","en","que","del","se","por","con","para","su","al","lo","como")
+        s"""WITH scored AS (SELECT doc_id, ${hits(en)} AS en, ${hits(de)} AS de, ${hits(fr)} AS fr, ${hits(es)} AS es FROM documents),
+           |b AS (SELECT doc_id, en, de, fr, es, greatest(en,de,fr,es) AS best FROM scored)
+           |SELECT doc_id, CASE WHEN best=0 THEN 'und' WHEN en=best THEN 'en' WHEN de=best THEN 'de'
+           |  WHEN fr=best THEN 'fr' ELSE 'es' END AS lang_pred FROM b""".stripMargin
+      }),
 
     ("p_fingerprint", ((s: SparkSession, dir: String) =>
       TextStats.fingerprint(docs(s, dir), "doc_id", "text")): Q, None),
@@ -471,14 +544,47 @@ object SparkEntry {
       val edges = li.select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       graft.gas.Gas.connectedComponents(edges)
-    }): Q, None),
+    }): Q,
+      // oracle: min-label propagation as a recursive CTE; the `label < dst` monotone
+      // guard keeps the working set finite while still letting the component minimum
+      // reach every vertex
+      Some("""WITH RECURSIVE
+             | e AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
+             |       UNION SELECT DISTINCT l_suppkey*2+1, l_partkey*2 FROM lineitem),
+             | v AS (SELECT DISTINCT src AS vertex FROM e),
+             | prop(vertex, label) AS (
+             |   SELECT vertex, vertex FROM v
+             |   UNION
+             |   SELECT e.dst, p.label FROM prop p JOIN e ON p.vertex = e.src WHERE p.label < e.dst
+             | )
+             |SELECT CAST(vertex AS BIGINT) AS vertex, CAST(min(label) AS BIGINT) AS component
+             |FROM prop GROUP BY vertex""".stripMargin)),
 
     ("p_gas_pagerank", ((s: SparkSession, dir: String) => {
       val o = read(s, dir, "orders")
       val edges = o.select(col("o_custkey").as("src"), col("o_orderkey").as("dst"))
       graft.gas.Gas.pageRank(edges, iters = 5)
         .select(col("vertex"), round(col("rank"), 9).as("rank"))
-    }): Q, None),
+    }): Q,
+      // 5 unrolled iterations mirroring the engine's arithmetic operation-for-operation
+      // (single-in-edge graph → every FP sum is order-independent except the dangling
+      // mass, which survives round-to-9)
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""c$i AS (SELECT e.dst AS vertex, SUM(r.rank/deg.outdeg) AS recv
+             |        FROM r${i - 1} r JOIN deg ON r.vertex=deg.src JOIN e ON e.src=deg.src GROUP BY e.dst),
+             |d$i AS (SELECT COALESCE(SUM(r.rank),0.0) AS dm FROM r${i - 1} r LEFT JOIN deg ON r.vertex=deg.src WHERE deg.src IS NULL),
+             |r$i AS (SELECT v.vertex, ((1.0-0.85)/(SELECT cnt FROM n)) + 0.85*(COALESCE(c$i.recv,0.0) + (SELECT dm FROM d$i)/(SELECT cnt FROM n)) AS rank
+             |        FROM v LEFT JOIN c$i ON v.vertex=c$i.vertex)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT o_custkey AS src, o_orderkey AS dst FROM orders),
+           |v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+           |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM v),
+           |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+           |r0 AS (SELECT vertex, 1.0/(SELECT cnt FROM n) AS rank FROM v),
+           |$iters
+           |SELECT CAST(vertex AS BIGINT) AS vertex, round(rank, 9) AS rank FROM r5""".stripMargin
+      }),
 
     ("p_gas_bfs", ((s: SparkSession, dir: String) => {
       val li = read(s, dir, "lineitem")
@@ -486,7 +592,17 @@ object SparkEntry {
         (col("l_suppkey") * 2 + 1).as("dst"))
       val src = edges.agg(min("src")).first().getLong(0)
       graft.gas.Gas.bfs(edges, src)
-    }): Q, None),
+    }): Q,
+      Some("""WITH RECURSIVE
+             | e AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
+             |       UNION SELECT DISTINCT l_suppkey*2+1, l_partkey*2 FROM lineitem),
+             | walk(vertex, level) AS (
+             |   SELECT (SELECT min(l_partkey*2) FROM lineitem), 0
+             |   UNION
+             |   SELECT e.dst, w.level+1 FROM walk w JOIN e ON w.vertex = e.src WHERE w.level < 25
+             | )
+             |SELECT CAST(vertex AS BIGINT) AS vertex, CAST(min(level) AS INT) AS level
+             |FROM walk GROUP BY vertex""".stripMargin)),
 
     ("p_geo_rect", ((s: SparkSession, dir: String) => {
       val g = graft.search.Geo.eventsGeo(read(s, dir, "events"))
@@ -494,14 +610,23 @@ object SparkEntry {
         .select("event_id")
     }): Q,
       Some("""SELECT event_id FROM events
-             | WHERE ((user_id % 1800)/10.0 - 90.0) BETWEEN 10.0 AND 45.0
-             |   AND ((event_id % 3600)/10.0 - 180.0) BETWEEN 20.0 AND 90.0""".stripMargin)),
+             | WHERE ((event_id % 1800)/10.0 - 90.0) BETWEEN 10.0 AND 45.0
+             |   AND (((event_id*7) % 3600)/10.0 - 180.0) BETWEEN 20.0 AND 90.0""".stripMargin)),
 
     ("p_geo_circle", ((s: SparkSession, dir: String) => {
       val g = graft.search.Geo.eventsGeo(read(s, dir, "events"))
       g.filter(graft.search.Geo.inCircle(col("lat"), col("lon"), 30.0, 40.0, 2000000.0))
         .select("event_id")
-    }): Q, None),
+    }): Q,
+      Some("""WITH g AS (SELECT event_id, (event_id % 1800)/10.0 - 90.0 AS lat,
+             |                  ((event_id*7) % 3600)/10.0 - 180.0 AS lon FROM events)
+             |SELECT event_id FROM g
+             |WHERE lat BETWEEN 30.0 - degrees(2000000.0/6371000.0)
+             |              AND 30.0 + degrees(2000000.0/6371000.0)
+             |  AND lon BETWEEN 40.0 - degrees(2000000.0/(6371000.0*greatest(0.01, cos(radians(30.0)))))
+             |              AND 40.0 + degrees(2000000.0/(6371000.0*greatest(0.01, cos(radians(30.0)))))
+             |  AND 2.0*6371000.0*asin(sqrt( pow(sin(radians(lat-30.0)/2),2)
+             |        + cos(radians(30.0))*cos(radians(lat))*pow(sin(radians(lon-40.0)/2),2) )) <= 2000000.0""".stripMargin)),
 
     ("p_mm_meta", ((s: SparkSession, dir: String) =>
       graft.pipeline.Multimodal.decodeMeta(
@@ -523,12 +648,18 @@ object SparkEntry {
         graft.pipeline.Multimodal.withPayload(docs(s, dir), "text"), "payload", nFrames = 4)
         .select(col("doc_id"), col("frame_idx"), col("frame_offset_ms"))): Q, None),
 
-    // SampleIndex analog (bop/ap/SampleIndex.java): seeded uniform sample of a pattern
+    // SampleIndex analog (bop/ap/SampleIndex.java SampleType.EVEN): deterministic
+    // evenly-spaced sample of an index range — every 10th subject by key, so the
+    // sample is reproducible by the oracle (the seeded-random variant is
+    // df.sample(fraction, seed), same plumbing, no oracle)
     ("p_sample", ((s: SparkSession, dir: String) =>
       Tpch.store(s, dir).statements
         .filter(col("p_id") === graft.engine.TermIds.iriId("urn:p:c_acctbal"))
-        .sample(withReplacement = false, 0.1, seed = 42)
-        .select(col("s")("str").as("s"), col("o")("num").as("bal"))): Q, None),
+        .filter(regexp_extract(col("s")("str"), "urn:t:customer:(\\d+)", 1)
+          .cast("long") % 10 === 3)
+        .select(col("s")("str").as("s"), col("o")("num").as("bal"))): Q,
+      Some("""SELECT 'urn:t:customer:'||c_custkey AS s, c_acctbal AS bal
+             | FROM customer WHERE c_custkey % 10 = 3""".stripMargin)),
 
     // tumbling-window aggregation over the events table (batch form of the
     // Structured Streaming operator — same window() semantics)
@@ -546,10 +677,17 @@ object SparkEntry {
 
     // HLL sketch (approximate distinct — the "novel sketch" scale path; exact
     // countDistinct is the oracle-checked q_count_distinct)
+    // the sketch value itself is estimator-specific; the oracle-checkable claim is its
+    // accuracy contract (rsd 0.02 → well within 5%) plus the exact count
     ("p_sketch_distinct", ((s: SparkSession, dir: String) =>
       read(s, dir, "lineitem")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))): Q, None),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select((abs(col("approx_parts") - col("exact_parts")) /
+            col("exact_parts") <= 0.05).as("within_5pct"),
+          col("exact_parts"))): Q,
+      Some("""SELECT true AS within_5pct, COUNT(DISTINCT l_partkey) AS exact_parts
+             | FROM lineitem""".stripMargin)),
 
     // skew-salted join demo: orders joined to a hot dimension via explicit salting
     ("p_salted_join", ((s: SparkSession, dir: String) => {

@@ -94,6 +94,27 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Content-blocked exact near-dup pairs: block on the lexicographically smallest
+    * shingle (identity-ordered MinHash, k=1 — near-dups almost always share their
+    * minimum shingle), verify exact n-gram Jaccard within the block. Fully
+    * deterministic, so an external SQL oracle can reproduce it — the hashed MinHash
+    * family can't be. Same linear candidate-generation scaling as LSH.
+    */
+  def minShinglePairs(docs0: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docs = graft.engine.DfOps.spread(docs0)
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("key", array_min(col("sh")))
+    val l = sh.select(col("key"), col("id").as("a"), col("sh").as("sha"))
+    val r = sh.select(col("key"), col("id").as("b"), col("sh").as("shb"))
+    l.join(r, Seq("key")).filter(col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
   /** 64-bit SimHash over tf-weighted tokens. */
   def simhash(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = graft.engine.DfOps.spread(docs0)

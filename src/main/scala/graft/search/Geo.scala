@@ -60,6 +60,8 @@ object Geo {
     */
   def eventsGeo(events: DataFrame): DataFrame =
     events.select(col("event_id"),
-      ((col("user_id") % 1800) / 10.0 - 90.0).as("lat"),
-      ((col("event_id") % 3600) / 10.0 - 180.0).as("lon"))
+      // event_id-driven so the grid covers the full globe at every scale factor
+      // (user_id's range is sf-dependent and collapses the latitude band)
+      ((col("event_id") % 1800) / 10.0 - 90.0).as("lat"),
+      (((col("event_id") * 7) % 3600) / 10.0 - 180.0).as("lon"))
 }

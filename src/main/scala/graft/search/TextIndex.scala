@@ -34,11 +34,13 @@ final class TextIndex(val postings: DataFrame, val lits: DataFrame, val nDocs: L
     val filtered = if (matchAllTerms) hits.filter(col("nmatched") === terms.length) else hits
     filtered
       .filter(col("relevance") >= minRelevance)
+      .join(lits, "lit_id")
+      // rank ties break on the lexical form (stable AND reproducible by external
+      // oracles — the internal hash id is not)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .orderBy(col("relevance").desc, col("lit_id").asc)))
+          .orderBy(col("relevance").desc, col("lit_str").asc)))
       .filter(col("rank") <= maxRank)
-      .join(lits, "lit_id")
       // terms are self-describing: the plain-string literal struct reconstructs
       // canonically from its lexical form — no struct dictionary needed
       .select(Term.strLit(col("lit_str"), col("lit_lang")).as("lit"),
