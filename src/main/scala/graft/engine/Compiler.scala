@@ -81,10 +81,28 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
   }
 
   private val BDS_NS = "http://www.bigdata.com/rdf/search#"
+  private val HINT_NS = "http://www.bigdata.com/queryHints#"
 
   private def isMagic(t: Triple): Boolean = t.p match {
     case PLink(i) => i.startsWith(BDS_NS)
     case _ => false
+  }
+
+  /** Query-hint magic triples (ASTQueryHintOptimizer, `rdf/sparql/ast/hints/`):
+    * stripped from the pattern; `hint:optimizer "None"` preserves the author's join
+    * order for the group. The reference's other hints steer machinery Catalyst/AQE
+    * replaces (analytic mode, chunk sizes, RTO sampling) and are accepted as no-ops.
+    */
+  private def isHint(t: Triple): Boolean = t.p match {
+    case PLink(i) => i.startsWith(HINT_NS)
+    case _ => false
+  }
+
+  private def optimizerOff(hints: Seq[Triple]): Boolean = hints.exists { t =>
+    t.p == PLink(HINT_NS + "optimizer") && (t.o match {
+      case LitNode("None", _, _) => true
+      case _ => false
+    })
   }
 
   /** bds:search magic-predicate group → solution DataFrame
@@ -111,7 +129,9 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     hits.select(sels: _*)
   }
 
-  def compileBgp(triples0: Seq[Triple]): DataFrame = {
+  def compileBgp(triples1: Seq[Triple]): DataFrame = {
+    val (hintT, triples0) = triples1.partition(isHint)
+    val keepOrder = optimizerOff(hintT)
     val (magicT, triples) = triples0.partition(isMagic)
     val searchDfs = magicT.groupBy(_.s).toSeq.map {
       case (VarNode(v), ts) => searchScan(v, ts)
@@ -143,12 +163,15 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     if (plain.nonEmpty) {
       val scans = plain.map(t => (t, if (isSimpleP(t.p)) scanTriple(t) else pathTriple(t)))
       // greedy join order: most selective first, prefer var-connected next
-      val remaining = scala.collection.mutable.ArrayBuffer(scans.sortBy(s => -score(s._1)): _*)
+      // (hint:optimizer "None" keeps the author's order verbatim)
+      val ordered = if (keepOrder) scans else scans.sortBy(s => -score(s._1))
+      val remaining = scala.collection.mutable.ArrayBuffer(ordered: _*)
       val (t0, d0) = remaining.remove(0)
       df = d0
       bound = Algebra.tripleVars(t0).toSet
       while (remaining.nonEmpty) {
-        val idx = remaining.indexWhere(s => Algebra.tripleVars(s._1).exists(bound))
+        val idx = if (keepOrder) 0
+          else remaining.indexWhere(s => Algebra.tripleVars(s._1).exists(bound))
         val (t, next) = remaining.remove(if (idx >= 0) idx else 0)
         df = joinDf(df, next, "inner")
         bound ++= Algebra.tripleVars(t)

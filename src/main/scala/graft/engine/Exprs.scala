@@ -49,6 +49,7 @@ object Exprs {
     case LitNode(lex, Some(dt), _) => Term.typedLit(lit(lex), dt)
     case LitNode(lex, None, Some(lang)) => Term.strLit(lit(lex), lit(lang))
     case LitNode(lex, None, None) => Term.strLit(lit(lex))
+    case SidNode(s, p, o) => Term.sid(constTerm(s), constTerm(p), constTerm(o))
     case VarNode(n2) => throw new IllegalArgumentException(s"variable ?$n2 is not a constant")
   }
 

@@ -49,6 +49,17 @@ object Rdfs {
     out.toSeq.map { case (a, b) => (rep(a), rep(b)) }
   }
 
+  /** Truth maintenance (rdf/inf/TruthMaintenance.java): after retraction of explicit
+    * statements, drop ALL materialized entailments and re-run the closure from the
+    * remaining Explicit+Axiom statements. The reference computes incremental
+    * retraction proofs against its indexes; at rest in columnar storage the
+    * recompute is a bounded number of broadcast joins (FastClosure) and is always
+    * correct — no proof bookkeeping to maintain.
+    */
+  def truthMaintain(store: GraftStore): GraftStore =
+    closure(store.withStatements(
+      store.statements.filter(col("stype") =!= GraftStore.STYPE_INFERRED)))
+
   /** Materialize the closure; derived rows get stype=Inferred and the default graph. */
   def closure(store: GraftStore): GraftStore = {
     val spark = store.spark

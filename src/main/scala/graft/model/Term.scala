@@ -43,6 +43,9 @@ object Term {
   val XSD_STRING = XSD + "string"
   val XSD_DATETIME = XSD + "dateTime"
   val RDF_TYPE = RDF + "type"
+  val RDF_FIRST = RDF + "first"
+  val RDF_REST = RDF + "rest"
+  val RDF_NIL = RDF + "nil"
   val RDFS_SUBCLASSOF = RDFS + "subClassOf"
   val RDFS_SUBPROPERTYOF = RDFS + "subPropertyOf"
   val RDFS_DOMAIN = RDFS + "domain"
@@ -51,6 +54,11 @@ object Term {
   val KIND_IRI: Byte = 0
   val KIND_BNODE: Byte = 1
   val KIND_LITERAL: Byte = 2
+  val KIND_SID: Byte = 3 // embedded statement (RDF* / SIDs — rdf/internal/impl/bnode/SidIV.java:82)
+
+  val RDF_SUBJECT = RDF + "subject"
+  val RDF_PREDICATE = RDF + "predicate"
+  val RDF_OBJECT = RDF + "object"
 
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = true),
@@ -134,6 +142,26 @@ object Term {
       .when(dt === XSD_DATETIME,
         tsLit(to_timestamp(regexp_replace(str, "Z$", ""), "yyyy-MM-dd'T'HH:mm:ss")))
       .otherwise(mk(lit(KIND_LITERAL), str, dt, lang, nullDbl, nullLng, nullTs))
+
+  /** N-Triples-style token of a term (for the SID canonical form). */
+  private def ntTok(t: Column): Column =
+    when(t("kind") === KIND_IRI, concat(lit("<"), t("str"), lit(">")))
+      .when(t("kind") === KIND_BNODE, concat(lit("_:"), t("str")))
+      .when(t("kind") === KIND_SID, t("str"))
+      .otherwise(concat(lit("\""), t("str"), lit("\""),
+        when(t("lang").isNotNull, concat(lit("@"), t("lang")))
+          .when(t("dt").isNotNull, concat(lit("^^<"), t("dt"), lit(">")))
+          .otherwise(lit(""))))
+
+  /** Statement term `<< s p o >>` (RDF* / Blazegraph SIDs mode,
+    * `rdf/internal/impl/bnode/SidIV.java:82`): a statement-about-a-statement is a
+    * first-class term whose identity derives canonically from its components, so
+    * equal embedded triples get equal ids with no dictionary round-trip.
+    */
+  def sid(s: Column, p: Column, o: Column): Column =
+    mk(lit(KIND_SID),
+      concat(lit("<< "), ntTok(s), lit(" "), ntTok(p), lit(" "), ntTok(o), lit(" >>")),
+      nullStr, nullStr, nullDbl, nullLng, nullTs)
 
   /** Term from flat parsed fields (kind + lexical + datatype + lang), loader path. */
   def fromParts(kind: Column, str: Column, dt: Column, lang: Column): Column =

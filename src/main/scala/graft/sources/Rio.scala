@@ -175,6 +175,7 @@ object Rio {
   def ntToken(t: Column): Column =
     when(t("kind") === Term.KIND_IRI, concat(lit("<"), t("str"), lit(">")))
       .when(t("kind") === Term.KIND_BNODE, concat(lit("_:"), t("str")))
+      .when(t("kind") === Term.KIND_SID, t("str")) // canonical '<< s p o >>' form
       .otherwise(concat(lit("\""), escapeNt(t("str")), lit("\""),
         when(t("lang").isNotNull, concat(lit("@"), t("lang")))
           .when(t("dt").isNotNull, concat(lit("^^<"), t("dt"), lit(">")))

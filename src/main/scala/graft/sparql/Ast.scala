@@ -13,6 +13,8 @@ object Ast {
   sealed trait Node
   final case class VarNode(name: String) extends Node
   final case class IriNode(iri: String) extends Node
+  /** Embedded statement term `<< s p o >>` (RDF* / SIDs, ground form in data). */
+  final case class SidNode(s: Node, p: Node, o: Node) extends Node
   /** dt/lang already resolved; integer/double datatypes pre-normalized by the parser. */
   final case class LitNode(lex: String, dt: Option[String] = None,
                            lang: Option[String] = None) extends Node
@@ -90,5 +92,14 @@ object Ast {
   final case class ClearGraph(graph: Option[String]) extends UpdateOp // None = ALL
   case object ClearDefault extends UpdateOp // default-graph (g IS NULL) triples only
   case object ClearNamed extends UpdateOp   // every named graph, default kept
+  // graph-management ops (rdf/sparql/ast/eval/AST2BOpUpdate.java Create/Add/Copy/Move/Load)
+  sealed trait GraphRef
+  case object DefaultRef extends GraphRef
+  final case class NamedRef(iri: String) extends GraphRef
+  final case class LoadGraph(src: String, into: Option[String]) extends UpdateOp
+  final case class AddGraph(from: GraphRef, to: GraphRef) extends UpdateOp
+  final case class CopyGraph(from: GraphRef, to: GraphRef) extends UpdateOp
+  final case class MoveGraph(from: GraphRef, to: GraphRef) extends UpdateOp
+  final case class CreateGraph(iri: String) extends UpdateOp // no-op on a schemaless store
   final case class QuadData(s: Node, p: Node, o: Node, g: Option[Node])
 }

@@ -29,7 +29,7 @@ object Parser {
   final case class TPunct(s: String, pos: Int) extends Tok
   final case class TEof(pos: Int) extends Tok
 
-  private val puncts = Seq("^^", "&&", "||", "!=", "<=", ">=", "{", "}", "(", ")",
+  private val puncts = Seq("<<", ">>", "^^", "&&", "||", "!=", "<=", ">=", "{", "}", "(", ")",
     "[", "]", ",", ";", "=", "<", ">", "!", "+", "-", "*", "/", "|", "^", "?", ".")
 
   def tokenize(q: String): IndexedSeq[Tok] = {
@@ -509,9 +509,56 @@ object Parser {
           if (!isPunct("]")) parsePropertyList(v, out)
           expectPunct("]")
           v
+        case TPunct("(", _) => parseCollectionGP(out)
+        case TPunct("<<", _) => parseEmbeddedGP(out)
         case _ => parseVarOrTerm()
       }
       parsePropertyList(s, out)
+    }
+
+    /** SPARQL* embedded triple pattern `<< s p o >>` → reification-property joins on
+      * a fresh sid variable (the SID decomposition, `rdf/internal/impl/bnode/SidIV`).
+      */
+    private def parseEmbeddedGP(out: ArrayBuffer[GP]): Node = {
+      expectPunct("<<")
+      def part(): Node = cur match {
+        case TPunct("<<", _) => parseEmbeddedGP(out)
+        case _ => parseVarOrTerm()
+      }
+      val s = part(); val p = part(); val o = part()
+      expectPunct(">>")
+      val sid = freshBNodeVar()
+      out += TripleGP(sid, PLink(graft.model.Term.RDF_SUBJECT), s)
+      out += TripleGP(sid, PLink(graft.model.Term.RDF_PREDICATE), p)
+      out += TripleGP(sid, PLink(graft.model.Term.RDF_OBJECT), o)
+      sid
+    }
+
+    /** RDF collection `(e1 e2 …)` → rdf:first/rdf:rest chain on fresh bnodes. */
+    private def parseCollectionGP(out: ArrayBuffer[GP]): Node = {
+      expectPunct("(")
+      if (acceptPunct(")")) return IriNode(graft.model.Term.RDF_NIL)
+      val items = ArrayBuffer.empty[Node]
+      while (!isPunct(")")) {
+        items += (cur match {
+          case TPunct("[", _) =>
+            i += 1
+            val v = freshBNodeVar()
+            if (!isPunct("]")) parsePropertyList(v, out)
+            expectPunct("]")
+            v
+          case TPunct("(", _) => parseCollectionGP(out)
+          case _ => parseVarOrTerm()
+        })
+      }
+      expectPunct(")")
+      val cells = items.map(_ => freshBNodeVar())
+      items.indices.foreach { idx =>
+        out += TripleGP(cells(idx), PLink(graft.model.Term.RDF_FIRST), items(idx))
+        out += TripleGP(cells(idx), PLink(graft.model.Term.RDF_REST),
+          if (idx == items.size - 1) IriNode(graft.model.Term.RDF_NIL) else cells(idx + 1))
+      }
+      cells.head
     }
 
     private def parsePropertyList(s: Node, out: ArrayBuffer[GP]): Unit = {
@@ -533,6 +580,8 @@ object Parser {
                 if (!isPunct("]")) parsePropertyList(v, out)
                 expectPunct("]")
                 v
+              case TPunct("(", _) => parseCollectionGP(out)
+              case TPunct("<<", _) => parseEmbeddedGP(out)
               case _ => parseVarOrTerm()
             }
             p match {
@@ -785,13 +834,41 @@ object Parser {
               expectWord("WHERE")
               ops += Modify(del, ins, parseGroupGP())
             }
-          case TWord("CLEAR", _, _) =>
+          case TWord("CLEAR", _, _) | TWord("DROP", _, _) =>
+            // DROP == CLEAR on a schemaless quad store (no graph registry to remove)
             i += 1
             acceptWord("SILENT")
             if (acceptWord("ALL")) ops += ClearGraph(None)
             else if (acceptWord("DEFAULT")) ops += ClearDefault
             else if (acceptWord("NAMED")) ops += ClearNamed
             else { expectWord("GRAPH"); ops += ClearGraph(Some(parseIri())) }
+          case TWord("CREATE", _, _) =>
+            i += 1
+            acceptWord("SILENT")
+            expectWord("GRAPH")
+            ops += CreateGraph(parseIri())
+          case TWord("LOAD", _, _) =>
+            i += 1
+            acceptWord("SILENT")
+            val src = parseIri()
+            val into = if (acceptWord("INTO")) { expectWord("GRAPH"); Some(parseIri()) }
+                       else None
+            ops += LoadGraph(src, into)
+          case TWord("ADD", _, _) | TWord("COPY", _, _) | TWord("MOVE", _, _) =>
+            val kind = cur.asInstanceOf[TWord].upper
+            i += 1
+            acceptWord("SILENT")
+            def ref(): GraphRef =
+              if (acceptWord("DEFAULT")) DefaultRef
+              else { acceptWord("GRAPH"); NamedRef(parseIri()) }
+            val from = ref()
+            expectWord("TO")
+            val to = ref()
+            ops += (kind match {
+              case "ADD" => AddGraph(from, to)
+              case "COPY" => CopyGraph(from, to)
+              case _ => MoveGraph(from, to)
+            })
           case _ => go = false
         }
         if (!acceptPunct(";")) go = false
@@ -804,20 +881,72 @@ object Parser {
     private def parseQuadPatterns(): Seq[QuadData] = {
       expectPunct("{")
       val out = ArrayBuffer.empty[QuadData]
+      def graphBlock(g: Node): Unit = {
+        expectPunct("{")
+        while (!isPunct("}")) { parseQuadTriple(out, Some(g)); acceptPunct(".") }
+        expectPunct("}")
+      }
       while (!isPunct("}")) {
-        if (acceptWord("GRAPH")) {
-          val g = IriNode(parseIri())
-          expectPunct("{")
-          while (!isPunct("}")) { parseQuadTriple(out, Some(g)); acceptPunct(".") }
-          expectPunct("}")
+        // TriG-style blocks: `GRAPH <g> { … }` or bare `<g> { … }`
+        if (acceptWord("GRAPH")) graphBlock(IriNode(parseIri()))
+        else if ((cur.isInstanceOf[TIri] || cur.isInstanceOf[TPName]) &&
+                 (toks.lift(i + 1) match {
+                   case Some(TPunct("{", _)) => true
+                   case _ => false
+                 })) {
+          graphBlock(IriNode(parseIri()))
         } else { parseQuadTriple(out, None); acceptPunct(".") }
       }
       expectPunct("}")
       out.toSeq
     }
 
-    private def parseQuadTriple(out: ArrayBuffer[QuadData], g: Option[Node]): Unit = {
-      val s = parseVarOrTerm()
+    /** Subject/object node inside quad data: term, labeled bnode, `[…]` property
+      * list, or `(…)` collection (Turtle's triples production — shared by
+      * INSERT/DELETE DATA and the Turtle/TriG loader).
+      */
+    private def parseQuadNode(out: ArrayBuffer[QuadData], g: Option[Node]): Node = cur match {
+      case TPunct("<<", _) =>
+        // SIDs mode: << s p o >> in data ASSERTS the inner statement and binds its
+        // sid term via the reification decomposition (queryable from SPARQL*)
+        i += 1
+        val s = parseQuadNode(out, g)
+        val p = parseQuadNode(out, g)
+        val o = parseQuadNode(out, g)
+        expectPunct(">>")
+        val sid = SidNode(s, p, o)
+        out += QuadData(s, p, o, g)
+        out += QuadData(sid, IriNode(graft.model.Term.RDF_SUBJECT), s, g)
+        out += QuadData(sid, IriNode(graft.model.Term.RDF_PREDICATE), p, g)
+        out += QuadData(sid, IriNode(graft.model.Term.RDF_OBJECT), o, g)
+        sid
+      case TPunct("[", _) =>
+        i += 1
+        val v = freshBNodeVar()
+        if (!isPunct("]")) parseQuadPropertyList(v, out, g)
+        expectPunct("]")
+        v
+      case TPunct("(", _) =>
+        i += 1
+        if (acceptPunct(")")) IriNode(graft.model.Term.RDF_NIL)
+        else {
+          val items = ArrayBuffer.empty[Node]
+          while (!isPunct(")")) items += parseQuadNode(out, g)
+          expectPunct(")")
+          val cells = items.map(_ => freshBNodeVar())
+          items.indices.foreach { idx =>
+            out += QuadData(cells(idx), IriNode(graft.model.Term.RDF_FIRST), items(idx), g)
+            out += QuadData(cells(idx), IriNode(graft.model.Term.RDF_REST),
+              if (idx == items.size - 1) IriNode(graft.model.Term.RDF_NIL)
+              else cells(idx + 1), g)
+          }
+          cells.head
+        }
+      case _ => parseVarOrTerm()
+    }
+
+    private def parseQuadPropertyList(s: Node, out: ArrayBuffer[QuadData],
+                                      g: Option[Node]): Unit = {
       var go = true
       while (go) {
         val p = cur match {
@@ -827,11 +956,17 @@ object Parser {
         }
         var more = true
         while (more) {
-          out += QuadData(s, p, parseVarOrTerm(), g)
+          out += QuadData(s, p, parseQuadNode(out, g), g)
           more = acceptPunct(",")
         }
-        go = acceptPunct(";") && !isPunct("}") && !isPunct(".")
+        go = acceptPunct(";") && !isPunct("}") && !isPunct(".") && !isPunct("]")
       }
+    }
+
+    private def parseQuadTriple(out: ArrayBuffer[QuadData], g: Option[Node]): Unit = {
+      val s = parseQuadNode(out, g)
+      if (isPunct(".") || isPunct("}")) () // bare [ … ] / ( … ) subject with no more props
+      else parseQuadPropertyList(s, out, g)
     }
   }
 }

@@ -1,0 +1,132 @@
+package graft
+
+import graft.engine.{Engine, Update}
+import graft.model.GraftStore
+import org.apache.spark.sql.functions._
+
+/** Round-2 features: graph-management UPDATE ops, LOAD, truth maintenance,
+  * query hints, Turtle collections / bnode property lists, TriG blocks.
+  */
+class Feature3Spec extends GraftSuite {
+
+  private def count(st: GraftStore, ask: String): Long = Engine.query(st, ask).count()
+
+  test("ADD / COPY / MOVE between graphs") {
+    val s0 = Update(store,
+      """INSERT DATA { GRAPH <urn:g:src> { <urn:f3:a> <urn:p:v> 1 . <urn:f3:b> <urn:p:v> 2 . } }""")
+    def n(st: GraftStore, g: String): Long =
+      Engine.query(st, s"SELECT ?s WHERE { GRAPH <$g> { ?s <urn:p:v> ?o } }").count()
+    val added = Update(s0, "ADD GRAPH <urn:g:src> TO GRAPH <urn:g:dst>")
+    assert(n(added, "urn:g:src") == 2 && n(added, "urn:g:dst") == 2)
+    // COPY clears the destination first
+    val pre = Update(s0, "INSERT DATA { GRAPH <urn:g:dst> { <urn:f3:old> <urn:p:v> 9 . } }")
+    val copied = Update(pre, "COPY GRAPH <urn:g:src> TO GRAPH <urn:g:dst>")
+    assert(n(copied, "urn:g:dst") == 2)
+    assert(!Engine.query(copied,
+      "ASK { GRAPH <urn:g:dst> { <urn:f3:old> <urn:p:v> 9 } }").first().getBoolean(0))
+    // MOVE clears the source
+    val moved = Update(s0, "MOVE GRAPH <urn:g:src> TO GRAPH <urn:g:dst2>")
+    assert(n(moved, "urn:g:src") == 0 && n(moved, "urn:g:dst2") == 2)
+    // ADD DEFAULT TO GRAPH
+    val s1 = Update(store, "INSERT DATA { <urn:f3:d> <urn:p:v> 3 . }")
+    val addedDef = Update(s1, "ADD DEFAULT TO GRAPH <urn:g:fromdef>")
+    assert(Engine.query(addedDef,
+      "ASK { GRAPH <urn:g:fromdef> { <urn:f3:d> <urn:p:v> 3 } }").first().getBoolean(0))
+  }
+
+  test("LOAD reads an N-Triples file, optionally into a graph") {
+    val f = java.io.File.createTempFile("graft-load", ".nt")
+    java.nio.file.Files.writeString(f.toPath,
+      "<urn:f3:l1> <urn:p:v> \"x\" .\n<urn:f3:l2> <urn:p:v> \"y\" .\n")
+    val loaded = Update(store, s"LOAD <file://${f.getAbsolutePath}> INTO GRAPH <urn:g:loaded>")
+    assert(Engine.query(loaded,
+      "SELECT ?s WHERE { GRAPH <urn:g:loaded> { ?s <urn:p:v> ?o } }").count() == 2)
+    val loadedDefault = Update(store, s"LOAD <file://${f.getAbsolutePath}>")
+    assert(Engine.query(loadedDefault,
+      "ASK { <urn:f3:l1> <urn:p:v> \"x\" }").first().getBoolean(0))
+    f.delete()
+  }
+
+  test("truth maintenance retracts entailments no longer derivable") {
+    import graft.inference.Rdfs
+    val base = Update(store,
+      """INSERT DATA { <urn:f3:C1> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:f3:C2> .
+        |  <urn:f3:x> a <urn:f3:C1> . }""".stripMargin)
+    val closed = Rdfs.closure(base)
+    assert(Engine.query(closed, "ASK { <urn:f3:x> a <urn:f3:C2> }").first().getBoolean(0))
+    // delete the subclass axiom WITH truth maintenance → entailment retracted
+    val tm = Update.withTruthMaintenance(closed,
+      "DELETE DATA { <urn:f3:C1> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:f3:C2> . }")
+    assert(!Engine.query(tm, "ASK { <urn:f3:x> a <urn:f3:C2> }").first().getBoolean(0))
+    // the explicit type survives
+    assert(Engine.query(tm, "ASK { <urn:f3:x> a <urn:f3:C1> }").first().getBoolean(0))
+  }
+
+  test("hint:optimizer None preserves author join order; hints stripped from results") {
+    val q =
+      """PREFIX hint: <http://www.bigdata.com/queryHints#>
+        |SELECT ?n WHERE {
+        |  hint:Query hint:optimizer "None" .
+        |  ?c a <urn:c:Customer> ; <urn:p:c_name> ?n .
+        |}""".stripMargin
+    val rows = Engine.query(store, q).count()
+    val plain = Engine.query(store,
+      "SELECT ?n WHERE { ?c a <urn:c:Customer> ; <urn:p:c_name> ?n }").count()
+    assert(rows == plain)
+  }
+
+  test("INSERT DATA with collections and bnode property lists") {
+    val s0 = Update(store,
+      """INSERT DATA { <urn:f3:list> <urn:p:items> ( 1 2 3 ) .
+        |  <urn:f3:anon> <urn:p:addr> [ <urn:p:city> "Oslo" ; <urn:p:zip> 1234 ] . }""".stripMargin)
+    // walk the collection: list rdf:first 1; rdf:rest*/rdf:first enumerates members
+    val members = Engine.query(s0,
+      """SELECT ?m WHERE { <urn:f3:list> <urn:p:items> ?l .
+        |  ?l (<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>)*/<http://www.w3.org/1999/02/22-rdf-syntax-ns#first> ?m }""".stripMargin)
+    assert(members.select(col("m")("lng")).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    val city = Engine.query(s0,
+      "SELECT ?city WHERE { <urn:f3:anon> <urn:p:addr> ?a . ?a <urn:p:city> ?city }")
+    assert(city.select(col("city")("str")).first().getString(0) == "Oslo")
+  }
+
+  test("TriG bare graph blocks in Turtle loader") {
+    val trig =
+      """@prefix ex: <urn:f3:> .
+        |ex:g1 { ex:s1 ex:p 1 . }
+        |GRAPH ex:g2 { ex:s2 ex:p 2 . }
+        |ex:s0 ex:p 0 .""".stripMargin
+    val df = graft.sources.Rio.readTurtle(spark, trig)
+    val st = new GraftStore(spark, df)
+    assert(Engine.query(st, "ASK { GRAPH <urn:f3:g1> { <urn:f3:s1> <urn:f3:p> 1 } }").first().getBoolean(0))
+    assert(Engine.query(st, "ASK { GRAPH <urn:f3:g2> { <urn:f3:s2> <urn:f3:p> 2 } }").first().getBoolean(0))
+    assert(Engine.query(st, "ASK { <urn:f3:s0> <urn:f3:p> 0 }").first().getBoolean(0))
+  }
+
+  test("DROP is CLEAR on a schemaless store; CREATE GRAPH is accepted") {
+    val s0 = Update(store, "INSERT DATA { GRAPH <urn:g:drop> { <urn:f3:z> <urn:p:v> 1 . } }")
+    val dropped = Update(s0, "CREATE GRAPH <urn:g:new> ; DROP GRAPH <urn:g:drop>")
+    assert(Engine.query(dropped,
+      "SELECT ?s WHERE { GRAPH <urn:g:drop> { ?s ?p ?o } }").count() == 0)
+  }
+
+  test("RDF* / SIDs: embedded triples asserted, annotated, queryable") {
+    val s0 = Update(store,
+      """INSERT DATA {
+        |  << <urn:f3:e1> <urn:p:worksFor> <urn:f3:acme> >> <urn:p:certainty> 0.9 .
+        |  << <urn:f3:e2> <urn:p:worksFor> <urn:f3:acme> >> <urn:p:certainty> 0.4 .
+        |}""".stripMargin)
+    // SIDs mode: the inner statements are asserted
+    assert(Engine.query(s0, "ASK { <urn:f3:e1> <urn:p:worksFor> <urn:f3:acme> }").first().getBoolean(0))
+    // SPARQL*: match the embedded pattern, read the annotation
+    val df = Engine.query(s0,
+      """SELECT ?who ?c WHERE {
+        |  << ?who <urn:p:worksFor> <urn:f3:acme> >> <urn:p:certainty> ?c .
+        |  FILTER(?c > 0.5) }""".stripMargin)
+    val rows = df.select(col("who")("str"), col("c")("num")).collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "urn:f3:e1")
+    // constant embedded subject
+    val one = Engine.query(s0,
+      """SELECT ?c WHERE { << <urn:f3:e2> <urn:p:worksFor> <urn:f3:acme> >> <urn:p:certainty> ?c }""")
+    assert(one.select(col("c")("num")).first().getDouble(0) == 0.4)
+  }
+}
