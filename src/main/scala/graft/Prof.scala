@@ -35,6 +35,21 @@ object Prof {
       engine.Engine.query(store,
         "SELECT ?s ?t WHERE { ?s (<urn:fk:n_regionkey>|<urn:p:n_name>) ?t . }").count()
     }
+    // q_collection staging
+    val stU = t("update: insert list") {
+      engine.Update(store, "INSERT DATA { <urn:q:list> <urn:p:items> ( 10 20 30 ) . }")
+    }
+    t("updated statements count")(stU.statements.count())
+    t("collection query") {
+      engine.Engine.query(stU,
+        """SELECT ?m WHERE { <urn:q:list> <urn:p:items> ?l .
+          |  ?l (<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>)*/<http://www.w3.org/1999/02/22-rdf-syntax-ns#first> ?m }""".stripMargin).count()
+    }
+    t("collection query 2nd") {
+      engine.Engine.query(stU,
+        """SELECT ?m WHERE { <urn:q:list> <urn:p:items> ?l .
+          |  ?l (<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>)*/<http://www.w3.org/1999/02/22-rdf-syntax-ns#first> ?m }""".stripMargin).count()
+    }
     // minhash staging
     val d = spark.read.parquet(dir + "/documents.parquet")
     println("PROF docs rows " + d.count())

@@ -393,6 +393,65 @@ object SparkEntry {
       Some("""SELECT r_name AS name, COUNT(*) AS cnt FROM
              | (SELECT r_name FROM region UNION ALL SELECT 'SUNK') GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // graph management: COPY slices + retargets a named graph (AST2BOpUpdate Copy)
+    ("q_update_graph", ((s: SparkSession, dir: String) => {
+      val updated = graft.engine.Update(Tpch.store(s, dir),
+        "COPY GRAPH <urn:g:nation> TO GRAPH <urn:g:nation_copy>")
+      Engine.query(updated,
+        "SELECT ?nname WHERE { GRAPH <urn:g:nation_copy> { ?n <urn:p:n_name> ?nname } }")
+        .select(oStr("nname"))
+    }): Q,
+      Some("SELECT n_name AS nname FROM nation")),
+
+    // RDF*/SIDs: INSERT-WHERE template with an embedded-triple term, queried back
+    // through the SPARQL* pattern
+    ("q_rdfstar", ((s: SparkSession, dir: String) => {
+      val updated = graft.engine.Update(Tpch.store(s, dir),
+        """INSERT { << ?n <urn:p:locatedIn> ?r >> <urn:p:src> "tpch" }
+          |WHERE { ?n <urn:fk:n_regionkey> ?r }""".stripMargin)
+      Engine.query(updated,
+        """SELECT ?nname WHERE {
+          |  << ?n <urn:p:locatedIn> ?r >> <urn:p:src> "tpch" .
+          |  ?n <urn:p:n_name> ?nname }""".stripMargin)
+        .select(oStr("nname"))
+    }): Q,
+      Some("SELECT n_name AS nname FROM nation")),
+
+    // Turtle collection in data + rdf:rest*/rdf:first walk in the query
+    ("q_collection", ((s: SparkSession, dir: String) => {
+      val updated = graft.engine.Update(Tpch.store(s, dir),
+        "INSERT DATA { <urn:q:list> <urn:p:items> ( 10 20 30 ) . }")
+      Engine.query(updated,
+        """SELECT ?m WHERE { <urn:q:list> <urn:p:items> ?l .
+          |  ?l (<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>)*/<http://www.w3.org/1999/02/22-rdf-syntax-ns#first> ?m }""".stripMargin)
+        .select(oLng("m"))
+    }): Q,
+      Some("SELECT CAST(m AS BIGINT) AS m FROM (VALUES (10),(20),(30)) t(m)")),
+
+    // truth maintenance: retracting a subclass axiom retracts its entailments
+    ("q_truth_maint", ((s: SparkSession, dir: String) => {
+      val closed = graft.inference.Rdfs.closure(Tpch.store(s, dir))
+      val tm = graft.engine.Update.withTruthMaintenance(closed,
+        """DELETE DATA { <urn:c:Customer>
+          |  <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:c:Any> . }""".stripMargin)
+      Engine.query(tm, "SELECT (COUNT(*) AS ?cnt) WHERE { ?x a <urn:c:Any> }")
+        .select(oLng("cnt"))
+    }): Q,
+      Some("""SELECT (SELECT COUNT(*) FROM region) + (SELECT COUNT(*) FROM nation)
+             | + (SELECT COUNT(*) FROM supplier) + (SELECT COUNT(*) FROM part)
+             | + (SELECT COUNT(*) FROM orders) + (SELECT COUNT(*) FROM lineitem)
+             | + (SELECT COUNT(*) FROM events) + (SELECT COUNT(*) FROM documents) AS cnt""".stripMargin)),
+
+    // query hints accepted and stripped; optimizer "None" keeps the author's order
+    ("q_hint_order", sq(
+      """PREFIX hint: <http://www.bigdata.com/queryHints#>
+        |SELECT ?name ?bal WHERE {
+        |  hint:Query hint:optimizer "None" .
+        |  ?c a <urn:c:Customer> ; <urn:p:c_name> ?name ; <urn:p:c_acctbal> ?bal .
+        |  FILTER(?bal > 9000.0) }""".stripMargin,
+      oStr("name"), oDbl("bal")) _,
+      Some("SELECT c_name AS name, c_acctbal AS bal FROM customer WHERE c_acctbal > 9000.0")),
+
     ("q_rio_roundtrip", ((s: SparkSession, dir: String) => {
       import s.implicits._
       val st = Tpch.store(s, dir)

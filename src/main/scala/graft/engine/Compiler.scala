@@ -201,7 +201,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     val ov = t.o.asInstanceOf[VarNode].name
     if (sv == ov) {
       val seeds = df.select(col(sv)("id").as("seed")).dropDuplicates("seed")
-      val pairs = seededPathIds(t.p, t.g, seeds, fromSubject = true)
+      val pairs = seededPathIds(t.p, t.g, seeds, fromSubject = true, seedsInDomain = true)
         .filter(col("a") === col("b"))
       return df.join(pairs.select(col("a").as("__pa")),
         col(sv)("id") === col("__pa"), "left_semi")
@@ -209,16 +209,16 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     val fromSubject = bound(sv)
     val seedVar = if (fromSubject) sv else ov
     val seeds = df.select(col(seedVar)("id").as("seed")).dropDuplicates("seed")
-    val pairs = seededPathIds(t.p, t.g, seeds, fromSubject)
+    val pairs = seededPathIds(t.p, t.g, seeds, fromSubject, seedsInDomain = true)
       .select(col("a").as("__pa"), col("b").as("__pb"))
     if (bound(sv) && bound(ov))
       df.join(pairs, col(sv)("id") === col("__pa") && col(ov)("id") === col("__pb"),
         "left_semi")
     else if (fromSubject)
-      df.join(attachTerm(pairs, "__pb", ov), col(sv)("id") === col("__pa"))
+      df.join(attachTerm(pairs, "__pb", ov, t.p), col(sv)("id") === col("__pa"))
         .drop("__pa", "__pb")
     else
-      df.join(attachTerm(pairs, "__pa", sv), col(ov)("id") === col("__pb"))
+      df.join(attachTerm(pairs, "__pa", sv, t.p), col(ov)("id") === col("__pb"))
         .drop("__pa", "__pb")
   }
 
@@ -374,32 +374,39 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     * all-pairs fixpoint (critical at scale). `seeds0`: one LONG column named `seed`.
     */
   private[engine] def seededPathIds(p: Path, g: Option[Node], seeds0: DataFrame,
-                                    fromSubject: Boolean): DataFrame = p match {
+                                    fromSubject: Boolean,
+                                    seedsInDomain: Boolean = false): DataFrame = p match {
     case PInv(q) =>
-      seededPathIds(q, g, seeds0, !fromSubject).select(col("b").as("a"), col("a").as("b"))
+      seededPathIds(q, g, seeds0, !fromSubject, seedsInDomain)
+        .select(col("b").as("a"), col("a").as("b"))
     case PAlt(q, r) =>
-      seededPathIds(q, g, seeds0, fromSubject)
-        .unionByName(seededPathIds(r, g, seeds0, fromSubject))
+      seededPathIds(q, g, seeds0, fromSubject, seedsInDomain)
+        .unionByName(seededPathIds(r, g, seeds0, fromSubject, seedsInDomain))
     case PSeq(q, r) =>
+      // chained seeds come off statement scans, so they are in-domain by construction
       if (fromSubject) {
-        val lseg = seededPathIds(q, g, seeds0, fromSubject = true)
+        val lseg = seededPathIds(q, g, seeds0, fromSubject = true, seedsInDomain)
         val seeds2 = lseg.select(col("b").as("seed")).dropDuplicates("seed")
-        val rseg = seededPathIds(r, g, seeds2, fromSubject = true)
+        val rseg = seededPathIds(r, g, seeds2, fromSubject = true, seedsInDomain = true)
         lseg.select(col("a"), col("b").as("m"))
           .join(rseg.select(col("a").as("m"), col("b")), Seq("m")).select("a", "b")
       } else {
-        val rseg = seededPathIds(r, g, seeds0, fromSubject = false)
+        val rseg = seededPathIds(r, g, seeds0, fromSubject = false, seedsInDomain)
         val seeds2 = rseg.select(col("a").as("seed")).dropDuplicates("seed")
-        val lseg = seededPathIds(q, g, seeds2, fromSubject = false)
+        val lseg = seededPathIds(q, g, seeds2, fromSubject = false, seedsInDomain = true)
         lseg.select(col("a"), col("b").as("m"))
           .join(rseg.select(col("a").as("m"), col("b")), Seq("m")).select("a", "b")
       }
-    case PZeroOrMore(q) => seededClosureIds(q, g, seeds0, fromSubject, includeZero = true)
-    case POneOrMore(q) => seededClosureIds(q, g, seeds0, fromSubject, includeZero = false)
+    case PZeroOrMore(q) =>
+      seededClosureIds(q, g, seeds0, fromSubject, includeZero = true, seedsInDomain)
+    case POneOrMore(q) =>
+      seededClosureIds(q, g, seeds0, fromSubject, includeZero = false, seedsInDomain)
     case PZeroOrOne(q) =>
-      val selfP = seeds0.join(store.nodeTerms.select(col("nid").as("seed")), Seq("seed"))
-        .select(col("seed").as("a"), col("seed").as("b"))
-      selfP.unionByName(seededPathIds(q, g, seeds0, fromSubject)).dropDuplicates("a", "b")
+      val inDom = if (seedsInDomain) seeds0
+        else seeds0.join(zeroDomainIds.withColumnRenamed("nid", "seed"), Seq("seed"))
+      val selfP = inDom.select(col("seed").as("a"), col("seed").as("b"))
+      selfP.unionByName(seededPathIds(q, g, seeds0, fromSubject, seedsInDomain))
+        .dropDuplicates("a", "b")
     case PLink(_) | PNeg(_) =>
       val raw = pathPairIds(p, g)
       val key = if (fromSubject) "a" else "b"
@@ -408,7 +415,8 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
 
   /** BFS closure from a seed frontier (semi-naive, id space). */
   private def seededClosureIds(inner: Path, g: Option[Node], seeds0: DataFrame,
-                               fromSubject: Boolean, includeZero: Boolean): DataFrame = {
+                               fromSubject: Boolean, includeZero: Boolean,
+                               seedsInDomain: Boolean = false): DataFrame = {
     val raw = pathPairIds(inner, g)
     val oriented = if (fromSubject) raw else raw.select(col("b").as("a"), col("a").as("b"))
     val edges = oriented.dropDuplicates("a", "b").localCheckpoint()
@@ -427,17 +435,52 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     val out =
       if (!includeZero) acc
       else {
-        // zero-length: every in-domain seed relates to itself (node-domain semantics)
-        val selfP = seeds.join(store.nodeTerms.select(col("nid").as("a")), Seq("a"))
-          .select(col("a"), col("a").as("b"))
-        acc.unionByName(selfP).dropDuplicates("a", "b")
+        // zero-length: every in-domain seed relates to itself (node-domain semantics);
+        // seeds bound by statement scans are in-domain by construction
+        val inDom = if (seedsInDomain) seeds
+          else seeds.join(zeroDomainIds.withColumnRenamed("nid", "a"), Seq("a"))
+        acc.unionByName(inDom.select(col("a"), col("a").as("b")))
+          .dropDuplicates("a", "b")
       }
     if (fromSubject) out else out.select(col("b").as("a"), col("a").as("b"))
   }
 
-  /** Attach term structs to an id column via the store lexicon. */
-  private def attachTerm(d: DataFrame, idCol: String, v: String): DataFrame =
-    d.join(store.nodeTerms.select(col("nid").as(idCol), col("n").as(v)), Seq(idCol))
+  /** Constant predicate ids of a path, when fully enumerable (dictionary pruning). */
+  private def pathPredIds(p: Path): Option[Seq[Long]] = p match {
+    case PLink(i) if !i.startsWith("?") => Some(Seq(TermIds.iriId(i)))
+    case PLink(_) | PNeg(_) => None
+    case PInv(q) => pathPredIds(q)
+    case PSeq(q, r) => for { a <- pathPredIds(q); b <- pathPredIds(r) } yield a ++ b
+    case PAlt(q, r) => for { a <- pathPredIds(q); b <- pathPredIds(r) } yield a ++ b
+    case PZeroOrMore(q) => pathPredIds(q)
+    case POneOrMore(q) => pathPredIds(q)
+    case PZeroOrOne(q) => pathPredIds(q)
+  }
+
+  /** id→term dictionary for re-attaching path endpoints. A load-time store serves its
+    * cached lexicon; a mutated store (lexicon invalidated) derives the dictionary from
+    * a p_id-pruned scan of the path's own predicates — never a full-corpus rebuild.
+    * Zero-including paths can relate any domain node to itself, so they need the
+    * unpruned dictionary.
+    */
+  private def termDict(p: Path): DataFrame =
+    if (store.lexiconPath.isDefined) store.nodeTerms
+    else {
+      val pids = if (containsZero(p)) None else pathPredIds(p)
+      val base = pids match {
+        case Some(ids) => store.statements.filter(col("p_id").isin(ids: _*))
+        case None => store.statements
+      }
+      base.select(col("s").as("n")).unionByName(base.select(col("o").as("n")))
+        .withColumn("nid", col("n")("id")).dropDuplicates("nid")
+    }
+
+  /** Node-domain ids for zero-length membership checks (store-cached). */
+  private def zeroDomainIds: DataFrame = store.domainIds
+
+  /** Attach term structs to an id column via the path's dictionary. */
+  private def attachTerm(d: DataFrame, idCol: String, v: String, p: Path): DataFrame =
+    d.join(termDict(p).select(col("nid").as(idCol), col("n").as(v)), Seq(idCol))
 
   private def singleSeed(id: Long): DataFrame =
     spark.range(1).select(lit(id).as("seed"))
@@ -465,11 +508,11 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     }
     (t.s, t.o) match {
       case (VarNode(sv), VarNode(ov)) if sv == ov =>
-        attachTerm(df.filter(col("a") === col("b")), "a", sv).select(col(sv))
+        attachTerm(df.filter(col("a") === col("b")), "a", sv, t.p).select(col(sv))
       case (VarNode(sv), VarNode(ov)) =>
-        attachTerm(attachTerm(df, "a", sv), "b", ov).select(col(sv), col(ov))
-      case (VarNode(sv), _) => attachTerm(df, "a", sv).select(col(sv))
-      case (_, VarNode(ov)) => attachTerm(df, "b", ov).select(col(ov))
+        attachTerm(attachTerm(df, "a", sv, t.p), "b", ov, t.p).select(col(sv), col(ov))
+      case (VarNode(sv), _) => attachTerm(df, "a", sv, t.p).select(col(sv))
+      case (_, VarNode(ov)) => attachTerm(df, "b", ov, t.p).select(col(ov))
       case _ => df.select(lit(1).as("__e")).limit(1).drop("__e")
     }
   }

@@ -49,6 +49,19 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
     base.repartition(col("nid")).sortWithinPartitions("nid").localCheckpoint()
   }
 
+  /** Node-domain ids (subject/object term ids), for zero-length-path membership.
+    * Materialized once per store instance — mutated stores pay it on first use, not
+    * per fixpoint round.
+    */
+  @transient lazy val domainIds: DataFrame = {
+    val base =
+      if (lexiconPath.isDefined) nodeTerms.select(col("nid"))
+      else statements.select(col("s")("id").as("nid"))
+        .unionByName(statements.select(col("o")("id").as("nid")))
+        .dropDuplicates("nid")
+    base.localCheckpoint()
+  }
+
   private def buildNodeTerms: DataFrame =
     statements.select(col("s").as("n"))
       .unionByName(statements.select(col("o").as("n")))
