@@ -30,9 +30,11 @@ object Aggregates {
 
     case "SUM" =>
       val t = Exprs.term(a.arg.get, env)
-      val bad = max(when(t.isNotNull && fNum(t).isNull, 1).otherwise(0)) === 1
-      val nonInt = max(when(t.isNotNull && (fDt(t).isNull || fDt(t) =!= Term.XSD_INTEGER), 1)
-        .otherwise(0)) === 1
+      val bad = coalesce(max(when(t.isNotNull && fNum(t).isNull, 1).otherwise(0)), lit(0)) === 1
+      // Sum({}) = "0"^^xsd:integer per SPARQL — the empty group takes the integer path
+      val nonInt = coalesce(
+        max(when(t.isNotNull && (fDt(t).isNull || fDt(t) =!= Term.XSD_INTEGER), 1)
+          .otherwise(0)), lit(0)) === 1
       val sumL = if (a.distinct) sum_distinct(fLng(t)) else sum(fLng(t))
       val sumD = if (a.distinct) sum_distinct(fNum(t)) else sum(fNum(t))
       when(bad, Term.nullTerm)
@@ -41,11 +43,13 @@ object Aggregates {
 
     case "AVG" =>
       val t = Exprs.term(a.arg.get, env)
-      val bad = max(when(t.isNotNull && fNum(t).isNull, 1).otherwise(0)) === 1
+      val bad = coalesce(max(when(t.isNotNull && fNum(t).isNull, 1).otherwise(0)), lit(0)) === 1
       val v =
         if (a.distinct) sum_distinct(fNum(t)) / countDistinct(fNum(t))
         else avg(fNum(t))
-      when(bad, Term.nullTerm).otherwise(Term.doubleLit(coalesce(v, lit(0.0))))
+      when(bad, Term.nullTerm)
+        .when(count(t) === 0, Term.intLit(lit(0L))) // Avg({}) = 0 per SPARQL
+        .otherwise(Term.doubleLit(v))
 
     case "MIN" | "MAX" | "SAMPLE" =>
       val t = Exprs.term(a.arg.get, env)
