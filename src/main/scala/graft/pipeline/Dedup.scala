@@ -103,14 +103,19 @@ object Dedup {
   def minShinglePairs(docs0: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val docs = graft.engine.DfOps.spread(docs0)
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("key", array_min(col("sh")))
-    val l = sh.select(col("key"), col("id").as("a"), col("sh").as("sha"))
-    val r = sh.select(col("key"), col("id").as("b"), col("sh").as("shb"))
+    // the block key stays the lexicographic-min shingle STRING (oracle-reproducible);
+    // the verification arrays carry 8-byte shingle hashes, not 40-char strings — the
+    // within-block join shuffles ~10× less and the shingling computes once
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("shs"))
+      .select(col("id"), array_min(col("shs")).as("key"),
+        transform(col("shs"), s => xxhash64(s)).as("hs"))
+      .localCheckpoint()
+    val l = sh.select(col("key"), col("id").as("a"), col("hs").as("ha"))
+    val r = sh.select(col("key"), col("id").as("b"), col("hs").as("hb"))
     l.join(r, Seq("key")).filter(col("a") < col("b"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("double"))
       .withColumn("jaccard", col("inter") /
-        (size(col("sha")) + size(col("shb")) - col("inter")))
+        (size(col("ha")) + size(col("hb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
