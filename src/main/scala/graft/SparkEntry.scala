@@ -468,6 +468,18 @@ object SparkEntry {
     }): Q,
       Some("SELECT COUNT(*)*5 AS cnt FROM nation")),
 
+    // OWL-subset rules (RuleOwlInverseOf): declare an inverse, close, query reversed
+    ("q_inference_owl", ((s: SparkSession, dir: String) => {
+      val withSchema = graft.engine.Update(Tpch.store(s, dir),
+        """INSERT DATA { <urn:fk:o_custkey>
+          |  <http://www.w3.org/2002/07/owl#inverseOf> <urn:rev:custOrders> . }""".stripMargin)
+      val closed = graft.inference.Rdfs.closure(withSchema)
+      Engine.query(closed,
+        "SELECT (COUNT(*) AS ?cnt) WHERE { ?c <urn:rev:custOrders> ?o }")
+        .select(oLng("cnt"))
+    }): Q,
+      Some("SELECT COUNT(*) AS cnt FROM orders")),
+
     ("q_inference", ((s: SparkSession, dir: String) => {
       val closed = graft.inference.Rdfs.closure(Tpch.store(s, dir))
       Engine.query(closed, "SELECT (COUNT(*) AS ?cnt) WHERE { ?s a <urn:c:Any> }")

@@ -22,11 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Rdfs {
 
+  val OWL = "http://www.w3.org/2002/07/owl#"
+  val OWL_SAMEAS: String = OWL + "sameAs"
+  val OWL_INVERSEOF: String = OWL + "inverseOf"
+  val OWL_TRANSITIVE: String = OWL + "TransitiveProperty"
+  val OWL_EQCLASS: String = OWL + "equivalentClass"
+  val OWL_EQPROP: String = OWL + "equivalentProperty"
+
   private val typeId = TermIds.iriId(Term.RDF_TYPE)
   private val subClassId = TermIds.iriId(Term.RDFS_SUBCLASSOF)
   private val subPropId = TermIds.iriId(Term.RDFS_SUBPROPERTYOF)
   private val domainId = TermIds.iriId(Term.RDFS_DOMAIN)
   private val rangeId = TermIds.iriId(Term.RDFS_RANGE)
+  private val sameAsId = TermIds.iriId(OWL_SAMEAS)
+  private val inverseOfId = TermIds.iriId(OWL_INVERSEOF)
+  private val transitiveId = TermIds.iriId(OWL_TRANSITIVE)
+  private val eqClassId = TermIds.iriId(OWL_EQCLASS)
+  private val eqPropId = TermIds.iriId(OWL_EQPROP)
 
   /** Driver-side transitive closure of a vocabulary-sized relation. */
   private def transitiveRows(rows: Array[(Row, Row)]): Seq[(Row, Row)] = {
@@ -68,11 +80,21 @@ object Rdfs {
       stmts.filter(col("p_id") === pid).select("s", "o")
         .collect().map(r => (r.getStruct(0), r.getStruct(1)))
 
-    val sc = schema(subClassId)
-    val sp = schema(subPropId)
+    // owl:equivalentClass/Property fold into the subClass/subProperty closures
+    // (RuleOwlEquivalentClass/Property: a ≡ b ⇔ a ⊑ b ∧ b ⊑ a)
+    val eqc = schema(eqClassId)
+    val eqp = schema(eqPropId)
+    val sc = schema(subClassId) ++ eqc ++ eqc.map(_.swap)
+    val sp = schema(subPropId) ++ eqp ++ eqp.map(_.swap)
     val dom = schema(domainId)
     val rng = schema(rangeId)
-    if (sc.isEmpty && sp.isEmpty && dom.isEmpty && rng.isEmpty) return store
+    val inv = schema(inverseOfId)
+    val transProps = stmts
+      .filter(col("p_id") === typeId && col("o")("id") === transitiveId)
+      .select("s").collect().map(_.getStruct(0))
+    val hasSameAs = stmts.filter(col("p_id") === sameAsId).limit(1).count() > 0
+    if (sc.isEmpty && sp.isEmpty && dom.isEmpty && rng.isEmpty &&
+        inv.isEmpty && transProps.isEmpty && !hasSameAs) return store
 
     val termType = Term.schema
     def pairsDf(pairs: Seq[(Row, Row)], an: String, bn: String): DataFrame = {
@@ -88,28 +110,108 @@ object Rdfs {
     val spo = stmts.select(col("s"), col("p"), col("o"), col("p_id"))
 
     var derived = Seq.empty[DataFrame]
-    // rdfs5/11: schema transitivity itself (vocabulary-sized)
-    if (scC.nonEmpty) derived :+= pairsDf(scC, "s", "o")
+    // rdfs5/11 (+owl equivalence): schema closures themselves (vocabulary-sized)
+    if ((sc ++ scC).nonEmpty) derived :+= pairsDf((sc ++ scC).toSeq, "s", "o")
       .select(col("s"), Term.iri(Term.RDFS_SUBCLASSOF).as("p"), col("o"))
-    if (spC.nonEmpty) derived :+= pairsDf(spC, "s", "o")
+    if ((sp ++ spC).nonEmpty) derived :+= pairsDf((sp ++ spC).toSeq, "s", "o")
       .select(col("s"), Term.iri(Term.RDFS_SUBPROPERTYOF).as("p"), col("o"))
+    if (eqc.nonEmpty) derived :+= pairsDf(eqc.map(_.swap).toSeq, "s", "o")
+      .select(col("s"), Term.iri(OWL_EQCLASS).as("p"), col("o"))
+    if (eqp.nonEmpty) derived :+= pairsDf(eqp.map(_.swap).toSeq, "s", "o")
+      .select(col("s"), Term.iri(OWL_EQPROP).as("p"), col("o"))
 
     // rdfs7: (x p y), (p subPropertyOf* q) → (x q y) — one broadcast join
     val rdfs7 = if (sp.isEmpty) None else {
       val spAll = pairsDf(sp.toSeq ++ spC, "sp_s", "sp_o").dropDuplicates("sp_s", "sp_o")
-        .select(col("sp_s")("id").as("pid"), col("sp_o").as("q"))
-      Some(spo.join(broadcast(spAll), Seq("pid"))
+        .select(col("sp_s")("id").as("p_id"), col("sp_o").as("q"))
+      Some(spo.join(broadcast(spAll), Seq("p_id"))
         .select(col("s"), col("q").as("p"), col("o")))
     }
     rdfs7.foreach(d => derived :+= d)
 
-    // facts incl. property entailments feed domain/range/type rules
-    val factsForTypes = rdfs7 match {
-      case Some(d) => spo.select("s", "p", "o")
-        .unionByName(d.select(col("s"), col("p"), col("o")))
-        .select(col("s"), col("p")("id").as("pid"), col("o"))
-      case None => spo.select(col("s"), col("p")("id").as("pid"), col("o"))
+    def withPid(d: DataFrame): DataFrame =
+      d.select(col("s"), col("p"), col("o"), col("p")("id").as("p_id"))
+    var facts = (spo +: rdfs7.map(withPid).toSeq)
+      .map(graft.engine.DfOps.reid).reduce(_.unionByName(_))
+
+    // RuleOwlInverseOf1/2: (p owl:inverseOf q), (x p y) → (y q x) (and symmetric)
+    if (inv.nonEmpty) {
+      val invBoth = pairsDf(inv.toSeq, "i_p", "i_q")
+        .select(col("i_p")("id").as("p_id"), col("i_q").as("q"))
+        .unionByName(pairsDf(inv.toSeq, "i_p", "i_q")
+          .select(col("i_q")("id").as("p_id"), col("i_p").as("q")))
+        .dropDuplicates("p_id", "q")
+      // (y q x): subject = old object, object = old subject
+      val dInv2 = facts.join(broadcast(invBoth), Seq("p_id"))
+        .filter(col("o")("kind") =!= Term.KIND_LITERAL)
+        .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))
+      derived :+= dInv2
+      facts = facts.unionByName(withPid(graft.engine.DfOps.reid(dInv2)))
     }
+
+    // RuleOwlTransitiveProperty1/2: per transitive property, id-space fixpoint
+    if (transProps.nonEmpty) {
+      val tIds = transProps.map(_.getAs[Long]("id")).toSeq
+      val tEdges = facts.filter(col("p_id").isin(tIds: _*))
+      val dict = tEdges.select(col("s").as("n")).unionByName(tEdges.select(col("o").as("n")))
+        .withColumn("nid", col("n")("id")).dropDuplicates("nid").localCheckpoint()
+      val pDict = pairsDf(transProps.map(r => (r, r)).toSeq, "pt", "pt2")
+        .select(col("pt")("id").as("p_id"), col("pt").as("pterm")).dropDuplicates("p_id")
+      val edges0 = tEdges
+        .select(col("p_id"), col("s")("id").as("a"), col("o")("id").as("b"))
+        .dropDuplicates("p_id", "a", "b").localCheckpoint()
+      var acc = edges0
+      var frontier = edges0
+      var n = frontier.count()
+      while (n > 0) {
+        val stepped = frontier.select(col("p_id"), col("a"), col("b").as("m"))
+          .join(edges0.select(col("p_id"), col("a").as("m"), col("b")), Seq("p_id", "m"))
+          .select("p_id", "a", "b").dropDuplicates("p_id", "a", "b")
+        frontier = stepped.join(acc, Seq("p_id", "a", "b"), "left_anti").localCheckpoint()
+        n = frontier.count()
+        if (n > 0) acc = acc.unionByName(graft.engine.DfOps.reid(frontier))
+      }
+      val dTrans = acc
+        .join(dict.select(col("nid").as("a"), col("n").as("s")), Seq("a"))
+        .join(dict.select(col("nid").as("b"), col("n").as("o")), Seq("b"))
+        .join(broadcast(pDict), Seq("p_id"))
+        .select(col("s"), col("pterm").as("p"), col("o"))
+      derived :+= dTrans
+      facts = facts.unionByName(withPid(graft.engine.DfOps.reid(dTrans)))
+    }
+
+    // RuleOwlSameAs1/2/3: equivalence classes (CC in id space), all-pairs sameAs,
+    // then subject/object substitution over the fact base
+    if (hasSameAs) {
+      val saStmts = stmts.filter(col("p_id") === sameAsId)
+        .select(col("s"), col("o")).localCheckpoint()
+      val comp = graft.gas.Gas.connectedComponents(
+        saStmts.select(col("s")("id").as("src"), col("o")("id").as("dst")))
+      val saDict = saStmts.select(col("s").as("n")).unionByName(saStmts.select(col("o").as("n")))
+        .withColumn("nid", col("n")("id")).dropDuplicates("nid")
+      val members = comp.join(saDict, col("vertex") === col("nid"))
+        .select(col("component"), col("nid"), col("n")).localCheckpoint()
+      val aliasPairs = members.select(col("component"), col("nid").as("xid"), col("n").as("x"))
+        .join(members.select(col("component"), col("nid").as("yid"), col("n").as("y")),
+          Seq("component"))
+        .filter(col("xid") =!= col("yid"))
+      derived :+= aliasPairs.select(col("x").as("s"), Term.iri(OWL_SAMEAS).as("p"), col("y").as("o"))
+      val aliasOf = aliasPairs.select(col("xid"), col("y").as("alias")).localCheckpoint()
+      val subjSub = facts.filter(col("p_id") =!= sameAsId)
+        .join(broadcast(aliasOf), col("s")("id") === col("xid"))
+        .select(col("alias").as("s"), col("p"), col("o"))
+      val objSub = facts.filter(col("p_id") =!= sameAsId &&
+          col("o")("kind") =!= Term.KIND_LITERAL)
+        .join(broadcast(aliasOf), col("o")("id") === col("xid"))
+        .select(col("s"), col("p"), col("alias").as("o"))
+      derived :+= subjSub
+      derived :+= objSub
+      facts = facts.unionByName(withPid(graft.engine.DfOps.reid(subjSub)))
+        .unionByName(withPid(graft.engine.DfOps.reid(objSub)))
+    }
+
+    // facts incl. property/owl entailments feed domain/range/type rules
+    val factsForTypes = facts.select(col("s"), col("p_id").as("pid"), col("o"))
 
     // rdfs2/rdfs3: domain/range → type triples (broadcast joins)
     var typeCandidates = Seq.empty[DataFrame]
@@ -133,7 +235,7 @@ object Rdfs {
     if (sc.nonEmpty) {
       val scAll = pairsDf(sc.toSeq ++ scC, "c_a", "c_b").dropDuplicates("c_a", "c_b")
         .select(col("c_a")("id").as("tid"), col("c_b").as("cls"))
-      val allTypes = (spo.filter(col("p_id") === typeId).select(col("s"), col("o")) +:
+      val allTypes = (facts.filter(col("p_id") === typeId).select(col("s"), col("o")) +:
         typeCandidates.map(_.select(col("s"), col("cls").as("o"))))
         .map(graft.engine.DfOps.reid).reduce(_.unionByName(_))
       derived :+= allTypes.select(col("s"), col("o")("id").as("tid"))

@@ -1,0 +1,74 @@
+package graft
+
+import graft.engine.{Engine, Update}
+import graft.inference.Rdfs
+import org.apache.spark.sql.functions._
+
+/** OWL-subset rules (rdf/rules/RuleOwl*.java): inverseOf, TransitiveProperty,
+  * sameAs, equivalentClass/Property — staged broadcast rules over the fact base.
+  */
+class OwlSpec extends GraftSuite {
+
+  private val owl = "http://www.w3.org/2002/07/owl#"
+
+  test("owl:inverseOf derives reversed statements (both directions)") {
+    val s0 = Update(store,
+      s"""INSERT DATA {
+         |  <urn:o:hasPart> <${owl}inverseOf> <urn:o:partOf> .
+         |  <urn:o:w1> <urn:o:hasPart> <urn:o:p1> .
+         |  <urn:o:p2> <urn:o:partOf> <urn:o:w2> . }""".stripMargin)
+    val c = Rdfs.closure(s0)
+    assert(Engine.query(c, "ASK { <urn:o:p1> <urn:o:partOf> <urn:o:w1> }").first().getBoolean(0))
+    assert(Engine.query(c, "ASK { <urn:o:w2> <urn:o:hasPart> <urn:o:p2> }").first().getBoolean(0))
+  }
+
+  test("owl:TransitiveProperty closes chains") {
+    val s0 = Update(store,
+      s"""INSERT DATA {
+         |  <urn:o:anc> a <${owl}TransitiveProperty> .
+         |  <urn:o:a> <urn:o:anc> <urn:o:b> .
+         |  <urn:o:b> <urn:o:anc> <urn:o:c> .
+         |  <urn:o:c> <urn:o:anc> <urn:o:d> . }""".stripMargin)
+    val c = Rdfs.closure(s0)
+    assert(Engine.query(c, "ASK { <urn:o:a> <urn:o:anc> <urn:o:d> }").first().getBoolean(0))
+    assert(Engine.query(c, "SELECT ?y WHERE { <urn:o:a> <urn:o:anc> ?y }").count() == 3)
+  }
+
+  test("owl:sameAs closes symmetric/transitive and substitutes subjects/objects") {
+    val s0 = Update(store,
+      s"""INSERT DATA {
+         |  <urn:o:x1> <${owl}sameAs> <urn:o:x2> .
+         |  <urn:o:x2> <${owl}sameAs> <urn:o:x3> .
+         |  <urn:o:x1> <urn:o:likes> <urn:o:z> .
+         |  <urn:o:y> <urn:o:knows> <urn:o:x3> . }""".stripMargin)
+    val c = Rdfs.closure(s0)
+    // sameAs closure: x3 sameAs x1 (symmetry + transitivity)
+    assert(Engine.query(c, s"ASK { <urn:o:x3> <${owl}sameAs> <urn:o:x1> }").first().getBoolean(0))
+    // subject substitution: x3 likes z
+    assert(Engine.query(c, "ASK { <urn:o:x3> <urn:o:likes> <urn:o:z> }").first().getBoolean(0))
+    // object substitution: y knows x1
+    assert(Engine.query(c, "ASK { <urn:o:y> <urn:o:knows> <urn:o:x1> }").first().getBoolean(0))
+  }
+
+  test("owl:equivalentClass/Property behave as mutual sub-relations") {
+    val s0 = Update(store,
+      s"""INSERT DATA {
+         |  <urn:o:Car> <${owl}equivalentClass> <urn:o:Automobile> .
+         |  <urn:o:drives> <${owl}equivalentProperty> <urn:o:operates> .
+         |  <urn:o:v> a <urn:o:Car> .
+         |  <urn:o:d> <urn:o:operates> <urn:o:v> . }""".stripMargin)
+    val c = Rdfs.closure(s0)
+    assert(Engine.query(c, "ASK { <urn:o:v> a <urn:o:Automobile> }").first().getBoolean(0))
+    assert(Engine.query(c, "ASK { <urn:o:d> <urn:o:drives> <urn:o:v> }").first().getBoolean(0))
+    // symmetric schema statements derived
+    assert(Engine.query(c,
+      s"ASK { <urn:o:Automobile> <${owl}equivalentClass> <urn:o:Car> }").first().getBoolean(0))
+  }
+
+  test("rdfs closure still green after owl staging (regression)") {
+    val closed = Rdfs.closure(store)
+    val n = Engine.query(closed, "SELECT (COUNT(*) AS ?c) WHERE { ?x a <urn:c:Any> }")
+      .first().getStruct(0).getAs[Long]("lng")
+    assert(n > 8000) // every typed subject is an Any via subclass axioms (sf0.001 ≈ 9.4k)
+  }
+}
