@@ -590,8 +590,10 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     case OpValues(v) => valuesDf(v)
     case OpSubquery(q) => compileSelect(q)
     case OpService(iri, inner, silent) => Services.dispatch(this, iri, inner, silent)
-    case OpInclude(name) => namedSets.getOrElse(name,
-      throw new IllegalArgumentException(s"INCLUDE %$name: no such named subquery"))
+    case OpInclude(name) => namedSets.get(name)
+      .orElse(SolutionSets.view(store).get(name))
+      .getOrElse(
+        throw new IllegalArgumentException(s"INCLUDE %$name: no such named subquery"))
   }
 
   private def applyFilter(df: DataFrame, e: Expr): DataFrame = e match {
@@ -859,6 +861,27 @@ object BuiltinServices {
       (col("n").as(outVar) +: out1Var.map(v => col("value").as(v)).toSeq): _*)
     joined
   }
+}
+
+/** Cross-query named solution sets (`rdf/sparql/ast/ssets/`,
+  * `bop/solutions/SolutionSetStream.java`): a solution set cached under a name once
+  * and hash-joined by `INCLUDE %name` from ANY later query on the same store.
+  */
+object SolutionSets {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(GraftStore, String), DataFrame]
+
+  /** Evaluate and cache a named solution set (materialized once). */
+  def put(store: GraftStore, name: String, sparql: String): DataFrame = {
+    val df = Engine.query(store, sparql).localCheckpoint()
+    cache((store, name)) = df
+    df
+  }
+
+  def drop(store: GraftStore, name: String): Unit = cache.remove((store, name))
+
+  private[engine] def view(store: GraftStore): Map[String, DataFrame] =
+    cache.collect { case ((s, n), df) if s eq store => n -> df }.toMap
 }
 
 /** Front door: parse → dataset clause → compile (the ASTEvalHelper analog). */

@@ -129,4 +129,28 @@ class Feature3Spec extends GraftSuite {
       """SELECT ?c WHERE { << <urn:f3:e2> <urn:p:worksFor> <urn:f3:acme> >> <urn:p:certainty> ?c }""")
     assert(one.select(col("c")("num")).first().getDouble(0) == 0.4)
   }
+
+  test("change log reports the statement delta of an update") {
+    val (next, log) = Update.applyWithLog(store,
+      """INSERT DATA { <urn:f3:cl> <urn:p:v> 1 . } ;
+        |DELETE DATA { GRAPH <urn:g:region> { <urn:t:region:0> <urn:p:r_name> "AFRICA" . } }""".stripMargin)
+    assert(log.added.count() == 1)
+    assert(log.removed.count() == 1)
+    assert(log.removed.select(col("o")("str")).first().getString(0) == "AFRICA")
+    assert(next.statements.count() == store.statements.count())
+  }
+
+  test("cross-query solution-set cache serves INCLUDE") {
+    import graft.engine.SolutionSets
+    SolutionSets.put(store, "bigcust",
+      "SELECT ?c WHERE { ?c <urn:p:c_acctbal> ?b . FILTER(?b > 9000.0) }")
+    try {
+      val df = Engine.query(store,
+        "SELECT ?name WHERE { INCLUDE %bigcust . ?c <urn:p:c_name> ?name }")
+      val direct = Engine.query(store,
+        """SELECT ?name WHERE { ?c <urn:p:c_acctbal> ?b ; <urn:p:c_name> ?name .
+          |  FILTER(?b > 9000.0) }""".stripMargin)
+      assert(df.count() == direct.count() && df.count() > 0)
+    } finally SolutionSets.drop(store, "bigcust")
+  }
 }
