@@ -47,8 +47,17 @@ final class SparqlServer(@volatile private var store: GraftStore, port: Int = 0)
         return respond(ex, 400, "text/plain", "missing 'query' parameter"))
       val df = Engine.query(store, q)
       val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+      // CONSTRUCT/DESCRIBE yield a triples frame → RDF serialization (N-Triples/
+      // N-Quads), not a bindings format (QueryServlet's content negotiation)
+      val isGraph = df.columns.take(3).sameElements(Array("s", "p", "o"))
       val (ct, body) =
-        if (accept.contains("xml")) ("application/sparql-results+xml", SparqlResults.toXml(df))
+        if (isGraph) {
+          val lines = graft.sources.Rio.toNQuadLines(df)
+            .collect().map(_.getString(0)).mkString("", "\n", "\n")
+          (if (accept.contains("n-quads")) "application/n-quads"
+           else "application/n-triples", lines)
+        }
+        else if (accept.contains("xml")) ("application/sparql-results+xml", SparqlResults.toXml(df))
         else if (accept.contains("csv")) ("text/csv", SparqlResults.toCsv(df))
         else if (accept.contains("tab-separated")) ("text/tab-separated-values", SparqlResults.toTsv(df))
         else ("application/sparql-results+json", SparqlResults.toJson(df))

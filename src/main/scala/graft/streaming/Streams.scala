@@ -48,19 +48,28 @@ object Streams {
   }
 
   /** Mutable holder for an incrementally-maintained store. */
-  final class StreamingStore(spark: SparkSession, initial: GraftStore) {
+  final class StreamingStore(spark: SparkSession, initial: GraftStore,
+                             maintainClosure: Boolean = false) {
     @volatile var store: GraftStore = initial
 
-    /** Start incremental ingest from a streaming Dataset of N-Triples lines. */
+    /** Start incremental ingest from a streaming Dataset of N-Triples lines.
+      * With `maintainClosure`, each micro-batch re-derives entailments over the
+      * updated store (incremental closure maintenance — the IChangeLog consumer the
+      * reference feeds its `TruthMaintenance` from; recompute-on-delta is the
+      * columnar-store strategy, SURVEY §2.15).
+      */
     def start(lines: Dataset[String], checkpointDir: String): StreamingQuery = {
       lines.writeStream
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: Dataset[String], _: Long) =>
           val stmts = graft.sources.Rio.statementsFromLines(batch)
-          if (!stmts.isEmpty)
-            store = store.withStatements(
+          if (!stmts.isEmpty) {
+            val appended = store.withStatements(
               store.statements.unionByName(stmts).localCheckpoint())
+            store = if (maintainClosure)
+              graft.inference.Rdfs.truthMaintain(appended) else appended
+          }
         }
         .start()
     }

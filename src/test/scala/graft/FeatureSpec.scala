@@ -160,6 +160,21 @@ class FeatureSpec extends GraftSuite {
     q.stop()
   }
 
+  test("streaming ingest with incremental closure maintenance") {
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
+    val holder = new Streams.StreamingStore(spark, store, maintainClosure = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cl").toString
+    val q = holder.start(mem.toDS(), dir)
+    // arriving schema + instance triples entail a type within the same micro-batch
+    mem.addData(
+      "<urn:stream:C> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:c:Any> .",
+      "<urn:stream:i> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:stream:C> .")
+    q.processAllAvailable()
+    assert(Engine.query(holder.store, "ASK { <urn:stream:i> a <urn:c:Any> }")
+      .first().getBoolean(0))
+    q.stop()
+  }
+
   test("windowed event stats and sessionization run on a stream") {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)](spark)
     val stats = Streams.windowedEventStats(

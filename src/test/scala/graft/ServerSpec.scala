@@ -93,4 +93,16 @@ class ServerSpec extends GraftSuite {
         """SELECT (COUNT(*) AS ?c) WHERE { ?a ?p1 ?x . ?b ?p2 ?y }""", 50)
     }
   }
+
+  test("CONSTRUCT results are RDF content-negotiated (N-Triples)") {
+    val srv = new SparqlServer(store).start()
+    try {
+      val q = "CONSTRUCT { ?r <urn:p:name> ?n } WHERE { ?r <urn:p:r_name> ?n }"
+      val r = get(s"http://127.0.0.1:${srv.boundPort}/sparql?query=${enc(q)}", "text/turtle")
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").orElse("").contains("n-triples"))
+      assert(r.body().linesIterator.count(_.nonEmpty) == 5)
+      assert(r.body().contains("<urn:p:name>"))
+    } finally srv.stop()
+  }
 }
