@@ -464,8 +464,10 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     * unpruned dictionary.
     */
   private def termDict(p: Path): DataFrame =
-    if (store.lexiconPath.isDefined) store.nodeTerms
+    if (store.lexiconPath.isDefined) store.nodeTerms // cached + fixed-partitioned
     else {
+      // mutated store (no cached lexicon): dictionary from the path's own pruned
+      // partitions — never a full-corpus rebuild
       val pids = if (containsZero(p)) None else pathPredIds(p)
       val base = pids match {
         case Some(ids) => store.statements.filter(col("p_id").isin(ids: _*))
