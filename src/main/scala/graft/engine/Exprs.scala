@@ -16,6 +16,20 @@ import org.apache.spark.sql.types._
   * value. Here: error = NULL term / NULL boolean; FILTER wraps with
   * `coalesce(ebv, false)` (the EBVBOp analog).
   */
+/** Custom scalar-function registry — the `FunctionRegistry.add(URI, Factory)`
+  * extension point (`rdf/sparql/ast/FunctionRegistry.java`): an IRI-named function in
+  * a query resolves here first, then falls back to the xsd-cast built-ins. A builder
+  * maps term-struct argument Columns to a term-struct result Column, so registered
+  * functions stay inside Catalyst codegen like every built-in.
+  */
+object Functions {
+  private val reg =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Column] => Column]
+  def register(uri: String, f: Seq[Column] => Column): Unit = reg(uri) = f
+  def unregister(uri: String): Unit = reg.remove(uri)
+  private[engine] def get(uri: String): Option[Seq[Column] => Column] = reg.get(uri)
+}
+
 object Exprs {
 
   private def nullB: Column = lit(null).cast(BooleanType)
@@ -291,7 +305,12 @@ object Exprs {
       case "SHA512" => hashFn(a0, sha2(fStr(a0), 512))
       case "UUID" => Term.iri(concat(lit("urn:uuid:"), expr("uuid()")))
       case "STRUUID" => Term.strLit(expr("uuid()"))
-      case cast if cast.startsWith("CAST:") => castFn(cast.substring(5), a0)
+      case iriFn if iriFn.startsWith("CAST:") =>
+        val uri = iriFn.substring(5)
+        Functions.get(uri) match {
+          case Some(f) => f(args)
+          case None => castFn(uri, a0)
+        }
       case other => throw new UnsupportedOperationException(s"function $other")
     }
   }

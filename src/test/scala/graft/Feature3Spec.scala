@@ -153,4 +153,21 @@ class Feature3Spec extends GraftSuite {
       assert(df.count() == direct.count() && df.count() > 0)
     } finally SolutionSets.drop(store, "bigcust")
   }
+
+  test("custom scalar functions register by URI (FunctionRegistry extension point)") {
+    import graft.engine.{Exprs, Functions}
+    import graft.model.Term
+    Functions.register("urn:fn:double",
+      args => Term.doubleLit(Exprs.fNum(args.head) * 2.0))
+    try {
+      val df = Engine.query(store,
+        """SELECT ?x WHERE { <urn:t:nation:5> <urn:p:n_nationkey> ?k .
+          |  BIND(<urn:fn:double>(?k) AS ?x) }""".stripMargin)
+      assert(df.select(col("x")("num")).first().getDouble(0) == 10.0)
+    } finally Functions.unregister("urn:fn:double")
+    // unregistered IRI functions still fail cleanly
+    val e = intercept[Exception](Engine.query(store,
+      "SELECT ?x WHERE { BIND(<urn:fn:nope>(1) AS ?x) }").count())
+    assert(e.getMessage.contains("urn:fn:nope"))
+  }
 }
