@@ -62,7 +62,8 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
 
   // ======== BGP ========
   private def isSimpleP(p: Path): Boolean = p match {
-    case PLink(_) | PNeg(_) => true
+    case PNeg(set) => !set.exists(_._2) // mixed ^-sets route through pathTriple
+    case PLink(_) => true
     case PInv(PLink(_)) => true
     case _ => false
   }
@@ -308,6 +309,17 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
 
   /** All (a,b) id pairs connected by the path — the inner "edge" relation. */
   def pathPairIds(p: Path, g: Option[Node]): DataFrame = p match {
+    case PNeg(set) if set.exists(_._2) =>
+      // mixed negated property set (SPARQL §9.1): !(p…|^q…) splits into a forward
+      // part excluding {p…} and an inverse part excluding {q…}; each direction
+      // participates iff it has members
+      val fwd = set.collect { case (i, false) => (i, false) }
+      val bwd = set.collect { case (i, true) => (i, false) }
+      val parts = Seq(
+        if (fwd.nonEmpty) Some(pathPairIds(PNeg(fwd), g)) else None,
+        if (bwd.nonEmpty) Some(pathPairIds(PNeg(bwd), g)
+          .select(col("b").as("a"), col("a").as("b"))) else None).flatten
+      parts.reduce(_.unionByName(_))
     case PLink(_) | PNeg(_) =>
       scanTriple(Triple(VarNode("a"), p, VarNode("b"), g))
         .select(col("a")("id").as("a"), col("b")("id").as("b"))
