@@ -1,0 +1,47 @@
+package graft
+
+import graft.engine.{Engine, TermIds}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions for the at-scale levers SURVEY §8.1 claims: p_id
+  * partition pruning (the POS-index analog), nested predicate pushdown, nested-schema
+  * pruning, and broadcast joins for small relations. These are the properties that
+  * survive a 100× scale-up — asserted, not eyeballed.
+  */
+class PlanSpec extends GraftSuite {
+
+  private def planOf(sparql: String): String =
+    Engine.query(store, sparql).queryExecution.executedPlan.toString
+
+  test("constant-predicate scan prunes p_id partitions") {
+    val plan = planOf("SELECT ?c WHERE { ?c <urn:p:c_mktsegment> \"BUILDING\" }")
+    assert(plan.contains("PartitionFilters") && plan.contains("p_id"),
+      s"expected p_id partition filter:\n$plan")
+  }
+
+  test("constant-object filter pushes down to the parquet scan (nested id)") {
+    val df = Engine.query(store, "SELECT ?c WHERE { ?c <urn:p:c_mktsegment> \"BUILDING\" }")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [") && scan.contains("o.id"),
+      s"expected nested o.id pushed filter:\n$scan")
+  }
+
+  test("id-only projections read a pruned nested schema, not full term structs") {
+    // path pair scan projects only s.id/o.id — ReadSchema must not include str
+    val c = new graft.engine.Compiler(store, graft.engine.DatasetSpec.all)
+    val pairs = c.pathPairIds(graft.sparql.Ast.PLink("urn:fk:o_custkey"), None)
+    val plan = pairs.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("id:bigint") && !readSchema.contains("str:string"),
+      s"expected id-only nested read schema, got: $readSchema")
+  }
+
+  test("dimension-sized join sides broadcast") {
+    val plan = planOf(
+      """SELECT ?cname ?nname WHERE {
+        |  ?c <urn:p:c_name> ?cname ; <urn:fk:c_nationkey> ?n .
+        |  ?n <urn:p:n_name> ?nname }""".stripMargin)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast join for the nation side:\n$plan")
+  }
+}
