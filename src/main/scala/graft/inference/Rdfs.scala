@@ -76,9 +76,16 @@ object Rdfs {
   def closure(store: GraftStore): GraftStore = {
     val spark = store.spark
     val stmts = store.statements
-    def schema(pid: Long): Array[(Row, Row)] =
-      stmts.filter(col("p_id") === pid).select("s", "o")
-        .collect().map(r => (r.getStruct(0), r.getStruct(1)))
+    // ONE pruned scan collects every (vocabulary-sized) schema relation — not one
+    // driver action per predicate
+    val schemaPids = Seq(subClassId, subPropId, domainId, rangeId,
+      inverseOfId, eqClassId, eqPropId)
+    val schemaRows: Map[Long, Array[(Row, Row)]] = stmts
+      .filter(col("p_id").isin(schemaPids: _*))
+      .select(col("p_id"), col("s"), col("o")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(r => (r.getStruct(1), r.getStruct(2))) }
+    def schema(pid: Long): Array[(Row, Row)] = schemaRows.getOrElse(pid, Array.empty)
 
     // owl:equivalentClass/Property fold into the subClass/subProperty closures
     // (RuleOwlEquivalentClass/Property: a ≡ b ⇔ a ⊑ b ∧ b ⊑ a)
@@ -257,6 +264,9 @@ object Rdfs {
     val inferred = GraftStore.assemble(allDerived
       .withColumn("g", Term.nullTerm)
       .withColumn("stype", lit(GraftStore.STYPE_INFERRED).cast("byte")))
+    // the union stays LAZY: a downstream query's p_id filter pushes into the
+    // derivation branches and prunes most of the closure work (measured faster than
+    // eagerly materializing the delta — single-consumer closures dominate)
     store.withStatements(store.statements.unionByName(inferred))
   }
 }
