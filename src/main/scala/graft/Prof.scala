@@ -35,6 +35,37 @@ object Prof {
       engine.Engine.query(store,
         "SELECT ?s ?t WHERE { ?s (<urn:fk:n_regionkey>|<urn:p:n_name>) ?t . }").count()
     }
+    // GAS BFS staging
+    locally {
+      val li = spark.read.parquet(dir + "/lineitem.parquet")
+      val edges = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val adj = t("bfs adjacency build") {
+        edges.select("src", "dst")
+          .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+          .dropDuplicates("src", "dst")
+          .repartition(col("src")).sortWithinPartitions("src")
+          .localCheckpoint()
+      }
+      println("PROF adj rows " + adj.count())
+      val src = t("bfs min src")(edges.agg(min("src")).first().getLong(0))
+      import spark.implicits._
+      var visited = Seq((src, 0)).toDF("vertex", "level").localCheckpoint()
+      var frontier = visited
+      var level = 0
+      var n = 1L
+      while (n > 0 && level < 50) {
+        level += 1
+        val t0 = System.nanoTime()
+        val next = frontier.join(adj, col("vertex") === col("src"))
+          .select(col("dst").as("vertex")).dropDuplicates("vertex")
+          .join(visited, Seq("vertex"), "left_anti")
+          .withColumn("level", lit(level)).localCheckpoint()
+        n = next.count()
+        println(f"PROF bfs round $level frontier=$n%8d  ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+        if (n > 0) { visited = visited.unionByName(engine.DfOps.reid(next)); frontier = next }
+      }
+    }
     // q_collection staging
     val stU = t("update: insert list") {
       engine.Update(store, "INSERT DATA { <urn:q:list> <urn:p:items> ( 10 20 30 ) . }")
