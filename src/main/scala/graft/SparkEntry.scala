@@ -657,6 +657,30 @@ object SparkEntry {
            |SELECT CAST(vertex AS BIGINT) AS vertex, round(rank, 9) AS rank FROM r5""".stripMargin
       }),
 
+    // weighted single-source shortest paths on the nation–region graph
+    ("p_gas_sssp", ((s: SparkSession, dir: String) => {
+      val n = read(s, dir, "nation")
+      val edges = n.select((col("n_nationkey") * 2 + 1).as("src"),
+        (col("n_regionkey") * 2).as("dst"),
+        (col("n_nationkey") % 4 + 1).cast("double").as("weight"))
+      graft.gas.Gas.sssp(edges, 0L)
+        .select(col("vertex"), col("dist"))
+    }): Q,
+      // Bellman-Ford as a hop-bounded recursive CTE over the undirected edge set
+      Some("""WITH RECURSIVE
+             | e AS (SELECT n_nationkey*2+1 AS src, n_regionkey*2 AS dst,
+             |              CAST(n_nationkey % 4 + 1 AS DOUBLE) AS w FROM nation
+             |       UNION SELECT n_regionkey*2, n_nationkey*2+1,
+             |              CAST(n_nationkey % 4 + 1 AS DOUBLE) FROM nation),
+             | walk(vertex, dist, hops) AS (
+             |   SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), 0
+             |   UNION
+             |   SELECT e.dst, w.dist + e.w, w.hops + 1 FROM walk w
+             |   JOIN e ON w.vertex = e.src WHERE w.hops < 8
+             | )
+             |SELECT CAST(vertex AS BIGINT) AS vertex, MIN(dist) AS dist
+             |FROM walk GROUP BY vertex""".stripMargin)),
+
     ("p_gas_bfs", ((s: SparkSession, dir: String) => {
       val li = read(s, dir, "lineitem")
       val edges = li.select((col("l_partkey") * 2).as("src"),
