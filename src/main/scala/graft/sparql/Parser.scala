@@ -29,7 +29,7 @@ object Parser {
   final case class TPunct(s: String, pos: Int) extends Tok
   final case class TEof(pos: Int) extends Tok
 
-  private val puncts = Seq("<<", ">>", "^^", "&&", "||", "!=", "<=", ">=", "{", "}", "(", ")",
+  private val puncts = Seq("<<", ">>", "{|", "|}", "^^", "&&", "||", "!=", "<=", ">=", "{", "}", "(", ")",
     "[", "]", ",", ";", "=", "<", ">", "!", "+", "-", "*", "/", "|", "^", "?", ".")
 
   def tokenize(q: String): IndexedSeq[Tok] = {
@@ -564,7 +564,8 @@ object Parser {
     private def parsePropertyList(s: Node, out: ArrayBuffer[GP]): Unit = {
       var go = true
       while (go) {
-        if (isPunct("]") || isPunct("}") || isPunct(".") || cur.isInstanceOf[TEof]) { go = false }
+        if (isPunct("]") || isPunct("}") || isPunct(".") || isPunct("|}") ||
+            cur.isInstanceOf[TEof]) { go = false }
         else {
           val p: Either[Path, VarNode] = cur match {
             case TVar(n, _) => i += 1; Right(VarNode(n))
@@ -588,10 +589,24 @@ object Parser {
               case Left(path) => out += TripleGP(s, path, o)
               case Right(v) => out += TripleGP(s, PLink("?" + v.name), o) // var predicate marker
             }
+            // SPARQL-star annotation pattern: `s p o {| … |}` matches the sid term
+            if (isPunct("{|")) {
+              i += 1
+              val sid = freshBNodeVar()
+              out += TripleGP(sid, PLink(graft.model.Term.RDF_SUBJECT), s)
+              p match {
+                case Left(PLink(iri)) if !iri.startsWith("?") =>
+                  out += TripleGP(sid, PLink(graft.model.Term.RDF_PREDICATE), IriNode(iri))
+                case _ => throw ParseError("annotation on a non-simple predicate", 0)
+              }
+              out += TripleGP(sid, PLink(graft.model.Term.RDF_OBJECT), o)
+              parsePropertyList(sid, out)
+              expectPunct("|}")
+            }
             more = acceptPunct(",")
           }
           go = acceptPunct(";")
-          if (go && (isPunct("]") || isPunct("}") || isPunct("."))) go = false
+          if (go && (isPunct("]") || isPunct("}") || isPunct(".") || isPunct("|}"))) go = false
         }
       }
     }
@@ -956,10 +971,23 @@ object Parser {
         }
         var more = true
         while (more) {
-          out += QuadData(s, p, parseQuadNode(out, g), g)
+          val o = parseQuadNode(out, g)
+          out += QuadData(s, p, o, g)
+          // RDF-star annotation syntax: `s p o {| p2 o2 ; … |}` asserts the base
+          // triple and annotates its sid term
+          if (isPunct("{|")) {
+            i += 1
+            val sid = SidNode(s, p, o)
+            out += QuadData(sid, IriNode(graft.model.Term.RDF_SUBJECT), s, g)
+            out += QuadData(sid, IriNode(graft.model.Term.RDF_PREDICATE), p, g)
+            out += QuadData(sid, IriNode(graft.model.Term.RDF_OBJECT), o, g)
+            parseQuadPropertyList(sid, out, g)
+            expectPunct("|}")
+          }
           more = acceptPunct(",")
         }
-        go = acceptPunct(";") && !isPunct("}") && !isPunct(".") && !isPunct("]")
+        go = acceptPunct(";") && !isPunct("}") && !isPunct(".") &&
+          !isPunct("]") && !isPunct("|}")
       }
     }
 

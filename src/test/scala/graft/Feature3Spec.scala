@@ -170,4 +170,18 @@ class Feature3Spec extends GraftSuite {
       "SELECT ?x WHERE { BIND(<urn:fn:nope>(1) AS ?x) }").count())
     assert(e.getMessage.contains("urn:fn:nope"))
   }
+
+  test("RDF-star annotation syntax asserts and annotates in data and patterns") {
+    val s0 = Update(store,
+      """INSERT DATA {
+        |  <urn:f3:m1> <urn:p:memberOf> <urn:f3:band> {| <urn:p:since> 2003 ; <urn:p:role> "bass" |} .
+        |}""".stripMargin)
+    assert(Engine.query(s0, "ASK { <urn:f3:m1> <urn:p:memberOf> <urn:f3:band> }").first().getBoolean(0))
+    val df = Engine.query(s0,
+      """SELECT ?since ?role WHERE {
+        |  ?m <urn:p:memberOf> <urn:f3:band> {| <urn:p:since> ?since ; <urn:p:role> ?role |} .
+        |}""".stripMargin)
+    val r = df.select(col("since")("lng"), col("role")("str")).first()
+    assert(r.getLong(0) == 2003L && r.getString(1) == "bass")
+  }
 }
