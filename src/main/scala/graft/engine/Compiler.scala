@@ -179,7 +179,9 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
       }
     }
     while (deferred.nonEmpty) {
-      val idx = deferred.indexWhere(t => Algebra.tripleVars(t).exists(bound))
+      // seedable only when an ENDPOINT var is bound (a shared graph var is not a seed)
+      val idx = deferred.indexWhere(t =>
+        bound(t.s.asInstanceOf[VarNode].name) || bound(t.o.asInstanceOf[VarNode].name))
       if (idx < 0 || df == null) {
         val t = deferred.remove(0)
         val next = pathTriple(t)
@@ -882,20 +884,31 @@ object BuiltinServices {
   * and hash-joined by `INCLUDE %name` from ANY later query on the same store.
   */
 object SolutionSets {
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(GraftStore, String), DataFrame]
+  private val MaxEntries = 64
+  // insertion-ordered with a hard cap: stores are immutable (every Update makes a new
+  // one), so entries for superseded stores must age out rather than pin checkpointed
+  // blocks for the process lifetime
+  private val cache = new java.util.LinkedHashMap[(GraftStore, String), DataFrame](
+    16, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(GraftStore, String), DataFrame]): Boolean =
+      size() > MaxEntries
+  }
 
   /** Evaluate and cache a named solution set (materialized once). */
-  def put(store: GraftStore, name: String, sparql: String): DataFrame = {
+  def put(store: GraftStore, name: String, sparql: String): DataFrame = cache.synchronized {
     val df = Engine.query(store, sparql).localCheckpoint()
-    cache((store, name)) = df
+    cache.put((store, name), df)
     df
   }
 
-  def drop(store: GraftStore, name: String): Unit = cache.remove((store, name))
+  def drop(store: GraftStore, name: String): Unit =
+    cache.synchronized { cache.remove((store, name)) }
 
-  private[engine] def view(store: GraftStore): Map[String, DataFrame] =
-    cache.collect { case ((s, n), df) if s eq store => n -> df }.toMap
+  private[engine] def view(store: GraftStore): Map[String, DataFrame] = cache.synchronized {
+    import scala.jdk.CollectionConverters._
+    cache.asScala.collect { case ((s, n), df) if s eq store => n -> df }.toMap
+  }
 }
 
 /** Front door: parse → dataset clause → compile (the ASTEvalHelper analog). */

@@ -118,9 +118,14 @@ object Exprs {
       case "-" => fNum(l) - fNum(r)
       case "*" => fNum(l) * fNum(r)
       case "/" =>
+        // CAST(-0.0 AS STRING) = "-0.0": the sign bit of a zero divisor survives the
+        // string cast (Spark's atan2 normalizes -0.0 away, so that trick fails)
+        val divNeg = fNum(r).cast(StringType).startsWith("-")
         when(fNum(r) =!= 0.0, try_divide(fNum(l), fNum(r)))
-          .when(fNum(l) > 0.0, lit(Double.PositiveInfinity))
-          .when(fNum(l) < 0.0, lit(Double.NegativeInfinity))
+          .when(fNum(l) > 0.0,
+            when(divNeg, lit(Double.NegativeInfinity)).otherwise(lit(Double.PositiveInfinity)))
+          .when(fNum(l) < 0.0,
+            when(divNeg, lit(Double.PositiveInfinity)).otherwise(lit(Double.NegativeInfinity)))
           .otherwise(lit(Double.NaN))
     }
     // long path must not abort the query under ANSI mode: try_* yields NULL on

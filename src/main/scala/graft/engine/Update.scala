@@ -44,7 +44,8 @@ object Update {
     val ops = Parser.parseUpdate(updateText)
     val next = ops.foldLeft(store)(applyOp)
     val retracts = ops.exists {
-      case _: DeleteData | _: Modify | _: ClearGraph | _: MoveGraph => true
+      // COPY clears its target graph first, so it retracts too
+      case _: DeleteData | _: Modify | _: ClearGraph | _: MoveGraph | _: CopyGraph => true
       case ClearDefault | ClearNamed => true
       case _ => false
     }
@@ -106,13 +107,23 @@ object Update {
     case NamedRef(g) => applyOp(store, ClearGraph(Some(g)))
   }
 
+  private val bnodeScope = new java.util.concurrent.atomic.AtomicLong()
+
   /** Ground quads → statements DataFrame. Blank nodes (labeled or generated by
     * `[…]`/`(…)` syntax) arrive as the parser's VarNode placeholders and become
-    * bnode terms scoped to this update.
+    * bnode terms scoped to THIS update execution (SPARQL: bnode labels are scoped
+    * per request — re-running the same INSERT DATA creates fresh bnodes). Labeled
+    * and generated bnodes live in disjoint namespaces so `_:bn1` never collides
+    * with a `[…]`-generated node.
     */
   private def constQuads(store: GraftStore, quads: Seq[QuadData]): DataFrame = {
+    val scope = bnodeScope.incrementAndGet()
     def term(n: Node): Column = n match {
-      case VarNode(v) => Term.bnode(lit(v.stripPrefix("-bnl_").stripPrefix("-")))
+      case VarNode(v) =>
+        val label =
+          if (v.startsWith("-bnl_")) "b-" + v.stripPrefix("-bnl_")
+          else "g-" + v.stripPrefix("-")
+        Term.bnode(lit(s"$label-u$scope"))
       case SidNode(s, p, o) => Term.sid(term(s), term(p), term(o))
       case other => Exprs.constTerm(other)
     }

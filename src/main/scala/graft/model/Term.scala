@@ -143,15 +143,22 @@ object Term {
         tsLit(to_timestamp(regexp_replace(str, "Z$", ""), "yyyy-MM-dd'T'HH:mm:ss")))
       .otherwise(mk(lit(KIND_LITERAL), str, dt, lang, nullDbl, nullLng, nullTs))
 
-  /** N-Triples-style token of a term (for the SID canonical form). */
-  private def ntTok(t: Column): Column =
+  /** N-Triples-style token of a term (for the SID canonical form). Literal lexical
+    * forms are escaped like Rio's N-Triples writer — otherwise a quote/angle
+    * injection in a literal could make two distinct embedded triples share one
+    * canonical string (and one id).
+    */
+  private def ntTok(t: Column): Column = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(t("str"),
+      "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r")
     when(t("kind") === KIND_IRI, concat(lit("<"), t("str"), lit(">")))
       .when(t("kind") === KIND_BNODE, concat(lit("_:"), t("str")))
       .when(t("kind") === KIND_SID, t("str"))
-      .otherwise(concat(lit("\""), t("str"), lit("\""),
+      .otherwise(concat(lit("\""), esc, lit("\""),
         when(t("lang").isNotNull, concat(lit("@"), t("lang")))
           .when(t("dt").isNotNull, concat(lit("^^<"), t("dt"), lit(">")))
           .otherwise(lit(""))))
+  }
 
   /** Statement term `<< s p o >>` (RDF* / Blazegraph SIDs mode,
     * `rdf/internal/impl/bnode/SidIV.java:82`): a statement-about-a-statement is a

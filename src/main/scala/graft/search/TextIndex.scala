@@ -35,11 +35,12 @@ final class TextIndex(val postings: DataFrame, val lits: DataFrame, val nDocs: L
     filtered
       .filter(col("relevance") >= minRelevance)
       .join(lits, "lit_id")
-      // rank ties break on the lexical form (stable AND reproducible by external
-      // oracles — the internal hash id is not)
+      // rank ties break on the lexical form (reproducible by external oracles — the
+      // internal hash id is not), then lang and id to make the order total
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .orderBy(col("relevance").desc, col("lit_str").asc)))
+          .orderBy(col("relevance").desc, col("lit_str").asc,
+            asc_nulls_first("lit_lang"), col("lit_id").asc)))
       .filter(col("rank") <= maxRank)
       // terms are self-describing: the plain-string literal struct reconstructs
       // canonically from its lexical form — no struct dictionary needed

@@ -47,9 +47,12 @@ final class SparqlServer(@volatile private var store: GraftStore, port: Int = 0)
         return respond(ex, 400, "text/plain", "missing 'query' parameter"))
       val df = Engine.query(store, q)
       val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
-      // CONSTRUCT/DESCRIBE yield a triples frame → RDF serialization (N-Triples/
-      // N-Quads), not a bindings format (QueryServlet's content negotiation)
-      val isGraph = df.columns.take(3).sameElements(Array("s", "p", "o"))
+      // CONSTRUCT/DESCRIBE yield RDF, not bindings — route on the QUERY FORM (a
+      // SELECT projecting ?s ?p ?o must still get a bindings format)
+      val isGraph = graft.sparql.Parser.parseQuery(q) match {
+        case _: graft.sparql.Ast.ConstructQuery | _: graft.sparql.Ast.DescribeQuery => true
+        case _ => false
+      }
       val (ct, body) =
         if (isGraph) {
           val lines = graft.sources.Rio.toNQuadLines(df)

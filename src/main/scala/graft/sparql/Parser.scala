@@ -597,7 +597,9 @@ object Parser {
               p match {
                 case Left(PLink(iri)) if !iri.startsWith("?") =>
                   out += TripleGP(sid, PLink(graft.model.Term.RDF_PREDICATE), IriNode(iri))
-                case _ => throw ParseError("annotation on a non-simple predicate", 0)
+                case Right(v) => // variable predicate: sid rdf:predicate ?p
+                  out += TripleGP(sid, PLink(graft.model.Term.RDF_PREDICATE), VarNode(v.name))
+                case _ => throw ParseError("annotation on a complex path", cur.pos)
               }
               out += TripleGP(sid, PLink(graft.model.Term.RDF_OBJECT), o)
               parsePropertyList(sid, out)
@@ -834,18 +836,18 @@ object Parser {
         cur match {
           case TWord("INSERT", _, _) =>
             i += 1
-            if (acceptWord("DATA")) ops += InsertData(parseQuadData())
+            if (acceptWord("DATA")) ops += InsertData(parseQuadData(assertInner = true))
             else { // INSERT {} WHERE {}
-              val ins = parseQuadPatterns()
+              val ins = parseQuadPatterns(assertInner = true)
               expectWord("WHERE")
               ops += Modify(Nil, ins, parseGroupGP())
             }
           case TWord("DELETE", _, _) =>
             i += 1
-            if (acceptWord("DATA")) ops += DeleteData(parseQuadData())
+            if (acceptWord("DATA")) ops += DeleteData(parseQuadData(assertInner = false))
             else {
-              val del = parseQuadPatterns()
-              val ins = if (acceptWord("INSERT")) parseQuadPatterns() else Nil
+              val del = parseQuadPatterns(assertInner = false)
+              val ins = if (acceptWord("INSERT")) parseQuadPatterns(assertInner = true) else Nil
               expectWord("WHERE")
               ops += Modify(del, ins, parseGroupGP())
             }
@@ -891,14 +893,20 @@ object Parser {
       cur match { case TEof(_) => ops.toSeq; case _ => fail("trailing tokens in update") }
     }
 
-    private def parseQuadData(): Seq[QuadData] = parseQuadPatterns()
+    private def parseQuadData(assertInner: Boolean): Seq[QuadData] =
+      parseQuadPatterns(assertInner)
 
-    private def parseQuadPatterns(): Seq[QuadData] = {
+    /** `assertInner`: whether `<< s p o >>` terms and `{| … |}` annotations also emit
+      * the inner statement + reification decomposition. True for INSERT contexts;
+      * false for DELETE, where an embedded-triple term must only REFERENCE the sid —
+      * deleting an annotation must not delete the annotated statement.
+      */
+    private def parseQuadPatterns(assertInner: Boolean = true): Seq[QuadData] = {
       expectPunct("{")
       val out = ArrayBuffer.empty[QuadData]
       def graphBlock(g: Node): Unit = {
         expectPunct("{")
-        while (!isPunct("}")) { parseQuadTriple(out, Some(g)); acceptPunct(".") }
+        while (!isPunct("}")) { parseQuadTriple(out, Some(g), assertInner); acceptPunct(".") }
         expectPunct("}")
       }
       while (!isPunct("}")) {
@@ -910,7 +918,7 @@ object Parser {
                    case _ => false
                  })) {
           graphBlock(IriNode(parseIri()))
-        } else { parseQuadTriple(out, None); acceptPunct(".") }
+        } else { parseQuadTriple(out, None, assertInner); acceptPunct(".") }
       }
       expectPunct("}")
       out.toSeq
@@ -920,25 +928,29 @@ object Parser {
       * list, or `(…)` collection (Turtle's triples production — shared by
       * INSERT/DELETE DATA and the Turtle/TriG loader).
       */
-    private def parseQuadNode(out: ArrayBuffer[QuadData], g: Option[Node]): Node = cur match {
+    private def parseQuadNode(out: ArrayBuffer[QuadData], g: Option[Node],
+                              assertInner: Boolean): Node = cur match {
       case TPunct("<<", _) =>
-        // SIDs mode: << s p o >> in data ASSERTS the inner statement and binds its
-        // sid term via the reification decomposition (queryable from SPARQL*)
+        // SIDs mode: << s p o >> in INSERT data ASSERTS the inner statement and binds
+        // its sid term via the reification decomposition (queryable from SPARQL*);
+        // in DELETE data it only references the sid term
         i += 1
-        val s = parseQuadNode(out, g)
-        val p = parseQuadNode(out, g)
-        val o = parseQuadNode(out, g)
+        val s = parseQuadNode(out, g, assertInner)
+        val p = parseQuadNode(out, g, assertInner)
+        val o = parseQuadNode(out, g, assertInner)
         expectPunct(">>")
         val sid = SidNode(s, p, o)
-        out += QuadData(s, p, o, g)
-        out += QuadData(sid, IriNode(graft.model.Term.RDF_SUBJECT), s, g)
-        out += QuadData(sid, IriNode(graft.model.Term.RDF_PREDICATE), p, g)
-        out += QuadData(sid, IriNode(graft.model.Term.RDF_OBJECT), o, g)
+        if (assertInner) {
+          out += QuadData(s, p, o, g)
+          out += QuadData(sid, IriNode(graft.model.Term.RDF_SUBJECT), s, g)
+          out += QuadData(sid, IriNode(graft.model.Term.RDF_PREDICATE), p, g)
+          out += QuadData(sid, IriNode(graft.model.Term.RDF_OBJECT), o, g)
+        }
         sid
       case TPunct("[", _) =>
         i += 1
         val v = freshBNodeVar()
-        if (!isPunct("]")) parseQuadPropertyList(v, out, g)
+        if (!isPunct("]")) parseQuadPropertyList(v, out, g, assertInner)
         expectPunct("]")
         v
       case TPunct("(", _) =>
@@ -946,7 +958,7 @@ object Parser {
         if (acceptPunct(")")) IriNode(graft.model.Term.RDF_NIL)
         else {
           val items = ArrayBuffer.empty[Node]
-          while (!isPunct(")")) items += parseQuadNode(out, g)
+          while (!isPunct(")")) items += parseQuadNode(out, g, assertInner)
           expectPunct(")")
           val cells = items.map(_ => freshBNodeVar())
           items.indices.foreach { idx =>
@@ -961,7 +973,7 @@ object Parser {
     }
 
     private def parseQuadPropertyList(s: Node, out: ArrayBuffer[QuadData],
-                                      g: Option[Node]): Unit = {
+                                      g: Option[Node], assertInner: Boolean): Unit = {
       var go = true
       while (go) {
         val p = cur match {
@@ -971,17 +983,19 @@ object Parser {
         }
         var more = true
         while (more) {
-          val o = parseQuadNode(out, g)
+          val o = parseQuadNode(out, g, assertInner)
           out += QuadData(s, p, o, g)
           // RDF-star annotation syntax: `s p o {| p2 o2 ; … |}` asserts the base
-          // triple and annotates its sid term
+          // triple and annotates its sid term (reification only on the insert side)
           if (isPunct("{|")) {
             i += 1
             val sid = SidNode(s, p, o)
-            out += QuadData(sid, IriNode(graft.model.Term.RDF_SUBJECT), s, g)
-            out += QuadData(sid, IriNode(graft.model.Term.RDF_PREDICATE), p, g)
-            out += QuadData(sid, IriNode(graft.model.Term.RDF_OBJECT), o, g)
-            parseQuadPropertyList(sid, out, g)
+            if (assertInner) {
+              out += QuadData(sid, IriNode(graft.model.Term.RDF_SUBJECT), s, g)
+              out += QuadData(sid, IriNode(graft.model.Term.RDF_PREDICATE), p, g)
+              out += QuadData(sid, IriNode(graft.model.Term.RDF_OBJECT), o, g)
+            }
+            parseQuadPropertyList(sid, out, g, assertInner)
             expectPunct("|}")
           }
           more = acceptPunct(",")
@@ -991,10 +1005,11 @@ object Parser {
       }
     }
 
-    private def parseQuadTriple(out: ArrayBuffer[QuadData], g: Option[Node]): Unit = {
-      val s = parseQuadNode(out, g)
+    private def parseQuadTriple(out: ArrayBuffer[QuadData], g: Option[Node],
+                                assertInner: Boolean): Unit = {
+      val s = parseQuadNode(out, g, assertInner)
       if (isPunct(".") || isPunct("}")) () // bare [ … ] / ( … ) subject with no more props
-      else parseQuadPropertyList(s, out, g)
+      else parseQuadPropertyList(s, out, g, assertInner)
     }
   }
 }
