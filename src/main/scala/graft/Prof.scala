@@ -108,6 +108,9 @@ object Prof {
     val sig = t("minhash signatures") {
       pipeline.Dedup.minhashSignature(d, "doc_id", "text").localCheckpoint()
     }
+    t("minhash signatures warm") {
+      pipeline.Dedup.minhashSignature(d, "doc_id", "text").count()
+    }
     println("PROF sig rows " + sig.count())
     t("minhash pairs (from sig)") {
       // band + self-join part only, replicated from minhashPairs
