@@ -393,6 +393,33 @@ object SparkEntry {
       Some("""SELECT r_name AS name, COUNT(*) AS cnt FROM
              | (SELECT r_name FROM region UNION ALL SELECT 'SUNK') GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // WITH retargets bare template quads; USING overrides it as the WHERE dataset
+    // (AST2BOpUpdate.java:474-512)
+    ("q_update_using", ((s: SparkSession, dir: String) => {
+      val updated = graft.engine.Update(Tpch.store(s, dir),
+        """WITH <urn:g:marks>
+          |INSERT { ?s <urn:p:marked> "u" }
+          |USING <urn:g:supplier>
+          |WHERE { ?s a ?c }""".stripMargin)
+      Engine.query(updated,
+        "SELECT ?x WHERE { GRAPH <urn:g:marks> { ?x <urn:p:marked> \"u\" } }")
+        .select(oStr("x"))
+    }): Q,
+      Some("SELECT 'urn:t:supplier:' || CAST(s_suppkey AS VARCHAR) AS x FROM supplier")),
+
+    // DELETE WHERE shorthand: the quad pattern is both template and WHERE clause
+    ("q_delete_where", ((s: SparkSession, dir: String) => {
+      val updated = graft.engine.Update(Tpch.store(s, dir),
+        """DELETE WHERE { ?s <urn:fk:s_nationkey> <urn:t:nation:3> .
+          |  ?s <urn:p:s_acctbal> ?v }""".stripMargin)
+      Engine.query(updated,
+        """SELECT ?nm WHERE { ?s <urn:p:s_name> ?nm .
+          |FILTER NOT EXISTS { ?s <urn:p:s_acctbal> ?p } }""".stripMargin)
+        .select(oStr("nm"))
+    }): Q,
+      Some("""SELECT s_name AS nm FROM supplier
+             | WHERE s_nationkey = 3 OR s_acctbal IS NULL""".stripMargin)),
+
     // graph management: COPY slices + retargets a named graph (AST2BOpUpdate Copy)
     ("q_update_graph", ((s: SparkSession, dir: String) => {
       val updated = graft.engine.Update(Tpch.store(s, dir),

@@ -38,6 +38,9 @@ object Aggregates {
       val sumL = if (a.distinct) sum_distinct(fLng(t)) else sum(fLng(t))
       val sumD = if (a.distinct) sum_distinct(fNum(t)) else sum(fNum(t))
       when(bad, Term.nullTerm)
+        // non-empty group where the argument is unbound on EVERY row: a multiset of
+        // errors, so the aggregate errors (≠ the empty group, which is 0)
+        .when(count(lit(1)) > 0 && count(t) === 0, Term.nullTerm)
         .when(!nonInt, Term.intLit(coalesce(sumL, lit(0L))))
         .otherwise(Term.doubleLit(coalesce(sumD, lit(0.0))))
 
@@ -48,7 +51,8 @@ object Aggregates {
         if (a.distinct) sum_distinct(fNum(t)) / countDistinct(fNum(t))
         else avg(fNum(t))
       when(bad, Term.nullTerm)
-        .when(count(t) === 0, Term.intLit(lit(0L))) // Avg({}) = 0 per SPARQL
+        .when(count(lit(1)) === 0, Term.intLit(lit(0L))) // Avg({}) = 0 per SPARQL
+        .when(count(t) === 0, Term.nullTerm) // non-empty but all-unbound: error
         .otherwise(Term.doubleLit(v))
 
     case "MIN" | "MAX" | "SAMPLE" =>

@@ -153,10 +153,30 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
       case _ => false
     }
     // seeding pays off when it turns an all-pairs fixpoint into a BFS; plain
-    // seq/alt/inv relations join fine as-is
+    // seq/alt/inv relations join fine as-is. A dataset clause (FROM defaults) scopes
+    // the zero-length node domain like an explicit graph, so those paths are not
+    // seedable against the store-global domain.
     def deferrable(t: Triple): Boolean = containsClosure(t.p) &&
       t.s.isInstanceOf[VarNode] && t.o.isInstanceOf[VarNode] &&
-      (t.g.isEmpty || !containsZero(t.p))
+      ((t.g.isEmpty && ds.defaults.isEmpty) || !containsZero(t.p))
+    if (keepOrder) {
+      // hint:optimizer "None": the author's join order verbatim — closure paths are
+      // NOT hoisted behind the plain triples; they still evaluate seeded when an
+      // endpoint is already bound at their position in the sequence
+      var df: DataFrame = null
+      var bound = Set.empty[String]
+      triples.foreach { t =>
+        val seedHere = deferrable(t) && df != null &&
+          (bound(t.s.asInstanceOf[VarNode].name) || bound(t.o.asInstanceOf[VarNode].name))
+        if (seedHere) df = joinSeededPath(df, t, bound)
+        else {
+          val next = if (isSimpleP(t.p)) scanTriple(t) else pathTriple(t)
+          df = if (df == null) next else joinDf(df, next, "inner")
+        }
+        bound ++= Algebra.tripleVars(t)
+      }
+      return searchDfs.foldLeft(df)(joinDf(_, _, "inner"))
+    }
     val (deferred0, plain) = triples.partition(deferrable)
     val deferred = scala.collection.mutable.ArrayBuffer(deferred0: _*)
     var df: DataFrame = null
@@ -164,15 +184,13 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     if (plain.nonEmpty) {
       val scans = plain.map(t => (t, if (isSimpleP(t.p)) scanTriple(t) else pathTriple(t)))
       // greedy join order: most selective first, prefer var-connected next
-      // (hint:optimizer "None" keeps the author's order verbatim)
-      val ordered = if (keepOrder) scans else scans.sortBy(s => -score(s._1))
+      val ordered = scans.sortBy(s => -score(s._1))
       val remaining = scala.collection.mutable.ArrayBuffer(ordered: _*)
       val (t0, d0) = remaining.remove(0)
       df = d0
       bound = Algebra.tripleVars(t0).toSet
       while (remaining.nonEmpty) {
-        val idx = if (keepOrder) 0
-          else remaining.indexWhere(s => Algebra.tripleVars(s._1).exists(bound))
+        val idx = remaining.indexWhere(s => Algebra.tripleVars(s._1).exists(bound))
         val (t, next) = remaining.remove(if (idx >= 0) idx else 0)
         df = joinDf(df, next, "inner")
         bound ++= Algebra.tripleVars(t)
@@ -204,10 +222,13 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     val ov = t.o.asInstanceOf[VarNode].name
     if (sv == ov) {
       val seeds = df.select(col(sv)("id").as("seed")).dropDuplicates("seed")
+      // inner join (not semi): a path relation can connect the endpoint to itself via
+      // multiple intermediates, and solution cardinality must match the unseeded
+      // evaluation of the same pattern
       val pairs = seededPathIds(t.p, t.g, seeds, fromSubject = true, seedsInDomain = true)
         .filter(col("a") === col("b"))
       return df.join(pairs.select(col("a").as("__pa")),
-        col(sv)("id") === col("__pa"), "left_semi")
+        col(sv)("id") === col("__pa")).drop("__pa")
     }
     val fromSubject = bound(sv)
     val seedVar = if (fromSubject) sv else ov
@@ -215,8 +236,8 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     val pairs = seededPathIds(t.p, t.g, seeds, fromSubject, seedsInDomain = true)
       .select(col("a").as("__pa"), col("b").as("__pb"))
     if (bound(sv) && bound(ov))
-      df.join(pairs, col(sv)("id") === col("__pa") && col(ov)("id") === col("__pb"),
-        "left_semi")
+      df.join(pairs, col(sv)("id") === col("__pa") && col(ov)("id") === col("__pb"))
+        .drop("__pa", "__pb")
     else if (fromSubject)
       df.join(attachTerm(pairs, "__pb", ov, t.p), col(sv)("id") === col("__pa"))
         .drop("__pa", "__pb")
@@ -339,11 +360,16 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
       zeroPairIds(g).unionByName(pathPairIds(q, g)).dropDuplicates("a", "b")
   }
 
-  /** Node domain for zero-length paths (ZeroLengthPathOp.java:53), as ids. */
+  /** Node domain for zero-length paths (ZeroLengthPathOp.java:53), as ids. A FROM
+    * dataset clause scopes the domain exactly like an explicit graph.
+    */
   private def zeroPairIds(g: Option[Node]): DataFrame = {
     val base = g match {
       case Some(IriNode(gi)) => store.statements.filter(col("g").isNotNull &&
         col("g")("id") === TermIds.iriId(gi))
+      case None if ds.defaults.isDefined =>
+        store.statements.filter(col("g").isNotNull &&
+          col("g")("str").isin(ds.defaults.get: _*))
       case _ => store.statements
     }
     base.select(col("s")("id").as("n")).unionByName(base.select(col("o")("id").as("n")))
@@ -504,8 +530,8 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
   /** Bind a path relation into the pattern's endpoint terms. */
   def pathTriple(t: Triple): DataFrame = {
     // seeded evaluation from a constant endpoint; global-domain zero approximation is
-    // wrong for GRAPH-scoped zero paths, so those fall back to the full relation
-    val seedable = t.g.isEmpty || !containsZero(t.p)
+    // wrong for GRAPH-scoped (or FROM-scoped) zero paths → full relation fallback
+    val seedable = (t.g.isEmpty && ds.defaults.isEmpty) || !containsZero(t.p)
     val pairs = (t.s, t.o) match {
       case (sN, _) if !sN.isInstanceOf[VarNode] && seedable =>
         seededPathIds(t.p, t.g, singleSeed(TermIds.nodeId(sN)), fromSubject = true)
@@ -513,22 +539,23 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
         seededPathIds(t.p, t.g, singleSeed(TermIds.nodeId(oN)), fromSubject = false)
       case _ => pathPairIds(t.p, t.g)
     }
-    var df = pairs
+    // reserved endpoint-id names: user vars may themselves be called ?a / ?b
+    var df = pairs.select(col("a").as("__pa"), col("b").as("__pb"))
     t.s match {
       case VarNode(_) => ()
-      case n => df = df.filter(col("a") === TermIds.nodeId(n))
+      case n => df = df.filter(col("__pa") === TermIds.nodeId(n))
     }
     t.o match {
       case VarNode(_) => ()
-      case n => df = df.filter(col("b") === TermIds.nodeId(n))
+      case n => df = df.filter(col("__pb") === TermIds.nodeId(n))
     }
     (t.s, t.o) match {
       case (VarNode(sv), VarNode(ov)) if sv == ov =>
-        attachTerm(df.filter(col("a") === col("b")), "a", sv, t.p).select(col(sv))
+        attachTerm(df.filter(col("__pa") === col("__pb")), "__pa", sv, t.p).select(col(sv))
       case (VarNode(sv), VarNode(ov)) =>
-        attachTerm(attachTerm(df, "a", sv, t.p), "b", ov, t.p).select(col(sv), col(ov))
-      case (VarNode(sv), _) => attachTerm(df, "a", sv, t.p).select(col(sv))
-      case (_, VarNode(ov)) => attachTerm(df, "b", ov, t.p).select(col(ov))
+        attachTerm(attachTerm(df, "__pa", sv, t.p), "__pb", ov, t.p).select(col(sv), col(ov))
+      case (VarNode(sv), _) => attachTerm(df, "__pa", sv, t.p).select(col(sv))
+      case (_, VarNode(ov)) => attachTerm(df, "__pb", ov, t.p).select(col(ov))
       case _ => df.select(lit(1).as("__e")).limit(1).drop("__e")
     }
   }

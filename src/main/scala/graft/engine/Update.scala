@@ -63,11 +63,21 @@ object Update {
     case ClearGraph(Some(g)) =>
       store.withStatements(store.statements.filter(
         col("g").isNull || col("g")("id") =!= TermIds.iriId(g)))
-    case Modify(del, ins, where) =>
-      val c = new Compiler(store, DatasetSpec.all)
+    case Modify(del, ins, where, withG, using) =>
+      // USING (NAMED) builds the WHERE dataset exactly like FROM (NAMED); absent
+      // that, WITH <g> makes g the WHERE default graph (AST2BOpUpdate.java:474-512)
+      val ds =
+        if (using.nonEmpty) DatasetSpec.from(using)
+        else withG.map(g => DatasetSpec(Some(Seq(g)), None)).getOrElse(DatasetSpec.all)
+      // WITH also retargets bare (non-GRAPH) template quads into g
+      def target(qs: Seq[QuadData]): Seq[QuadData] = withG match {
+        case Some(g) => qs.map(q => if (q.g.isEmpty) q.copy(g = Some(IriNode(g))) else q)
+        case None => qs
+      }
+      val c = new Compiler(store, ds)
       val sol = c.compile(Algebra.lower(where)).localCheckpoint()
-      val s1 = if (del.isEmpty) store else delete(store, instantiate(sol, del))
-      if (ins.isEmpty) s1 else insert(s1, instantiate(sol, ins))
+      val s1 = if (del.isEmpty) store else delete(store, instantiate(sol, target(del)))
+      if (ins.isEmpty) s1 else insert(s1, instantiate(sol, target(ins)))
     case CreateGraph(_) => store // schemaless store: graphs exist by containing triples
     case LoadGraph(src, into) =>
       val path = src.stripPrefix("file://")
@@ -135,17 +145,37 @@ object Update {
     rows.reduce(_.unionByName(_))
   }
 
-  /** Instantiate quad templates once per solution; drop rows with unbound vars. */
+  /** Instantiate quad templates once per solution; drop rows with unbound vars.
+    * Bnode placeholders (`_:label`, `[…]`, `(…)`) in INSERT templates mint a FRESH
+    * bnode per solution (SPARQL 1.1 Update: template bnodes are instantiated per
+    * solution, like CONSTRUCT), scoped per update execution so re-running the same
+    * update never collides.
+    */
   private def instantiate(sol: DataFrame, quads: Seq[QuadData]): DataFrame = {
+    def hasBnode(n: Node): Boolean = n match {
+      case VarNode(v) => v.startsWith("-")
+      case SidNode(s, p, o) => hasBnode(s) || hasBnode(p) || hasBnode(o)
+      case _ => false
+    }
+    val needsFresh = quads.exists(q => (Seq(q.s, q.p, q.o) ++ q.g).exists(hasBnode))
+    val scope = if (needsFresh) bnodeScope.incrementAndGet() else 0L
+    val sol2 =
+      if (needsFresh) sol.withColumn("__sol", monotonically_increasing_id())
+      else sol
     val env = Exprs.Env(sol.columns.toSet)
     def nodeCol(n: Node): Column = n match {
+      case VarNode(v) if v.startsWith("-") =>
+        val label =
+          if (v.startsWith("-bnl_")) "b-" + v.stripPrefix("-bnl_")
+          else "g-" + v.stripPrefix("-")
+        Term.bnode(concat(lit(s"$label-u$scope-s"), col("__sol").cast("string")))
       case VarNode(v) => env.termOf(v)
       case SidNode(s, p, o) => Term.sid(nodeCol(s), nodeCol(p), nodeCol(o))
       case other => Exprs.constTerm(other)
     }
     quads.map { q =>
       val g = q.g.map(nodeCol).getOrElse(Term.nullTerm)
-      sol.select(nodeCol(q.s).as("s"), nodeCol(q.p).as("p"),
+      sol2.select(nodeCol(q.s).as("s"), nodeCol(q.p).as("p"),
         nodeCol(q.o).as("o"), g.as("g"))
         .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull &&
           col("s")("kind") =!= Term.KIND_LITERAL && col("p")("kind") === Term.KIND_IRI)
@@ -188,10 +218,23 @@ object Update {
       store.statements.unionByName(GraftStore.assemble(fresh).localCheckpoint()))
   }
 
+  /** Bare (graph-less) delete quads are a CONTEXT WILDCARD: they remove the matching
+    * triple from every graph, not just the default graph — the reference's quad-mode
+    * `removeStatements(s, p, o, c=null)` contract (and what makes DELETE WHERE over
+    * union-default-graph solutions actually remove what it matched).
+    */
   private def delete(store: GraftStore, quads: DataFrame): GraftStore = {
-    val victims = statementKey(quads).select("__k").dropDuplicates()
+    def tripleKey(df: DataFrame): DataFrame =
+      df.withColumn("__k3", xxhash64(col("s")("id"), col("p")("id"), col("o")("id")))
+    val victims = statementKey(quads.filter(col("g").isNotNull))
+      .select("__k").dropDuplicates()
+    val tripleVictims = tripleKey(quads.filter(col("g").isNull))
+      .select("__k3").dropDuplicates()
     def purge(df: DataFrame): DataFrame =
-      statementKey(df).join(victims, Seq("__k"), "left_anti").drop("__k")
+      tripleKey(statementKey(df))
+        .join(victims, Seq("__k"), "left_anti")
+        .join(tripleVictims, Seq("__k3"), "left_anti")
+        .drop("__k", "__k3")
     val kept = deltaPids(quads) match {
       case Some(pids) =>
         // commit the rewritten partitions (delta-sized); untouched ones stay parquet

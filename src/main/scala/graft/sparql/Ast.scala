@@ -88,7 +88,14 @@ object Ast {
   sealed trait UpdateOp
   final case class InsertData(quads: Seq[QuadData]) extends UpdateOp
   final case class DeleteData(quads: Seq[QuadData]) extends UpdateOp
-  final case class Modify(delete: Seq[QuadData], insert: Seq[QuadData], where: GP) extends UpdateOp
+  /** DELETE/INSERT … WHERE. `withGraph` = `WITH <g>` (default graph for the WHERE
+    * clause unless `using` overrides, and the target graph of bare template quads);
+    * `using` = `USING (NAMED)? IRIref` dataset entries, (iri, isNamed) — same shape
+    * as Query.datasets (AST2BOpUpdate.java:474-512).
+    */
+  final case class Modify(delete: Seq[QuadData], insert: Seq[QuadData], where: GP,
+                          withGraph: Option[String] = None,
+                          using: Seq[(String, Boolean)] = Nil) extends UpdateOp
   final case class ClearGraph(graph: Option[String]) extends UpdateOp // None = ALL
   case object ClearDefault extends UpdateOp // default-graph (g IS NULL) triples only
   case object ClearNamed extends UpdateOp   // every named graph, default kept

@@ -832,24 +832,47 @@ object Parser {
       parsePrologue()
       val ops = ArrayBuffer.empty[UpdateOp]
       var go = true
+      def parseUsing(): Seq[(String, Boolean)] = {
+        val out = ArrayBuffer.empty[(String, Boolean)]
+        while (acceptWord("USING")) {
+          val named = acceptWord("NAMED")
+          out += ((parseIri(), named))
+        }
+        out.toSeq
+      }
       while (go) {
+        // `WITH <g>` prefixes a DELETE/INSERT…WHERE (AST2BOpUpdate.java:474-512)
+        val withG = if (acceptWord("WITH")) Some(parseIri()) else None
+        if (withG.isDefined && !(isWord("DELETE") || isWord("INSERT")))
+          fail("WITH must be followed by DELETE or INSERT")
         cur match {
           case TWord("INSERT", _, _) =>
             i += 1
-            if (acceptWord("DATA")) ops += InsertData(parseQuadData(assertInner = true))
-            else { // INSERT {} WHERE {}
+            if (acceptWord("DATA")) {
+              if (withG.isDefined) fail("WITH is not allowed with INSERT DATA")
+              ops += InsertData(parseQuadData(assertInner = true))
+            } else { // INSERT {} WHERE {}
               val ins = parseQuadPatterns(assertInner = true)
+              val using = parseUsing()
               expectWord("WHERE")
-              ops += Modify(Nil, ins, parseGroupGP())
+              ops += Modify(Nil, ins, parseGroupGP(), withG, using)
             }
           case TWord("DELETE", _, _) =>
             i += 1
-            if (acceptWord("DATA")) ops += DeleteData(parseQuadData(assertInner = false))
-            else {
+            if (acceptWord("DATA")) {
+              if (withG.isDefined) fail("WITH is not allowed with DELETE DATA")
+              ops += DeleteData(parseQuadData(assertInner = false))
+            } else if (acceptWord("WHERE")) {
+              // `DELETE WHERE { quads }` shorthand: the quad pattern is BOTH the
+              // delete template and the WHERE clause
+              val del = parseQuadPatterns(assertInner = false)
+              ops += Modify(del, Nil, quadsToGP(del), withG, Nil)
+            } else {
               val del = parseQuadPatterns(assertInner = false)
               val ins = if (acceptWord("INSERT")) parseQuadPatterns(assertInner = true) else Nil
+              val using = parseUsing()
               expectWord("WHERE")
-              ops += Modify(del, ins, parseGroupGP())
+              ops += Modify(del, ins, parseGroupGP(), withG, using)
             }
           case TWord("CLEAR", _, _) | TWord("DROP", _, _) =>
             // DROP == CLEAR on a schemaless quad store (no graph registry to remove)
@@ -895,6 +918,19 @@ object Parser {
 
     private def parseQuadData(assertInner: Boolean): Seq[QuadData] =
       parseQuadPatterns(assertInner)
+
+    /** DELETE WHERE shorthand: re-read the quad template as the WHERE pattern. */
+    private def quadsToGP(quads: Seq[QuadData]): GP = {
+      def path(p: Node): Path = p match {
+        case IriNode(iri) => PLink(iri)
+        case VarNode(v) => PLink("?" + v) // var-predicate marker
+        case other => fail(s"illegal predicate $other in DELETE WHERE")
+      }
+      GroupGP(quads.map { q =>
+        val t = TripleGP(q.s, path(q.p), q.o)
+        q.g match { case Some(g) => GraphGP(g, t); case None => t }
+      })
+    }
 
     /** `assertInner`: whether `<< s p o >>` terms and `{| … |}` annotations also emit
       * the inner statement + reification decomposition. True for INSERT contexts;
