@@ -527,8 +527,63 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
   private def singleSeed(id: Long): DataFrame =
     spark.range(1).select(lit(id).as("seed"))
 
+  private def closureFree(p: Path): Boolean = p match {
+    case PZeroOrMore(_) | POneOrMore(_) | PZeroOrOne(_) => false
+    case PInv(q) => closureFree(q)
+    case PSeq(q, r) => closureFree(q) && closureFree(r)
+    case PAlt(q, r) => closureFree(q) && closureFree(r)
+    case PLink(_) | PNeg(_) => true
+  }
+
+  /** (endpoint, endpoint) TERM-STRUCT pairs for a closure-free path: legs stay the
+    * statement scans themselves (columns `__ta`/`__tb`), sequences join on the 8-byte
+    * mid id, and no lexicon re-attach is ever paid. Constant endpoints push down into
+    * the leg scans through the joins (Catalyst), so this needs no explicit seeding —
+    * the round-1 shape that the id-space+attach detour regressed from.
+    */
+  private def pathTermPairs(p: Path, g: Option[Node]): DataFrame = p match {
+    case PNeg(set) if set.exists(_._2) =>
+      val fwd = set.collect { case (i, false) => (i, false) }
+      val bwd = set.collect { case (i, true) => (i, false) }
+      val parts = Seq(
+        if (fwd.nonEmpty) Some(pathTermPairs(PNeg(fwd), g)) else None,
+        if (bwd.nonEmpty) Some(pathTermPairs(PNeg(bwd), g)
+          .select(col("__tb").as("__ta"), col("__ta").as("__tb"))) else None).flatten
+      parts.reduce(_.unionByName(_))
+    case PLink(_) | PNeg(_) =>
+      scanTriple(Triple(VarNode("__ta"), p, VarNode("__tb"), g)).select("__ta", "__tb")
+    case PInv(q) => pathTermPairs(q, g)
+      .select(col("__tb").as("__ta"), col("__ta").as("__tb"))
+    case PSeq(q, r) =>
+      val lq = pathTermPairs(q, g).select(col("__ta"), col("__tb")("id").as("__tm"))
+      val rq = pathTermPairs(r, g).select(col("__ta")("id").as("__tm"), col("__tb"))
+      lq.join(rq, Seq("__tm")).select("__ta", "__tb")
+    case _ => throw new IllegalStateException(s"not closure-free: $p")
+  }
+
   /** Bind a path relation into the pattern's endpoint terms. */
   def pathTriple(t: Triple): DataFrame = {
+    if (closureFree(t.p)) {
+      var df = pathTermPairs(t.p, t.g)
+      t.s match {
+        case VarNode(_) => ()
+        case n => df = df.filter(col("__ta")("id") === TermIds.nodeId(n))
+      }
+      t.o match {
+        case VarNode(_) => ()
+        case n => df = df.filter(col("__tb")("id") === TermIds.nodeId(n))
+      }
+      return (t.s, t.o) match {
+        case (VarNode(sv), VarNode(ov)) if sv == ov =>
+          df.filter(col("__ta")("id") === col("__tb")("id"))
+            .select(col("__ta").as(sv))
+        case (VarNode(sv), VarNode(ov)) =>
+          df.select(col("__ta").as(sv), col("__tb").as(ov))
+        case (VarNode(sv), _) => df.select(col("__ta").as(sv))
+        case (_, VarNode(ov)) => df.select(col("__tb").as(ov))
+        case _ => df.select(lit(1).as("__e")).limit(1).drop("__e")
+      }
+    }
     // seeded evaluation from a constant endpoint; global-domain zero approximation is
     // wrong for GRAPH-scoped (or FROM-scoped) zero paths → full relation fallback
     val seedable = (t.g.isEmpty && ds.defaults.isEmpty) || !containsZero(t.p)
