@@ -78,6 +78,19 @@ object Dev {
     val cd = engine.Update(s0, "CLEAR DEFAULT")
     println(s"PROBE-CLEAR-DEFAULT: default=${cd.statements.filter(col("g").isNull).count()} " +
       s"named=${cd.statements.filter(col("g").isNotNull).count()} (expect 0 / >0)")
+    // probe 9 (r4): closure-free alternation path vs Spark SQL oracle
+    spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .createOrReplaceTempView("supplier")
+    val altGot = engine.Engine.query(store,
+      "SELECT ?x ?n WHERE { ?x (<urn:fk:c_nationkey>|<urn:fk:s_nationkey>) ?n }").count()
+    val altExp = spark.sql(
+      """SELECT COUNT(*) FROM (SELECT c_nationkey FROM customer
+        |UNION ALL SELECT s_nationkey FROM supplier)""".stripMargin).first().getLong(0)
+    println(s"PROBE-PATH-ALT: got=$altGot exp=$altExp ORACLE-MATCH: ${altGot == altExp}")
+    // probe 10 (r4): FROM NAMED-only → empty default graph
+    val fnRows = engine.Engine.query(store,
+      "SELECT ?s FROM NAMED <urn:nope:g> WHERE { ?s <urn:p:n_name> ?o }").count()
+    println(s"PROBE-FROM-NAMED-ONLY rows=$fnRows (expect 0: empty default graph)")
     // flagship smoke (driver contract)
     val flag = SparkEntry.entry(spark)
     println(s"ENTRY-ROWS: ${flag.count()}")

@@ -31,10 +31,14 @@ object TermIds {
 final case class DatasetSpec(defaults: Option[Seq[String]], named: Option[Seq[String]])
 object DatasetSpec {
   val all: DatasetSpec = DatasetSpec(None, None)
+  /** Per SPARQL 1.1 §13.2, FROM/USING clauses define the dataset EXACTLY: a
+    * NAMED-only clause list means the default graph is empty (Some(Nil)), not
+    * the whole store — bare patterns then match nothing.
+    */
   def from(ds: Seq[(String, Boolean)]): DatasetSpec =
     if (ds.isEmpty) all
     else DatasetSpec(
-      Some(ds.collect { case (g, false) => g }).filter(_.nonEmpty),
+      Some(ds.collect { case (g, false) => g }),
       Some(ds.collect { case (g, true) => g }).filter(_.nonEmpty))
 }
 
@@ -558,6 +562,8 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
       val lq = pathTermPairs(q, g).select(col("__ta"), col("__tb")("id").as("__tm"))
       val rq = pathTermPairs(r, g).select(col("__ta")("id").as("__tm"), col("__tb"))
       lq.join(rq, Seq("__tm")).select("__ta", "__tb")
+    case PAlt(q, r) => // bag union, same multiset semantics as pathPairIds
+      pathTermPairs(q, g).unionByName(pathTermPairs(r, g))
     case _ => throw new IllegalStateException(s"not closure-free: $p")
   }
 

@@ -864,9 +864,11 @@ object Parser {
               ops += DeleteData(parseQuadData(assertInner = false))
             } else if (acceptWord("WHERE")) {
               // `DELETE WHERE { quads }` shorthand: the quad pattern is BOTH the
-              // delete template and the WHERE clause
+              // delete template and the WHERE clause. The SPARQL 1.1 grammar only
+              // allows WITH on the full Modify form (DeleteClause/InsertClause).
+              if (withG.isDefined) fail("WITH is not allowed with DELETE WHERE")
               val del = parseQuadPatterns(assertInner = false)
-              ops += Modify(del, Nil, quadsToGP(del), withG, Nil)
+              ops += Modify(del, Nil, quadsToGP(del), None, Nil)
             } else {
               val del = parseQuadPatterns(assertInner = false)
               val ins = if (acceptWord("INSERT")) parseQuadPatterns(assertInner = true) else Nil
