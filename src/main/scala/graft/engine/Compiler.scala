@@ -127,7 +127,8 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     val hits = idx.search(query,
       matchAllTerms = constStr("matchAllTerms").contains("true"),
       minRelevance = constStr("minRelevance").map(_.toDouble).getOrElse(0.0),
-      maxRank = constStr("maxRank").map(_.toDouble.toInt).getOrElse(Int.MaxValue))
+      maxRank = constStr("maxRank").map(_.toDouble.toInt).getOrElse(Int.MaxValue),
+      needRank = varOf("rank").isDefined)
     var sels = Seq(col("lit").as(subjVar))
     varOf("relevance").foreach(v => sels :+= Term.doubleLit(col("relevance")).as(v))
     varOf("rank").foreach(v => sels :+= Term.intLit(col("rank")).as(v))

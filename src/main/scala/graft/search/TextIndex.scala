@@ -20,32 +20,46 @@ import org.apache.spark.storage.StorageLevel
   */
 final class TextIndex(val postings: DataFrame, val lits: DataFrame, val nDocs: Long) {
 
-  /** Match literals for a whitespace/OR query; returns (lit term, relevance, rank).
+  /** Match literals for a whitespace/OR query; returns (lit term, relevance[, rank]).
     * Scoring runs entirely on (lit_id, token, tfidf) — 8-byte keys; the literal term
     * struct attaches once, after ranking, against the (small, ranked) hit set.
+    *
+    * Ranking is scale-aware: a bound maxRank compiles to orderBy+limit
+    * (TakeOrderedAndProject — per-partition top-k, only k rows reach the driver
+    * side of the sort), and the dense rank attaches via a window over those ≤ k
+    * rows. Only an UNBOUNDED rank request pays a global single-partition window;
+    * with no rank var at all the sort is skipped entirely.
     */
   def search(query: String, matchAllTerms: Boolean = false,
-             minRelevance: Double = 0.0, maxRank: Int = Int.MaxValue): DataFrame = {
+             minRelevance: Double = 0.0, maxRank: Int = Int.MaxValue,
+             needRank: Boolean = true): DataFrame = {
     val terms = TextIndex.tokenize(query)
     val hits = postings.filter(col("token").isin(terms: _*))
       .groupBy("lit_id")
       .agg(sum(col("tfidf")).as("relevance"),
         countDistinct(col("token")).as("nmatched"))
     val filtered = if (matchAllTerms) hits.filter(col("nmatched") === terms.length) else hits
-    filtered
+    // rank ties break on the lexical form (reproducible by external oracles — the
+    // internal hash id is not), then lang and id to make the order total
+    val ord = Seq(col("relevance").desc, col("lit_str").asc,
+      asc_nulls_first("lit_lang"), col("lit_id").asc)
+    val scored = filtered
       .filter(col("relevance") >= minRelevance)
       .join(lits, "lit_id")
-      // rank ties break on the lexical form (reproducible by external oracles — the
-      // internal hash id is not), then lang and id to make the order total
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("relevance").desc, col("lit_str").asc,
-            asc_nulls_first("lit_lang"), col("lit_id").asc)))
-      .filter(col("rank") <= maxRank)
-      // terms are self-describing: the plain-string literal struct reconstructs
-      // canonically from its lexical form — no struct dictionary needed
-      .select(Term.strLit(col("lit_str"), col("lit_lang")).as("lit"),
-        col("relevance"), col("rank"))
+    val ranked =
+      if (maxRank != Int.MaxValue)
+        // top-k: TakeOrderedAndProject, then rank over the bounded k-row set
+        scored.orderBy(ord: _*).limit(maxRank)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+      else if (needRank)
+        scored.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+      else scored.withColumn("rank", lit(null).cast("int"))
+    // terms are self-describing: the plain-string literal struct reconstructs
+    // canonically from its lexical form — no struct dictionary needed
+    ranked.select(Term.strLit(col("lit_str"), col("lit_lang")).as("lit"),
+      col("relevance"), col("rank"))
   }
 }
 

@@ -36,6 +36,25 @@ class PlanSpec extends GraftSuite {
       s"expected id-only nested read schema, got: $readSchema")
   }
 
+  test("bounded-maxRank text search plans as TakeOrderedAndProject (no global window)") {
+    val plan = planOf(
+      """PREFIX bds: <http://www.bigdata.com/rdf/search#>
+        |SELECT ?lit ?score ?r WHERE {
+        |  ?lit bds:search "customer" ; bds:relevance ?score ;
+        |       bds:rank ?r ; bds:maxRank 10 }""".stripMargin)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k TakeOrderedAndProject for bounded maxRank:\n$plan")
+  }
+
+  test("rank-free text search skips the global sort entirely") {
+    val plan = planOf(
+      """PREFIX bds: <http://www.bigdata.com/rdf/search#>
+        |SELECT ?lit ?score WHERE {
+        |  ?lit bds:search "customer" ; bds:relevance ?score }""".stripMargin)
+    assert(!plan.contains("Window") && !plan.contains("TakeOrderedAndProject"),
+      s"expected no sort/window when no rank or maxRank requested:\n$plan")
+  }
+
   test("dimension-sized join sides broadcast") {
     val plan = planOf(
       """SELECT ?cname ?nname WHERE {
