@@ -23,6 +23,18 @@ object Dev {
 
   def main(args: Array[String]): Unit = {
     val spark = session()
+    // probe 11 (r4): geo:search service over packed literals
+    locally {
+      val gs = engine.Update(model.Tpch.store(spark, "/root/testdata/sf0.001"),
+        """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+          |INSERT DATA { <urn:pt:x> <urn:p:pos> "2.0#3.0"^^geo:geoSpatialLiteral . }""".stripMargin)
+      val n = engine.Engine.query(gs,
+        """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+          |SELECT ?r WHERE { ?r geo:search "inRectangle" ; geo:predicate <urn:p:pos> ;
+          |  geo:spatialRectangleSouthWest "0#0" ; geo:spatialRectangleNorthEast "5#5" }""".stripMargin)
+        .count()
+      println(s"PROBE-GEO-SERVICE rows=$n (expect 1)")
+    }
     val store = model.Tpch.store(spark, "/root/testdata/sf0.001")
     println(s"statements: ${store.statements.count()}")
     val q1 =

@@ -364,6 +364,41 @@ object SparkEntry {
            |JOIN documents d ON d.text = r.lex WHERE r.rank <= 10""".stripMargin
       }),
 
+    // geo:search magic-predicate service (GeoSpatial.java:64-84): packed
+    // "lat#lon" literals inserted from event ids (SQL-reproducible derivation),
+    // then an inCircle search — 2000 km around (30, 40), same region as
+    // p_geo_circle's DataFrame-level oracle
+    ("q_geo_service", ((s: SparkSession, dir: String) => {
+      val withLoc = graft.engine.Update(Tpch.store(s, dir),
+        """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+          |INSERT { ?e <urn:p:loc> ?loc } WHERE {
+          |  ?e <urn:p:event_id> ?id .
+          |  BIND(?id - FLOOR(?id/1800)*1800 AS ?lm)
+          |  BIND(?id*7 AS ?i7)
+          |  BIND(?i7 - FLOOR(?i7/3600)*3600 AS ?gm)
+          |  BIND(?lm/10.0 - 90.0 AS ?la)
+          |  BIND(?gm/10.0 - 180.0 AS ?lo)
+          |  BIND(STRDT(CONCAT(STR(?la), "#", STR(?lo)), geo:geoSpatialLiteral) AS ?loc) }""".stripMargin)
+      Engine.query(withLoc,
+        """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+          |SELECT ?res ?lat ?lon WHERE {
+          |  ?res geo:search "inCircle" ;
+          |       geo:predicate <urn:p:loc> ;
+          |       geo:spatialCircleCenter "30#40" ;
+          |       geo:spatialCircleRadius "2000" ;
+          |       geo:latValue ?lat ; geo:lonValue ?lon }""".stripMargin)
+        .select(oStr("res"), oDbl("lat"), oDbl("lon"))
+    }): Q,
+      Some("""WITH g AS (SELECT event_id, (event_id % 1800)/10.0 - 90.0 AS lat,
+             |                  ((event_id*7) % 3600)/10.0 - 180.0 AS lon FROM events)
+             |SELECT 'urn:t:events:' || CAST(event_id AS VARCHAR) AS res, lat, lon FROM g
+             |WHERE lat BETWEEN 30.0 - degrees(2000000.0/6371000.0)
+             |              AND 30.0 + degrees(2000000.0/6371000.0)
+             |  AND lon BETWEEN 40.0 - degrees(2000000.0/(6371000.0*greatest(0.01, cos(radians(30.0)))))
+             |              AND 40.0 + degrees(2000000.0/(6371000.0*greatest(0.01, cos(radians(30.0)))))
+             |  AND 2.0*6371000.0*asin(sqrt( pow(sin(radians(lat-30.0)/2),2)
+             |      + cos(radians(30.0))*cos(radians(lat))*pow(sin(radians(lon-40.0)/2),2) )) <= 2000000.0""".stripMargin)),
+
     ("q_gas_service_bfs", ((s: SparkSession, dir: String) =>
       sq("""SELECT ?v ?lvl WHERE {
            |  SERVICE <http://www.bigdata.com/rdf/gas#service> {

@@ -86,10 +86,11 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
   }
 
   private val BDS_NS = "http://www.bigdata.com/rdf/search#"
+  private val GEO_NS = "http://www.bigdata.com/rdf/geospatial#"
   private val HINT_NS = "http://www.bigdata.com/queryHints#"
 
   private def isMagic(t: Triple): Boolean = t.p match {
-    case PLink(i) => i.startsWith(BDS_NS)
+    case PLink(i) => i.startsWith(BDS_NS) || i.startsWith(GEO_NS)
     case _ => false
   }
 
@@ -135,12 +136,87 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     hits.select(sels: _*)
   }
 
+  /** geo:search magic-predicate group → solution DataFrame (the
+    * GeoSpatialServiceFactory analog, vocabulary GeoSpatial.java:64-84): the group's
+    * subject var binds to subjects whose geo:predicate object is a packed
+    * "lat#lon(#time)" literal inside the requested circle/rectangle (and time range).
+    * The reference range-scans a z-order B+Tree with a BigMin advancer; here the scan
+    * is a p_id-pruned statement scan + two sargable range predicates (+ exact
+    * haversine for circles) — the columnar replacement for the index trick, with
+    * Geo.zorder available as a clustering key at scale.
+    */
+  private def geoScan(subjVar: String, ts: Seq[Triple]): DataFrame = {
+    def constStr(p: String): Option[String] = ts.collectFirst {
+      case Triple(_, PLink(pp), LitNode(lex, _, _), _) if pp == GEO_NS + p => lex
+    }
+    def varOf(p: String): Option[String] = ts.collectFirst {
+      case Triple(_, PLink(pp), VarNode(v), _) if pp == GEO_NS + p => v
+    }
+    def latLon(p: String): Option[(Double, Double)] = constStr(p).map { s =>
+      val a = s.split("#"); (a(0).toDouble, a(1).toDouble)
+    }
+    val pred = ts.collectFirst {
+      case Triple(_, PLink(pp), IriNode(i), _) if pp == GEO_NS + "predicate" => i
+    }.getOrElse(throw new IllegalArgumentException("geo: group without geo:predicate"))
+    // DEFAULT_GEO_SPATIAL_UNIT = Kilometers (GeoSpatial.java:125)
+    val unitMeters = constStr("spatialUnit").getOrElse("Kilometers") match {
+      case "Kilometers" => 1000.0
+      case "Meters" => 1.0
+      case "Miles" => 1609.344
+      case u => throw new IllegalArgumentException(s"unknown geo:spatialUnit $u")
+    }
+    val base = scanTriple(Triple(VarNode("__gs"), PLink(pred), VarNode("__gv"), None))
+    val parts = split(col("__gv")("str"), "#")
+    var df = base
+      .withColumn("__lat", element_at(parts, 1).cast("double"))
+      .withColumn("__lon", element_at(parts, 2).cast("double"))
+      .withColumn("__gt", element_at(parts, 3).cast("long"))
+    val func = constStr("search").getOrElse("inCircle") // default GeoFunction.IN_CIRCLE
+    var center: Option[(Double, Double)] = None
+    func match {
+      case "inCircle" =>
+        val c = latLon("spatialCircleCenter").getOrElse(
+          throw new IllegalArgumentException("inCircle without geo:spatialCircleCenter"))
+        center = Some(c)
+        val r = constStr("spatialCircleRadius").getOrElse(
+          throw new IllegalArgumentException("inCircle without geo:spatialCircleRadius"))
+          .toDouble * unitMeters
+        df = df.filter(graft.search.Geo.inCircle(col("__lat"), col("__lon"), c._1, c._2, r))
+      case "inRectangle" =>
+        val sw = latLon("spatialRectangleSouthWest").getOrElse(
+          throw new IllegalArgumentException("inRectangle without geo:spatialRectangleSouthWest"))
+        val ne = latLon("spatialRectangleNorthEast").getOrElse(
+          throw new IllegalArgumentException("inRectangle without geo:spatialRectangleNorthEast"))
+        df = df.filter(graft.search.Geo.inRectangle(
+          col("__lat"), col("__lon"), sw._1, sw._2, ne._1, ne._2))
+      case other => throw new IllegalArgumentException(s"unknown geo:search function $other")
+    }
+    constStr("timeStart").foreach(t => df = df.filter(col("__gt") >= t.toLong))
+    constStr("timeEnd").foreach(t => df = df.filter(col("__gt") <= t.toLong))
+    var sels = Seq(col("__gs").as(subjVar))
+    varOf("locationValue").foreach(v => sels :+= col("__gv").as(v))
+    varOf("latValue").foreach(v => sels :+= Term.doubleLit(col("__lat")).as(v))
+    varOf("lonValue").foreach(v => sels :+= Term.doubleLit(col("__lon")).as(v))
+    varOf("timeValue").foreach(v => sels :+= Term.intLit(col("__gt")).as(v))
+    varOf("distanceValue").foreach { v =>
+      val c = center.getOrElse(throw new IllegalArgumentException(
+        "geo:distanceValue requires an inCircle search"))
+      sels :+= Term.doubleLit(graft.search.Geo.haversineMeters(
+        col("__lat"), col("__lon"), lit(c._1), lit(c._2)) / unitMeters).as(v)
+    }
+    df.select(sels: _*)
+  }
+
   def compileBgp(triples1: Seq[Triple]): DataFrame = {
     val (hintT, triples0) = triples1.partition(isHint)
     val keepOrder = optimizerOff(hintT)
     val (magicT, triples) = triples0.partition(isMagic)
+    def isGeo(ts: Seq[Triple]): Boolean = ts.exists {
+      case Triple(_, PLink(i), _, _) => i.startsWith(GEO_NS)
+      case _ => false
+    }
     val searchDfs = magicT.groupBy(_.s).toSeq.map {
-      case (VarNode(v), ts) => searchScan(v, ts)
+      case (VarNode(v), ts) => if (isGeo(ts)) geoScan(v, ts) else searchScan(v, ts)
       case (other, _) => throw new IllegalArgumentException(s"bds: subject must be a var, got $other")
     }
     if (triples.isEmpty && searchDfs.isEmpty) return unitDf

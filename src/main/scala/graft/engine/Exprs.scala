@@ -349,8 +349,15 @@ object Exprs {
   private def hashFn(t: Column, h: Column): Column =
     when(t.isNotNull && isStringy(t), Term.strLit(h)).otherwise(Term.nullTerm)
 
+  /** STRDT: a known xsd datatype goes through the typed constructor (inline value
+    * fields populated); any other datatype IRI mints an opaque typed literal —
+    * SPARQL 17.4.2.8 allows arbitrary IRIs (the reference's extension/geospatial
+    * literals rely on this).
+    */
   private def strdt(v: Column, dtE: Expr): Column = dtE match {
-    case EConst(IriNode(dt)) => castFn(dt, v)
+    case EConst(IriNode(dt)) if dt.startsWith(Term.XSD) => castFn(dt, v)
+    case EConst(IriNode(dt)) =>
+      when(v.isNotNull && isPlainStr(v), Term.typedLit(fStr(v), dt)).otherwise(Term.nullTerm)
     case _ => Term.nullTerm
   }
 

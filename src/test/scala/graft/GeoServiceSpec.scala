@@ -1,0 +1,119 @@
+package graft
+
+import graft.engine.{Engine, Update}
+import org.apache.spark.sql.functions._
+
+/** geo:search magic-predicate service (GeoSpatial.java:64-84,
+  * GeoSpatialServiceFactory.java): packed "lat#lon(#time)" literals matched by
+  * inCircle / inRectangle with optional time range and value bindings.
+  */
+class GeoServiceSpec extends GraftSuite {
+
+  private lazy val geoStore = Update(store,
+    """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+      |INSERT DATA {
+      |  <urn:pt:a> <urn:p:pos> "1.0#1.0#100"^^geo:geoSpatialLiteral .
+      |  <urn:pt:b> <urn:p:pos> "1.5#1.5#200"^^geo:geoSpatialLiteral .
+      |  <urn:pt:c> <urn:p:pos> "10.0#10.0#150"^^geo:geoSpatialLiteral .
+      |  <urn:pt:d> <urn:p:pos> "-1.0#179.0#100"^^geo:geoSpatialLiteral .
+      |}""".stripMargin)
+
+  private def subjects(df: org.apache.spark.sql.DataFrame, v: String = "res"): Set[String] =
+    df.select(col(v)("str")).collect().map(_.getString(0)).toSet
+
+  test("inRectangle matches points inside the box only") {
+    val df = Engine.query(geoStore,
+      """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        |SELECT ?res WHERE {
+        |  ?res geo:search "inRectangle" ;
+        |       geo:predicate <urn:p:pos> ;
+        |       geo:spatialRectangleSouthWest "0#0" ;
+        |       geo:spatialRectangleNorthEast "5#5" }""".stripMargin)
+    assert(subjects(df) == Set("urn:pt:a", "urn:pt:b"))
+  }
+
+  test("inCircle with default Kilometers unit and distanceValue binding") {
+    // 100 km around (1,1): only a (0 km) and b (~78.6 km) qualify
+    val df = Engine.query(geoStore,
+      """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        |SELECT ?res ?d WHERE {
+        |  ?res geo:search "inCircle" ;
+        |       geo:predicate <urn:p:pos> ;
+        |       geo:spatialCircleCenter "1#1" ;
+        |       geo:spatialCircleRadius "100" ;
+        |       geo:distanceValue ?d }""".stripMargin)
+    assert(subjects(df) == Set("urn:pt:a", "urn:pt:b"))
+    val dists = df.select(col("res")("str"), col("d")("num")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dists("urn:pt:a") == 0.0)
+    assert(dists("urn:pt:b") > 78.0 && dists("urn:pt:b") < 79.0) // km
+  }
+
+  test("spatialUnit Meters rescales the radius") {
+    val df = Engine.query(geoStore,
+      """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        |SELECT ?res WHERE {
+        |  ?res geo:search "inCircle" ;
+        |       geo:predicate <urn:p:pos> ;
+        |       geo:spatialCircleCenter "1#1" ;
+        |       geo:spatialCircleRadius "1000" ;
+        |       geo:spatialUnit "Meters" }""".stripMargin)
+    assert(subjects(df) == Set("urn:pt:a")) // 1 km radius: only the center point
+  }
+
+  test("timeStart/timeEnd restrict on the packed time dimension") {
+    val df = Engine.query(geoStore,
+      """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        |SELECT ?res ?t WHERE {
+        |  ?res geo:search "inRectangle" ;
+        |       geo:predicate <urn:p:pos> ;
+        |       geo:spatialRectangleSouthWest "0#0" ;
+        |       geo:spatialRectangleNorthEast "20#20" ;
+        |       geo:timeStart "120" ; geo:timeEnd "250" ;
+        |       geo:timeValue ?t }""".stripMargin)
+    assert(subjects(df) == Set("urn:pt:b", "urn:pt:c"))
+    val ts = df.select(col("t")("lng")).collect().map(_.getLong(0)).toSet
+    assert(ts == Set(200L, 150L))
+  }
+
+  test("lat/lon/location value bindings join into the surrounding BGP") {
+    val df = Engine.query(geoStore,
+      """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        |SELECT ?res ?lat ?lon ?loc WHERE {
+        |  ?res geo:search "inRectangle" ;
+        |       geo:predicate <urn:p:pos> ;
+        |       geo:spatialRectangleSouthWest "-5#170" ;
+        |       geo:spatialRectangleNorthEast "5#180" ;
+        |       geo:latValue ?lat ; geo:lonValue ?lon ; geo:locationValue ?loc }""".stripMargin)
+    val r = df.select(col("res")("str"), col("lat")("num"), col("lon")("num"),
+      col("loc")("str")).collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "urn:pt:d" && r(0).getDouble(1) == -1.0 &&
+      r(0).getDouble(2) == 179.0 && r(0).getString(3) == "-1.0#179.0#100")
+  }
+
+  test("unknown geo:search function and missing predicate are clean errors") {
+    val e1 = intercept[IllegalArgumentException] {
+      Engine.query(geoStore,
+        """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+          |SELECT ?r WHERE { ?r geo:search "inPolygon" ; geo:predicate <urn:p:pos> ;
+          |  geo:spatialCircleCenter "0#0" ; geo:spatialCircleRadius "1" }""".stripMargin)
+    }
+    assert(e1.getMessage.contains("inPolygon"))
+    val e2 = intercept[IllegalArgumentException] {
+      Engine.query(geoStore,
+        """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+          |SELECT ?r WHERE { ?r geo:search "inCircle" ;
+          |  geo:spatialCircleCenter "0#0" ; geo:spatialCircleRadius "1" }""".stripMargin)
+    }
+    assert(e2.getMessage.contains("geo:predicate"))
+  }
+
+  test("STRDT mints opaque typed literals for non-xsd datatypes") {
+    val df = Engine.query(store,
+      """SELECT ?x WHERE { VALUES ?s { "7#8" }
+        |  BIND(STRDT(?s, <urn:dt:custom>) AS ?x) }""".stripMargin)
+    val r = df.select(col("x")("str"), col("x")("dt")).first()
+    assert(r.getString(0) == "7#8" && r.getString(1) == "urn:dt:custom")
+  }
+}
