@@ -947,8 +947,13 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
       .dropDuplicates("s", "p", "o")
   }
 
-  /** DESCRIBE via Concise Bounded Description (rdf/sparql/ast/eval/CBD.java) — one
-    * expansion round (the test data is bnode-free, so CBD = direct subgraph).
+  /** DESCRIBE via Concise Bounded Description (rdf/sparql/ast/eval/CBD.java):
+    * the direct subgraph of each target, then an expansion loop that chases bnode
+    * OBJECTS until no new bnodes appear (CBD.java's fixed-point; its statement-
+    * reification expansion is out of scope — no explicit reification quads here).
+    * Each round is one semi-join of the (small) bnode frontier against the
+    * statement table — O(closure-depth) rounds, frontier-sized shuffles only,
+    * lineage cut per round like the other fixpoints.
     */
   def compileDescribe(q: DescribeQuery): DataFrame = {
     val consts = q.targets.collect { case IriNode(i) => i }
@@ -960,8 +965,26 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
           sol.select(col(v).as("n")).filter(col("n").isNotNull)
         }
     val nodes = nodeDfs.reduce(_.unionByName(_)).dropDuplicates("n")
-    store.statements.join(nodes, col("s")("id") === col("n")("id"), "left_semi")
-      .select("s", "p", "o").dropDuplicates("s", "p", "o")
+    val stmts = store.statements
+    var seen = nodes.select(col("n")("id").as("nid")).localCheckpoint()
+    var acc = stmts.join(nodes, col("s")("id") === col("n")("id"), "left_semi")
+      .select("s", "p", "o").localCheckpoint()
+    var frontier = acc.filter(col("o")("kind") === Term.KIND_BNODE)
+      .select(col("o")("id").as("nid")).dropDuplicates("nid")
+      .join(seen, Seq("nid"), "left_anti").localCheckpoint()
+    var rounds = 0
+    val maxRounds = 50 // CBD depth bound: cycles terminate via `seen` regardless
+    while (rounds < maxRounds && frontier.limit(1).count() > 0) {
+      val next = stmts.join(frontier, col("s")("id") === col("nid"), "left_semi")
+        .select("s", "p", "o")
+      seen = seen.unionByName(frontier).localCheckpoint()
+      acc = acc.unionByName(next).localCheckpoint()
+      frontier = next.filter(col("o")("kind") === Term.KIND_BNODE)
+        .select(col("o")("id").as("nid")).dropDuplicates("nid")
+        .join(seen, Seq("nid"), "left_anti").localCheckpoint()
+      rounds += 1
+    }
+    acc.dropDuplicates("s", "p", "o")
   }
 }
 
