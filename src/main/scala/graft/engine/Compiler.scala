@@ -741,6 +741,18 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
   def compile(op: Op): DataFrame = op match {
     case OpUnit => unitDf
     case OpBgp(ts) => compileBgp(ts)
+    // remote SERVICE joined against local solutions: vector the outer bindings
+    // into the remote query as VALUES when small (ServiceCallJoin.java:105)
+    case OpJoin(l, svc @ OpService(IriNode(i), inner, silent))
+        if RemoteService.isRemoteIri(i) && !Services.has(i) =>
+      val dl = compile(l)
+      val dr = RemoteService.evaluateWith(spark, i, inner, silent, dl)
+      joinOp(l, svc, dl, dr, "inner")
+    case OpJoin(svc @ OpService(IriNode(i), inner, silent), r)
+        if RemoteService.isRemoteIri(i) && !Services.has(i) =>
+      val dr = compile(r)
+      val dl = RemoteService.evaluateWith(spark, i, inner, silent, dr)
+      joinOp(r, svc, dr, dl, "inner")
     case OpJoin(l, r) => joinOp(l, r, compile(l), compile(r), "inner")
     case OpLeftJoin(l, r, cond) =>
       val (dl, dr) = (compile(l), compile(r))
@@ -996,11 +1008,15 @@ object Services {
   type ServiceFn = (Compiler, Op, Boolean) => DataFrame
   private val registry = scala.collection.concurrent.TrieMap.empty[String, ServiceFn]
   def register(iri: String, fn: ServiceFn): Unit = registry.put(iri, fn)
+  def has(iri: String): Boolean = { BuiltinServices.init; registry.contains(iri) }
   def dispatch(c: Compiler, iri: Ast.Node, inner: Op, silent: Boolean): DataFrame = {
     BuiltinServices.init
     iri match {
       case IriNode(i) => registry.get(i) match {
         case Some(fn) => fn(c, inner, silent)
+        // unregistered http(s) endpoint → SPARQL-protocol federation
+        case None if RemoteService.isRemoteIri(i) =>
+          RemoteService.evaluate(c.store.spark, i, inner, silent)
         case None => throw new UnsupportedOperationException(s"no service registered for <$i>")
       }
       case other => throw new UnsupportedOperationException(s"SERVICE with $other")
