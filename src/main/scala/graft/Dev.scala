@@ -35,6 +35,20 @@ object Dev {
         .count()
       println(s"PROBE-GEO-SERVICE rows=$n (expect 1)")
     }
+    // probe 12 (r4): exact decimal arithmetic + aggregation end-to-end
+    locally {
+      val ds = engine.Update(model.Tpch.store(spark, "/root/testdata/sf0.001"),
+        """INSERT DATA { <urn:acct:1> <urn:p:delta> "0.10"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+          |  <urn:acct:2> <urn:p:delta> 0.2 .
+          |  <urn:acct:3> <urn:p:delta> 1 . }""".stripMargin)
+      val r = engine.Engine.query(ds,
+        """SELECT (SUM(?d) AS ?s) (AVG(?d) AS ?a) (SUM(?d)*10 AS ?s10)
+          |WHERE { ?x <urn:p:delta> ?d }""".stripMargin).first()
+      val (s, a, s10) = (r.getStruct(0), r.getStruct(1), r.getStruct(2))
+      println(s"PROBE-DECIMAL sum=${s.getString(2)}^^${s.getString(3).split('#').last}" +
+        s" avg=${a.getString(2)} s10=${s10.getString(2)}" +
+        " (expect sum=1.3^^decimal avg=0.433333333333333333 s10=13)")
+    }
     val store = model.Tpch.store(spark, "/root/testdata/sf0.001")
     println(s"statements: ${store.statements.count()}")
     val q1 =
@@ -81,7 +95,7 @@ object Dev {
     // probe 7 (r2): ANSI-safe arithmetic end-to-end
     val ovf = engine.Engine.query(store,
       """SELECT ?x ?inf ?err WHERE { <urn:t:nation:5> <urn:p:n_nationkey> ?k .
-        |  BIND(9223372036854775807 + ?k AS ?x) BIND(-1.0/0.0 AS ?inf) BIND(5/0 AS ?err) }""".stripMargin)
+        |  BIND(9223372036854775807 + ?k AS ?x) BIND(-1.0e0/0.0e0 AS ?inf) BIND(5/0 AS ?err) }""".stripMargin)
       .select(col("x")("num"), col("inf")("num"), col("err")).first()
     println(s"PROBE-ANSI-ARITH: overflow->${ovf.getDouble(0)} inf->${ovf.getDouble(1)} intDiv0Null->${ovf.isNullAt(2)}")
     // probe 8 (r2): CLEAR DEFAULT keeps named graphs

@@ -287,6 +287,20 @@ object SparkEntry {
       oLng("ckey"), oStr("cls")) _,
       Some("SELECT c_custkey AS ckey, CASE WHEN c_acctbal > 5000.0 THEN 'high' ELSE 'low' END AS cls FROM customer")),
 
+    // exact xsd:decimal aggregation (SUM.java:53 BigDecimal promotion): the totals
+    // are summed in DecimalType(38,18), so both sides are exact and order-independent
+    // — a double-summing engine drifts in the last bits and hash-mismatches. The
+    // string-mediated double→decimal cast makes Spark and DuckDB parse the same
+    // shortest-representation lexical form.
+    ("q_decimal_agg", sq(
+      """SELECT (SUM(?dtp) AS ?total) (SUM(?cent) AS ?cents) WHERE {
+        |  ?o a <urn:c:Orders> ; <urn:p:o_totalprice> ?tp .
+        |  BIND(<http://www.w3.org/2001/XMLSchema#decimal>(STR(?tp)) AS ?dtp)
+        |  BIND(0.01 AS ?cent) }""".stripMargin,
+      oStr("total"), oStr("cents")) _,
+      Some("""SELECT rtrim(rtrim(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR),'0'),'.') AS total,
+             | rtrim(rtrim(CAST(SUM(CAST('0.01' AS DECIMAL(38,18))) AS VARCHAR),'0'),'.') AS cents FROM orders""".stripMargin)),
+
     ("q_regex", sq(
       """SELECT ?name WHERE { ?c <urn:p:c_name> ?name . FILTER(REGEX(?name, "00$")) }""",
       oStr("name")) _,
@@ -669,7 +683,15 @@ object SparkEntry {
       }),
 
     ("p_fingerprint", ((s: SparkSession, dir: String) =>
-      TextStats.fingerprint(docs(s, dir), "doc_id", "text")): Q, None),
+      TextStats.fingerprint(docs(s, dir), "doc_id", "text")): Q,
+      // min-md5 over the same distinct 3-gram shingles (md5-hex min is
+      // engine-portable; xxhash64 is not expressible in the oracle)
+      Some("""WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+'))-3, 0)),
+             |    i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[i+1:i+3], ' '))) AS sh
+             |  FROM documents)
+             |SELECT doc_id, list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS fingerprint
+             |FROM sh""".stripMargin)),
 
     ("p_gas_cc", ((s: SparkSession, dir: String) => {
       val li = read(s, dir, "lineitem")

@@ -31,28 +31,44 @@ object Aggregates {
     case "SUM" =>
       val t = Exprs.term(a.arg.get, env)
       val bad = coalesce(max(when(t.isNotNull && fNum(t).isNull, 1).otherwise(0)), lit(0)) === 1
-      // Sum({}) = "0"^^xsd:integer per SPARQL — the empty group takes the integer path
+      // xsd promotion over the whole group (SUM.java:53): all-integer → integer;
+      // integer/decimal mix → exact decimal; any float-family (or boolean) → double.
+      // Sum({}) = "0"^^xsd:integer per SPARQL — the empty group takes the integer path.
       val nonInt = coalesce(
         max(when(t.isNotNull && (fDt(t).isNull || fDt(t) =!= Term.XSD_INTEGER), 1)
           .otherwise(0)), lit(0)) === 1
+      val nonExact = coalesce(
+        max(when(t.isNotNull && fNum(t).isNotNull && !isExact(t), 1).otherwise(0)),
+        lit(0)) === 1
       val sumL = if (a.distinct) sum_distinct(fLng(t)) else sum(fLng(t))
+      val sumDec = if (a.distinct) sum_distinct(fDec(t)) else sum(fDec(t))
       val sumD = if (a.distinct) sum_distinct(fNum(t)) else sum(fNum(t))
       when(bad, Term.nullTerm)
         // non-empty group where the argument is unbound on EVERY row: a multiset of
         // errors, so the aggregate errors (≠ the empty group, which is 0)
         .when(count(lit(1)) > 0 && count(t) === 0, Term.nullTerm)
         .when(!nonInt, Term.intLit(coalesce(sumL, lit(0L))))
+        .when(!nonExact, Term.decimalLit(coalesce(sumDec, lit(0).cast(Term.DECIMAL_TYPE))))
         .otherwise(Term.doubleLit(coalesce(sumD, lit(0.0))))
 
     case "AVG" =>
       val t = Exprs.term(a.arg.get, env)
       val bad = coalesce(max(when(t.isNotNull && fNum(t).isNull, 1).otherwise(0)), lit(0)) === 1
+      val nonExact = coalesce(
+        max(when(t.isNotNull && fNum(t).isNotNull && !isExact(t), 1).otherwise(0)),
+        lit(0)) === 1
       val v =
         if (a.distinct) sum_distinct(fNum(t)) / countDistinct(fNum(t))
         else avg(fNum(t))
+      // exact path: AVG over integers/decimals is an exact decimal (the sum is
+      // order-independent; the final ÷count rounds once at scale 18)
+      val vDec =
+        if (a.distinct) sum_distinct(fDec(t)) / countDistinct(fDec(t))
+        else avg(fDec(t))
       when(bad, Term.nullTerm)
         .when(count(lit(1)) === 0, Term.intLit(lit(0L))) // Avg({}) = 0 per SPARQL
         .when(count(t) === 0, Term.nullTerm) // non-empty but all-unbound: error
+        .when(!nonExact, Term.decimalLit(vDec))
         .otherwise(Term.doubleLit(v))
 
     case "MIN" | "MAX" | "SAMPLE" =>

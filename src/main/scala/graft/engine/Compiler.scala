@@ -779,7 +779,8 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
       exprs.foldLeft(compile(child))((df, e) => applyFilter(df, e))
     case OpExtend(child, name, expr) =>
       val df = compile(child)
-      df.withColumn(name, Exprs.term(expr, env(df)))
+      val st = Exprs.stageSubexprs(df, expr, env(df))
+      st.df.withColumn(name, Exprs.term(st.expr, st.env)).drop(st.temps: _*)
     case OpValues(v) => valuesDf(v)
     case OpSubquery(q) => compileSelect(q)
     case OpService(iri, inner, silent) => Services.dispatch(this, iri, inner, silent)
@@ -796,7 +797,9 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
       val how = if (not) "left_anti" else "left_semi"
       if (shared.isEmpty) df.join(sub.limit(1), lit(true), how)
       else joinDf(df, sub, how)
-    case other => df.filter(Exprs.filterPred(other, env(df)))
+    case other =>
+      val st = Exprs.stageSubexprs(df, other, env(df))
+      st.df.filter(Exprs.filterPred(st.expr, st.env)).drop(st.temps: _*)
   }
 
   private def leftJoin(dl: DataFrame, dr: DataFrame, cond: Seq[Expr],
@@ -875,21 +878,39 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
           case (EVar(n), None) => keyCols :+= n
           case (e2, aliasOpt) =>
             val name = aliasOpt.getOrElse(s"__gk$i")
-            df = df.withColumn(name, Exprs.term(e2, env(df)))
+            val st = Exprs.stageSubexprs(df, e2, env(df))
+            df = st.df.withColumn(name, Exprs.term(st.expr, st.env)).drop(st.temps: _*)
             keyCols :+= name
         }
       }
       aggMap = aggsNeeded.zipWithIndex.map { case (a, i) => a -> s"__ag$i" }.toMap
+      // COUNT(DISTINCT *) counts over the solution columns as they stood here
+      // (staged agg-arg temps below are functions of them — excluded)
+      val solCols = df.columns.toSeq
+      // stage each aggregate's argument as a pre-aggregation column: the agg
+      // compiles over a plain column reference instead of re-inlining the
+      // argument tree once per promotion branch
+      val stagedAggs = aggsNeeded.zipWithIndex.map { case (a, i) =>
+        a.arg match {
+          case Some(arg) if !arg.isInstanceOf[EVar] =>
+            val st = Exprs.stageSubexprs(df, arg, env(df))
+            val name = s"__aa$i"
+            df = st.df.withColumn(name, Exprs.term(st.expr, st.env)).drop(st.temps: _*)
+            a.copy(arg = Some(EVar(name)))
+          case _ => a
+        }
+      }
       val preEnv = env(df)
-      val aggCols = aggsNeeded.zipWithIndex.map { case (a, i) =>
-        Aggregates.compile(a, preEnv, df.columns.toSeq).as(s"__ag$i")
+      val aggCols = stagedAggs.zipWithIndex.map { case (a, i) =>
+        Aggregates.compile(a, preEnv, solCols).as(s"__ag$i")
       }
       df =
         if (aggCols.isEmpty) df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n")).drop("__n")
         else df.groupBy(keyCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       // HAVING (post-aggregation ConditionalRoutingOp)
       q.having.foreach { h =>
-        df = df.filter(Exprs.filterPred(Algebra.replaceAggs(h, aggMap), env(df)))
+        val st = Exprs.stageSubexprs(df, Algebra.replaceAggs(h, aggMap), env(df))
+        df = st.df.filter(Exprs.filterPred(st.expr, st.env)).drop(st.temps: _*)
       }
     }
 
@@ -899,7 +920,9 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
       val e2 = Algebra.replaceAggs(e, aggMap)
       e2 match {
         case EVar(n) if n == name => () // passthrough (may be absent → padded below)
-        case _ => df = df.withColumn(name, Exprs.term(e2, env(df)))
+        case _ =>
+          val st = Exprs.stageSubexprs(df, e2, env(df))
+          df = st.df.withColumn(name, Exprs.term(st.expr, st.env)).drop(st.temps: _*)
       }
       outNames :+= name
     }
@@ -908,9 +931,18 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
       df = df.withColumn(n, Term.nullTerm)
     }
 
-    // ORDER BY via SPARQL total-order sort keys (MemorySortOp + IVComparator)
-    val sortCols = q.orderBy.map { case (e, asc) =>
-      val k = Exprs.sortKey(Exprs.term(Algebra.replaceAggs(e, aggMap), env(df)))
+    // ORDER BY via SPARQL total-order sort keys (MemorySortOp + IVComparator).
+    // Computed keys are staged as temp columns (dropped by the final select).
+    val sortCols = q.orderBy.zipWithIndex.map { case ((e, asc), i) =>
+      val e2 = Algebra.replaceAggs(e, aggMap)
+      val k = e2 match {
+        case EVar(_) => Exprs.sortKey(Exprs.term(e2, env(df)))
+        case _ =>
+          val st = Exprs.stageSubexprs(df, e2, env(df))
+          df = st.df.withColumn(s"__sk$i", Exprs.sortKey(Exprs.term(st.expr, st.env)))
+            .drop(st.temps: _*)
+          col(s"__sk$i")
+      }
       if (asc) k.asc else k.desc
     }
 

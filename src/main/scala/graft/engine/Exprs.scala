@@ -51,12 +51,27 @@ object Exprs {
   private def isBool(t: Column): Column = fDt(t) === Term.XSD_BOOLEAN
   private def isDateTime(t: Column): Column = fTs(t).isNotNull
   private def isInt(t: Column): Column = fDt(t) === Term.XSD_INTEGER
+  private[engine] def isDec(t: Column): Column = fDt(t) === Term.XSD_DECIMAL
+  /** Exact-arithmetic types (xsd:integer / xsd:decimal) — BigDecimal-promoted in the
+    * reference's MathUtility; here they compute in DecimalType(38,18).
+    */
+  private[engine] def isExact(t: Column): Column = isInt(t) || isDec(t)
+  /** Exact decimal value of an integer/decimal literal (null for other terms).
+    * Decimals re-derive from the canonical lexical form — `num` is only the
+    * double approximation.
+    */
+  private[engine] def fDec(t: Column): Column =
+    when(isInt(t), fLng(t).cast(Term.DECIMAL_TYPE))
+      .when(isDec(t), fStr(t).try_cast(Term.DECIMAL_TYPE))
+      .otherwise(lit(null).cast(Term.DECIMAL_TYPE))
 
   /** Constant node → term Column (canonical construction — see Term scaladoc). */
   def constTerm(n: Node): Column = n match {
     case IriNode(i) => Term.iri(i)
     case LitNode(lex, Some(Term.XSD_INTEGER), _) => Term.intLit(lit(lex.toLong))
     case LitNode(lex, Some(Term.XSD_DOUBLE), _) => Term.doubleLit(lit(lex.toDouble))
+    case LitNode(lex, Some(Term.XSD_DECIMAL), _) =>
+      Term.decimalLit(lit(new java.math.BigDecimal(lex)).cast(Term.DECIMAL_TYPE))
     case LitNode(lex, Some(Term.XSD_BOOLEAN), _) => Term.boolLit(lit(lex == "true"))
     case LitNode(lex, Some(Term.XSD_DATETIME), _) =>
       Term.tsLit(to_timestamp(lit(lex), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
@@ -84,8 +99,12 @@ object Exprs {
   private def bothTs(l: Column, r: Column) = isDateTime(l) && isDateTime(r)
   private def bothBool(l: Column, r: Column) = isBool(l) && isBool(r)
 
+  private def bothExact(l: Column, r: Column) = isExact(l) && isExact(r)
+
   def eqTerm(l: Column, r: Column): Column =
     when(l.isNull || r.isNull, nullB)
+      // integer/decimal pairs compare exactly (no double round-trip: 2^53+1 ≠ 2^53)
+      .when(bothExact(l, r), fDec(l) === fDec(r))
       .when(bothNum(l, r), fNum(l) === fNum(r))
       .when(bothTs(l, r), fTs(l) === fTs(r))
       .when(bothStr(l, r), fStr(l) === fStr(r) && coalesce(fLang(l), lit("")) === coalesce(fLang(r), lit("")))
@@ -99,6 +118,8 @@ object Exprs {
     val nullI = lit(null).cast(IntegerType)
     def sgn(c: Column): Column = when(c < 0, -1).when(c > 0, 1).otherwise(0)
     when(l.isNull || r.isNull, nullI)
+      .when(bothExact(l, r),
+        when(fDec(l) === fDec(r), 0).when(fDec(l) < fDec(r), -1).otherwise(1))
       .when(bothNum(l, r), sgn(fNum(l) - fNum(r)).cast(IntegerType))
       .when(bothTs(l, r), sgn(fTs(l).cast(LongType) - fTs(r).cast(LongType)).cast(IntegerType))
       .when(bothStr(l, r),
@@ -134,13 +155,24 @@ object Exprs {
       case "+" => try_add(fLng(l), fLng(r))
       case "-" => try_subtract(fLng(l), fLng(r))
       case "*" => try_multiply(fLng(l), fLng(r))
-      case "/" => lit(null).cast(LongType) // int/int → decimal per SPARQL: use double
+      case "/" => lit(null).cast(LongType) // int/int → xsd:decimal (exact path below)
     }
     val intCase = if (op == "/") lit(false) else bothInt && lngOp.isNotNull
-    val intDivZero = if (op == "/") bothInt && fNum(r) === 0.0 else lit(false)
+    // exact path: integer/decimal operands compute in DecimalType(38,18) — the
+    // MathUtility BigDecimal promotion (note: Spark's decimal division/multiply
+    // reduce the result scale to keep 38 digits of precision; ÷0 and overflow
+    // fall out of try_* as NULL → SPARQL type error)
+    val decRes = (op match {
+      case "+" => try_add(fDec(l), fDec(r))
+      case "-" => try_subtract(fDec(l), fDec(r))
+      case "*" => try_multiply(fDec(l), fDec(r))
+      case "/" => try_divide(fDec(l), fDec(r))
+    }).try_cast(Term.DECIMAL_TYPE)
+    val exactCase = bothExact(l, r)
     when(l.isNull || r.isNull || !bothNum(l, r), Term.nullTerm)
-      .when(intDivZero, Term.nullTerm) // xsd:integer ÷ 0 → type error
       .when(intCase, Term.intLit(lngOp))
+      .when(exactCase && decRes.isNotNull, Term.decimalLit(decRes))
+      .when(exactCase, Term.nullTerm) // exact-type ÷0 / overflow → type error
       .when(num.isNotNull, Term.doubleLit(num))
       .otherwise(Term.nullTerm)
   }
@@ -180,6 +212,7 @@ object Exprs {
       val negLng = try_subtract(lit(0L), fLng(t)) // Long.MinValue negation overflows under ANSI
       when(isNumericT(t),
         when(isInt(t) && negLng.isNotNull, Term.intLit(negLng))
+          .when(isDec(t), Term.decimalLit(-fDec(t)))
           .otherwise(Term.doubleLit(-fNum(t))))
         .otherwise(Term.nullTerm)
     case EIn(_, _, _) => boolTerm(bool(e, env))
@@ -211,6 +244,66 @@ object Exprs {
 
   /** FILTER predicate: errors become false (SPARQLConstraint + EBVBOp). */
   def filterPred(e: Expr, env: Env): Column = coalesce(bool(e, env), lit(false))
+
+  // ---- nested-expression staging ----
+  /** Result of staging: the augmented frame, the rewritten AST (nested heavy nodes
+    * replaced by temp-column vars), the env that resolves them, and the temp names
+    * to drop once the outer expression is applied.
+    */
+  final case class Staged(df: org.apache.spark.sql.DataFrame, expr: Expr, env: Env,
+                          temps: Seq[String])
+
+  private val stageIds = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Heavy = compiles to a term-struct `when`-chain that references each operand
+    * many times (arith ~20×, casts/functions ~5×). Inlining such nodes inside one
+    * another multiplies Catalyst tree size per nesting level (a 4-deep arithmetic
+    * BIND exceeds an 8 GB driver heap at PLAN time); staging keeps it linear.
+    */
+  private def isHeavy(e: Expr): Boolean = e match {
+    case EBinary("&&" | "||" | "=" | "!=" | "<" | "<=" | ">" | ">=", _, _) => false
+    case _: EBinary => true
+    case EUnary("-", _) => true
+    case _: ECall => true
+    case _ => false
+  }
+
+  /** Rewrite `e` so every NESTED heavy sub-expression is materialized as an
+    * intermediate projection column on `df` (bottom-up, so temps may reference
+    * earlier temps). Downstream Projects reference temps by name — Catalyst's
+    * CollapseProject keeps multi-use non-cheap aliases staged, so the final plan
+    * is a short pipeline of narrow Projects instead of one multiplicative tree.
+    * Eager evaluation of staged IF/COALESCE branches is semantics-preserving:
+    * every error path here is a NULL (try_* arithmetic), never an exception.
+    */
+  def stageSubexprs(df0: org.apache.spark.sql.DataFrame, e: Expr, env0: Env): Staged = {
+    var df = df0; var env = env0; var temps = List.empty[String]
+    def alias(x: Expr): Expr = {
+      val name = s"__stg${stageIds.incrementAndGet()}"
+      df = df.withColumn(name, term(x, env))
+      env = env.copy(columns = env.columns + name)
+      temps ::= name
+      EVar(name)
+    }
+    def walk(x: Expr, root: Boolean): Expr = x match {
+      case EBinary(op, l, r) =>
+        val x2 = EBinary(op, walk(l, root = false), walk(r, root = false))
+        if (!root && isHeavy(x2)) alias(x2) else x2
+      case EUnary(op, v) =>
+        val x2 = EUnary(op, walk(v, root = false))
+        if (!root && isHeavy(x2)) alias(x2) else x2
+      // BOUND inspects its argument's AST (variable vs expression) — leave intact.
+      // Constant args (REGEX patterns, SUBSTR bounds) are not heavy, so positional
+      // constant-reading builtins still see their EConst nodes.
+      case ECall(fn, args) if fn != "BOUND" =>
+        val x2 = ECall(fn, args.map(walk(_, root = false)))
+        if (!root) alias(x2) else x2
+      case EIn(v, list, not) => EIn(walk(v, root = false), list.map(walk(_, root = false)), not)
+      case other => other // EVar, EConst, EExists, EAgg (replaced upstream)
+    }
+    val e2 = walk(e, root = true)
+    Staged(df, e2, env, temps.reverse)
+  }
 
   // ---- function library (registry analog of rdf/sparql/ast/FunctionRegistry.java) ----
   private def str1(args: Seq[Column]): Column = fStr(args.head)
@@ -290,10 +383,10 @@ object Exprs {
         boolTerm(when(a0.isNull || a1.isNull, nullB)
           .when(range === "*", tag =!= "")
           .otherwise(tag === range || tag.startsWith(concat(range, lit("-")))))
-      case "ABS" => numeric1(a0, abs(fNum(a0)), abs(fLng(a0)))
-      case "ROUND" => numeric1(a0, round(fNum(a0)), fLng(a0))
-      case "CEIL" => numeric1(a0, ceil(fNum(a0)).cast(DoubleType), fLng(a0))
-      case "FLOOR" => numeric1(a0, floor(fNum(a0)).cast(DoubleType), fLng(a0))
+      case "ABS" => numeric1(a0, abs(fNum(a0)), abs(fLng(a0)), abs(fDec(a0)))
+      case "ROUND" => numeric1(a0, round(fNum(a0)), fLng(a0), round(fDec(a0), 0))
+      case "CEIL" => numeric1(a0, ceil(fNum(a0)).cast(DoubleType), fLng(a0), ceil(fDec(a0)))
+      case "FLOOR" => numeric1(a0, floor(fNum(a0)).cast(DoubleType), fLng(a0), floor(fDec(a0)))
       case "RAND" => Term.doubleLit(rand())
       case "NOW" => Term.tsLit(current_timestamp())
       case "YEAR" => dtPart(a0, year(fTs(a0)))
@@ -338,9 +431,11 @@ object Exprs {
     if (inline.isEmpty) pat else s"(?$inline)$pat"
   }
 
-  private def numeric1(t: Column, dbl: Column, lng: Column): Column =
+  private def numeric1(t: Column, dbl: Column, lng: Column, dec: Column): Column =
     when(t.isNotNull && isNumericT(t),
-      when(isInt(t), Term.intLit(lng)).otherwise(Term.doubleLit(dbl)))
+      when(isInt(t), Term.intLit(lng))
+        .when(isDec(t), Term.decimalLit(dec))
+        .otherwise(Term.doubleLit(dbl)))
       .otherwise(Term.nullTerm)
 
   private def dtPart(t: Column, part: Column): Column =
@@ -372,9 +467,16 @@ object Exprs {
           .when(isBool(t), fLng(t))
           .otherwise(fStr(t).try_cast(LongType))
         when(t.isNotNull && v.isNotNull, Term.intLit(v)).otherwise(Term.nullTerm)
-      case "double" | "float" | "decimal" =>
+      case "double" | "float" =>
         val v = when(isNumericT(t), fNum(t)).otherwise(fStr(t).try_cast(DoubleType))
         when(t.isNotNull && v.isNotNull, Term.doubleLit(v)).otherwise(Term.nullTerm)
+      case "decimal" =>
+        // double operands route through Spark's double→decimal cast (shortest-repr
+        // BigDecimal — same value the lexical form denotes); strings parse exactly
+        val v = when(isExact(t), fDec(t))
+          .when(isNumericT(t), fNum(t).cast(Term.DECIMAL_TYPE))
+          .otherwise(fStr(t).try_cast(Term.DECIMAL_TYPE))
+        when(t.isNotNull && v.isNotNull, Term.decimalLit(v)).otherwise(Term.nullTerm)
       case "boolean" =>
         val v = when(isBool(t), fNum(t) =!= 0.0)
           .when(isNumericT(t), fNum(t) =!= 0.0)

@@ -115,6 +115,21 @@ object Term {
     mk(lit(KIND_LITERAL), d.cast(StringType), lit(XSD_DOUBLE), nullStr, d, nullLng, nullTs)
   }
 
+  /** Exact-decimal storage type: 20 integer + 18 fraction digits. */
+  val DECIMAL_TYPE: DecimalType = DecimalType(38, 18)
+
+  /** xsd:decimal literal from an exact decimal column. The canonical lexical form
+    * (scale-18 rendering with trailing zeros trimmed) is the value carrier — exact
+    * arithmetic re-derives the decimal from `str`, while `num` holds the double
+    * approximation for cross-type compares. This is the BigDecimal inline-IV analog
+    * (rdf/internal/DTE.java:90-224 `decimal (BigDecimal)`).
+    */
+  def decimalLit(v: Column): Column = {
+    val d = v.cast(DECIMAL_TYPE)
+    val s = regexp_replace(d.cast(StringType), "\\.?0+$", "")
+    mk(lit(KIND_LITERAL), s, lit(XSD_DECIMAL), nullStr, d.cast(DoubleType), nullLng, nullTs)
+  }
+
   def boolLit(v: Column): Column = {
     val b = v.cast(BooleanType)
     mk(lit(KIND_LITERAL), b.cast(StringType), lit(XSD_BOOLEAN), nullStr,
@@ -138,6 +153,8 @@ object Term {
   def literalFromParts(str: Column, dt: Column, lang: Column): Column =
     when(dt === XSD_INTEGER, intLit(str.cast(LongType)))
       .when(dt === XSD_DOUBLE, doubleLit(str.cast(DoubleType)))
+      .when(dt === XSD_DECIMAL && str.try_cast(DECIMAL_TYPE).isNotNull,
+        decimalLit(str.try_cast(DECIMAL_TYPE)))
       .when(dt === XSD_BOOLEAN, boolLit(str === "true"))
       .when(dt === XSD_DATETIME,
         tsLit(to_timestamp(regexp_replace(str, "Z$", ""), "yyyy-MM-dd'T'HH:mm:ss")))

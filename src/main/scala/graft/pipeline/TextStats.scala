@@ -78,11 +78,14 @@ object TextStats {
         .otherwise("es").as("lang_pred"))
   }
 
-  /** Winnowing-style document fingerprint: min rolling hash over word 3-gram shingles
-    * (robust to small edits; equal fingerprints → near-dup candidates).
+  /** Winnowing-style document fingerprint: min hash over word 3-gram shingles
+    * (robust to small edits; equal fingerprints → near-dup candidates). The hash is
+    * md5-hex rather than xxhash64 so the min is engine-portable (cross-checkable in
+    * any SQL engine) while still randomizing WHICH shingle wins — a lexicographic
+    * min over raw shingles would bias toward punctuation-led text.
     */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol),
-      array_min(transform(Dedup.shingles(col(textCol), n), sh => xxhash64(sh)))
+      array_min(transform(Dedup.shingles(col(textCol), n), sh => md5(sh)))
         .as("fingerprint"))
 }

@@ -134,7 +134,16 @@ object Parser {
   private val intDts = Set("integer", "int", "long", "short", "byte", "nonNegativeInteger",
     "nonPositiveInteger", "negativeInteger", "positiveInteger", "unsignedLong",
     "unsignedInt", "unsignedShort", "unsignedByte")
-  private val dblDts = Set("double", "float", "decimal")
+  private val dblDts = Set("double", "float")
+
+  /** Canonical xsd:decimal lexical form: plain notation, trailing fraction zeros
+    * trimmed — must match Term.decimalLit's scale-18 render + trim.
+    */
+  def canonicalDecimal(lex: String): String = {
+    val plain = new java.math.BigDecimal(lex.trim).toPlainString
+    if (plain.contains('.')) plain.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+    else plain
+  }
 
   def canonicalLit(lex: String, dt: Option[String], lang: Option[String]): LitNode = {
     dt match {
@@ -142,6 +151,8 @@ object Parser {
         val local = d.substring(graft.model.Term.XSD.length)
         if (intDts(local)) LitNode(java.lang.Long.parseLong(lex.trim).toString,
           Some(graft.model.Term.XSD_INTEGER))
+        else if (local == "decimal")
+          LitNode(canonicalDecimal(lex), Some(graft.model.Term.XSD_DECIMAL))
         else if (dblDts(local)) LitNode(java.lang.Double.toString(java.lang.Double.parseDouble(lex.trim)),
           Some(graft.model.Term.XSD_DOUBLE))
         else if (local == "boolean") LitNode(lex.trim.toLowerCase, Some(graft.model.Term.XSD_BOOLEAN))
@@ -163,9 +174,14 @@ object Parser {
       .withZone(java.time.ZoneOffset.UTC).format(inst)
   }
 
+  /** SPARQL grammar numeric literal typing: INTEGER → xsd:integer, DECIMAL (dot, no
+    * exponent) → xsd:decimal, DOUBLE (exponent) → xsd:double (SPARQL 1.1 §19.8).
+    */
   def numLit(text: String): LitNode =
-    if (text.contains('.') || text.toLowerCase.contains('e'))
+    if (text.toLowerCase.contains('e'))
       LitNode(java.lang.Double.toString(text.toDouble), Some(graft.model.Term.XSD_DOUBLE))
+    else if (text.contains('.'))
+      LitNode(canonicalDecimal(text), Some(graft.model.Term.XSD_DECIMAL))
     else LitNode(text.toLong.toString, Some(graft.model.Term.XSD_INTEGER))
 
   // ======== parser ========

@@ -55,7 +55,7 @@ class AdviceFixSpec extends GraftSuite {
   test("double division by zero yields INF/NaN; integer by zero is a type error") {
     val df = Engine.query(store,
       """SELECT ?inf ?nan ?err WHERE { <urn:t:nation:5> <urn:p:n_nationkey> ?k .
-        |  BIND(1.5/0.0 AS ?inf) BIND(0.0/0.0 AS ?nan) BIND(1/0 AS ?err) }""".stripMargin)
+        |  BIND(1.5e0/0.0e0 AS ?inf) BIND(0.0e0/0.0e0 AS ?nan) BIND(1/0 AS ?err) }""".stripMargin)
     val r = df.select(col("inf")("num"), col("nan")("num"), col("err")).first()
     assert(r.getDouble(0).isPosInfinity)
     assert(r.getDouble(1).isNaN)

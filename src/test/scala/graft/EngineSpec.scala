@@ -83,6 +83,24 @@ class EngineSpec extends GraftSuite {
     assert(r.isNullAt(2)) // SUM over strings → type error voids the aggregate
   }
 
+  test("sum/avg over decimals is exact") {
+    // 0.1 cannot be represented in binary: summing it 150 times in doubles drifts
+    // (15.000000000000004); the decimal path must yield exactly 15
+    val r = Engine.query(store,
+      """SELECT (SUM(?d) AS ?sd) (AVG(?d) AS ?ad) WHERE {
+        |  ?c a <urn:c:Customer> . BIND(0.1 AS ?d) }""".stripMargin).first()
+    assert(r.getStruct(0).getAs[String]("dt").endsWith("decimal"))
+    assert(r.getStruct(0).getAs[String]("str") == "15")
+    assert(r.getStruct(1).getAs[String]("dt").endsWith("decimal"))
+    assert(r.getStruct(1).getAs[String]("str") == "0.1")
+    // integer + decimal mix promotes the aggregate to decimal
+    val m = Engine.query(store,
+      """SELECT (SUM(?v) AS ?s) WHERE {
+        |  { BIND(2 AS ?v) } UNION { BIND(0.5 AS ?v) } }""".stripMargin).first()
+    assert(m.getStruct(0).getAs[String]("dt").endsWith("decimal"))
+    assert(m.getStruct(0).getAs[String]("str") == "2.5")
+  }
+
   test("property path + and zero-or-more") {
     val plus = Engine.query(store,
       "SELECT ?o WHERE { <urn:t:nation:5> <urn:fk:n_regionkey>+ ?o }").count()

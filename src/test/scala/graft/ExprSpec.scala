@@ -50,6 +50,35 @@ class ExprSpec extends GraftSuite {
     assert(eval1("5 / 0") == null) // division by zero → error
   }
 
+  test("exact decimal arithmetic") {
+    // xsd:decimal computes exactly (BigDecimal promotion, MathUtility analog):
+    // 0.1 + 0.2 is EXACTLY 0.3 — the double path would give 0.30000000000000004
+    assert(str1("0.1 + 0.2") == "0.3")
+    assert(eval1("0.1 + 0.2").getAs[String]("dt").endsWith("decimal"))
+    // integer + decimal promotes to decimal; canonical form trims trailing zeros
+    assert(str1("1 + 0.50") == "1.5")
+    assert(eval1("1 + 0.5").getAs[String]("dt").endsWith("decimal"))
+    // int/int division is xsd:decimal per XPath op:numeric-divide
+    assert(eval1("7 / 2").getAs[String]("dt").endsWith("decimal"))
+    assert(str1("7 / 2") == "3.5")
+    // any float-family operand demotes to double
+    assert(eval1("0.1e0 + 0.2").getAs[String]("dt").endsWith("double"))
+    // exact compare beyond double precision: 2^53 and 2^53+1 are distinct decimals
+    assert(str1("""IF(9007199254740993.0 = 9007199254740992.0, "eq", "ne")""") == "ne")
+    assert(str1("""IF(9007199254740993.0 > 9007199254740992.0, "gt", "le")""") == "gt")
+    // exact integer compare (would collide through double)
+    assert(str1("""IF(9007199254740993 != 9007199254740992, "ne", "eq")""") == "ne")
+    // decimal ÷ 0 is a type error, not INF
+    assert(eval1("1.5 / 0.0") == null)
+    assert(str1("ABS(-4.25)") == "4.25")
+    assert(str1("FLOOR(3.9)") == "3")
+    assert(str1("CEIL(3.1)") == "4")
+    assert(str1("-(2.5)") == "-2.5")
+    // xsd:decimal cast parses strings exactly
+    assert(str1("""<http://www.w3.org/2001/XMLSchema#decimal>("0.30000000000000004")""")
+      == "0.30000000000000004")
+  }
+
   test("casts") {
     assert(lng1("""<http://www.w3.org/2001/XMLSchema#integer>("42")""") == 42L)
     assert(dbl1("""<http://www.w3.org/2001/XMLSchema#double>("4.5")""") == 4.5)
@@ -60,7 +89,9 @@ class ExprSpec extends GraftSuite {
   }
 
   test("term inspection") {
-    assert(str1("""DATATYPE(3.5)""").endsWith("double"))
+    // SPARQL 1.1 §19.8: dot-no-exponent literals are xsd:decimal, exponent = double
+    assert(str1("""DATATYPE(3.5)""").endsWith("decimal"))
+    assert(str1("""DATATYPE(3.5e0)""").endsWith("double"))
     assert(str1("""DATATYPE("plain")""").endsWith("string"))
     assert(str1("""LANG("chat"@fr)""") == "fr")
     assert(str1("""IF(isIRI(<urn:a>), "iri", "no")""") == "iri")

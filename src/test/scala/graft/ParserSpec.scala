@@ -24,7 +24,9 @@ class ParserSpec extends AnyFunSuite {
 
   test("numeric literal normalization") {
     assert(Parser.numLit("42") == LitNode("42", Some(graft.model.Term.XSD_INTEGER)))
-    assert(Parser.numLit("4.5") == LitNode("4.5", Some(graft.model.Term.XSD_DOUBLE)))
+    // SPARQL §19.8: dot without exponent is xsd:decimal; exponent form is double
+    assert(Parser.numLit("4.5") == LitNode("4.5", Some(graft.model.Term.XSD_DECIMAL)))
+    assert(Parser.numLit("4.50") == LitNode("4.5", Some(graft.model.Term.XSD_DECIMAL)))
     assert(Parser.numLit("1e3") == LitNode("1000.0", Some(graft.model.Term.XSD_DOUBLE)))
   }
 

@@ -88,7 +88,7 @@ class PipelineSpec extends GraftSuite {
 
   test("fingerprint equal for identical docs, differs for different") {
     val fp = TextStats.fingerprint(docs, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fp(1L) == fp(4L))
     assert(fp(1L) != fp(3L))
   }

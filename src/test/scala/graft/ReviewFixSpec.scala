@@ -36,11 +36,15 @@ class ReviewFixSpec extends GraftSuite {
   }
 
   test("division by negative zero yields negative infinity") {
+    // IEEE-754 signed-zero semantics belong to xsd:double (exponent-form literals);
+    // plain `-0.0` is xsd:decimal, which has no negative zero and errors on ÷0
     val df = Engine.query(store,
-      """SELECT ?a ?b WHERE { <urn:t:nation:5> <urn:p:n_nationkey> ?k .
-        |  BIND(1.5/(-0.0) AS ?a) BIND(-2.5/(-0.0) AS ?b) }""".stripMargin)
-    val r = df.select(col("a")("num"), col("b")("num")).first()
+      """SELECT ?a ?b ?decErr WHERE { <urn:t:nation:5> <urn:p:n_nationkey> ?k .
+        |  BIND(1.5e0/(-0.0e0) AS ?a) BIND(-2.5e0/(-0.0e0) AS ?b)
+        |  BIND(1.5/(-0.0) AS ?decErr) }""".stripMargin)
+    val r = df.select(col("a")("num"), col("b")("num"), col("decErr")).first()
     assert(r.getDouble(0).isNegInfinity && r.getDouble(1).isPosInfinity)
+    assert(r.isNullAt(2)) // decimal ÷ 0 → type error
   }
 
   test("HTTP SELECT projecting ?s ?p ?o still gets a bindings format") {
