@@ -32,12 +32,20 @@ object Bench {
       .map { case (name, fn) =>
       val t = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t) / 1e9
+      val sec = (System.nanoTime() - t) / 1e9
+      // between queries (outside the timed region): GC so the ContextCleaner frees
+      // dead localCheckpoint blocks — one query's committed deltas must not cost the
+      // next query memory (the per-query-latency contract of the reference's reports)
+      System.gc()
+      name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Keep the line SHORT (3-decimal ms precision): the driver captures only the output
+    // tail, and an over-long line gets its head truncated -> unparseable.
+    def f(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load_sec":$loadSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"load_sec":${f(loadSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

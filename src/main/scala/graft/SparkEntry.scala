@@ -387,11 +387,11 @@ object SparkEntry {
         """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
           |INSERT { ?e <urn:p:loc> ?loc } WHERE {
           |  ?e <urn:p:event_id> ?id .
-          |  BIND(?id - FLOOR(?id/1800)*1800 AS ?lm)
+          |  BIND(?id - FLOOR(?id/1.8e3)*1800 AS ?lm)
           |  BIND(?id*7 AS ?i7)
-          |  BIND(?i7 - FLOOR(?i7/3600)*3600 AS ?gm)
-          |  BIND(?lm/10.0 - 90.0 AS ?la)
-          |  BIND(?gm/10.0 - 180.0 AS ?lo)
+          |  BIND(?i7 - FLOOR(?i7/3.6e3)*3600 AS ?gm)
+          |  BIND(?lm/1.0e1 - 9.0e1 AS ?la)
+          |  BIND(?gm/1.0e1 - 1.8e2 AS ?lo)
           |  BIND(STRDT(CONCAT(STR(?la), "#", STR(?lo)), geo:geoSpatialLiteral) AS ?loc) }""".stripMargin)
       Engine.query(withLoc,
         """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>

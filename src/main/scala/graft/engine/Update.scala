@@ -75,7 +75,19 @@ object Update {
         case None => qs
       }
       val c = new Compiler(store, ds)
-      val sol = c.compile(Algebra.lower(where)).localCheckpoint()
+      // project the WHERE solutions down to the template's variables before
+      // materializing — BIND intermediates would otherwise be checkpointed per row
+      def tmplVars(n: Node): Seq[String] = n match {
+        case VarNode(v) if !v.startsWith("-") => Seq(v)
+        case SidNode(s, p, o) => Seq(s, p, o).flatMap(tmplVars)
+        case _ => Nil
+      }
+      val needed = (target(del) ++ target(ins))
+        .flatMap(q => (Seq(q.s, q.p, q.o) ++ q.g).flatMap(tmplVars)).toSet
+      val sol0 = c.compile(Algebra.lower(where))
+      val keep = sol0.columns.filter(needed)
+      val sol = (if (keep.length < sol0.columns.length)
+        sol0.select(keep.map(col): _*) else sol0).localCheckpoint()
       val s1 = if (del.isEmpty) store else delete(store, instantiate(sol, target(del)))
       if (ins.isEmpty) s1 else insert(s1, instantiate(sol, target(ins)))
     case CreateGraph(_) => store // schemaless store: graphs exist by containing triples
