@@ -631,7 +631,37 @@ object SparkEntry {
       val firstId = e.agg(min("vec_id")).first().getLong(0)
       Similarity.ivfTopK(e, "vec_id", "embedding", firstId, 10)
         .select(col("neighbor"), round(col("score"), 6).as("score"))
-    }): Q, None),
+    }): Q,
+      // oracle replays the IVF pipeline with the same deterministic first-m centroids
+      // and the same sequential-fold cosine (see p_ann_brute): norms in a CTE, argmax
+      // assignment, 4 probed cells, then top-k over the candidate union
+      Some("""WITH n AS (SELECT vec_id, embedding,
+             |  sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+             |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y)) AS nrm
+             | FROM embeddings),
+             |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16),
+             |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM n
+             |      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+             |asg0 AS (SELECT n.vec_id AS id, n.embedding AS v, n.nrm, c.cid,
+             |  list_reduce(list_transform(generate_series(1, len(n.embedding)),
+             |    i -> CAST(n.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x,y) -> x+y)
+             |    / (n.nrm * c.cn) AS cs
+             | FROM n, c),
+             |asg AS (SELECT id, v, nrm, cid FROM
+             |  (SELECT *, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cid ASC) AS rn FROM asg0)
+             |  WHERE rn = 1),
+             |qcells AS (SELECT c.cid FROM c, q
+             |  ORDER BY list_reduce(list_transform(generate_series(1, len(c.cv)),
+             |    i -> CAST(c.cv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x,y) -> x+y)
+             |    / (c.cn * q.qn) DESC, c.cid ASC LIMIT 4),
+             |cand AS (SELECT a.id, a.v, a.nrm FROM asg a JOIN qcells ON a.cid = qcells.cid)
+             |SELECT neighbor, round(score, 6) AS score FROM (
+             |  SELECT a.id AS neighbor,
+             |    list_reduce(list_transform(generate_series(1, len(a.v)),
+             |      i -> CAST(a.v[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x,y) -> x+y)
+             |      / (a.nrm * q.qn) AS score
+             |  FROM cand a, q WHERE a.id <> q.qid)
+             |ORDER BY score DESC, neighbor ASC LIMIT 10""".stripMargin)),
 
     ("p_emb_neardup", ((s: SparkSession, dir: String) =>
       // synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.37) — a high

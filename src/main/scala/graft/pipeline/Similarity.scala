@@ -66,23 +66,53 @@ object Similarity {
       .select("a", "b", "score")
   }
 
-  /** IVF-style top-k: coarse-quantize to the nearest of m deterministic centroids
-    * (the first m vectors by id — a stand-in for trained k-means), search only the
-    * query's cell plus `probes-1` nearest cells. At scale: centroids broadcast,
-    * per-cell partitions pruned before the fine scan.
-    */
-  def ivfTopK(emb0: DataFrame, idCol: String, vecCol: String,
-              queryId: Long, k: Int, m: Int = 16, probes: Int = 4): DataFrame = {
-    val emb = graft.engine.DfOps.spread(emb0)
-    val docs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val centroids = docs.orderBy("id").limit(m)
-      .select(col("id").as("cid"), col("v").as("cv"))
-    val assigned = docs.crossJoin(broadcast(centroids))
+  /** Nearest-centroid assignment: each doc row gains the `cid` of its best centroid. */
+  private def assign(docs: DataFrame, centroids: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(centroids))
       .withColumn("cs", cosine(col("v"), col("cv")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("id")
           .orderBy(col("cs").desc, col("cid").asc)))
       .filter(col("rn") === 1).select(col("id"), col("v"), col("cid"))
+
+  /** Lloyd-iteration k-means over `docs` (id, v): seeds from the first m vectors by
+    * id, then `iters` rounds of assign → per-dimension mean. `sampleMod` trains on the
+    * deterministic id-modulo sample (at corpus scale one trains on ~1e5-1e6 sampled
+    * vectors, never the full table — the mean shuffle is O(sample·dim), map-side
+    * combined). Centroid count m stays broadcast-small.
+    */
+  def kmeansCentroids(docs: DataFrame, m: Int, iters: Int, sampleMod: Int = 1): DataFrame = {
+    val train = if (sampleMod <= 1) docs
+      else docs.filter(pmod(col("id"), lit(sampleMod)) === 0)
+    var cent = docs.orderBy("id").limit(m)
+      .select(col("id").as("cid"), col("v").as("cv")).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val means = assign(train, cent)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("mx"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("ps"))
+        .select(col("cid"), transform(col("ps"), p => p("mx")).as("cv"))
+      cent = means.localCheckpoint()
+    }
+    cent
+  }
+
+  /** IVF-style top-k: coarse-quantize to the nearest of m centroids, search only the
+    * query's cell plus `probes-1` nearest cells. `trainIters`=0 uses the first m
+    * vectors by id as deterministic (oracle-reproducible) centroids; >0 runs that many
+    * k-means Lloyd iterations first. At scale: centroids broadcast, per-cell
+    * partitions pruned before the fine scan.
+    */
+  def ivfTopK(emb0: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, m: Int = 16, probes: Int = 4,
+              trainIters: Int = 0): DataFrame = {
+    val emb = graft.engine.DfOps.spread(emb0)
+    val docs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val centroids =
+      if (trainIters > 0) kmeansCentroids(docs, m, trainIters)
+      else docs.orderBy("id").limit(m)
+        .select(col("id").as("cid"), col("v").as("cv"))
+    val assigned = assign(docs, centroids)
     val qRow = assigned.filter(col("id") === queryId)
       .select(col("v").as("qv")).localCheckpoint()
     val qCells = centroids.crossJoin(broadcast(qRow))

@@ -69,6 +69,18 @@ class PipelineSpec extends GraftSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("kmeans-trained IVF reaches recall@10 >= 0.9 vs brute force") {
+    val e = ss.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val qid = e.agg(min("vec_id")).first().getLong(0)
+    val brute = Similarity.topKForId(e, "vec_id", "embedding", qid, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", qid, 10,
+      m = 16, probes = 8, trainIters = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute & ivf).size / 10.0
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
   test("token count and quality features") {
     val tc = docs.select(col("doc_id"), TextStats.tokenCount(col("text")).as("t"))
       .filter(col("doc_id") === 1L).first().getLong(1)
