@@ -115,6 +115,19 @@ object SparkEntry {
              | SUM(l_quantity) AS sum_qty, AVG(l_quantity) AS avg_qty
              | FROM lineitem GROUP BY 1, 2""".stripMargin)),
 
+    ("q_custom_agg", ((s: SparkSession, dir: String) => {
+      // IAggregate extension surface: IRI-registered median runs through SPARQL
+      graft.engine.Aggregates.register("urn:agg:median",
+        (t, _) => graft.model.Term.doubleLit(
+          call_function("percentile", graft.engine.Exprs.fNum(t), lit(0.5))))
+      sq("""SELECT ?rf (<urn:agg:median>(?qty) AS ?med) WHERE {
+           |  ?l a <urn:c:Lineitem> ; <urn:p:l_returnflag> ?rf ;
+           |     <urn:p:l_quantity> ?qty }
+           |GROUP BY ?rf""".stripMargin,
+        oStr("rf"), oDbl("med"))(s, dir)
+    }): Q,
+      Some("SELECT l_returnflag AS rf, median(l_quantity) AS med FROM lineitem GROUP BY 1")),
+
     ("q_having", sq(
       """SELECT ?nname (COUNT(*) AS ?cnt) WHERE {
         |  ?c a <urn:c:Customer> ; <urn:fk:c_nationkey> ?n . ?n <urn:p:n_name> ?nname }
@@ -492,6 +505,19 @@ object SparkEntry {
         .select(oStr("nname"))
     }): Q,
       Some("SELECT n_name AS nname FROM nation")),
+
+    ("q_history", ((s: SparkSession, dir: String) => {
+      // RDR history service: a redacting update leaves queryable change records
+      val redacted = graft.engine.Update.applyWithHistory(Tpch.store(s, dir),
+        """DELETE { ?n <urn:p:n_name> ?nm } INSERT { ?n <urn:p:n_name> "redacted" }
+          |WHERE { ?n <urn:p:n_name> ?nm }""".stripMargin, commitTime = 12345L)
+      Engine.query(redacted,
+        """SELECT ?nm ?t WHERE {
+          |  << ?n <urn:p:n_name> ?nm >> <blaze:history:removed> ?t .
+          |  FILTER(?nm != "redacted") }""".stripMargin)
+        .select(oStr("nm"), oLng("t"))
+    }): Q,
+      Some("SELECT n_name AS nm, CAST(12345 AS BIGINT) AS t FROM nation")),
 
     // Turtle collection in data + rdf:rest*/rdf:first walk in the query
     ("q_collection", ((s: SparkSession, dir: String) => {

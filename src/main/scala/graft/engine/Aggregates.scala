@@ -16,6 +16,35 @@ import org.apache.spark.sql.functions._
 object Aggregates {
   import Exprs._
 
+  /** Custom aggregate extension point (the `IAggregate` analog,
+    * `bop/aggregate/IAggregate.java`, registered like `FunctionRegistry` factories):
+    * an IRI-named builder maps the staged argument term Column (+ DISTINCT flag) to
+    * an aggregate term Column, so registered aggregates run inside the same
+    * HashAggregateExec partial/final machinery as the built-ins.
+    */
+  type Builder = (Column, Boolean) => Column
+  private val reg = scala.collection.concurrent.TrieMap.empty[String, Builder]
+  def register(uri: String, f: Builder): Unit = reg(uri) = f
+  def unregister(uri: String): Unit = reg.remove(uri)
+  def isRegistered(uri: String): Boolean = reg.contains(uri)
+
+  /** Pre-pass over projection/HAVING/ORDER BY expressions: an IRI function call whose
+    * IRI names a registered aggregate becomes an EAgg node (so the grouping machinery
+    * sees it); DISTINCT-marked IRI calls were already parsed as EAgg and resolve at
+    * compile. Unregistered IRI calls stay scalar (cast/function semantics).
+    */
+  def resolveCustom(e: Expr): Expr = e match {
+    case ECall(fn, args) if fn.startsWith("CAST:") && reg.contains(fn.stripPrefix("CAST:")) =>
+      EAgg("CUSTOM:" + fn.stripPrefix("CAST:"), distinct = false,
+        args.headOption.map(resolveCustom))
+    case ECall(fn, args) => ECall(fn, args.map(resolveCustom))
+    case EBinary(op, l, r) => EBinary(op, resolveCustom(l), resolveCustom(r))
+    case EUnary(op, x) => EUnary(op, resolveCustom(x))
+    case EIn(x, list, not) => EIn(resolveCustom(x), list.map(resolveCustom), not)
+    case EAgg(fn, d, arg, sep) => EAgg(fn, d, arg.map(resolveCustom), sep)
+    case other => other
+  }
+
   def compile(a: EAgg, env: Exprs.Env, allCols: Seq[String]): Column = a.fn match {
     case "COUNT" => a.arg match {
       case None =>
@@ -82,6 +111,13 @@ object Aggregates {
       val t = Exprs.term(a.arg.get, env)
       val strs = if (a.distinct) collect_set(fStr(t)) else collect_list(fStr(t))
       Term.strLit(array_join(array_sort(strs), a.sep.getOrElse(" ")))
+
+    case custom if custom.startsWith("CUSTOM:") =>
+      val uri = custom.stripPrefix("CUSTOM:")
+      val f = reg.getOrElse(uri,
+        throw new UnsupportedOperationException(s"no aggregate registered for <$uri>"))
+      f(Exprs.term(a.arg.getOrElse(
+        throw new IllegalArgumentException(s"<$uri> needs an argument")), env), a.distinct)
 
     case other => throw new UnsupportedOperationException(s"aggregate $other")
   }

@@ -856,18 +856,20 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     var df = compile(Algebra.lower(q.where))
     q.values.foreach(v => df = joinDf(df, valuesDf(v), "inner"))
 
-    val projItems: Seq[(Expr, String)] = q.projection match {
+    val projItems: Seq[(Expr, String)] = (q.projection match {
       case Star => df.columns.filterNot(_.startsWith("-")).map(c => (EVar(c): Expr, c)).toSeq
       case ProjVars(items) => items.map {
         case (EVar(n), None) => (EVar(n): Expr, n)
         case (e2, Some(a)) => (e2, a)
         case (e2, None) => throw new IllegalArgumentException(s"projection expr needs AS: $e2")
       }
-    }
+    }).map { case (e, n) => (Aggregates.resolveCustom(e), n) }
+    val havingE = q.having.map(Aggregates.resolveCustom)
+    val orderByE = q.orderBy.map { case (e, asc) => (Aggregates.resolveCustom(e), asc) }
 
-    val aggsNeeded = (projItems.map(_._1) ++ q.having ++ q.orderBy.map(_._1))
+    val aggsNeeded = (projItems.map(_._1) ++ havingE ++ orderByE.map(_._1))
       .flatMap(Algebra.collectAggs).distinct
-    val grouped = q.groupBy.nonEmpty || aggsNeeded.nonEmpty || q.having.nonEmpty
+    val grouped = q.groupBy.nonEmpty || aggsNeeded.nonEmpty || havingE.nonEmpty
 
     var aggMap = Map.empty[EAgg, String]
     if (grouped) {
@@ -908,7 +910,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
         if (aggCols.isEmpty) df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n")).drop("__n")
         else df.groupBy(keyCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       // HAVING (post-aggregation ConditionalRoutingOp)
-      q.having.foreach { h =>
+      havingE.foreach { h =>
         val st = Exprs.stageSubexprs(df, Algebra.replaceAggs(h, aggMap), env(df))
         df = st.df.filter(Exprs.filterPred(st.expr, st.env)).drop(st.temps: _*)
       }
@@ -933,7 +935,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
 
     // ORDER BY via SPARQL total-order sort keys (MemorySortOp + IVComparator).
     // Computed keys are staged as temp columns (dropped by the final select).
-    val sortCols = q.orderBy.zipWithIndex.map { case ((e, asc), i) =>
+    val sortCols = orderByE.zipWithIndex.map { case ((e, asc), i) =>
       val e2 = Algebra.replaceAggs(e, aggMap)
       val k = e2 match {
         case EVar(_) => Exprs.sortKey(Exprs.term(e2, env(df)))

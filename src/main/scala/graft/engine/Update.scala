@@ -36,6 +36,39 @@ object Update {
     (next, ChangeSet(added, removed))
   }
 
+  /** RDR history vocabulary (`RDRHistory.Vocab`, sail/RDRHistory.java:50-54). */
+  val HISTORY_ADDED = "blaze:history:added"
+  val HISTORY_REMOVED = "blaze:history:removed"
+
+  /** Update with RDR history capture (sail/RDRHistory.java:27-40): every asserted /
+    * retracted statement ALSO asserts `<< s p o >> blaze:history:added|removed
+    * "commitTime"^^xsd:integer`, so change history is queryable with ordinary
+    * RDF-star patterns — no bespoke history scan operator. History rows about
+    * history rows are excluded (the reference's relevance hook). The delta is
+    * computed with id-keyed anti-joins; statements land in the history predicates'
+    * own p_id partitions, so historical queries prune to those partitions.
+    */
+  def applyWithHistory(store: GraftStore, updateText: String,
+                       commitTime: Long): GraftStore = {
+    val (next, cs) = applyWithLog(store, updateText)
+    def hist(df: DataFrame, action: String): DataFrame = {
+      val sid = Term.sid(col("s"), col("p"), col("o"))
+      // the action record plus the sid's reification decomposition (the store's
+      // SID query model: << … >> patterns join rdf:subject/predicate/object)
+      df.filter(col("p")("str") =!= HISTORY_ADDED && col("p")("str") =!= HISTORY_REMOVED)
+        .select(explode(array(
+          struct(sid.as("s"), Term.iri(action).as("p"), Term.intLit(lit(commitTime)).as("o")),
+          struct(sid.as("s"), Term.iri(Term.RDF_SUBJECT).as("p"), col("s").as("o")),
+          struct(sid.as("s"), Term.iri(Term.RDF_PREDICATE).as("p"), col("p").as("o")),
+          struct(sid.as("s"), Term.iri(Term.RDF_OBJECT).as("p"), col("o").as("o"))
+        )).as("q"))
+        .select(col("q.s").as("s"), col("q.p").as("p"), col("q.o").as("o"),
+          Term.nullTerm.as("g"))
+    }
+    insert(next, hist(cs.added, HISTORY_ADDED)
+      .unionByName(hist(cs.removed, HISTORY_REMOVED)))
+  }
+
   /** Update with truth maintenance: when the store carries materialized entailments
     * (stype=Inferred) and the update retracts statements, entailments that are no
     * longer derivable are retracted too (`rdf/inf/TruthMaintenance.java`).

@@ -827,8 +827,17 @@ object Parser {
         else fail(s"unexpected word $up in expression")
       case TIri(_, _) | TPName(_, _, _) =>
         val iri = parseIri()
-        if (isPunct("(")) ECall("CAST:" + iri, parseArgs())
-        else EConst(IriNode(iri))
+        if (isPunct("(")) {
+          // SPARQL ArgList allows DISTINCT inside custom-IRI calls — that marks a
+          // custom aggregate call (the scalar/aggregate split resolves at compile)
+          expectPunct("(")
+          val distinct = acceptWord("DISTINCT")
+          val args = ArrayBuffer.empty[Expr]
+          if (!isPunct(")")) { args += parseExpr(); while (acceptPunct(",")) args += parseExpr() }
+          expectPunct(")")
+          if (distinct) EAgg("CUSTOM:" + iri, distinct = true, args.headOption)
+          else ECall("CAST:" + iri, args.toSeq)
+        } else EConst(IriNode(iri))
       case _ => fail("expected expression")
     }
 

@@ -171,6 +171,60 @@ class Feature3Spec extends GraftSuite {
     assert(e.getMessage.contains("urn:fn:nope"))
   }
 
+  test("RDR history: updates leave queryable added/removed change records") {
+    val t0 = Update.applyWithHistory(store,
+      "INSERT DATA { <urn:h:x> <urn:p:hv> 1 . }", commitTime = 100L)
+    val t1 = Update.applyWithHistory(t0,
+      "DELETE DATA { <urn:h:x> <urn:p:hv> 1 . }", commitTime = 200L)
+    val hist = Engine.query(t1,
+      """SELECT ?a ?t WHERE { << <urn:h:x> <urn:p:hv> 1 >> ?a ?t .
+        |  FILTER(STRSTARTS(STR(?a), "blaze:history:")) }""".stripMargin)
+      .collect().map(r => (r.getStruct(0).getAs[String]("str"),
+        r.getStruct(1).getAs[Long]("lng"))).toSet
+    assert(hist == Set(("blaze:history:added", 100L), ("blaze:history:removed", 200L)))
+    // the statement itself is gone; its history remains
+    assert(!Engine.query(t1, "ASK { <urn:h:x> <urn:p:hv> 1 }").first().getBoolean(0))
+    // no history-of-history: the round-2 delete also removed the added-record? no —
+    // history rows are excluded from capture, so exactly the two records exist
+    assert(Engine.query(t1,
+      "SELECT ?s WHERE { ?s <blaze:history:added> ?t }").count() == 1)
+  }
+
+  test("custom aggregates register by URI (IAggregate extension point)") {
+    import graft.engine.{Aggregates, Exprs}
+    import graft.model.Term
+    Aggregates.register("urn:agg:median",
+      (t, _) => Term.doubleLit(call_function("percentile", Exprs.fNum(t), lit(0.5))))
+    Aggregates.register("urn:agg:nuniq",
+      (t, distinct) => Term.intLit(
+        if (distinct) countDistinct(Exprs.fId(t))
+        else org.apache.spark.sql.functions.count(Exprs.fId(t))))
+    try {
+      val s0 = Update(store,
+        """INSERT DATA { <urn:ca:a> <urn:p:cav> 1 . <urn:ca:b> <urn:p:cav> 2 .
+          |  <urn:ca:c> <urn:p:cav> 2 . <urn:ca:d> <urn:p:cav> 10 . }""".stripMargin)
+      // plain custom-IRI call in aggregate position (resolved via the registry)
+      val m = Engine.query(s0,
+        "SELECT (<urn:agg:median>(?v) AS ?m) WHERE { ?x <urn:p:cav> ?v }")
+        .first().getStruct(0).getAs[Double]("num")
+      assert(m == 2.0)
+      // DISTINCT inside a custom ArgList parses and reaches the builder
+      val nd = Engine.query(s0,
+        "SELECT (<urn:agg:nuniq>(DISTINCT ?v) AS ?n) WHERE { ?x <urn:p:cav> ?v }")
+        .first().getStruct(0).getAs[Long]("lng")
+      assert(nd == 3L)
+      // grouped + HAVING over a custom aggregate
+      val rows = Engine.query(s0,
+        """SELECT ?v (<urn:agg:nuniq>(?x) AS ?n) WHERE { ?x <urn:p:cav> ?v }
+          |GROUP BY ?v HAVING (<urn:agg:nuniq>(?x) > 1)""".stripMargin).collect()
+      assert(rows.length == 1 && rows(0).getStruct(1).getAs[Long]("lng") == 2L)
+    } finally { Aggregates.unregister("urn:agg:median"); Aggregates.unregister("urn:agg:nuniq") }
+    // unregistered custom aggregate fails cleanly
+    val e = intercept[Exception](Engine.query(store,
+      "SELECT (<urn:agg:nope>(DISTINCT ?s) AS ?n) WHERE { ?s ?p ?o }").count())
+    assert(e.getMessage.contains("urn:agg:nope"))
+  }
+
   test("RDF-star annotation syntax asserts and annotates in data and patterns") {
     val s0 = Update(store,
       """INSERT DATA {
