@@ -570,6 +570,21 @@ object SparkEntry {
     }): Q,
       Some("SELECT COUNT(*)*5 AS cnt FROM nation")),
 
+    ("q_rio_rdfxml", ((s: SparkSession, dir: String) => {
+      // RDF/XML ingestion: serialize nation as RDF/XML, parse it back, query it
+      val rows = read(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().sortBy(_.getLong(0))
+      val xml = "<?xml version=\"1.0\"?>\n" +
+        "<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" xmlns:p=\"urn:p:\">" +
+        rows.map(r => s"""<rdf:Description rdf:about="urn:t:nation:${r.getLong(0)}">""" +
+          s"""<p:n_name>${r.getString(1)}</p:n_name></rdf:Description>""").mkString +
+        "</rdf:RDF>"
+      val st = new graft.model.GraftStore(s, graft.sources.Rio.readRdfXml(s, xml))
+      Engine.query(st, "SELECT ?nm WHERE { ?n <urn:p:n_name> ?nm }").select(oStr("nm"))
+    }): Q,
+      Some("SELECT n_name AS nm FROM nation")),
+
     // OWL-subset rules (RuleOwlInverseOf): declare an inverse, close, query reversed
     ("q_inference_owl", ((s: SparkSession, dir: String) => {
       val withSchema = graft.engine.Update(Tpch.store(s, dir),

@@ -1,0 +1,190 @@
+package graft.sources
+
+import graft.model.Term
+import graft.sparql.Parser
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+import scala.collection.mutable.ArrayBuffer
+
+/** JSON-LD loader (the openrdf-RIO JSON-LD analog) — a documented practical subset,
+  * not a full 1.1 processor:
+  *
+  *   - `@context`: term → IRI strings, prefix definitions (used by `pfx:rest`
+  *     compaction), expanded definitions `{"@id": …, "@type": "@id" | <dt-iri>}`
+  *     (IRI / datatype coercion), and `@vocab`.
+  *   - node objects: `@id` (IRI or `_:` bnode; absent → fresh bnode), `@type`
+  *     (string or array), property values as primitives (JSON string/number/bool →
+  *     plain / xsd:integer / xsd:double / xsd:boolean literals), value objects
+  *     (`@value` + `@type`/`@language`), node references (`{"@id": …}`), nested
+  *     node objects, arrays (multi-valued), and `@list` (rdf:List chains).
+  *   - top level: a node object, an array of them, or `@graph` (named when the
+  *     carrier has `@id`, else default graph).
+  *
+  * Unsupported 1.1 features (`@reverse`, `@container` indexing, scoped contexts,
+  * remote contexts) fail loudly rather than silently mis-parse.
+  */
+object JsonLd {
+
+  private val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+  private final class Ctx {
+    val out = ArrayBuffer.empty[Rio.ParsedQuad]
+    var bn = 0
+    val labeled = scala.collection.mutable.Map.empty[String, String]
+    var terms = Map.empty[String, (String, Option[String])] // term -> (iri, coercion)
+    var vocab: Option[String] = None
+    def freshBnode(): String = { bn += 1; s"jb$bn" }
+    def bnode(label: String): String =
+      labeled.getOrElseUpdate(label, { bn += 1; s"jbl$bn-${label.stripPrefix("_:")}" })
+  }
+
+  private def unsupported(what: String): Nothing =
+    throw new IllegalArgumentException(s"JSON-LD subset: unsupported $what")
+
+  /** Parse one JSON-LD document (string) into flat quads. */
+  def parse(json: String): Seq[Rio.ParsedQuad] = {
+    val root = new ObjectMapper().readTree(json)
+    val ctx = new Ctx
+    top(root, ctx)
+    ctx.out.toSeq
+  }
+
+  private def top(n: JsonNode, ctx: Ctx): Unit = {
+    if (n.isArray) { n.elements().asScala.foreach(top(_, ctx)); return }
+    if (!n.isObject) unsupported(s"top-level ${n.getNodeType}")
+    Option(n.get("@context")).foreach(readContext(_, ctx))
+    n.get("@graph") match {
+      case null => nodeObject(n, ctx, None); ()
+      case g =>
+        val gIri = Option(n.get("@id")).map(i => expandIri(i.asText(), ctx))
+        val items = if (g.isArray) g.elements().asScala.toSeq else Seq(g)
+        items.foreach(nodeObject(_, ctx, gIri))
+    }
+  }
+
+  private def readContext(c: JsonNode, ctx: Ctx): Unit = {
+    if (c.isTextual) unsupported("remote @context")
+    if (c.isArray) { c.elements().asScala.foreach(readContext(_, ctx)); return }
+    c.properties().asScala.foreach { e =>
+      val (k, v) = (e.getKey, e.getValue)
+      if (k == "@vocab") ctx.vocab = Some(v.asText())
+      else if (k.startsWith("@")) () // @base/@language: accepted, not modeled
+      else if (v.isTextual) ctx.terms += k -> (v.asText(), None)
+      else if (v.isObject) {
+        val id = Option(v.get("@id")).map(_.asText())
+          .getOrElse(unsupported(s"context term $k without @id"))
+        val coerce = Option(v.get("@type")).map(_.asText())
+        if (v.has("@reverse") || v.has("@container")) unsupported(s"context term $k")
+        ctx.terms += k -> (id, coerce)
+      }
+    }
+  }
+
+  /** Term/compact-IRI/absolute-IRI expansion for @id/@type positions. */
+  private def expandIri(s: String, ctx: Ctx): String =
+    if (s.startsWith("_:")) s // handled by caller
+    else ctx.terms.get(s).map(_._1).getOrElse {
+      val i = s.indexOf(':')
+      if (i > 0) {
+        val pfx = s.substring(0, i)
+        ctx.terms.get(pfx).map(_._1 + s.substring(i + 1)).getOrElse(s)
+      } else ctx.vocab.map(_ + s).getOrElse(s)
+    }
+
+  private def subjectOf(n: JsonNode, ctx: Ctx): (Byte, String) =
+    Option(n.get("@id")).map(_.asText()) match {
+      case Some(id) if id.startsWith("_:") => (Term.KIND_BNODE, ctx.bnode(id))
+      case Some(id) => (Term.KIND_IRI, expandIri(id, ctx))
+      case None => (Term.KIND_BNODE, ctx.freshBnode())
+    }
+
+  private def emit(ctx: Ctx, s: (Byte, String), p: String,
+                   oKind: Byte, o: String, dt: String, lang: String,
+                   g: Option[String]): Unit = {
+    val c = if (dt != null) Parser.canonicalLit(o, Some(dt), None)
+            else graft.sparql.Ast.LitNode(o, None, Option(lang))
+    ctx.out += Rio.ParsedQuad(s._1, s._2, p, oKind,
+      if (oKind == Term.KIND_LITERAL) c.lex else o,
+      if (oKind == Term.KIND_LITERAL) c.dt.orNull else null,
+      if (oKind == Term.KIND_LITERAL) c.lang.orNull else null,
+      Term.KIND_IRI, g.orNull)
+  }
+
+  /** Parse one node object; returns its subject term. */
+  private def nodeObject(n: JsonNode, ctx: Ctx, g: Option[String]): (Byte, String) = {
+    if (!n.isObject) unsupported(s"node ${n.getNodeType}")
+    val subj = subjectOf(n, ctx)
+    n.properties().asScala.foreach { e =>
+      val (k, v) = (e.getKey, e.getValue)
+      k match {
+        case "@id" | "@context" => ()
+        case "@type" =>
+          val types = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
+          types.foreach(t =>
+            emit(ctx, subj, RDF + "type", Term.KIND_IRI, expandIri(t.asText(), ctx), null, null, g))
+        case "@graph" => unsupported("nested @graph")
+        case "@reverse" | "@included" => unsupported(k)
+        case term =>
+          val (prop, coerce) = ctx.terms.get(term)
+            .map { case (iri, c) => (iri, c) }
+            .getOrElse((expandIri(term, ctx), None))
+          values(v).foreach(value(_, ctx, subj, prop, coerce, g))
+      }
+    }
+    subj
+  }
+
+  private def values(v: JsonNode): Seq[JsonNode] =
+    if (v.isArray) v.elements().asScala.toSeq else Seq(v)
+
+  private def value(v: JsonNode, ctx: Ctx, subj: (Byte, String), prop: String,
+                    coerce: Option[String], g: Option[String]): Unit = {
+    if (v.isObject && v.has("@list")) {
+      val items = values(v.get("@list"))
+      if (items.isEmpty) emit(ctx, subj, prop, Term.KIND_IRI, RDF + "nil", null, null, g)
+      else {
+        val cells = items.map(_ => ctx.freshBnode())
+        emit(ctx, subj, prop, Term.KIND_BNODE, cells.head, null, null, g)
+        items.zipWithIndex.foreach { case (item, i) =>
+          val cell = (Term.KIND_BNODE, cells(i))
+          value(item, ctx, cell, RDF + "first", coerce, g)
+          if (i < items.size - 1)
+            emit(ctx, cell, RDF + "rest", Term.KIND_BNODE, cells(i + 1), null, null, g)
+          else emit(ctx, cell, RDF + "rest", Term.KIND_IRI, RDF + "nil", null, null, g)
+        }
+      }
+    } else if (v.isObject && v.has("@value")) {
+      val lex = v.get("@value") match {
+        case b if b.isBoolean => b.asBoolean().toString
+        case x => x.asText()
+      }
+      val dt = Option(v.get("@type")).map(t => expandIri(t.asText(), ctx))
+        .orElse(if (v.get("@value").isBoolean) Some(Term.XSD_BOOLEAN) else None)
+        .orElse(if (v.get("@value").isIntegralNumber) Some(Term.XSD_INTEGER) else None)
+        .orElse(if (v.get("@value").isNumber) Some(Term.XSD_DOUBLE) else None)
+      val lang = Option(v.get("@language")).map(_.asText().toLowerCase)
+      emit(ctx, subj, prop, Term.KIND_LITERAL, lex, dt.orNull,
+        if (dt.isEmpty) lang.orNull else null, g)
+    } else if (v.isObject) {
+      // node reference or nested node object
+      val o = nodeObject(v, ctx, g)
+      emit(ctx, subj, prop, o._1, o._2, null, null, g)
+    } else if (v.isTextual) {
+      coerce match {
+        case Some("@id") =>
+          val t = v.asText()
+          if (t.startsWith("_:")) emit(ctx, subj, prop, Term.KIND_BNODE, ctx.bnode(t), null, null, g)
+          else emit(ctx, subj, prop, Term.KIND_IRI, expandIri(t, ctx), null, null, g)
+        case Some(dt) => emit(ctx, subj, prop, Term.KIND_LITERAL, v.asText(), expandIri(dt, ctx), null, g)
+        case None => emit(ctx, subj, prop, Term.KIND_LITERAL, v.asText(), null, null, g)
+      }
+    } else if (v.isBoolean)
+      emit(ctx, subj, prop, Term.KIND_LITERAL, v.asBoolean().toString, Term.XSD_BOOLEAN, null, g)
+    else if (v.isIntegralNumber)
+      emit(ctx, subj, prop, Term.KIND_LITERAL, v.asText(), Term.XSD_INTEGER, null, g)
+    else if (v.isNumber)
+      emit(ctx, subj, prop, Term.KIND_LITERAL, v.asText(), Term.XSD_DOUBLE, null, g)
+    else if (v.isNull) ()
+    else unsupported(s"value ${v.getNodeType}")
+  }
+}

@@ -123,9 +123,46 @@ object Rio {
       lit(GraftStore.STYPE_EXPLICIT).cast("byte").as("stype")))
   }
 
-  /** Load N-Triples/N-Quads file(s) into a statements DataFrame. */
-  def readStatements(spark: SparkSession, path: String): DataFrame =
-    statementsFromLines(spark.read.textFile(path))
+  /** RDF/XML: single document string → statements. */
+  def readRdfXml(spark: SparkSession, xml: String, base: String = ""): DataFrame = {
+    import spark.implicits._
+    statementsFromParsed(RdfXml.parse(xml, base).toDF())
+  }
+
+  /** RDF/XML file(s): one parse task per file (the format is not line-splittable;
+    * dump corpora are many files, which is exactly whole-file parallelism).
+    */
+  def readRdfXmlFiles(spark: SparkSession, path: String): DataFrame = {
+    val quads = spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (name, content) => RdfXml.parse(content, name) }
+    statementsFromParsed(spark.createDataFrame(quads))
+  }
+
+  /** JSON-LD: single document string → statements. */
+  def readJsonLd(spark: SparkSession, json: String): DataFrame = {
+    import spark.implicits._
+    statementsFromParsed(JsonLd.parse(json).toDF())
+  }
+
+  /** JSON-LD file(s): one parse task per file (same shape as RDF/XML). */
+  def readJsonLdFiles(spark: SparkSession, path: String): DataFrame = {
+    val quads = spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, content) => JsonLd.parse(content) }
+    statementsFromParsed(spark.createDataFrame(quads))
+  }
+
+  /** Load RDF file(s) into a statements DataFrame, dispatching the parser on
+    * extension (LOAD &lt;file:…&gt; entry point): .rdf/.owl/.xml → RDF/XML,
+    * .jsonld/.json → JSON-LD, anything else → line-oriented N-Triples/N-Quads.
+    */
+  def readStatements(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".rdf") || lower.endsWith(".owl") || lower.endsWith(".xml"))
+      readRdfXmlFiles(spark, path)
+    else if (lower.endsWith(".jsonld") || lower.endsWith(".json"))
+      readJsonLdFiles(spark, path)
+    else statementsFromLines(spark.read.textFile(path))
+  }
 
   def load(spark: SparkSession, path: String): GraftStore =
     new GraftStore(spark, readStatements(spark, path))
