@@ -148,10 +148,13 @@ object Rdfs {
         .unionByName(pairsDf(inv.toSeq, "i_p", "i_q")
           .select(col("i_q")("id").as("p_id"), col("i_p").as("q")))
         .dropDuplicates("p_id", "q")
-      // (y q x): subject = old object, object = old subject
+      // (y q x): subject = old object, object = old subject. Materialized ONCE:
+      // the inverse delta feeds ≥3 downstream consumers (domain/range, rdfs9, the
+      // novelty anti-join) which would otherwise each recompute the data-sized join
       val dInv2 = facts.join(broadcast(invBoth), Seq("p_id"))
         .filter(col("o")("kind") =!= Term.KIND_LITERAL)
         .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))
+        .localCheckpoint()
       derived :+= dInv2
       facts = facts.unionByName(withPid(graft.engine.DfOps.reid(dInv2)))
     }
@@ -183,6 +186,7 @@ object Rdfs {
         .join(dict.select(col("nid").as("b"), col("n").as("o")), Seq("b"))
         .join(broadcast(pDict), Seq("p_id"))
         .select(col("s"), col("pterm").as("p"), col("o"))
+        .localCheckpoint() // multi-consumer delta (see dInv2)
       derived :+= dTrans
       facts = facts.unionByName(withPid(graft.engine.DfOps.reid(dTrans)))
     }
@@ -207,10 +211,12 @@ object Rdfs {
       val subjSub = facts.filter(col("p_id") =!= sameAsId)
         .join(broadcast(aliasOf), col("s")("id") === col("xid"))
         .select(col("alias").as("s"), col("p"), col("o"))
+        .localCheckpoint() // multi-consumer delta (see dInv2)
       val objSub = facts.filter(col("p_id") =!= sameAsId &&
           col("o")("kind") =!= Term.KIND_LITERAL)
         .join(broadcast(aliasOf), col("o")("id") === col("xid"))
         .select(col("s"), col("p"), col("alias").as("o"))
+        .localCheckpoint()
       derived :+= subjSub
       derived :+= objSub
       facts = facts.unionByName(withPid(graft.engine.DfOps.reid(subjSub)))
@@ -257,8 +263,21 @@ object Rdfs {
       .withColumn("sk", col("s")("id")).withColumn("pk", col("p")("id"))
       .withColumn("ok", col("o")("id"))
       .dropDuplicates("sk", "pk", "ok")
+    // Without sameAs substitution every derived predicate is KNOWN (schema constants,
+    // rdfs7 superproperties, inverses, transitive props), so the anti-join's existing-
+    // statements side prunes to those p_id partitions instead of scanning the store
+    val derivedPids: Option[Seq[Long]] =
+      if (hasSameAs) None
+      else Some((Seq(subClassId, subPropId, eqClassId, eqPropId, typeId) ++
+        (sp ++ spC).map(_._2.getAs[Long]("id")) ++
+        inv.flatMap(p => Seq(p._1.getAs[Long]("id"), p._2.getAs[Long]("id"))) ++
+        transProps.map(_.getAs[Long]("id"))).distinct)
+    val existing = derivedPids match {
+      case Some(pids) => stmts.filter(col("p_id").isin(pids: _*))
+      case None => stmts
+    }
     val allDerived = keyed.join(
-      stmts.select(col("s")("id").as("sk"), col("p_id").as("pk"), col("o")("id").as("ok")),
+      existing.select(col("s")("id").as("sk"), col("p_id").as("pk"), col("o")("id").as("ok")),
       Seq("sk", "pk", "ok"), "left_anti")
       .drop("sk", "pk", "ok")
     val inferred = GraftStore.assemble(allDerived
