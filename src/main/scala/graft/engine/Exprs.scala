@@ -395,9 +395,27 @@ object Exprs {
       case "HOURS" => dtPart(a0, hour(fTs(a0)))
       case "MINUTES" => dtPart(a0, minute(fTs(a0)))
       case "SECONDS" => dtPart(a0, second(fTs(a0)))
-      case "TZ" => when(isDateTime(a0), Term.strLit(lit("Z"))).otherwise(Term.nullTerm)
+      case "TZ" =>
+        // timezone token from the LEXICAL form ("" when absent, per fn:TZ)
+        when(isDateTime(a0),
+          Term.strLit(regexp_extract(fStr(a0), "(Z|[+-]\\d{2}:\\d{2})$", 1)))
+          .otherwise(Term.nullTerm)
+      case "TIMEZONE" =>
+        // xsd:dayTimeDuration of the timezone offset; error when no timezone
+        val tz = regexp_extract(fStr(a0), "(Z|[+-]\\d{2}:\\d{2})$", 1)
+        val hh = regexp_extract(tz, "^[+-](\\d{2}):", 1).cast(IntegerType)
+        val mm = regexp_extract(tz, ":(\\d{2})$", 1).cast(IntegerType)
+        val dur = when(tz === "Z" || (hh === 0 && mm === 0), lit("PT0S"))
+          .otherwise(concat(
+            when(tz.startsWith("-"), lit("-")).otherwise(lit("")), lit("PT"),
+            when(hh > 0, concat(hh.cast(StringType), lit("H"))).otherwise(lit("")),
+            when(mm > 0, concat(mm.cast(StringType), lit("M"))).otherwise(lit(""))))
+        when(isDateTime(a0) && tz =!= "",
+          Term.typedLit(dur, "http://www.w3.org/2001/XMLSchema#dayTimeDuration"))
+          .otherwise(Term.nullTerm)
       case "MD5" => hashFn(a0, md5(fStr(a0)))
       case "SHA1" => hashFn(a0, sha1(fStr(a0)))
+      case "SHA224" => hashFn(a0, sha2(fStr(a0), 224))
       case "SHA256" => hashFn(a0, sha2(fStr(a0), 256))
       case "SHA384" => hashFn(a0, sha2(fStr(a0), 384))
       case "SHA512" => hashFn(a0, sha2(fStr(a0), 512))

@@ -143,22 +143,46 @@ object Term {
       lit(XSD_DATETIME), nullStr, nullDbl, nullLng, t)
   }
 
-  /** Typed literal with an arbitrary datatype IRI (no inline value). */
+  /** Custom-datatype inline-value extension point (the `IExtension` analog,
+    * `rdf/internal/IExtension.java` + extension IVs): a registered handler maps a
+    * datatype IRI's lexical Column to its inline numeric value, which lands in the
+    * term's `num` field at MINT time — so literals of that datatype filter, compare,
+    * and sort as numbers (sargable range predicates), exactly what the reference's
+    * extension IVs buy. Register before loading/querying; the dispatch is static in
+    * the plan (one extra `when` branch per registered datatype).
+    */
+  object Datatypes {
+    private[Term] val reg =
+      scala.collection.concurrent.TrieMap.empty[String, Column => Column]
+    def register(dtIri: String, lexToNum: Column => Column): Unit = reg(dtIri) = lexToNum
+    def unregister(dtIri: String): Unit = reg.remove(dtIri)
+    def isRegistered(dtIri: String): Boolean = reg.contains(dtIri)
+    private[Term] def numFor(dtIri: String, lex: Column): Column =
+      reg.get(dtIri).map(f => f(lex)).getOrElse(lit(null).cast(DoubleType))
+  }
+
+  /** Typed literal with an arbitrary datatype IRI (inline value via any registered
+    * datatype handler).
+    */
   def typedLit(s: Column, dt: String): Column =
-    mk(lit(KIND_LITERAL), s, lit(dt), nullStr, nullDbl, nullLng, nullTs)
+    mk(lit(KIND_LITERAL), s, lit(dt), nullStr, Datatypes.numFor(dt, s), nullLng, nullTs)
 
   /** Typed literal whose datatype/lang are *columns* (loader path): inline-value
     * construction dispatches on the datatype at runtime.
     */
-  def literalFromParts(str: Column, dt: Column, lang: Column): Column =
-    when(dt === XSD_INTEGER, intLit(str.cast(LongType)))
+  def literalFromParts(str: Column, dt: Column, lang: Column): Column = {
+    val base = when(dt === XSD_INTEGER, intLit(str.cast(LongType)))
       .when(dt === XSD_DOUBLE, doubleLit(str.cast(DoubleType)))
       .when(dt === XSD_DECIMAL && str.try_cast(DECIMAL_TYPE).isNotNull,
         decimalLit(str.try_cast(DECIMAL_TYPE)))
       .when(dt === XSD_BOOLEAN, boolLit(str === "true"))
       .when(dt === XSD_DATETIME,
         tsLit(to_timestamp(regexp_replace(str, "Z$", ""), "yyyy-MM-dd'T'HH:mm:ss")))
-      .otherwise(mk(lit(KIND_LITERAL), str, dt, lang, nullDbl, nullLng, nullTs))
+    Datatypes.reg.foldLeft(base) { case (acc, (iri, f)) =>
+      acc.when(dt === iri,
+        mk(lit(KIND_LITERAL), str, dt, lang, f(str), nullLng, nullTs))
+    }.otherwise(mk(lit(KIND_LITERAL), str, dt, lang, nullDbl, nullLng, nullTs))
+  }
 
   /** N-Triples-style token of a term (for the SID canonical form). Literal lexical
     * forms are escaped like Rio's N-Triples writer — otherwise a quote/angle

@@ -106,6 +106,25 @@ class ExprSpec extends GraftSuite {
     assert(lng1("""SECONDS("2024-03-05T10:20:30Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""") == 30L)
   }
 
+  test("hash functions") {
+    assert(str1("""MD5("abc")""") == "900150983cd24fb0d6963f7d28e17f72")
+    assert(str1("""SHA1("abc")""") == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(str1("""SHA224("abc")""") ==
+      "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7")
+    assert(str1("""SHA256("abc")""") ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+
+  test("TZ and TIMEZONE over UTC-normalized datetimes") {
+    val dt = """"2024-03-05T10:20:30Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>"""
+    assert(str1(s"TZ($dt)") == "Z")
+    val t = eval1(s"TIMEZONE($dt)")
+    assert(t.getAs[String]("str") == "PT0S")
+    assert(t.getAs[String]("dt") == "http://www.w3.org/2001/XMLSchema#dayTimeDuration")
+    // non-datetime argument: type error → unbound
+    assert(eval1("""TIMEZONE("abc")""") == null)
+  }
+
   test("comparison edge semantics") {
     // numeric cross-type comparison
     assert(str1("""IF(2 < 2.5, "y", "n")""") == "y")

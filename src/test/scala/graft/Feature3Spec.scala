@@ -171,6 +171,32 @@ class Feature3Spec extends GraftSuite {
     assert(e.getMessage.contains("urn:fn:nope"))
   }
 
+  test("custom datatype handlers inline numeric values (IExtension)") {
+    import graft.model.Term
+    Term.Datatypes.register("urn:dt:celsius",
+      lex => regexp_extract(lex, "^(-?[0-9.]+)C$", 1).cast("double"))
+    try {
+      val s0 = Update(store,
+        """INSERT DATA {
+          |  <urn:cd:a> <urn:p:temp> "23.5C"^^<urn:dt:celsius> .
+          |  <urn:cd:b> <urn:p:temp> "-4C"^^<urn:dt:celsius> .
+          |  <urn:cd:c> <urn:p:temp> "99C"^^<urn:dt:celsius> . }""".stripMargin)
+      // range FILTER works numerically on the inlined value
+      val hot = Engine.query(s0,
+        """SELECT ?x WHERE { ?x <urn:p:temp> ?t . FILTER(?t > 20) }""")
+        .collect().map(_.getStruct(0).getAs[String]("str")).toSet
+      assert(hot == Set("urn:cd:a", "urn:cd:c"))
+      // ORDER BY sorts by the inline value, not lexically ("-4C" < "23.5C" < "99C")
+      val ordered = Engine.query(s0,
+        """SELECT ?x WHERE { ?x <urn:p:temp> ?t } ORDER BY ?t""")
+        .collect().map(_.getStruct(0).getAs[String]("str")).toSeq
+      assert(ordered == Seq("urn:cd:b", "urn:cd:a", "urn:cd:c"))
+      // STRDT minting also inlines
+      assert(Engine.query(s0,
+        """ASK { FILTER(STRDT("30C", <urn:dt:celsius>) > 25) }""").first().getBoolean(0))
+    } finally Term.Datatypes.unregister("urn:dt:celsius")
+  }
+
   test("RDR history: updates leave queryable added/removed change records") {
     val t0 = Update.applyWithHistory(store,
       "INSERT DATA { <urn:h:x> <urn:p:hv> 1 . }", commitTime = 100L)
