@@ -27,12 +27,37 @@ object Update {
   final case class ChangeSet(added: DataFrame, removed: DataFrame)
 
   def applyWithLog(store: GraftStore, updateText: String): (GraftStore, ChangeSet) = {
-    val next = apply(store, updateText)
+    val ops = Parser.parseUpdate(updateText)
+    val next = ops.foldLeft(store)(applyOp)
+    // When every template predicate is a constant IRI the change can only live in
+    // those p_id partitions, so the before/after diff prunes both sides to them
+    // instead of anti-joining two full stores (same lever as insert/delete).
+    def quadPids(qs: Seq[QuadData]): Option[Seq[Long]] =
+      qs.foldLeft(Option(Seq.empty[Long])) {
+        case (Some(acc), q) => q.p match {
+          case IriNode(i) => Some(acc :+ TermIds.iriId(i))
+          case _ => None
+        }
+        case (None, _) => None
+      }
+    val touchedPids: Option[Seq[Long]] = ops.foldLeft(Option(Seq.empty[Long])) {
+      case (Some(acc), op) => (op match {
+        case InsertData(q) => quadPids(q)
+        case DeleteData(q) => quadPids(q)
+        case Modify(del, ins, _, _, _) => quadPids(del ++ ins)
+        case _ => None // graph-level ops touch arbitrary predicates
+      }).map(acc ++ _)
+      case (None, _) => None
+    }.map(_.distinct)
+    def prune(df: DataFrame): DataFrame = touchedPids match {
+      case Some(pids) => df.filter(col("p_id").isin(pids: _*))
+      case None => df
+    }
     def keyed(df: DataFrame) = statementKey(df.select("s", "p", "o", "g"))
-    val added = keyed(next.statements)
-      .join(keyed(store.statements).select("__k"), Seq("__k"), "left_anti").drop("__k")
-    val removed = keyed(store.statements)
-      .join(keyed(next.statements).select("__k"), Seq("__k"), "left_anti").drop("__k")
+    val added = keyed(prune(next.statements))
+      .join(keyed(prune(store.statements)).select("__k"), Seq("__k"), "left_anti").drop("__k")
+    val removed = keyed(prune(store.statements))
+      .join(keyed(prune(next.statements)).select("__k"), Seq("__k"), "left_anti").drop("__k")
     (next, ChangeSet(added, removed))
   }
 
