@@ -63,4 +63,35 @@ class PlanSpec extends GraftSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected a broadcast join for the nation side:\n$plan")
   }
+
+  test("closure novelty anti-join prunes to derived predicate partitions") {
+    // the inverse rule derives ONLY urn:rev:x (+schema/type predicates): the
+    // anti-join's existing-statements scan must carry an isin p_id partition
+    // filter, not read the whole store
+    val s0 = graft.engine.Update(store,
+      """INSERT DATA { <urn:fk:c_nationkey>
+        |  <http://www.w3.org/2002/07/owl#inverseOf> <urn:rev:natCust> . }""".stripMargin)
+    val closed = graft.inference.Rdfs.closure(s0)
+    val plan = closed.statements.queryExecution.executedPlan.toString
+    val antiScans = plan.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("p_id"))
+      .filter(_.contains(" IN "))
+    assert(antiScans.nonEmpty,
+      s"expected an isin-pruned p_id scan in the novelty anti-join:\n${plan.take(4000)}")
+  }
+
+  test("change-log diff prunes to the template's predicate partitions") {
+    val (_, cs) = graft.engine.Update.applyWithLog(store,
+      """DELETE { ?n <urn:p:n_name> ?nm } INSERT { ?n <urn:p:n_name> "x" }
+        |WHERE { ?n <urn:p:n_name> ?nm }""".stripMargin)
+    val pid = TermIds.iriId("urn:p:n_name")
+    for (df <- Seq(cs.added, cs.removed)) {
+      val plan = df.queryExecution.executedPlan.toString
+      val pruned = plan.linesIterator.filter(_.contains("PartitionFilters"))
+        .forall(l => !l.contains("isnotnull(p_id") || l.contains(pid.toString) ||
+          l.contains(" = "))
+      assert(pruned && plan.contains("PartitionFilters"),
+        s"expected p_id-pruned scans in change-log diff:\n${plan.take(4000)}")
+    }
+  }
 }
