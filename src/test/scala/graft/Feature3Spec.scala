@@ -171,6 +171,20 @@ class Feature3Spec extends GraftSuite {
     assert(e.getMessage.contains("urn:fn:nope"))
   }
 
+  test("Turtle long-string literals ('''…''') load with embedded newlines/quotes") {
+    val ttl =
+      "@prefix ex: <urn:ex:> .\n" +
+      "ex:doc ex:body '''line one\nline \"two\" with quotes\nline three''' .\n" +
+      "ex:doc ex:note \"\"\"double-long\nstring\"\"\" .\n"
+    val st = new graft.model.GraftStore(spark, graft.sources.Rio.readTurtle(spark, ttl))
+    val body = Engine.query(st, "SELECT ?b WHERE { <urn:ex:doc> <urn:ex:body> ?b }")
+      .first().getStruct(0).getAs[String]("str")
+    assert(body == "line one\nline \"two\" with quotes\nline three")
+    val note = Engine.query(st, "SELECT ?b WHERE { <urn:ex:doc> <urn:ex:note> ?b }")
+      .first().getStruct(0).getAs[String]("str")
+    assert(note == "double-long\nstring")
+  }
+
   test("custom datatype handlers inline numeric values (IExtension)") {
     import graft.model.Term
     Term.Datatypes.register("urn:dt:celsius",
