@@ -33,18 +33,26 @@ object TextStats {
       (stop / words).as("stopword_ratio"))
   }
 
+  /** Composite quality score in [0,1] as a single Column over the text (streaming-
+    * composable: pure expression, no projection).
+    */
+  def qualityScoreCol(t: Column): Column = {
+    val chars = length(t).cast("double")
+    val words = tokenCount(t).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", ""))).cast("double")
+    val digits = (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double")
+    val stop = stopwordCount(t, EN_STOP).cast("double")
+    least(words / 20.0d, lit(1.0d)) * 0.25d +
+      least((stop / words) * 3.0d, lit(1.0d)) * 0.35d +
+      greatest(lit(0.0d), lit(1.0d) - (punct / chars) * 8.0d) * 0.2d +
+      greatest(lit(0.0d), lit(1.0d) - (digits / chars) * 5.0d) * 0.2d
+  }
+
   /** Composite quality score in [0,1]: penalize extreme lengths, high punct/digit
     * ratios, low stopword ratio (boilerplate/code smell).
     */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val f = qualityFeatures(docs, idCol, textCol)
-    f.select(col(idCol),
-      (least(col("words") / 20.0d, lit(1.0d)) * 0.25d +
-        least(col("stopword_ratio") * 3.0d, lit(1.0d)) * 0.35d +
-        greatest(lit(0.0d), lit(1.0d) - col("punct_ratio") * 8.0d) * 0.2d +
-        greatest(lit(0.0d), lit(1.0d) - col("digit_ratio") * 5.0d) * 0.2d)
-        .as("quality"))
-  }
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), qualityScoreCol(col(textCol)).as("quality"))
 
   private val EN_STOP = Seq("the", "of", "and", "to", "a", "in", "is", "it", "that",
     "was", "for", "on", "are", "with", "as", "be", "at", "by", "this", "have", "from")
@@ -62,21 +70,20 @@ object TextStats {
     * hit counts, "und" → unknown when no profile fires (n-gram-free heuristic; a
     * production version adds char-trigram profiles the same columnar way).
     */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tk = tokens(col(textCol))
-    def hits(stops: Seq[String]) =
-      size(filter(tk, t => t.isin(stops: _*)))
-    val scored = docs.select(col(idCol), col(textCol),
-      hits(EN_STOP).as("en"), hits(DE_STOP).as("de"),
-      hits(FR_STOP).as("fr"), hits(ES_STOP).as("es"))
-    val best = greatest(col("en"), col("de"), col("fr"), col("es"))
-    scored.select(col(idCol),
-      when(best === 0, "und")
-        .when(col("en") === best, "en")
-        .when(col("de") === best, "de")
-        .when(col("fr") === best, "fr")
-        .otherwise("es").as("lang_pred"))
+  def langIdCol(text: Column): Column = {
+    val tk = tokens(text)
+    def hits(stops: Seq[String]) = size(filter(tk, t => t.isin(stops: _*)))
+    val (en, de, fr, es) = (hits(EN_STOP), hits(DE_STOP), hits(FR_STOP), hits(ES_STOP))
+    val best = greatest(en, de, fr, es)
+    when(best === 0, "und")
+      .when(en === best, "en")
+      .when(de === best, "de")
+      .when(fr === best, "fr")
+      .otherwise("es")
   }
+
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), langIdCol(col(textCol)).as("lang_pred"))
 
   /** Winnowing-style document fingerprint: min hash over word 3-gram shingles
     * (robust to small edits; equal fingerprints → near-dup candidates). The hash is

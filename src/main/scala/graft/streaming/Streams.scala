@@ -47,6 +47,30 @@ object Streams {
       }
   }
 
+  /** Streaming document-pipeline stage: token count, quality score, language id
+    * over a document stream — pure columnar expressions (no UDF, no state), so the
+    * stage is a stateless map that composes with any sink or further stage.
+    */
+  def docFeatures(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("tokens", graft.pipeline.TextStats.tokenCount(col(textCol)))
+      .withColumn("quality", graft.pipeline.TextStats.qualityScoreCol(col(textCol)))
+      .withColumn("lang_pred", graft.pipeline.TextStats.langIdCol(col(textCol)))
+
+  /** Streaming exact dedup: drop re-arrivals of the same content hash within the
+    * watermark horizon. State is bounded by the watermark (Spark evicts fingerprints
+    * older than the event-time horizon) — the streaming-ingest analog of
+    * `Dedup.exactKeepers` for a 100 TB/day pipeline where the duplicate window is
+    * time-bounded.
+    */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
+                          watermarkDur: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", xxhash64(col(textCol)))
+      .withWatermark(tsCol, watermarkDur)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Mutable holder for an incrementally-maintained store. */
   final class StreamingStore(spark: SparkSession, initial: GraftStore,
                              maintainClosure: Boolean = false) {

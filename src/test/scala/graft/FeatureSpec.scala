@@ -198,4 +198,32 @@ class FeatureSpec extends GraftSuite {
     assert(s7.exists(r => r.getAs[Long]("nEvents") == 2L && r.getAs[Double]("totalValue") == 4.0))
     q2.stop()
   }
+
+  test("streaming doc-pipeline stage: features + watermark-bounded exact dedup") {
+    import org.apache.spark.sql.functions.col
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val staged = Streams.streamingExactDedup(
+      Streams.docFeatures(docs), "ts", "text", "10 minutes")
+    val q = staged.writeStream.format("memory").queryName("docstage")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    mem.addData(
+      (t0, 1L, "the quick brown fox jumps over the lazy dog"),
+      (t0, 2L, "the quick brown fox jumps over the lazy dog"), // dup content
+      (t0, 3L, "der schnelle braune fuchs springt und der hund"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM docstage").collect()
+    // dedup kept one of {1,2} plus 3
+    assert(rows.length == 2)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId.keySet.intersect(Set(1L, 2L)).size == 1 && byId.contains(3L))
+    // columnar features computed in-stream
+    val en = byId(byId.keySet.intersect(Set(1L, 2L)).head)
+    assert(en.getAs[Long]("tokens") == 9L && en.getAs[String]("lang_pred") == "en")
+    assert(byId(3L).getAs[String]("lang_pred") == "de")
+    assert(en.getAs[Double]("quality") > 0.3)
+    q.stop()
+  }
 }
