@@ -37,48 +37,94 @@ final class SparqlServer(@volatile private var store: GraftStore, port: Int = 0)
     ex.close()
   }
 
-  server.createContext("/sparql", new HttpHandler {
-    override def handle(ex: HttpExchange): Unit = try {
-      val raw =
-        if (ex.getRequestMethod == "POST")
-          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        else Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      val q = params(raw).getOrElse("query",
-        return respond(ex, 400, "text/plain", "missing 'query' parameter"))
-      val df = Engine.query(store, q)
-      val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
-      // CONSTRUCT/DESCRIBE yield RDF, not bindings — route on the QUERY FORM (a
-      // SELECT projecting ?s ?p ?o must still get a bindings format)
-      val isGraph = graft.sparql.Parser.parseQuery(q) match {
-        case _: graft.sparql.Ast.ConstructQuery | _: graft.sparql.Ast.DescribeQuery => true
-        case _ => false
-      }
-      val (ct, body) =
-        if (isGraph) {
-          val lines = graft.sources.Rio.toNQuadLines(df)
-            .collect().map(_.getString(0)).mkString("", "\n", "\n")
-          (if (accept.contains("n-quads")) "application/n-quads"
-           else "application/n-triples", lines)
-        }
-        else if (accept.contains("xml")) ("application/sparql-results+xml", SparqlResults.toXml(df))
-        else if (accept.contains("csv")) ("text/csv", SparqlResults.toCsv(df))
-        else if (accept.contains("tab-separated")) ("text/tab-separated-values", SparqlResults.toTsv(df))
-        else ("application/sparql-results+json", SparqlResults.toJson(df))
-      respond(ex, 200, ct, body)
-    } catch {
-      case e: Exception => respond(ex, 400, "text/plain", s"query error: ${e.getMessage}")
+  private def handleQuery(ex: HttpExchange, st: GraftStore): Unit = try {
+    val raw =
+      if (ex.getRequestMethod == "POST")
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      else Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val q = params(raw).getOrElse("query",
+      return respond(ex, 400, "text/plain", "missing 'query' parameter"))
+    val df = Engine.query(st, q)
+    val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+    // CONSTRUCT/DESCRIBE yield RDF, not bindings — route on the QUERY FORM (a
+    // SELECT projecting ?s ?p ?o must still get a bindings format)
+    val isGraph = graft.sparql.Parser.parseQuery(q) match {
+      case _: graft.sparql.Ast.ConstructQuery | _: graft.sparql.Ast.DescribeQuery => true
+      case _ => false
     }
+    val (ct, body) =
+      if (isGraph) {
+        val lines = graft.sources.Rio.toNQuadLines(df)
+          .collect().map(_.getString(0)).mkString("", "\n", "\n")
+        (if (accept.contains("n-quads")) "application/n-quads"
+         else "application/n-triples", lines)
+      }
+      else if (accept.contains("xml")) ("application/sparql-results+xml", SparqlResults.toXml(df))
+      else if (accept.contains("csv")) ("text/csv", SparqlResults.toCsv(df))
+      else if (accept.contains("tab-separated")) ("text/tab-separated-values", SparqlResults.toTsv(df))
+      else ("application/sparql-results+json", SparqlResults.toJson(df))
+    respond(ex, 200, ct, body)
+  } catch {
+    case e: Exception => respond(ex, 400, "text/plain", s"query error: ${e.getMessage}")
+  }
+
+  private def handleUpdate(ex: HttpExchange, get: () => GraftStore,
+                           set: GraftStore => Unit): Unit = try {
+    val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val u = params(raw).getOrElse("update",
+      return respond(ex, 400, "text/plain", "missing 'update' parameter"))
+    set(Update(get(), u))
+    respond(ex, 200, "text/plain", "OK")
+  } catch {
+    case e: Exception => respond(ex, 400, "text/plain", s"update error: ${e.getMessage}")
+  }
+
+  server.createContext("/sparql", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      if (ex.getRequestURI.getPath.endsWith("/update"))
+        handleUpdate(ex, () => store, store = _)
+      else handleQuery(ex, store)
   })
 
-  server.createContext("/sparql/update", new HttpHandler {
+  // ---- multi-tenancy (MultiTenancyServlet analog, `sail/webapp/MultiTenancyServlet
+  // .java`): named namespaces = independent stores sharing one SparkSession.
+  // GET /namespace lists; POST /namespace?name=x creates (empty store); DELETE
+  // /namespace/x drops; /namespace/x/sparql(/update) are per-namespace endpoints.
+  private val namespaces =
+    scala.collection.concurrent.TrieMap.empty[String, GraftStore]
+
+  def namespaceStore(name: String): Option[GraftStore] = namespaces.get(name)
+
+  server.createContext("/namespace", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = try {
-      val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      val u = params(raw).getOrElse("update",
-        return respond(ex, 400, "text/plain", "missing 'update' parameter"))
-      store = Update(store, u)
-      respond(ex, 200, "text/plain", "OK")
+      val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+      (ex.getRequestMethod, segs) match {
+        case ("GET", List("namespace")) =>
+          respond(ex, 200, "text/plain", namespaces.keys.toSeq.sorted.mkString("\n"))
+        case ("POST", List("namespace")) =>
+          val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val name = params(raw).getOrElse("name",
+            return respond(ex, 400, "text/plain", "missing 'name' parameter"))
+          if (namespaces.putIfAbsent(name,
+            store.withStatements(store.statements.limit(0))).isEmpty)
+            respond(ex, 201, "text/plain", s"CREATED $name")
+          else respond(ex, 409, "text/plain", s"EXISTS $name")
+        case ("DELETE", List("namespace", name)) =>
+          if (namespaces.remove(name).isDefined) respond(ex, 200, "text/plain", s"DELETED $name")
+          else respond(ex, 404, "text/plain", s"no such namespace $name")
+        case (_, List("namespace", name, "sparql")) =>
+          namespaces.get(name) match {
+            case Some(st) => handleQuery(ex, st)
+            case None => respond(ex, 404, "text/plain", s"no such namespace $name")
+          }
+        case ("POST", List("namespace", name, "sparql", "update")) =>
+          if (namespaces.contains(name))
+            handleUpdate(ex, () => namespaces(name), namespaces(name) = _)
+          else respond(ex, 404, "text/plain", s"no such namespace $name")
+        case _ => respond(ex, 404, "text/plain", "unknown namespace route")
+      }
     } catch {
-      case e: Exception => respond(ex, 400, "text/plain", s"update error: ${e.getMessage}")
+      case e: Exception => respond(ex, 500, "text/plain", s"namespace error: ${e.getMessage}")
     }
   })
 

@@ -105,4 +105,35 @@ class ServerSpec extends GraftSuite {
       assert(r.body().contains("<urn:p:name>"))
     } finally srv.stop()
   }
+
+  test("multi-tenant namespaces: create, isolate, query, update, delete") {
+    val srv = new SparqlServer(store).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      // create two namespaces
+      assert(post(s"$base/namespace", "name=alpha").statusCode() == 201)
+      assert(post(s"$base/namespace", "name=beta").statusCode() == 201)
+      assert(post(s"$base/namespace", "name=alpha").statusCode() == 409) // duplicate
+      assert(get(s"$base/namespace").body().linesIterator.toSeq == Seq("alpha", "beta"))
+      // namespaces start EMPTY (not a view of the default store)
+      val empty = get(s"$base/namespace/alpha/sparql?query=${enc("ASK { ?s ?p ?o }")}")
+      assert(empty.body().contains("false"))
+      // per-namespace update is isolated
+      post(s"$base/namespace/alpha/sparql/update",
+        s"update=${enc("INSERT DATA { <urn:mt:1> <urn:p:v> 1 }")}")
+      assert(get(s"$base/namespace/alpha/sparql?query=${enc("ASK { <urn:mt:1> <urn:p:v> 1 }")}")
+        .body().contains("true"))
+      assert(get(s"$base/namespace/beta/sparql?query=${enc("ASK { <urn:mt:1> <urn:p:v> 1 }")}")
+        .body().contains("false"))
+      assert(get(s"$base/sparql?query=${enc("ASK { <urn:mt:1> <urn:p:v> 1 }")}")
+        .body().contains("false"))
+      // delete
+      val del = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"$base/namespace/beta")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 200)
+      assert(get(s"$base/namespace/beta/sparql?query=${enc("ASK { ?s ?p ?o }")}")
+        .statusCode() == 404)
+    } finally srv.stop()
+  }
 }
