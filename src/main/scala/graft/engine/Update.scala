@@ -110,9 +110,21 @@ object Update {
     if (retracts) graft.inference.Rdfs.truthMaintain(next) else next
   }
 
+  /** Predicate ids of a quad template when ALL predicates are constant IRIs —
+    * saves the runtime delta-pid probe job (the predicates are known statically).
+    */
+  private def knownPids(quads: Seq[QuadData]): Option[Seq[Long]] =
+    quads.foldLeft(Option(Seq.empty[Long])) {
+      case (Some(acc), q) => q.p match {
+        case IriNode(i) => Some(acc :+ TermIds.iriId(i))
+        case _ => None
+      }
+      case (None, _) => None
+    }.map(_.distinct)
+
   def applyOp(store: GraftStore, op: UpdateOp): GraftStore = op match {
-    case InsertData(quads) => insert(store, constQuads(store, quads))
-    case DeleteData(quads) => delete(store, constQuads(store, quads))
+    case InsertData(quads) => insert(store, constQuads(store, quads), knownPids(quads))
+    case DeleteData(quads) => delete(store, constQuads(store, quads), knownPids(quads))
     case ClearGraph(None) => store.withStatements(store.statements.limit(0))
     case ClearDefault =>
       store.withStatements(store.statements.filter(col("g").isNotNull))
@@ -146,8 +158,10 @@ object Update {
       val keep = sol0.columns.filter(needed)
       val sol = (if (keep.length < sol0.columns.length)
         sol0.select(keep.map(col): _*) else sol0).localCheckpoint()
-      val s1 = if (del.isEmpty) store else delete(store, instantiate(sol, target(del)))
-      if (ins.isEmpty) s1 else insert(s1, instantiate(sol, target(ins)))
+      val s1 = if (del.isEmpty) store
+        else delete(store, instantiate(sol, target(del)), knownPids(target(del)))
+      if (ins.isEmpty) s1
+      else insert(s1, instantiate(sol, target(ins)), knownPids(target(ins)))
     case CreateGraph(_) => store // schemaless store: graphs exist by containing triples
     case LoadGraph(src, into) =>
       val path = src.stripPrefix("file://")
@@ -207,12 +221,14 @@ object Update {
       case SidNode(s, p, o) => Term.sid(term(s), term(p), term(o))
       case other => Exprs.constTerm(other)
     }
+    // ONE one-row plan exploding a quad array — not an n-way union of single-row
+    // frames (plan size and job count stay constant in the number of quads)
     val rows = quads.map { q =>
       val g = q.g.map(term).getOrElse(Term.nullTerm)
-      store.spark.range(1).select(
-        term(q.s).as("s"), term(q.p).as("p"), term(q.o).as("o"), g.as("g"))
+      struct(term(q.s).as("s"), term(q.p).as("p"), term(q.o).as("o"), g.as("g"))
     }
-    rows.reduce(_.unionByName(_))
+    store.spark.range(1).select(explode(array(rows: _*)).as("q"))
+      .select(col("q.s").as("s"), col("q.p").as("p"), col("q.o").as("o"), col("q.g").as("g"))
   }
 
   /** Instantiate quad templates once per solution; drop rows with unbound vars.
@@ -271,8 +287,9 @@ object Update {
     * analog of the reference writing only the affected index ranges
     * (`rbop/rdf/update/InsertStatementsOp.java`).
     */
-  private def insert(store: GraftStore, quads: DataFrame): GraftStore = {
-    val existing = deltaPids(quads) match {
+  private def insert(store: GraftStore, quads: DataFrame,
+                     pids: Option[Seq[Long]] = None): GraftStore = {
+    val existing = pids.orElse(deltaPids(quads)) match {
       case Some(pids) => store.statements.filter(col("p_id").isin(pids: _*))
       case None => store.statements
     }
@@ -293,7 +310,8 @@ object Update {
     * `removeStatements(s, p, o, c=null)` contract (and what makes DELETE WHERE over
     * union-default-graph solutions actually remove what it matched).
     */
-  private def delete(store: GraftStore, quads: DataFrame): GraftStore = {
+  private def delete(store: GraftStore, quads: DataFrame,
+                     pids0: Option[Seq[Long]] = None): GraftStore = {
     def tripleKey(df: DataFrame): DataFrame =
       df.withColumn("__k3", xxhash64(col("s")("id"), col("p")("id"), col("o")("id")))
     val victims = statementKey(quads.filter(col("g").isNotNull))
@@ -305,7 +323,7 @@ object Update {
         .join(victims, Seq("__k"), "left_anti")
         .join(tripleVictims, Seq("__k3"), "left_anti")
         .drop("__k", "__k3")
-    val kept = deltaPids(quads) match {
+    val kept = pids0.orElse(deltaPids(quads)) match {
       case Some(pids) =>
         // commit the rewritten partitions (delta-sized); untouched ones stay parquet
         store.statements.filter(!col("p_id").isin(pids: _*))
