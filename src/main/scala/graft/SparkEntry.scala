@@ -570,6 +570,43 @@ object SparkEntry {
     }): Q,
       Some("SELECT COUNT(*)*5 AS cnt FROM nation")),
 
+    ("q_federation", ((s: SparkSession, dir: String) => {
+      // remote SERVICE over the SPARQL 1.1 Protocol against a loopback endpoint:
+      // exercises serialization, VALUES-vectored bindings, and JSON results parse
+      val st = Tpch.store(s, dir)
+      val srv = new graft.server.SparqlServer(st).start()
+      try Engine.query(st,
+        s"""SELECT ?nname ?rname WHERE {
+           |  ?n <urn:p:n_name> ?nname ; <urn:fk:n_regionkey> ?r .
+           |  SERVICE <http://127.0.0.1:${srv.boundPort}/sparql> {
+           |    ?r <urn:p:r_name> ?rname } }""".stripMargin)
+        .select(oStr("nname"), oStr("rname"))
+      finally srv.stop() // service results materialize at compile; no later fetch
+    }): Q,
+      Some("""SELECT n_name AS nname, r_name AS rname FROM nation
+             | JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
+    ("q_stream_window", ((s: SparkSession, dir: String) => {
+      // Structured Streaming end-to-end: file-source micro-batches through the
+      // windowed aggregation into a memory sink (complete mode), then the sink table
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts2", timestamp_micros((col("ts") / 1000L).cast("long")))
+      val agg = ev.groupBy(window(col("ts2"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(round(col("value") * 100)).as("cents"))
+        .select(col("w")("start").as("window_start"), col("event_type"),
+          col("cnt"), col("cents").cast("long").as("cents"))
+      val qn = "qsw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+    }): Q,
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+             | COUNT(*) AS cnt, CAST(SUM(ROUND(value*100, 0)) AS BIGINT) AS cents
+             | FROM events GROUP BY 1, 2""".stripMargin)),
+
     ("q_rio_rdfxml", ((s: SparkSession, dir: String) => {
       // RDF/XML ingestion: serialize nation as RDF/XML, parse it back, query it
       val rows = read(s, dir, "nation")
