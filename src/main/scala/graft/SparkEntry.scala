@@ -753,6 +753,12 @@ object SparkEntry {
         TextStats.tokenCount(col("text")).as("tokens"))): Q,
       Some("SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tokens FROM documents")),
 
+    ("p_token_bpe", ((s: SparkSession, dir: String) =>
+      docs(s, dir).select(col("doc_id"),
+        TextStats.bpeTokenCount(col("text")).as("bpe_tokens"))): Q,
+      Some("SELECT doc_id, len(regexp_extract_all(lower(text), " +
+        "'''[a-z]{1,2}| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) AS bpe_tokens FROM documents")),
+
     ("p_quality", ((s: SparkSession, dir: String) =>
       TextStats.qualityFeatures(docs(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("chars"), col("words"))): Q,

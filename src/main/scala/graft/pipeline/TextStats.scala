@@ -13,6 +13,19 @@ object TextStats {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** GPT-style pre-tokenizer pattern (BPE-ish): contraction suffixes, letter runs,
+    * digit runs, punctuation runs — each with an optional leading space. RE2-safe
+    * (no lookarounds) so external engines reproduce the same splits.
+    */
+  val BPE_PATTERN = "'[a-z]{1,2}| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Pre-tokenization token count — the LLM-pipeline "how many BPE-ish tokens"
+    * estimator (a real BPE then splits within these pieces, so this lower-bounds
+    * and tightly tracks the true count).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BPE_PATTERN), lit(0))).cast("long")
+
   /** Quality features: chars, words, avg word length, punctuation ratio, digit ratio,
     * uppercase ratio, stopword ratio — the usual cheap heuristics.
     */
