@@ -682,6 +682,29 @@ object SparkEntry {
              |  FROM k l JOIN k r ON l.key = r.key AND l.id < r.id)
              |WHERE jaccard >= 0.5""".stripMargin)),
 
+    ("p_dedup_cluster", ((s: SparkSession, dir: String) =>
+      Dedup.dupClusters(docs(s, dir), "doc_id", "text")): Q,
+      // the oracle rebuilds the same blocked candidate pairs, then components via
+      // recursive transitive closure with MIN-id labeling
+      Some("""WITH RECURSIVE sh AS (SELECT doc_id AS id,
+             |  list_distinct(list_transform(
+             |    generate_series(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+'))-3, 0)),
+             |    i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[i+1:i+3], ' '))) AS sh
+             | FROM documents),
+             |k AS (SELECT id, sh, list_aggregate(sh, 'min') AS key FROM sh),
+             |pairs AS (SELECT a, b FROM (
+             |  SELECT l.id AS a, r.id AS b,
+             |    CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+             |      / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS jaccard
+             |  FROM k l JOIN k r ON l.key = r.key AND l.id < r.id)
+             |  WHERE jaccard >= 0.5),
+             |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT a, a FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+             |SELECT a AS doc_id, MIN(b) AS keeper FROM reach GROUP BY a""".stripMargin)),
+
     ("p_ann_brute", ((s: SparkSession, dir: String) => {
       val e = emb(s, dir)
       val firstId = e.agg(min("vec_id")).first().getLong(0)

@@ -120,6 +120,21 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Near-dup clusters: candidate pairs → connected components → canonical keeper
+    * (min doc id per component). Transitively-linked near-dups (A≈B≈C with A≉C)
+    * collapse to ONE keeper — the standard corpus-dedup semantics that pairwise
+    * drop-lists get wrong. Returns (doc_id, keeper) for every doc in a cluster.
+    * Scale shape: pairs are block-bucketed (linear), CC runs in id space over the
+    * pair graph only (dup clusters ≪ corpus).
+    */
+  def dupClusters(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = minShinglePairs(docs, idCol, textCol, shingleN, threshold)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+    val cc = graft.gas.Gas.connectedComponents(edges)
+    cc.select(col("vertex").as("doc_id"), col("component").as("keeper"))
+  }
+
   /** 64-bit SimHash over tf-weighted tokens. */
   def simhash(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = graft.engine.DfOps.spread(docs0)

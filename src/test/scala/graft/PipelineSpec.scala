@@ -46,6 +46,19 @@ class PipelineSpec extends GraftSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L))
   }
 
+  test("dup clusters collapse transitive near-dups to one keeper") {
+    // 1≈2 and 2≈3 but 1≉3 (jaccard .78/.78/.60 at threshold .7): one cluster
+    val d = Seq(
+      (1L, "zz b c d e f g h i k"),
+      (2L, "zz b c d e f g h i m"),
+      (3L, "zy b c d e f g h i m"),
+      (9L, "completely unrelated text about something else entirely here")
+    ).toDF("doc_id", "text")
+    val cl = Dedup.dupClusters(d, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("cosine topk ranks the most similar vector first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
