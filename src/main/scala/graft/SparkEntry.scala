@@ -782,6 +782,24 @@ object SparkEntry {
       Some("SELECT doc_id, len(regexp_extract_all(lower(text), " +
         "'''[a-z]{1,2}| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) AS bpe_tokens FROM documents")),
 
+    ("p_repetition", ((s: SparkSession, dir: String) =>
+      docs(s, dir).select(col("doc_id"),
+        round(TextStats.repetitionRatio(col("text")), 6).as("rep_ratio"))): Q,
+      Some("""WITH sh AS (SELECT doc_id, list_transform(
+             |    generate_series(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+'))-3, 0)),
+             |    i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[i+1:i+3], ' ')) AS a
+             |  FROM documents)
+             |SELECT doc_id, round(1.0 - CAST(len(list_distinct(a)) AS DOUBLE)/len(a), 6) AS rep_ratio
+             |FROM sh""".stripMargin)),
+
+    ("p_pii", ((s: SparkSession, dir: String) =>
+      TextStats.piiCounts(docs(s, dir), "doc_id", "text")): Q,
+      Some("""SELECT doc_id,
+             | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS emails,
+             | CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,14}[0-9]')) AS BIGINT) AS phones,
+             | CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS ipv4s
+             | FROM documents""".stripMargin)),
+
     ("p_quality", ((s: SparkSession, dir: String) =>
       TextStats.qualityFeatures(docs(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("chars"), col("words"))): Q,

@@ -98,6 +98,32 @@ object TextStats {
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), langIdCol(col(textCol)).as("lang_pred"))
 
+  /** Repetition ratio in [0,1): fraction of word n-gram shingles that are repeats
+    * (1 − distinct/total) — the cheap detector for degenerate/boilerplate text
+    * (crawler nav bars, model loops). 0 = no repeated n-gram.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    val all = transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    lit(1.0d) - size(array_distinct(all)).cast("double") / size(all).cast("double")
+  }
+
+  /** PII pattern counts (emails, phone-shaped numbers, IPv4) — the filter/redaction
+    * pre-pass of a training-data pipeline. Pure regexp counts; RE2-safe patterns.
+    */
+  val EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PHONE_PATTERN = "\\+?[0-9][0-9()\\- ]{7,14}[0-9]"
+  val IPV4_PATTERN = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  def piiCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      size(regexp_extract_all(t, lit(EMAIL_PATTERN), lit(0))).cast("long").as("emails"),
+      size(regexp_extract_all(t, lit(PHONE_PATTERN), lit(0))).cast("long").as("phones"),
+      size(regexp_extract_all(t, lit(IPV4_PATTERN), lit(0))).cast("long").as("ipv4s"))
+  }
+
   /** Winnowing-style document fingerprint: min hash over word 3-gram shingles
     * (robust to small edits; equal fingerprints → near-dup candidates). The hash is
     * md5-hex rather than xxhash64 so the min is engine-portable (cross-checkable in

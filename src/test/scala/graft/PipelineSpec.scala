@@ -104,6 +104,21 @@ class PipelineSpec extends GraftSuite {
     assert(qf.getAs[Double]("stopword_ratio") > 0.2) // "the" x2, "over"
   }
 
+  test("repetition ratio flags degenerate text, PII counts find emails/IPs") {
+    val d = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"),
+      (2L, "a normal sentence with no repeated phrases inside it"),
+      (3L, "contact me at alice@example.com or 10.0.0.1 or +1 (555) 123-4567")
+    ).toDF("doc_id", "text")
+    val rep = d.select(col("doc_id"), TextStats.repetitionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rep(1L) > 0.7 && rep(2L) == 0.0)
+    val pii = TextStats.piiCounts(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(pii(3L)._1 == 1L && pii(3L)._3 == 1L && pii(3L)._2 >= 1L)
+    assert(pii(2L) == ((0L, 0L, 0L)))
+  }
+
   test("langid separates english from german") {
     val preds = TextStats.langId(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
