@@ -39,14 +39,20 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
     * lookup key so attach joins only ever shuffle the (small) probe side.
     */
   @transient lazy val nodeTerms: DataFrame = {
-    val base = lexiconPath match {
+    def shape(df: DataFrame) =
+      df.repartition(col("nid")).sortWithinPartitions("nid").localCheckpoint()
+    lexiconPath match {
       case Some(p) =>
-        if (!new java.io.File(p + "/_SUCCESS").exists())
-          buildNodeTerms.write.mode("overwrite").parquet(p)
-        spark.read.parquet(p)
-      case None => buildNodeTerms
+        if (!new java.io.File(p + "/_SUCCESS").exists()) {
+          // cold build: checkpoint the shaped lexicon FIRST, then persist it for
+          // future sessions from the checkpointed blocks — one dedup shuffle total,
+          // no write→re-read→re-shuffle round trip
+          val built = shape(buildNodeTerms)
+          built.write.mode("overwrite").parquet(p)
+          built
+        } else shape(spark.read.parquet(p))
+      case None => shape(buildNodeTerms)
     }
-    base.repartition(col("nid")).sortWithinPartitions("nid").localCheckpoint()
   }
 
   /** Node-domain ids (subject/object term ids), for zero-length-path membership.
@@ -80,9 +86,18 @@ object GraftStore {
   def assemble(df: DataFrame): DataFrame =
     df.select(col("p")("id").as("p_id"), col("s"), col("p"), col("o"), col("g"), col("stype"))
 
-  /** Persist as predicate-partitioned parquet — the scalable at-rest layout. */
-  def save(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").partitionBy("p_id").parquet(path)
+  /** Persist as predicate-partitioned parquet — the scalable at-rest layout.
+    * Concurrent output writers sidestep the dynamic-partition writer's per-task
+    * sort of the (wide) statement rows: predicate counts are vocabulary-sized, so
+    * a writer per open partition is cheap and the sort is pure overhead.
+    */
+  def save(df: DataFrame, path: String): Unit = {
+    val conf = df.sparkSession.conf
+    val prev = conf.get("spark.sql.maxConcurrentOutputFileWriters", "0")
+    conf.set("spark.sql.maxConcurrentOutputFileWriters", "128")
+    try df.write.mode("overwrite").partitionBy("p_id").parquet(path)
+    finally conf.set("spark.sql.maxConcurrentOutputFileWriters", prev)
+  }
 
   def load(spark: SparkSession, path: String): GraftStore =
     new GraftStore(spark, spark.read.parquet(path)

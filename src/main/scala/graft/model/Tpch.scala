@@ -134,8 +134,13 @@ object Tpch {
     // driver parquet uses TIMESTAMP(NANOS); ensure the session can read it even when
     // the caller's SparkSession was built without the legacy flag
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // spread each table's raw rows across the cluster BEFORE the ~18× statement
+    // explode: the exchange carries the compact source rows, and the term-struct
+    // hashing (the dominant load cost) runs at full parallelism even when a source
+    // arrives as a single split
+    val n = spark.sparkContext.defaultParallelism
     val parts = tables.map { t =>
-      tableStatements(spark.read.parquet(s"$dir/${t.name}.parquet"), t)
+      tableStatements(spark.read.parquet(s"$dir/${t.name}.parquet").repartition(n), t)
     } :+ axioms(spark)
     GraftStore.assemble(parts.reduce(_.unionByName(_)))
   }
@@ -160,6 +165,9 @@ object Tpch {
       val st = new GraftStore(spark, GraftStore.load(spark, path).statements,
         lexiconPath = Some(path + "-lexicon"))
       st.nodeTerms // lexicon builds at load time, like the reference's TERM2ID/ID2TERM
+      // full-text postings too (DataLoader's text-index hook): load pays the one-time
+      // tokenize+idf pass so per-query latencies measure search, not index builds
+      graft.search.TextIndex.forStore(st)
       st
     })
 }

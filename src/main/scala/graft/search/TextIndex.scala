@@ -93,9 +93,35 @@ object TextIndex {
   }
 
   private val cache = new java.util.WeakHashMap[GraftStore, TextIndex]()
+
+  /** Per-store index handle. A store with a lexicon path also parquet-persists its
+    * postings alongside (the reference maintains its full-text index at load,
+    * `rdf/store/DataLoader.java` → text indexer hook) — later sessions re-open the
+    * postings instead of re-tokenizing the corpus.
+    */
   def forStore(store: GraftStore): TextIndex = cache.synchronized {
     var idx = cache.get(store)
-    if (idx == null) { idx = build(store); cache.put(store, idx) }
+    if (idx == null) {
+      idx = store.lexiconPath match {
+        case Some(p) =>
+          val tp = p + "-text"
+          if (!new java.io.File(tp + "/postings/_SUCCESS").exists()) {
+            val built = build(store)
+            built.lits.write.mode("overwrite").parquet(tp + "/lits")
+            built.postings.write.mode("overwrite").parquet(tp + "/postings")
+            built
+          } else {
+            val spark = store.spark
+            val lits = spark.read.parquet(tp + "/lits")
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            val postings = spark.read.parquet(tp + "/postings")
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            new TextIndex(postings, lits, lits.count())
+          }
+        case None => build(store)
+      }
+      cache.put(store, idx)
+    }
     idx
   }
 }
