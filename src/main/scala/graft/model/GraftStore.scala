@@ -43,14 +43,19 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
       df.repartition(col("nid")).sortWithinPartitions("nid").localCheckpoint()
     lexiconPath match {
       case Some(p) =>
-        if (!new java.io.File(p + "/_SUCCESS").exists()) {
-          // cold build: checkpoint the shaped lexicon FIRST, then persist it for
-          // future sessions from the checkpointed blocks — one dedup shuffle total,
-          // no write→re-read→re-shuffle round trip
-          val built = shape(buildNodeTerms)
-          built.write.mode("overwrite").parquet(p)
-          built
-        } else shape(spark.read.parquet(p))
+        // keyed on the lexicon path so every store handle over the same at-rest
+        // store (e.g. the staging handle during load and the reopened handle that
+        // serves queries) shares ONE shaped+checkpointed lexicon
+        GraftStore.lexCache.getOrElseUpdate(p, {
+          if (!new java.io.File(p + "/_SUCCESS").exists()) {
+            // cold build: checkpoint the shaped lexicon FIRST, then persist it for
+            // future sessions from the checkpointed blocks — one dedup shuffle total,
+            // no write→re-read→re-shuffle round trip
+            val built = shape(buildNodeTerms)
+            built.write.mode("overwrite").parquet(p)
+            built
+          } else shape(spark.read.parquet(p))
+        })
       case None => shape(buildNodeTerms)
     }
   }
@@ -76,6 +81,10 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
 }
 
 object GraftStore {
+  /** Shaped in-session lexicons, one per at-rest lexicon path. */
+  private[model] val lexCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   val STYPE_EXPLICIT: Byte = 0
   val STYPE_AXIOM: Byte = 1
   val STYPE_INFERRED: Byte = 2
@@ -90,12 +99,19 @@ object GraftStore {
     * Concurrent output writers sidestep the dynamic-partition writer's per-task
     * sort of the (wide) statement rows: predicate counts are vocabulary-sized, so
     * a writer per open partition is cheap and the sort is pure overhead.
+    *
+    * Rows are clustered on (p_id, subject-hash bucket) before the write so each
+    * predicate directory holds a handful of full files instead of one sliver per
+    * input task (writers × predicates files otherwise — footer reads then tax
+    * every later scan). The bucket term keeps large predicates split across
+    * several files/tasks for scan and write parallelism.
     */
   def save(df: DataFrame, path: String): Unit = {
     val conf = df.sparkSession.conf
     val prev = conf.get("spark.sql.maxConcurrentOutputFileWriters", "0")
     conf.set("spark.sql.maxConcurrentOutputFileWriters", "128")
-    try df.write.mode("overwrite").partitionBy("p_id").parquet(path)
+    try df.repartition(col("p_id"), pmod(col("s")("id"), lit(4)))
+      .write.mode("overwrite").partitionBy("p_id").parquet(path)
     finally conf.set("spark.sql.maxConcurrentOutputFileWriters", prev)
   }
 

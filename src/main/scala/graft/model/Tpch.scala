@@ -161,12 +161,30 @@ object Tpch {
       val clean = dir.replaceAll("[^A-Za-z0-9.]+", "_")
       val path = s"/tmp/graft-store/v$STORE_VERSION$clean"
       val marker = new java.io.File(path + "/_SUCCESS")
-      if (!marker.exists()) GraftStore.save(statements(spark, dir), path)
+      if (!marker.exists()) {
+        // Cold load: derive the partitioned store, the ID2TERM lexicon and the
+        // full-text postings as three CONCURRENT jobs over the statement compute
+        // instead of three sequential passes. Each job re-runs the (cheap,
+        // embarrassingly-parallel) normalize+hash scan; that redundancy is
+        // deliberate — a persist() of the wide staged rows costs more in cache
+        // build + memory pressure than the recompute, and the three jobs pack the
+        // executor slots. Same shape a cluster bulk load takes: land the
+        // normalized table and fan out index builds over it (the reference's
+        // DataLoader maintains its lexicon and text index inside the load pass).
+        val stmts = statements(spark, dir)
+        val staged = new GraftStore(spark, stmts, lexiconPath = Some(path + "-lexicon"))
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val jobs = Seq(
+          Future(GraftStore.save(stmts, path)),
+          Future { staged.nodeTerms; () },
+          Future { graft.search.TextIndex.forStore(staged); () })
+        jobs.foreach(Await.result(_, Duration.Inf))
+      }
       val st = new GraftStore(spark, GraftStore.load(spark, path).statements,
         lexiconPath = Some(path + "-lexicon"))
-      st.nodeTerms // lexicon builds at load time, like the reference's TERM2ID/ID2TERM
-      // full-text postings too (DataLoader's text-index hook): load pays the one-time
-      // tokenize+idf pass so per-query latencies measure search, not index builds
+      st.nodeTerms // shared via the path-keyed cache after a cold load
       graft.search.TextIndex.forStore(st)
       st
     })

@@ -93,6 +93,9 @@ object TextIndex {
   }
 
   private val cache = new java.util.WeakHashMap[GraftStore, TextIndex]()
+  // path-keyed so the staging store handle used during bulk load and the reopened
+  // query-serving handle share one postings build
+  private val pathCache = scala.collection.concurrent.TrieMap.empty[String, TextIndex]
 
   /** Per-store index handle. A store with a lexicon path also parquet-persists its
     * postings alongside (the reference maintains its full-text index at load,
@@ -100,6 +103,7 @@ object TextIndex {
     * postings instead of re-tokenizing the corpus.
     */
   def forStore(store: GraftStore): TextIndex = cache.synchronized {
+    store.lexiconPath.flatMap(pathCache.get).foreach { hit => return hit }
     var idx = cache.get(store)
     if (idx == null) {
       idx = store.lexiconPath match {
@@ -121,6 +125,7 @@ object TextIndex {
         case None => build(store)
       }
       cache.put(store, idx)
+      store.lexiconPath.foreach(p => pathCache.put(p, idx))
     }
     idx
   }
