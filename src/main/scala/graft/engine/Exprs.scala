@@ -74,7 +74,7 @@ object Exprs {
       Term.decimalLit(lit(new java.math.BigDecimal(lex)).cast(Term.DECIMAL_TYPE))
     case LitNode(lex, Some(Term.XSD_BOOLEAN), _) => Term.boolLit(lit(lex == "true"))
     case LitNode(lex, Some(Term.XSD_DATETIME), _) =>
-      Term.tsLit(to_timestamp(lit(lex), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      Term.tsLit(to_timestamp(regexp_replace(lit(lex), "Z$", "")))
     case LitNode(lex, Some(dt), _) => Term.typedLit(lit(lex), dt)
     case LitNode(lex, None, Some(lang)) => Term.strLit(lit(lex), lit(lang))
     case LitNode(lex, None, None) => Term.strLit(lit(lex))
@@ -505,7 +505,7 @@ object Exprs {
       case "string" => when(t.isNotNull, Term.strLit(fStr(t))).otherwise(Term.nullTerm)
       case "dateTime" =>
         val v = when(isDateTime(t), fTs(t))
-          .otherwise(to_timestamp(regexp_replace(fStr(t), "Z$", ""), "yyyy-MM-dd'T'HH:mm:ss"))
+          .otherwise(to_timestamp(regexp_replace(fStr(t), "Z$", "")))
         when(t.isNotNull && v.isNotNull, Term.tsLit(v)).otherwise(Term.nullTerm)
       case other => throw new UnsupportedOperationException(s"cast to $other")
     }

@@ -39,8 +39,7 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
     * lookup key so attach joins only ever shuffle the (small) probe side.
     */
   @transient lazy val nodeTerms: DataFrame = {
-    def shape(df: DataFrame) =
-      df.repartition(col("nid")).sortWithinPartitions("nid").localCheckpoint()
+    import GraftStore.{shapeLex => shape}
     lexiconPath match {
       case Some(p) =>
         // keyed on the lexicon path so every store handle over the same at-rest
@@ -84,6 +83,13 @@ object GraftStore {
   /** Shaped in-session lexicons, one per at-rest lexicon path. */
   private[model] val lexCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** In-session lexicon shape: hash-partitioned + sorted on the lookup key, so
+    * term re-attach joins never move the lexicon — only the (small) probe side.
+    */
+  private[model] def shapeLex(df: DataFrame): DataFrame =
+    df.repartition(col("nid")).sortWithinPartitions("nid").localCheckpoint()
+
 
   val STYPE_EXPLICIT: Byte = 0
   val STYPE_AXIOM: Byte = 1

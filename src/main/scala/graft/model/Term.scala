@@ -136,11 +136,17 @@ object Term {
       b.cast(DoubleType), b.cast(LongType), nullTs)
   }
 
-  /** xsd:dateTime literal from a timestamp column (canonical UTC lexical form). */
+  /** xsd:dateTime literal from a timestamp column (canonical UTC lexical form,
+    * fractional seconds kept with trailing zeros stripped per XSD canonical rules
+    * — the lexical identity must carry the full value or two sub-second-distinct
+    * timestamps would collide into one term id with ambiguous payload).
+    */
   def tsLit(v: Column): Column = {
     val t = v.cast(TimestampType)
-    mk(lit(KIND_LITERAL), date_format(t, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
-      lit(XSD_DATETIME), nullStr, nullDbl, nullLng, t)
+    val lex = concat(
+      regexp_replace(date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), "\\.?0+$", ""),
+      lit("Z"))
+    mk(lit(KIND_LITERAL), lex, lit(XSD_DATETIME), nullStr, nullDbl, nullLng, t)
   }
 
   /** Custom-datatype inline-value extension point (the `IExtension` analog,
@@ -177,7 +183,8 @@ object Term {
         decimalLit(str.try_cast(DECIMAL_TYPE)))
       .when(dt === XSD_BOOLEAN, boolLit(str === "true"))
       .when(dt === XSD_DATETIME,
-        tsLit(to_timestamp(regexp_replace(str, "Z$", ""), "yyyy-MM-dd'T'HH:mm:ss")))
+        // default parser: accepts optional fractional seconds
+        tsLit(to_timestamp(regexp_replace(str, "Z$", ""))))
     Datatypes.reg.foldLeft(base) { case (acc, (iri, f)) =>
       acc.when(dt === iri,
         mk(lit(KIND_LITERAL), str, dt, lang, f(str), nullLng, nullTs))

@@ -154,7 +154,7 @@ object Tpch {
   /** Bump whenever Term encoding / the triples mapping changes — invalidates the
     * cached parquet stores (stale xxhash ids otherwise survive across sessions).
     */
-  val STORE_VERSION = 2
+  val STORE_VERSION = 3
 
   def store(spark: SparkSession, dir: String): GraftStore =
     registry.getOrElseUpdate(dir, {

@@ -165,13 +165,18 @@ object Parser {
     }
   }
 
-  /** Normalize a dateTime/date lexical to the canonical "yyyy-MM-dd'T'HH:mm:ss'Z'". */
+  /** Normalize a dateTime/date lexical to the canonical UTC form — fractional
+    * seconds kept with trailing zeros stripped (micro precision), matching
+    * `Term.tsLit`'s lexical identity exactly.
+    */
   def parseDateTime(lex: String): String = {
     val base = if (lex.length == 10) lex + "T00:00:00Z"
       else if (lex.endsWith("Z") || lex.contains("+")) lex else lex + "Z"
     val inst = java.time.Instant.parse(base)
-    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      .truncatedTo(java.time.temporal.ChronoUnit.MICROS)
+    val full = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
       .withZone(java.time.ZoneOffset.UTC).format(inst)
+    full.replaceAll("\\.?0+$", "") + "Z"
   }
 
   /** SPARQL grammar numeric literal typing: INTEGER → xsd:integer, DECIMAL (dot, no
