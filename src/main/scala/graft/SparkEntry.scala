@@ -769,7 +769,30 @@ object SparkEntry {
       // "dup" threshold is vacuous, so use 0.3 to exercise the verify stage
       Similarity.lshPairs(emb(s, dir), "vec_id", "embedding", bits = 8, threshold = 0.3)
         .select(col("a"), col("b"), round(col("score"), 6).as("score"))): Q,
-      None),
+      // the hyperplane components are exact integer arithmetic (quadratic-residue
+      // mix mod 100003) and the dots/cosines sequential folds, so the oracle
+      // recomputes identical buckets and bit-identical scores (see p_ann_brute)
+      Some("""WITH b AS (
+             |  SELECT vec_id, embedding,
+             |    (SELECT SUM(CASE WHEN
+             |       list_reduce(list_transform(generate_series(1, len(embedding)),
+             |         j -> CAST(embedding[j] AS DOUBLE) *
+             |              (CAST((((((j-1)*7919 + i*104729) % 100003) * (((j-1)*7919 + i*104729) % 100003)
+             |                   + 13 * (((j-1)*7919 + i*104729) % 100003)) % 100003) % 1000 AS DOUBLE) / 500.0 - 1.0)),
+             |         (x,y) -> x + y) > 0
+             |     THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+             |     FROM generate_series(0, 7) t(i)) AS bucket
+             |  FROM embeddings),
+             |p AS (
+             |  SELECT l.vec_id AS a, r.vec_id AS b,
+             |    list_reduce(list_transform(generate_series(1, len(l.embedding)),
+             |      j -> CAST(l.embedding[j] AS DOUBLE) * CAST(r.embedding[j] AS DOUBLE)), (x,y) -> x+y)
+             |    / ( sqrt(list_reduce(list_transform(generate_series(1, len(l.embedding)),
+             |          j -> CAST(l.embedding[j] AS DOUBLE) * CAST(l.embedding[j] AS DOUBLE)), (x,y) -> x+y))
+             |      * sqrt(list_reduce(list_transform(generate_series(1, len(r.embedding)),
+             |          j -> CAST(r.embedding[j] AS DOUBLE) * CAST(r.embedding[j] AS DOUBLE)), (x,y) -> x+y)) ) AS score
+             |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+             |SELECT a, b, round(score, 6) AS score FROM p WHERE score >= 0.3""".stripMargin)),
 
     ("p_token_count", ((s: SparkSession, dir: String) =>
       docs(s, dir).select(col("doc_id"),

@@ -38,14 +38,19 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits from hash-derived pseudo-planes.
-    * Plane i's component for dimension d = centered hash of (d, i) — deterministic,
-    * no stored plane matrix, computable inside codegen.
+    * Plane i's component for dimension d = centered quadratic-residue mix of (d, i)
+    * mod a prime — deterministic, no stored plane matrix, computable inside codegen,
+    * and exact-integer-reproducible in any SQL engine (the correctness oracle
+    * recomputes the identical buckets; an engine-specific hash would not be).
     */
   def lshBucket(vec: Column, bits: Int): Column = {
     val signs = (0 until bits).map { i =>
       val dot = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, d) => x.cast("double") *
-          ((pmod(xxhash64(d, lit(i)), lit(1000L)).cast("double") / 500.0d) - 1.0d)),
+        (x, d) => {
+          val m = pmod(d.cast("long") * 7919L + lit(i.toLong * 104729L), lit(100003L))
+          val y = pmod(m * m + lit(13L) * m, lit(100003L))
+          x.cast("double") * ((pmod(y, lit(1000L)).cast("double") / 500.0d) - 1.0d)
+        }),
         lit(0.0d), (acc, v) => acc + v)
       when(dot > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
