@@ -107,16 +107,24 @@ object GraftStore {
     * a writer per open partition is cheap and the sort is pure overhead.
     *
     * Rows are clustered on (p_id, subject-hash bucket) before the write so each
-    * predicate directory holds a handful of full files instead of one sliver per
-    * input task (writers × predicates files otherwise — footer reads then tax
-    * every later scan). The bucket term keeps large predicates split across
-    * several files/tasks for scan and write parallelism.
+    * predicate directory holds full files instead of one sliver per input task
+    * (writers × predicates files otherwise — footer reads then tax every later
+    * scan). The bucket count scales with the predicate's row count (one writer
+    * per ~250k rows, capped) so big predicates keep file/task parallelism for
+    * later scans while vocabulary-tail predicates get a single file each. The
+    * per-predicate histogram is vocabulary-sized: a map-side-combined count
+    * aggregate, broadcast back onto the rows.
     */
   def save(df: DataFrame, path: String): Unit = {
     val conf = df.sparkSession.conf
     val prev = conf.get("spark.sql.maxConcurrentOutputFileWriters", "0")
     conf.set("spark.sql.maxConcurrentOutputFileWriters", "128")
-    try df.repartition(col("p_id"), pmod(col("s")("id"), lit(4)))
+    val nb = df.groupBy("p_id").count().select(col("p_id"),
+      greatest(lit(1L), least(lit(16L), ceil(col("count") / 250000.0d).cast("long")))
+        .as("__nb"))
+    try df.join(broadcast(nb), Seq("p_id"))
+      .repartition(col("p_id"), pmod(col("s")("id"), col("__nb")))
+      .drop("__nb")
       .write.mode("overwrite").partitionBy("p_id").parquet(path)
     finally conf.set("spark.sql.maxConcurrentOutputFileWriters", prev)
   }
