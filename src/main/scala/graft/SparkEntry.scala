@@ -634,6 +634,19 @@ object SparkEntry {
     }): Q,
       Some("SELECT COUNT(*) AS cnt FROM orders")),
 
+    ("q_inference_sym", ((s: SparkSession, dir: String) => {
+      val withSchema = graft.engine.Update(Tpch.store(s, dir),
+        """INSERT DATA { <urn:fk:s_nationkey>
+          |  a <http://www.w3.org/2002/07/owl#SymmetricProperty> . }""".stripMargin)
+      val closed = graft.inference.Rdfs.closure(withSchema)
+      Engine.query(closed,
+        "SELECT (COUNT(*) AS ?cnt) WHERE { ?a <urn:fk:s_nationkey> ?b }")
+        .select(oLng("cnt"))
+    }): Q,
+      // symmetric closure doubles the supplier→nation link set (reversed edges are
+      // all distinct from originals: different subject kind)
+      Some("SELECT 2*COUNT(*) AS cnt FROM supplier")),
+
     ("q_inference", ((s: SparkSession, dir: String) => {
       val closed = graft.inference.Rdfs.closure(Tpch.store(s, dir))
       Engine.query(closed, "SELECT (COUNT(*) AS ?cnt) WHERE { ?s a <urn:c:Any> }")

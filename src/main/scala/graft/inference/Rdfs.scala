@@ -28,6 +28,12 @@ object Rdfs {
   val OWL_TRANSITIVE: String = OWL + "TransitiveProperty"
   val OWL_EQCLASS: String = OWL + "equivalentClass"
   val OWL_EQPROP: String = OWL + "equivalentProperty"
+  val OWL_SYMMETRIC: String = OWL + "SymmetricProperty"
+  val OWL_FUNCTIONAL: String = OWL + "FunctionalProperty"
+  val OWL_INVFUNCTIONAL: String = OWL + "InverseFunctionalProperty"
+  val OWL_RESTRICTION: String = OWL + "Restriction"
+  val OWL_ONPROPERTY: String = OWL + "onProperty"
+  val OWL_HASVALUE: String = OWL + "hasValue"
 
   private val typeId = TermIds.iriId(Term.RDF_TYPE)
   private val subClassId = TermIds.iriId(Term.RDFS_SUBCLASSOF)
@@ -39,6 +45,12 @@ object Rdfs {
   private val transitiveId = TermIds.iriId(OWL_TRANSITIVE)
   private val eqClassId = TermIds.iriId(OWL_EQCLASS)
   private val eqPropId = TermIds.iriId(OWL_EQPROP)
+  private val symmetricId = TermIds.iriId(OWL_SYMMETRIC)
+  private val functionalId = TermIds.iriId(OWL_FUNCTIONAL)
+  private val invFunctionalId = TermIds.iriId(OWL_INVFUNCTIONAL)
+  private val restrictionId = TermIds.iriId(OWL_RESTRICTION)
+  private val onPropertyId = TermIds.iriId(OWL_ONPROPERTY)
+  private val hasValueId = TermIds.iriId(OWL_HASVALUE)
 
   /** Driver-side transitive closure of a vocabulary-sized relation. */
   private def transitiveRows(rows: Array[(Row, Row)]): Seq[(Row, Row)] = {
@@ -79,7 +91,7 @@ object Rdfs {
     // ONE pruned scan collects every (vocabulary-sized) schema relation — not one
     // driver action per predicate
     val schemaPids = Seq(subClassId, subPropId, domainId, rangeId,
-      inverseOfId, eqClassId, eqPropId)
+      inverseOfId, eqClassId, eqPropId, onPropertyId, hasValueId)
     val schemaRows: Map[Long, Array[(Row, Row)]] = stmts
       .filter(col("p_id").isin(schemaPids: _*))
       .select(col("p_id"), col("s"), col("o")).collect()
@@ -96,12 +108,36 @@ object Rdfs {
     val dom = schema(domainId)
     val rng = schema(rangeId)
     val inv = schema(inverseOfId)
-    val transProps = stmts
-      .filter(col("p_id") === typeId && col("o")("id") === transitiveId)
-      .select("s").collect().map(_.getStruct(0))
-    val hasSameAs = stmts.filter(col("p_id") === sameAsId).limit(1).count() > 0
-    if (sc.isEmpty && sp.isEmpty && dom.isEmpty && rng.isEmpty &&
-        inv.isEmpty && transProps.isEmpty && !hasSameAs) return store
+    // property-characteristic declarations (vocabulary-sized): one pruned scan of
+    // the rdf:type partition collects transitive/symmetric/(inverse-)functional
+    val charIds = Seq(transitiveId, symmetricId, functionalId, invFunctionalId)
+    val propChars: Map[Long, Array[Row]] = stmts
+      .filter(col("p_id") === typeId && col("o")("id").isin(charIds: _*))
+      .select(col("o")("id"), col("s")).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getStruct(1)) }
+    val transProps = propChars.getOrElse(transitiveId, Array.empty[Row])
+    val symProps = propChars.getOrElse(symmetricId, Array.empty[Row])
+    val funcProps = propChars.getOrElse(functionalId, Array.empty[Row])
+    val invFuncProps = propChars.getOrElse(invFunctionalId, Array.empty[Row])
+    // owl:hasValue restrictions (RuleOwlHasValue): a type owl:Restriction,
+    // a owl:onProperty p, a owl:hasValue v — vocabulary-sized, keyed by a.id
+    val restrictions: Seq[(Long, Row, Row)] = {
+      val onP = schema(onPropertyId).map { case (a, p) => a.getAs[Long]("id") -> p }.toMap
+      val hv = schema(hasValueId).map { case (a, v) => a.getAs[Long]("id") -> v }.toMap
+      if (onP.isEmpty || hv.isEmpty) Nil
+      else {
+        val isRestriction = stmts
+          .filter(col("p_id") === typeId && col("o")("id") === restrictionId)
+          .select(col("s")("id")).collect().map(_.getLong(0)).toSet
+        (onP.keySet intersect hv.keySet).toSeq.filter(isRestriction)
+          .map(a => (a, onP(a), hv(a)))
+      }
+    }
+    val hasSameAs = stmts.filter(col("p_id") === sameAsId).limit(1).count() > 0 ||
+      funcProps.nonEmpty || invFuncProps.nonEmpty
+    if (sc.isEmpty && sp.isEmpty && dom.isEmpty && rng.isEmpty && inv.isEmpty &&
+        transProps.isEmpty && symProps.isEmpty && restrictions.isEmpty && !hasSameAs)
+      return store
 
     val termType = Term.schema
     def pairsDf(pairs: Seq[(Row, Row)], an: String, bn: String): DataFrame = {
@@ -159,6 +195,35 @@ object Rdfs {
       facts = facts.unionByName(withPid(graft.engine.DfOps.reid(dInv2)))
     }
 
+    // RuleOwlSymmetricProperty: (p a owl:SymmetricProperty), (x p y) → (y p x) —
+    // the self-inverse special case, same single pruned-scan shape as inverseOf
+    if (symProps.nonEmpty) {
+      val sIds = symProps.map(_.getAs[Long]("id")).toSeq
+      val dSym = facts.filter(col("p_id").isin(sIds: _*) &&
+          col("o")("kind") =!= Term.KIND_LITERAL)
+        .select(col("o").as("s"), col("p"), col("s").as("o"))
+        .localCheckpoint()
+      derived :+= dSym
+      facts = facts.unionByName(withPid(graft.engine.DfOps.reid(dSym)))
+    }
+
+    // RuleOwlHasValue: (x rdf:type a), (a rdf:type owl:Restriction),
+    // (a owl:onProperty p), (a owl:hasValue v) → (x p v). Restrictions are
+    // vocabulary-sized → broadcast onto the type partition scan.
+    if (restrictions.nonEmpty) {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val rRows = restrictions.map { case (a, p, v) => Row(a, p, v) }
+      val rDf = spark.createDataFrame(spark.sparkContext.parallelize(rRows, 1),
+        StructType(Seq(StructField("tid", LongType),
+          StructField("hp", termType), StructField("hv", termType))))
+      val dHas = facts.filter(col("p_id") === typeId)
+        .join(broadcast(rDf), col("o")("id") === col("tid"))
+        .select(col("s"), col("hp").as("p"), col("hv").as("o"))
+        .localCheckpoint()
+      derived :+= dHas
+      facts = facts.unionByName(withPid(graft.engine.DfOps.reid(dHas)))
+    }
+
     // RuleOwlTransitiveProperty1/2: per transitive property, id-space fixpoint
     if (transProps.nonEmpty) {
       val tIds = transProps.map(_.getAs[Long]("id")).toSeq
@@ -194,8 +259,33 @@ object Rdfs {
     // RuleOwlSameAs1/2/3: equivalence classes (CC in id space), all-pairs sameAs,
     // then subject/object substitution over the fact base
     if (hasSameAs) {
-      val saStmts = stmts.filter(col("p_id") === sameAsId)
-        .select(col("s"), col("o")).localCheckpoint()
+      val explicitSa = stmts.filter(col("p_id") === sameAsId).select(col("s"), col("o"))
+      // RuleOwlFunctionalProperty: (p a owl:FunctionalProperty), (a p b), (a p c),
+      // b≠c → (b sameAs c). Self-join keyed on (p_id, subject id) — shuffles only
+      // the functional-property facts, linear in their count.
+      val fpSa = if (funcProps.isEmpty) None else {
+        val ids = funcProps.map(_.getAs[Long]("id")).toSeq
+        val f = facts.filter(col("p_id").isin(ids: _*) &&
+            col("o")("kind") =!= Term.KIND_LITERAL)
+          .select(col("p_id"), col("s")("id").as("k"), col("o"))
+        Some(f.select(col("p_id"), col("k"), col("o").as("b"))
+          .join(f.select(col("p_id"), col("k"), col("o").as("c")), Seq("p_id", "k"))
+          .filter(col("b")("id") =!= col("c")("id"))
+          .select(col("b").as("s"), col("c").as("o")))
+      }
+      // RuleOwlInverseFunctionalProperty: (a p b), (c p b), a≠c → (a sameAs c) —
+      // the mirror image, keyed on (p_id, object id)
+      val ifpSa = if (invFuncProps.isEmpty) None else {
+        val ids = invFuncProps.map(_.getAs[Long]("id")).toSeq
+        val f = facts.filter(col("p_id").isin(ids: _*))
+          .select(col("p_id"), col("o")("id").as("k"), col("s"))
+        Some(f.select(col("p_id"), col("k"), col("s").as("b"))
+          .join(f.select(col("p_id"), col("k"), col("s").as("c")), Seq("p_id", "k"))
+          .filter(col("b")("id") =!= col("c")("id"))
+          .select(col("b").as("s"), col("c").as("o")))
+      }
+      val saStmts = (Seq(explicitSa) ++ fpSa ++ ifpSa)
+        .map(graft.engine.DfOps.reid).reduce(_.unionByName(_)).localCheckpoint()
       val comp = graft.gas.Gas.connectedComponents(
         saStmts.select(col("s")("id").as("src"), col("o")("id").as("dst")))
       val saDict = saStmts.select(col("s").as("n")).unionByName(saStmts.select(col("o").as("n")))
@@ -271,7 +361,9 @@ object Rdfs {
       else Some((Seq(subClassId, subPropId, eqClassId, eqPropId, typeId) ++
         (sp ++ spC).map(_._2.getAs[Long]("id")) ++
         inv.flatMap(p => Seq(p._1.getAs[Long]("id"), p._2.getAs[Long]("id"))) ++
-        transProps.map(_.getAs[Long]("id"))).distinct)
+        transProps.map(_.getAs[Long]("id")) ++
+        symProps.map(_.getAs[Long]("id")) ++
+        restrictions.map(_._2.getAs[Long]("id"))).distinct)
     val existing = derivedPids match {
       case Some(pids) => stmts.filter(col("p_id").isin(pids: _*))
       case None => stmts

@@ -65,6 +65,44 @@ class OwlSpec extends GraftSuite {
       s"ASK { <urn:o:Automobile> <${owl}equivalentClass> <urn:o:Car> }").first().getBoolean(0))
   }
 
+  test("owl:SymmetricProperty derives the reversed statement") {
+    val s0 = Update(store,
+      s"""INSERT DATA {
+         |  <urn:o:adjacent> a <${owl}SymmetricProperty> .
+         |  <urn:o:r1> <urn:o:adjacent> <urn:o:r2> . }""".stripMargin)
+    val c = Rdfs.closure(s0)
+    assert(Engine.query(c, "ASK { <urn:o:r2> <urn:o:adjacent> <urn:o:r1> }").first().getBoolean(0))
+  }
+
+  test("owl:FunctionalProperty and owl:InverseFunctionalProperty derive sameAs") {
+    val s0 = Update(store,
+      s"""INSERT DATA {
+         |  <urn:o:hasMother> a <${owl}FunctionalProperty> .
+         |  <urn:o:kid> <urn:o:hasMother> <urn:o:m1> .
+         |  <urn:o:kid> <urn:o:hasMother> <urn:o:m2> .
+         |  <urn:o:m1> <urn:o:bornIn> <urn:o:berlin> .
+         |  <urn:o:ssn> a <${owl}InverseFunctionalProperty> .
+         |  <urn:o:pA> <urn:o:ssn> <urn:o:s123> .
+         |  <urn:o:pB> <urn:o:ssn> <urn:o:s123> . }""".stripMargin)
+    val c = Rdfs.closure(s0)
+    // FP: the two mothers unify, and sameAs substitution propagates facts
+    assert(Engine.query(c, s"ASK { <urn:o:m1> <${owl}sameAs> <urn:o:m2> }").first().getBoolean(0))
+    assert(Engine.query(c, "ASK { <urn:o:m2> <urn:o:bornIn> <urn:o:berlin> }").first().getBoolean(0))
+    // IFP: shared ssn value unifies the subjects (both directions via CC)
+    assert(Engine.query(c, s"ASK { <urn:o:pB> <${owl}sameAs> <urn:o:pA> }").first().getBoolean(0))
+  }
+
+  test("owl:hasValue restriction derives the property value from the type") {
+    val s0 = Update(store,
+      s"""INSERT DATA {
+         |  <urn:o:Electric> a <${owl}Restriction> .
+         |  <urn:o:Electric> <${owl}onProperty> <urn:o:fuel> .
+         |  <urn:o:Electric> <${owl}hasValue> <urn:o:battery> .
+         |  <urn:o:tesla> a <urn:o:Electric> . }""".stripMargin)
+    val c = Rdfs.closure(s0)
+    assert(Engine.query(c, "ASK { <urn:o:tesla> <urn:o:fuel> <urn:o:battery> }").first().getBoolean(0))
+  }
+
   test("rdfs closure still green after owl staging (regression)") {
     val closed = Rdfs.closure(store)
     val n = Engine.query(closed, "SELECT (COUNT(*) AS ?c) WHERE { ?x a <urn:c:Any> }")
