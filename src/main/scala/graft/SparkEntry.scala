@@ -680,6 +680,24 @@ object SparkEntry {
     ("p_dedup_simhash", ((s: SparkSession, dir: String) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text")): Q, None),
 
+    ("p_decontam", ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      // stand-in benchmark set: every 50th document; flag the rest on 3-gram overlap
+      graft.pipeline.Decontaminate.overlap(
+        d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text")
+    }): Q,
+      Some("""WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+'))-3, 0)),
+             |    i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[i+1:i+3], ' '))) AS sh
+             |  FROM documents),
+             |pg AS (SELECT DISTINCT g FROM (SELECT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0)),
+             |cg AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 <> 0)
+             |SELECT cg.doc_id, COUNT(DISTINCT cg.g) AS n_overlap
+             |FROM cg JOIN pg ON cg.g = pg.g
+             |GROUP BY cg.doc_id
+             |HAVING COUNT(DISTINCT cg.g) >= 1""".stripMargin)),
+
     ("p_ngram_jaccard", ((s: SparkSession, dir: String) =>
       Dedup.minShinglePairs(docs(s, dir), "doc_id", "text")): Q,
       Some("""WITH sh AS (SELECT doc_id AS id,

@@ -173,4 +173,17 @@ class PipelineSpec extends GraftSuite {
       .map(_.getStruct(0).getAs[String]("str")).toSet
     assert(types == Set("urn:c:A", "urn:c:B", "urn:c:C"))
   }
+
+  test("decontamination flags n-gram overlap with the probe set, broadcast-joined") {
+    val probes = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val out = graft.pipeline.Decontaminate.overlap(docs, probes, "doc_id", "text")
+    val flagged = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1, 2, 4 share "the quick brown"/"quick brown fox"/"brown fox jumps"
+    assert(flagged.keySet == Set(1L, 2L, 4L))
+    assert(flagged(1L) == 3L)
+    // plan: probe grams broadcast; the corpus side is never shuffled pre-join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join for probe grams:\n$plan")
+  }
 }
