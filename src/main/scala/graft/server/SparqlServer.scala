@@ -44,6 +44,10 @@ final class SparqlServer(@volatile private var store: GraftStore, port: Int = 0)
       else Option(ex.getRequestURI.getRawQuery).getOrElse("")
     val q = params(raw).getOrElse("query",
       return respond(ex, 400, "text/plain", "missing 'query' parameter"))
+    // ?explain=true returns the physical plan instead of results (the
+    // NanoSparqlServer explain page, QueryServlet.java explainQuery analog)
+    if (params(raw).get("explain").exists(v => v == "true" || v == "details"))
+      return respond(ex, 200, "text/plain", Engine.explain(st, q))
     val df = Engine.query(st, q)
     val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
     // CONSTRUCT/DESCRIBE yield RDF, not bindings — route on the QUERY FORM (a

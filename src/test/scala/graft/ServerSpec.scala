@@ -74,6 +74,19 @@ class ServerSpec extends GraftSuite {
       .first().getBoolean(0))
   }
 
+  test("http ?explain=true returns the physical plan, not results") {
+    val srv = new SparqlServer(store).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val q = "SELECT ?name WHERE { ?r <urn:p:r_name> ?name }"
+      val r = get(s"$base/sparql?query=${enc(q)}&explain=true")
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").get.contains("text/plain"))
+      assert(r.body().contains("Physical Plan"))
+      assert(!r.body().contains("AFRICA"))
+    } finally srv.stop()
+  }
+
   test("explain returns a formatted physical plan with pushed filters") {
     val plan = Engine.explain(store,
       "SELECT ?c WHERE { ?c <urn:p:c_mktsegment> \"BUILDING\" }")
