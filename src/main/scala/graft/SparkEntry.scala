@@ -680,6 +680,43 @@ object SparkEntry {
     ("p_dedup_simhash", ((s: SparkSession, dir: String) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text")): Q, None),
 
+    ("p_stratified", ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curate.stratifiedSample(docs(s, dir), "lang", "doc_id",
+        Map("en" -> 2, "de" -> 4), defaultRate = 8)
+        .select(col("doc_id"), col("lang"))): Q,
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE doc_id % (CASE WHEN lang='en' THEN 2 WHEN lang='de' THEN 4 ELSE 8 END) = 0""".stripMargin)),
+
+    ("p_curate", ((s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      graft.pipeline.Curate.curate(
+        d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", "lang", Seq("en", "de"), minScore = 0.4)
+    }): Q,
+      Some("""WITH f AS (SELECT doc_id, text,
+             |  CAST(length(text) AS DOUBLE) AS chars,
+             |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS words,
+             |  CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE) AS punct,
+             |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+             |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |       t -> t IN ('the','of','and','to','a','in','is','it','that','was','for','on','are','with','as','be','at','by','this','have','from'))) AS DOUBLE) AS stop
+             | FROM documents WHERE doc_id % 50 <> 0 AND lang IN ('en','de')),
+             |q AS (SELECT doc_id, text FROM f WHERE
+             |  least(words/20.0, 1.0)*0.25 + least((stop/words)*3.0, 1.0)*0.35 +
+             |  greatest(0.0, 1.0 - (punct/chars)*8.0)*0.2 + greatest(0.0, 1.0 - (digits/chars)*5.0)*0.2 >= 0.4),
+             |keep AS (SELECT min(doc_id) AS doc_id, text FROM q GROUP BY text),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+'))-3, 0)),
+             |    i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[i+1:i+3], ' '))) AS sh
+             |  FROM q),
+             |pg AS (SELECT DISTINCT g FROM (SELECT unnest(list_distinct(list_transform(
+             |    generate_series(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+'))-3, 0)),
+             |    i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[i+1:i+3], ' ')))) AS g
+             |  FROM documents WHERE doc_id % 50 = 0)),
+             |bad AS (SELECT DISTINCT s.doc_id FROM sh s, pg WHERE list_contains(s.sh, pg.g))
+             |SELECT k.doc_id FROM keep k LEFT JOIN bad b ON k.doc_id = b.doc_id
+             |WHERE b.doc_id IS NULL""".stripMargin)),
+
     ("p_decontam", ((s: SparkSession, dir: String) => {
       val d = docs(s, dir)
       // stand-in benchmark set: every 50th document; flag the rest on 3-gram overlap

@@ -174,6 +174,34 @@ class PipelineSpec extends GraftSuite {
     assert(types == Set("urn:c:A", "urn:c:B", "urn:c:C"))
   }
 
+  test("stratified sampling keeps 1-in-rate per stratum, deterministic") {
+    val d = (0L until 100L).map(i => (i, if (i < 50) "en" else "de"))
+      .toDF("doc_id", "text_lang")
+    val out = graft.pipeline.Curate.stratifiedSample(
+      d, "text_lang", "doc_id", Map("en" -> 2, "de" -> 10))
+    val byLang = out.groupBy("text_lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == 25) // ids 0..49, every 2nd
+    assert(byLang("de") == 5) // ids 50..99, every 10th
+  }
+
+  test("curate composes quality floor, lang allowlist, dedup and decontamination") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it was a good day for all of the animals", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog and it was a good day for all of the animals", "en"), // dup of 1
+      (3L, "%%% ### 12345 67890 !!!! ????", "en"), // low quality
+      (4L, "der schnelle braune fuchs springt an dem guten tag und all das war es dann auch schon hier", "de"),
+      (5L, "esta es una frase en otro idioma que no esta permitida aqui por la lista de idiomas", "es"), // lang filtered
+      (6L, "this document contains the secret benchmark answer phrase inside it and that is why it is for removal today", "en")
+    ).toDF("doc_id", "text", "lang")
+    val probes = Seq((100L, "the secret benchmark answer phrase", "en"))
+      .toDF("doc_id", "text", "lang")
+    val kept = graft.pipeline.Curate.curate(
+      corpus, probes, "doc_id", "text", "lang", Seq("en", "de"), minScore = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L)) // 2 deduped, 3 low quality, 5 wrong lang, 6 contaminated
+  }
+
   test("decontamination flags n-gram overlap with the probe set, broadcast-joined") {
     val probes = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
     val out = graft.pipeline.Decontaminate.overlap(docs, probes, "doc_id", "text")
