@@ -1068,6 +1068,18 @@ object SparkEntry {
           xxhash64(concat_ws(",", transform(col("features"), _.cast("string"))))
             .as("feat_hash"))): Q, None),
 
+    ("p_mm_resize", ((s: SparkSession, dir: String) =>
+      graft.pipeline.Multimodal.resize(
+        graft.pipeline.Multimodal.withPayload(docs(s, dir), "text"), "payload", 512, 512)
+        .select(col("doc_id"), length(col("resized")).as("n_out"),
+          col("resized_width").as("w"), col("resized_height").as("h"))): Q,
+      // the stub's size law (bytes ∝ target area, capped by source, floor 16) is
+      // pure arithmetic over the payload length — SQL-reproducible
+      Some("""SELECT doc_id,
+             |  GREATEST(16, LEAST(octet_length(encode(text)), (512*512)//64)) AS n_out,
+             |  512 AS w, 512 AS h
+             |FROM documents""".stripMargin)),
+
     ("p_mm_frames", ((s: SparkSession, dir: String) =>
       graft.pipeline.Multimodal.frameSample(
         graft.pipeline.Multimodal.withPayload(docs(s, dir), "text"), "payload", nFrames = 4)

@@ -96,4 +96,39 @@ object Multimodal {
       .withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
       .withColumn("frame_offset_ms",
         (col("meta")("duration_ms") * col("frame_idx") / nFrames).cast(LongType))
+
+  /** ===== STUB ===== deterministic fake resize: a real implementation decodes,
+    * scales and re-encodes here (and only here). The stub emits a
+    * target-dimension-proportional prefix of the payload so output sizes follow
+    * the real cost model (bytes ∝ target area, capped by the source).
+    */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) Array.emptyByteArray
+    else {
+      val outLen = math.max(16, math.min(bytes.length, (w.toLong * h / 64L).toInt))
+      java.util.Arrays.copyOf(bytes, outLen)
+    }
+  }
+
+  /** Resize to (w, h): binary column → resized binary + updated meta dims,
+    * batch-iterated partition-wise like the other codec stages.
+    */
+  def resize(df: DataFrame, binCol: String, w: Int, h: Int): DataFrame = {
+    val inSchema = df.schema
+    val schema = StructType(inSchema.fields :+
+      StructField("resized", BinaryType) :+
+      StructField("resized_width", IntegerType) :+
+      StructField("resized_height", IntegerType))
+    val idx = inSchema.fieldIndex(binCol)
+    val rows = df.queryExecution.toRdd.mapPartitions { it =>
+      val toRow = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(inSchema)
+      it.map { ir =>
+        val r = toRow(ir).asInstanceOf[Row]
+        val out = resizeStub(r.getAs[Array[Byte]](idx), w, h)
+        Row.fromSeq(r.toSeq :+ out :+ w :+ h)
+      }
+    }
+    df.sparkSession.createDataFrame(rows, schema)
+  }
 }

@@ -145,6 +145,12 @@ class FeatureSpec extends GraftSuite {
     assert(v1 == v1again)
     val frames = Multimodal.frameSample(Multimodal.withPayload(docs, "text"), "payload", 3)
     assert(frames.count() == 6)
+    // resize: output bytes follow the stub's size law (floor 16, capped by source)
+    val rs = Multimodal.resize(Multimodal.withPayload(docs, "text"), "payload", 512, 512)
+      .filter(col("doc_id") === 1)
+      .select(length(col("resized")), col("resized_width")).first()
+    assert(rs.getInt(0) == 16) // 11-byte payload → 16-byte floor (zero-padded)
+    assert(rs.getInt(1) == 512)
   }
 
   // ---- streaming ----
