@@ -988,6 +988,36 @@ object SparkEntry {
       }),
 
     // weighted single-source shortest paths on the nation–region graph
+    ("p_gas_fuzzy", ((s: SparkSession, dir: String) => {
+      val nt = read(s, dir, "nation")
+      val edges = nt.select((col("n_nationkey") * 2 + 1).as("src"),
+        (col("n_regionkey") * 2).as("dst"))
+      // source = nation 0's vertex, target = region 0's vertex (same star);
+      // n large enough that the bounded expansion covers the component
+      graft.gas.Gas.fuzzySssp(edges, Seq(1L), Seq(0L), n = 1000L)
+        .select(col("vertex"), col("depth").cast("long").as("depth"))
+    }): Q,
+      // unweighted shortest-path set (d_s + d_t = d(s,t)) then multi-source BFS
+      // depths from it, both as hop-bounded recursive CTEs
+      Some("""WITH RECURSIVE
+             | e AS (SELECT n_nationkey*2+1 AS src, n_regionkey*2 AS dst FROM nation
+             |       UNION SELECT n_regionkey*2, n_nationkey*2+1 FROM nation),
+             | ds(vertex, d) AS (
+             |   SELECT CAST(1 AS BIGINT), 0
+             |   UNION SELECT e.dst, ds.d+1 FROM ds JOIN e ON ds.vertex = e.src WHERE ds.d < 8),
+             | dt(vertex, d) AS (
+             |   SELECT CAST(0 AS BIGINT), 0
+             |   UNION SELECT e.dst, dt.d+1 FROM dt JOIN e ON dt.vertex = e.src WHERE dt.d < 8),
+             | dsm AS (SELECT vertex, MIN(d) AS d FROM ds GROUP BY vertex),
+             | dtm AS (SELECT vertex, MIN(d) AS d FROM dt GROUP BY vertex),
+             | tot AS (SELECT d FROM dsm WHERE vertex = 0),
+             | sp AS (SELECT dsm.vertex FROM dsm JOIN dtm USING (vertex), tot
+             |        WHERE dsm.d + dtm.d = tot.d),
+             | ex(vertex, depth) AS (
+             |   SELECT vertex, 0 FROM sp
+             |   UNION SELECT e.dst, ex.depth+1 FROM ex JOIN e ON ex.vertex = e.src WHERE ex.depth < 8)
+             |SELECT vertex, CAST(MIN(depth) AS BIGINT) AS depth FROM ex GROUP BY vertex""".stripMargin)),
+
     ("p_gas_sssp", ((s: SparkSession, dir: String) => {
       val n = read(s, dir, "nation")
       val edges = n.select((col("n_nationkey") * 2 + 1).as("src"),

@@ -147,4 +147,55 @@ object Gas {
     }
     ranks
   }
+
+  /** Fuzzy shortest-path subgraph (`analytics/FuzzySSSP.java`): for each
+    * (source, target) pair collect the vertices ON shortest paths
+    * (d_s(v) + d_t(v) = d(s, t)), merge-dedup, then BFS-expand the merged set
+    * until at most `n` vertices total — an "interesting subgraph" around the
+    * shortest paths. Unreachable pairs contribute nothing (the reference marks
+    * them -1 and skips). Output: (vertex, depth), depth 0 = on a shortest path.
+    *
+    * Scale shape: |sources|+|targets| SSSP fixpoints (each seeded, id-space),
+    * then per-pair joins of the two distance maps; the expansion truncates each
+    * round deterministically by vertex id to land exactly on `n`.
+    */
+  def fuzzySssp(edges: DataFrame, sources: Seq[Long], targets: Seq[Long], n: Long,
+                maxIter: Int = 50): DataFrame = {
+    val dists: Map[Long, DataFrame] =
+      (sources ++ targets).distinct.map(v => v -> sssp(edges, v, maxIter)).toMap
+    val pairSps = for (s <- sources; t <- targets) yield {
+      val ds = dists(s).select(col("vertex"), col("dist").as("ds"))
+      val dt = dists(t).select(col("vertex"), col("dist").as("dt"))
+      val total = ds.filter(col("vertex") === t).select(col("ds").as("d_total"))
+      ds.join(dt, "vertex")
+        .crossJoin(broadcast(total)) // 1 row, or empty when t unreachable from s
+        .filter(col("ds") + col("dt") === col("d_total"))
+        .select("vertex")
+    }
+    val spSet = pairSps.map(graft.engine.DfOps.reid).reduce(_.unionByName(_))
+      .dropDuplicates("vertex")
+    val adj = undirected(edges)
+    var out = spSet.withColumn("depth", lit(0)).localCheckpoint()
+    var frontier = out
+    var total = out.count()
+    var depth = 0
+    while (total < n && depth < maxIter && frontier != null) {
+      depth += 1
+      val next = frontier.join(adj, col("vertex") === col("src"))
+        .select(col("dst").as("vertex")).dropDuplicates("vertex")
+        .join(out, Seq("vertex"), "left_anti")
+        .withColumn("depth", lit(depth)).localCheckpoint()
+      val c = next.count()
+      if (c == 0) frontier = null
+      else {
+        val room = n - total
+        val take = if (c <= room) next
+          else next.orderBy("vertex").limit(room.toInt).localCheckpoint()
+        out = out.unionByName(graft.engine.DfOps.reid(take))
+        frontier = take
+        total += math.min(c, room)
+      }
+    }
+    out
+  }
 }

@@ -174,6 +174,19 @@ class PipelineSpec extends GraftSuite {
     assert(types == Set("urn:c:A", "urn:c:B", "urn:c:C"))
   }
 
+  test("fuzzySssp: shortest-path vertices at depth 0, bounded expansion, exact cap") {
+    // path graph 1-2-3-4-5 with a branch 3-10-11-12
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 10L), (10L, 11L), (11L, 12L)).toDF("src", "dst")
+    val out = graft.gas.Gas.fuzzySssp(edges, Seq(1L), Seq(5L), n = 7L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // SP vertices 1..5 at depth 0; expansion adds exactly 2 more (cap 7),
+    // deterministically the smallest vertex ids of the depth-1 frontier
+    assert(out.filter(_._2 == 0).keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out.size == 7)
+    assert(out(10L) == 1)
+  }
+
   test("stratified sampling keeps 1-in-rate per stratum, deterministic") {
     val d = (0L until 100L).map(i => (i, if (i < 50) "en" else "de"))
       .toDF("doc_id", "text_lang")
