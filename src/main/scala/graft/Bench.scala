@@ -25,6 +25,12 @@ object Bench {
     val t0 = System.nanoTime()
     model.Tpch.store(spark, sfDir).statements.count()
     val loadSec = (System.nanoTime() - t0) / 1e9
+    // untimed JIT/codegen warmup: run a few representative plan shapes once so the
+    // first timed queries measure the engine, not JVM compilation (latencies are
+    // reported post-warm, as the reference's published numbers are)
+    for (w <- Seq("q_ask", "q_join3", "q_agg_group", "p_token_count"))
+      SparkEntry.queries.get(w).foreach(fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () })
     // optional focus list for local profiling: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
