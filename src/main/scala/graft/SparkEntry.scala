@@ -675,7 +675,29 @@ object SparkEntry {
       Some("SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text")),
 
     ("p_dedup_minhash", ((s: SparkSession, dir: String) =>
-      Dedup.minhashPairs(docs(s, dir), "doc_id", "text")): Q, None),
+      // md5 hash family: same operator machinery (explode → partial-agg mins →
+      // band-bucket join → signature-estimated jaccard), engine-portable hashes
+      // so the oracle reproduces signatures and candidate pairs bit-for-bit.
+      // Production callers keep the default xxhash64 family (k× cheaper mixing).
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
+        family = Dedup.md5Family)): Q,
+      Some("""WITH sh AS (SELECT doc_id AS id,
+             |  list_distinct(list_transform(
+             |    generate_series(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+'))-3, 0)),
+             |    i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[i+1:i+3], ' '))) AS sh
+             | FROM documents),
+             |sig AS (SELECT id, list_transform(generate_series(0, 31),
+             |    i -> list_aggregate(list_transform(sh, s -> md5(md5(s) || '#' || i)), 'min')) AS sig
+             |  FROM sh),
+             |banded AS (SELECT id, sig, b,
+             |    md5(array_to_string(sig[b*4+1 : b*4+4], ',') || '@' || b) AS bh
+             |  FROM sig, generate_series(0, 7) t(b)),
+             |cand AS (SELECT DISTINCT l.id AS a, r.id AS b, l.sig AS siga, r.sig AS sigb
+             |  FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.id < r.id),
+             |est AS (SELECT a, b,
+             |    CAST(len(list_filter(list_zip(siga, sigb), p -> p[1] = p[2])) AS DOUBLE) / 32 AS est_jaccard
+             |  FROM cand)
+             |SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.7""".stripMargin)),
 
     ("p_dedup_simhash", ((s: SparkSession, dir: String) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text")): Q, None),

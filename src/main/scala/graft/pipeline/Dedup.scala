@@ -43,15 +43,30 @@ object Dedup {
     * array allocation beats the partial-agg shuffle only when signatures are recomputed
     * many times per doc.)
     */
+  /** Hash family for MinHash/LSH. The default xxhash64 family hashes each shingle
+    * string once and mixes the 8-byte value per member (k× cheaper than re-hashing
+    * the string). The md5 family is ENGINE-PORTABLE — md5 hex strings are identical
+    * in any SQL engine, and the lexicographic min of hex strings is a valid
+    * min-hash — so an external oracle can reproduce signatures, bands and
+    * candidate pairs bit-for-bit. Use xx for production scale, md5 under
+    * verification.
+    */
+  final case class HashFamily(shingle: Column => Column,
+                              member: (Column, Int) => Column,
+                              band: (Column, Column) => Column)
+  val xxFamily: HashFamily = HashFamily(
+    s => xxhash64(s), (h, i) => xxhash64(h, lit(i)), (c, b) => xxhash64(c, b))
+  val md5Family: HashFamily = HashFamily(
+    s => md5(s), (h, i) => md5(concat(h, lit("#" + i))),
+    (c, b) => md5(concat(c, lit("@"), b.cast("string"))))
+
   def minhashSignature(docs0: DataFrame, idCol: String, textCol: String,
-                       k: Int = 32, shingleN: Int = 3): DataFrame = {
+                       k: Int = 32, shingleN: Int = 3,
+                       family: HashFamily = xxFamily): DataFrame = {
     val docs = graft.engine.DfOps.spread(docs0)
-    // each shingle string is hashed ONCE; the k-member hash family then mixes the
-    // 8-byte value (fixed-width xxhash64 rounds) — k× cheaper than re-hashing the
-    // string per member, same independence in practice
     val sh = docs.select(col(idCol).as("id"),
-      explode(transform(shingles(col(textCol), shingleN), s => xxhash64(s))).as("h"))
-    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+      explode(transform(shingles(col(textCol), shingleN), family.shingle)).as("h"))
+    val mins = (0 until k).map(i => min(family.member(col("h"), i)).as(s"m$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
@@ -62,12 +77,13 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-                   threshold: Double = 0.7): DataFrame = {
+                   threshold: Double = 0.7,
+                   family: HashFamily = xxFamily): DataFrame = {
     val rows = k / bands
-    val sig = minhashSignature(docs, idCol, textCol, k, shingleN).localCheckpoint()
+    val sig = minhashSignature(docs, idCol, textCol, k, shingleN, family).localCheckpoint()
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))))
+        b => family.band(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val l = banded.select(col("band"), col("bh"), col("id").as("a"), col("sig").as("siga"))
     val r = banded.select(col("band"), col("bh"), col("id").as("b"), col("sig").as("sigb"))
