@@ -700,7 +700,26 @@ object SparkEntry {
              |SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.7""".stripMargin)),
 
     ("p_dedup_simhash", ((s: SparkSession, dir: String) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text")): Q, None),
+      // 60-bit md5-derived token hash (engine-portable; see p_dedup_minhash) —
+      // same weighted-bit-vote machinery, oracle reproduces the fingerprints
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
+        tokenHash = Dedup.md5TokenHash, nBits = 60)): Q,
+      Some("""WITH toks AS (SELECT doc_id AS id, t.tok, COUNT(*) AS tf
+             |  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(tok)
+             |  GROUP BY 1, 2),
+             |th AS (SELECT id, tf, list_reduce(list_transform(generate_series(1, 15),
+             |    i -> CAST(instr('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)),
+             |    (a, b) -> a * 16 + b) AS th FROM toks),
+             |bits AS (SELECT id, b, SUM(CASE WHEN (th >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+             |  FROM th, generate_series(0, 59) t(b) GROUP BY 1, 2),
+             |fp AS (SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS h
+             |  FROM bits GROUP BY id),
+             |chunked AS (SELECT id, h, c, (h >> (c*15)) & 32767 AS cv
+             |  FROM fp, generate_series(0, 3) t(c))
+             |SELECT DISTINCT l.id AS a, r.id AS b,
+             |  CAST(bit_count(xor(l.h, r.h)) AS INTEGER) AS hamming
+             |FROM chunked l JOIN chunked r ON l.c = r.c AND l.cv = r.cv AND l.id < r.id
+             |WHERE bit_count(xor(l.h, r.h)) <= 3""".stripMargin)),
 
     ("p_stratified", ((s: SparkSession, dir: String) =>
       graft.pipeline.Curate.stratifiedSample(docs(s, dir), "lang", "doc_id",
@@ -1117,8 +1136,38 @@ object SparkEntry {
       graft.pipeline.Multimodal.extractFeatures(
         graft.pipeline.Multimodal.withPayload(docs(s, dir), "text"), "payload", dim = 16)
         .select(col("doc_id"), size(col("features")).as("dim"),
-          xxhash64(concat_ws(",", transform(col("features"), _.cast("string"))))
-            .as("feat_hash"))): Q, None),
+          // recover the stub LCG's integer outputs exactly (float err « 0.5):
+          // v_d = (h_d >>> 16) % 2000, feature = v_d/1000f - 1f
+          aggregate(transform(col("features"),
+              f => round(f.cast("double") * 1000.0d + 1000.0d).cast("long")),
+            lit(0L), (a, v) => a + v).as("feat_sum"))): Q,
+      // the stub's byte-fold seed + 16-step LCG, emulated exactly: HUGEINT
+      // intermediates with signed-64 wraparound ((x+2^63) mod 2^64 - 2^63);
+      // text is ASCII so ord(char) == payload byte
+      Some("""WITH RECURSIVE ffold AS (
+             |  SELECT doc_id, CAST(list_reduce(
+             |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+             |      list_transform(generate_series(1, least(length(text), 4096)),
+             |        i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+             |    (acc, b) -> ((acc * 31 + b + 9223372036854775808) % 18446744073709551616
+             |                 + 18446744073709551616) % 18446744073709551616 - 9223372036854775808)
+             |    AS HUGEINT) AS h
+             |  FROM documents),
+             |rec(doc_id, h, d, s) AS (
+             |  SELECT doc_id, h, 0, CAST(0 AS HUGEINT) FROM ffold
+             |  UNION ALL
+             |  SELECT r.doc_id,
+             |    ((r.h * 6364136223846793005 + 1442695040888963407 + 9223372036854775808) % 18446744073709551616
+             |     + 18446744073709551616) % 18446744073709551616 - 9223372036854775808,
+             |    r.d + 1,
+             |    r.s + ((CASE WHEN ((r.h * 6364136223846793005 + 1442695040888963407 + 9223372036854775808) % 18446744073709551616
+             |                       + 18446744073709551616) % 18446744073709551616 - 9223372036854775808 < 0
+             |            THEN ((r.h * 6364136223846793005 + 1442695040888963407 + 9223372036854775808) % 18446744073709551616
+             |                  + 18446744073709551616) % 18446744073709551616 - 9223372036854775808 + 18446744073709551616
+             |            ELSE ((r.h * 6364136223846793005 + 1442695040888963407 + 9223372036854775808) % 18446744073709551616
+             |                  + 18446744073709551616) % 18446744073709551616 - 9223372036854775808 END) >> 16) % 2000
+             |  FROM rec r WHERE r.d < 16)
+             |SELECT doc_id, 16 AS dim, CAST(s AS BIGINT) AS feat_sum FROM rec WHERE d = 16""".stripMargin)),
 
     ("p_mm_resize", ((s: SparkSession, dir: String) =>
       graft.pipeline.Multimodal.resize(
@@ -1135,7 +1184,26 @@ object SparkEntry {
     ("p_mm_frames", ((s: SparkSession, dir: String) =>
       graft.pipeline.Multimodal.frameSample(
         graft.pipeline.Multimodal.withPayload(docs(s, dir), "text"), "payload", nFrames = 4)
-        .select(col("doc_id"), col("frame_idx"), col("frame_offset_ms"))): Q, None),
+        .select(col("doc_id"), col("frame_idx"), col("frame_offset_ms"))): Q,
+      // decode-stub duration (full byte-fold, signed-64 wrap, java trunc-div 13,
+      // mod 600000) then the 4 sampled offsets; ASCII text → ord == byte
+      Some("""WITH hfold AS (
+             |  SELECT doc_id, length(text) AS n, CAST(list_reduce(
+             |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+             |      list_transform(generate_series(1, length(text)),
+             |        i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+             |    (acc, b) -> ((acc * 31 + b + 9223372036854775808) % 18446744073709551616
+             |                 + 18446744073709551616) % 18446744073709551616 - 9223372036854775808)
+             |    AS HUGEINT) AS h
+             |  FROM documents),
+             |dur AS (SELECT doc_id,
+             |  CASE WHEN n = 0 THEN 0
+             |       WHEN h < 0 THEN abs(-((-h) // 13)) % 600000
+             |       ELSE (h // 13) % 600000 END AS duration_ms
+             |  FROM hfold)
+             |SELECT doc_id, t.i AS frame_idx,
+             |  CAST(duration_ms * t.i // 4 AS BIGINT) AS frame_offset_ms
+             |FROM dur, generate_series(0, 3) t(i)""".stripMargin)),
 
     // SampleIndex analog (bop/ap/SampleIndex.java SampleType.EVEN): deterministic
     // evenly-spaced sample of an index range — every 10th subject by key, so the

@@ -152,32 +152,43 @@ object Dedup {
   }
 
   /** 64-bit SimHash over tf-weighted tokens. */
-  def simhash(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Engine-portable 60-bit token hash: exact integer fold of the first 15 md5 hex
+    * digits — any SQL engine reproduces it (the oracle's list_reduce mirrors the
+    * conv()). Production callers use the default xxhash64 (full 64 bits, cheaper).
+    */
+  val md5TokenHash: Column => Column = t =>
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  def simhash(docs0: DataFrame, idCol: String, textCol: String,
+              tokenHash: Column => Column = xxhash64(_), nBits: Int = 64): DataFrame = {
     val docs = graft.engine.DfOps.spread(docs0)
     val toks = docs.select(col(idCol).as("id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("th", tokenHash(col("tok")))
+    val bitSums = (0 until nBits).map { i =>
       sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, col("tf"))
         .otherwise(-col("tf"))).as(s"b$i")
     }
     val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until 64).map(i =>
+    val sh = (0 until nBits).map(i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("id"), sh.as("simhash"))
   }
 
-  /** SimHash near-dup pairs within `maxHamming` (pigeonhole banding on 4×16-bit chunks:
-    * any pair within hamming ≤3 shares at least one exact chunk).
+  /** SimHash near-dup pairs within `maxHamming` (pigeonhole banding on 4 equal
+    * chunks: any pair within hamming ≤3 shares at least one exact chunk).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs, idCol, textCol).localCheckpoint()
+                   maxHamming: Int = 3,
+                   tokenHash: Column => Column = xxhash64(_), nBits: Int = 64): DataFrame = {
+    val sh = simhash(docs, idCol, textCol, tokenHash, nBits).localCheckpoint()
+    val chunkW = nBits / 4
+    val mask = (1L << chunkW) - 1L
     val chunked = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("simhash"), i * chunkW).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
     val l = chunked.select(col("chunk"), col("cv"), col("id").as("a"), col("simhash").as("ha"))
     val r = chunked.select(col("chunk"), col("cv"), col("id").as("b"), col("simhash").as("hb"))
