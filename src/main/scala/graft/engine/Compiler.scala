@@ -705,10 +705,38 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     * (ASTBottomUpOptimizer / StaticAnalysis territory). Slower (theta join), so the
     * compiler only picks it when Algebra.maybeUnbound flags an overlap.
     */
-  private def compatJoin(l: DataFrame, r0: DataFrame, how: String): DataFrame = {
+  private def compatJoin(l: DataFrame, r0: DataFrame, how: String,
+                         risky: Set[String] = Set.empty): DataFrame = {
     val shared = l.columns.intersect(r0.columns).toSeq
     if (shared.isEmpty) return joinDf(l, r0, how)
     val r = shared.foldLeft(r0)((d, c) => d.withColumnRenamed(c, "__c_" + c))
+    def merge(j: DataFrame): DataFrame = {
+      val cols = j.columns.filterNot(_.startsWith("__c_")).map {
+        case c if shared.contains(c) => coalesce(col(c), col("__c_" + c)).as(c)
+        case c => col(c)
+      }
+      j.select(cols.toSeq: _*)
+    }
+    // Single maybe-unbound shared var on an inner join: decompose by the null
+    // pattern instead of the OR-null theta condition (which can only execute as a
+    // nested-loop join). The four disjoint branches partition the pair space
+    // exactly; the bound×bound bulk becomes a plain equi-join, and only the
+    // (typically tiny) null branches cross — the scale-safe shape.
+    if (how == "inner" && risky.size == 1 && shared.contains(risky.head)) {
+      val v = risky.head
+      val sure = shared.filterNot(_ == v)
+      def eq(c: String) = col(c)("id") === col("__c_" + c)("id")
+      def equiOn(a: DataFrame, b: DataFrame, keys: Seq[String]) =
+        if (keys.isEmpty) a.crossJoin(b) else a.join(b, keys.map(eq).reduce(_ && _))
+      val (lB, lN) = (l.filter(col(v).isNotNull), l.filter(col(v).isNull))
+      val (rB, rN) = (r.filter(col("__c_" + v).isNotNull), r.filter(col("__c_" + v).isNull))
+      return Seq(
+        equiOn(lB, rB, sure :+ v),
+        equiOn(lB, rN, sure),
+        equiOn(lN, rB, sure),
+        equiOn(lN, rN, sure))
+        .map(merge).map(graft.engine.DfOps.reid).reduce(_.unionByName(_))
+    }
     val cond = shared.map { c =>
       col(c).isNull || col("__c_" + c).isNull || col(c)("id") === col("__c_" + c)("id")
     }.reduce(_ && _)
@@ -720,13 +748,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
         val overlap = shared.map(c => col(c)("id") === col("__c_" + c)("id"))
           .reduce(_ || _)
         l.join(r, cond && overlap, how)
-      case _ =>
-        val joined = l.join(r, cond, how)
-        val merged = joined.columns.filterNot(_.startsWith("__c_")).map {
-          case c if shared.contains(c) => coalesce(col(c), col("__c_" + c)).as(c)
-          case c => col(c)
-        }
-        joined.select(merged.toSeq: _*)
+      case _ => merge(l.join(r, cond, how))
     }
   }
 
@@ -734,7 +756,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
   private def joinOp(lOp: Op, rOp: Op, dl: DataFrame, dr: DataFrame, how: String): DataFrame = {
     val shared = dl.columns.intersect(dr.columns).toSet
     val risky = (Algebra.maybeUnbound(lOp) ++ Algebra.maybeUnbound(rOp)) & shared
-    if (risky.nonEmpty) compatJoin(dl, dr, how) else joinDf(dl, dr, how)
+    if (risky.nonEmpty) compatJoin(dl, dr, how, risky) else joinDf(dl, dr, how)
   }
 
   // ======== algebra ========

@@ -61,4 +61,24 @@ class CompatJoinSpec extends GraftSuite {
     // no compat columns in the plan → equi path chosen
     assert(!plan.contains("__c_"))
   }
+
+  test("single maybe-unbound var on inner join decomposes: no nested-loop on the bulk") {
+    // ?x maybe-unbound (one UNION arm lacks it); inner join with VALUES on ?x
+    val q = """SELECT ?x ?tag ?z WHERE {
+              |  { VALUES ?x { 1 } BIND("bound" AS ?tag) } UNION { BIND("bare" AS ?tag) }
+              |  VALUES (?x ?z) { (1 10) (2 20) }
+              |}""".stripMargin
+    val df = Engine.query(store, q)
+    val rows = df.collect().map { r =>
+      (if (r.isNullAt(0)) -1L else r.getStruct(0).getAs[Long]("lng"),
+        r.getStruct(1).getAs[String]("str"),
+        r.getStruct(2).getAs[Long]("lng"))
+    }.toSet
+    // bound arm joins x=1 only; bare arm compatible with both, merged x bound
+    assert(rows == Set((1L, "bound", 10L), (1L, "bare", 10L), (2L, "bare", 20L)))
+    // the null-pattern decomposition replaces the single OR-null theta join:
+    // the bound×bound branch is an equi (hash/sort-merge) join
+    val plan = Engine.explain(store, q)
+    assert(plan.contains("Union"), "expected branch decomposition in plan")
+  }
 }
