@@ -717,25 +717,39 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
       }
       j.select(cols.toSeq: _*)
     }
-    // Single maybe-unbound shared var on an inner join: decompose by the null
-    // pattern instead of the OR-null theta condition (which can only execute as a
-    // nested-loop join). The four disjoint branches partition the pair space
-    // exactly; the bound×bound bulk becomes a plain equi-join, and only the
-    // (typically tiny) null branches cross — the scale-safe shape.
-    if (how == "inner" && risky.size == 1 && shared.contains(risky.head)) {
+    // Single maybe-unbound shared var on an inner/left-outer join: decompose by
+    // the null pattern instead of the OR-null theta condition (which can only
+    // execute as a nested-loop join). The four disjoint branches partition the
+    // pair space exactly; the bound×bound bulk becomes a plain equi-join, and
+    // only the (typically tiny) null branches cross — the scale-safe shape. For
+    // left-outer, unmatched left rows (tracked by a row id on the materialized
+    // left) are re-appended null-padded.
+    if ((how == "inner" || how == "left_outer") &&
+        risky.size == 1 && shared.contains(risky.head)) {
       val v = risky.head
       val sure = shared.filterNot(_ == v)
       def eq(c: String) = col(c)("id") === col("__c_" + c)("id")
       def equiOn(a: DataFrame, b: DataFrame, keys: Seq[String]) =
         if (keys.isEmpty) a.crossJoin(b) else a.join(b, keys.map(eq).reduce(_ && _))
-      val (lB, lN) = (l.filter(col(v).isNotNull), l.filter(col(v).isNull))
-      val (rB, rN) = (r.filter(col("__c_" + v).isNotNull), r.filter(col("__c_" + v).isNull))
-      return Seq(
-        equiOn(lB, rB, sure :+ v),
-        equiOn(lB, rN, sure),
-        equiOn(lN, rB, sure),
-        equiOn(lN, rN, sure))
-        .map(merge).map(graft.engine.DfOps.reid).reduce(_.unionByName(_))
+      def branches(lhs: DataFrame): DataFrame = {
+        val (lB, lN) = (lhs.filter(col(v).isNotNull), lhs.filter(col(v).isNull))
+        val (rB, rN) = (r.filter(col("__c_" + v).isNotNull), r.filter(col("__c_" + v).isNull))
+        Seq(
+          equiOn(lB, rB, sure :+ v),
+          equiOn(lB, rN, sure),
+          equiOn(lN, rB, sure),
+          equiOn(lN, rN, sure))
+          .map(graft.engine.DfOps.reid).reduce(_.unionByName(_))
+      }
+      if (how == "inner") return merge(branches(l))
+      // left_outer: inner matches + null-padded unmatched left rows
+      val lk = l.withColumn("__rid", monotonically_increasing_id()).localCheckpoint()
+      val inner = branches(lk)
+      val unmatched = lk.join(inner.select("__rid").dropDuplicates("__rid"),
+        Seq("__rid"), "left_anti")
+      // solution columns are all term structs → pad the right side with typed nulls
+      val padded = r.columns.foldLeft(unmatched)((d, c) => d.withColumn(c, Term.nullTerm))
+      return merge(inner.unionByName(padded)).drop("__rid")
     }
     val cond = shared.map { c =>
       col(c).isNull || col("__c_" + c).isNull || col(c)("id") === col("__c_" + c)("id")
@@ -780,7 +794,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
       val (dl, dr) = (compile(l), compile(r))
       val shared = dl.columns.intersect(dr.columns).toSet
       val risky = (Algebra.maybeUnbound(l) ++ Algebra.maybeUnbound(r)) & shared
-      if (cond.isEmpty && risky.nonEmpty) compatJoin(dl, dr, "left_outer")
+      if (cond.isEmpty && risky.nonEmpty) compatJoin(dl, dr, "left_outer", risky)
       else leftJoin(dl, dr, cond, risky)
     case OpUnion(l, r) =>
       val (dl, dr) = (compile(l), compile(r))

@@ -81,4 +81,20 @@ class CompatJoinSpec extends GraftSuite {
     val plan = Engine.explain(store, q)
     assert(plan.contains("Union"), "expected branch decomposition in plan")
   }
+
+  test("OPTIONAL after a union with maybe-unbound var: decomposed left join is exact") {
+    val df = Engine.query(store,
+      """SELECT ?x ?tag ?z WHERE {
+        |  { VALUES ?x { 1 } BIND("bound" AS ?tag) } UNION { BIND("bare" AS ?tag) }
+        |  OPTIONAL { VALUES (?x ?z) { (1 10) (7 70) } }
+        |}""".stripMargin)
+    val rows = df.collect().map { r =>
+      (if (r.isNullAt(0)) -1L else r.getStruct(0).getAs[Long]("lng"),
+        r.getStruct(1).getAs[String]("str"),
+        if (r.isNullAt(2)) -1L else r.getStruct(2).getAs[Long]("lng"))
+    }.toSet
+    // bound arm (x=1): matches (1,10) only; bare arm (x unbound): compatible with
+    // both VALUES rows, x merged from the right side
+    assert(rows == Set((1L, "bound", 10L), (1L, "bare", 10L), (7L, "bare", 70L)))
+  }
 }
