@@ -156,8 +156,13 @@ object Update {
         .flatMap(q => (Seq(q.s, q.p, q.o) ++ q.g).flatMap(tmplVars)).toSet
       val sol0 = c.compile(Algebra.lower(where))
       val keep = sol0.columns.filter(needed)
-      val sol = (if (keep.length < sol0.columns.length)
-        sol0.select(keep.map(col): _*) else sol0).localCheckpoint()
+      val projected = if (keep.length < sol0.columns.length)
+        sol0.select(keep.map(col): _*) else sol0
+      // Materialize the projected solutions once: both actions must see the SAME
+      // solution multiset, bnode templates mint per-row ids, and the fused
+      // unmaterialized pipeline has been measured to blow the heap on large
+      // solution sets (object churn in the dedup hash map over recomputed rows).
+      val sol = projected.localCheckpoint()
       val s1 = if (del.isEmpty) store
         else delete(store, instantiate(sol, target(del)), knownPids(target(del)))
       if (ins.isEmpty) s1
@@ -293,7 +298,9 @@ object Update {
       case Some(pids) => store.statements.filter(col("p_id").isin(pids: _*))
       case None => store.statements
     }
-    val fresh = statementKey(quads.dropDuplicates())
+    // dedup on the 8-byte statement key, not the full-width struct rows — the
+    // exchange then carries ids, and the (already key-hashed) anti-join follows
+    val fresh = statementKey(quads).dropDuplicates("__k")
       .join(statementKey(existing.select("s", "p", "o", "g")).select("__k"),
         Seq("__k"), "left_anti")
       .drop("__k")
