@@ -117,6 +117,27 @@ object Dev {
     val fnRows = engine.Engine.query(store,
       "SELECT ?s FROM NAMED <urn:nope:g> WHERE { ?s <urn:p:n_name> ?o }").count()
     println(s"PROBE-FROM-NAMED-ONLY rows=$fnRows (expect 0: empty default graph)")
+    // probe 11 (r5): OWL SymmetricProperty + hasValue through the closure
+    val owlSt = engine.Update(store,
+      """INSERT DATA {
+        |  <urn:dv:adj> a <http://www.w3.org/2002/07/owl#SymmetricProperty> .
+        |  <urn:dv:a> <urn:dv:adj> <urn:dv:b> .
+        |  <urn:dv:R> a <http://www.w3.org/2002/07/owl#Restriction> .
+        |  <urn:dv:R> <http://www.w3.org/2002/07/owl#onProperty> <urn:dv:fuel> .
+        |  <urn:dv:R> <http://www.w3.org/2002/07/owl#hasValue> <urn:dv:battery> .
+        |  <urn:dv:t> a <urn:dv:R> . }""".stripMargin)
+    val owlC = inference.Rdfs.closure(owlSt)
+    val sym = engine.Engine.query(owlC, "ASK { <urn:dv:b> <urn:dv:adj> <urn:dv:a> }")
+      .first().getBoolean(0)
+    val hv = engine.Engine.query(owlC, "ASK { <urn:dv:t> <urn:dv:fuel> <urn:dv:battery> }")
+      .first().getBoolean(0)
+    println(s"PROBE-OWL-R5: symmetric=$sym hasValue=$hv (expect true true)")
+    // probe 12 (r5): compat-join decomposition exactness (OPTIONAL after UNION)
+    val cj = engine.Engine.query(store,
+      """SELECT ?x ?z WHERE {
+        |  { VALUES ?x { 1 } } UNION { BIND("y" AS ?tag) }
+        |  OPTIONAL { VALUES (?x ?z) { (1 10) (7 70) } } }""".stripMargin).count()
+    println(s"PROBE-COMPAT-LEFTJOIN rows=$cj (expect 3)")
     // flagship smoke (driver contract)
     val flag = SparkEntry.entry(spark)
     println(s"ENTRY-ROWS: ${flag.count()}")
