@@ -193,11 +193,37 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     }
     constStr("timeStart").foreach(t => df = df.filter(col("__gt") >= t.toLong))
     constStr("timeEnd").foreach(t => df = df.filter(col("__gt") <= t.toLong))
+    // custom dimensions beyond lat/lon/time (GeoSpatial.java:232-242): declared
+    // field names map positionally onto the packed literal's remaining "#" slots;
+    // lower/upper bound lists filter them as sargable numeric ranges
+    val customN = constStr("customFields").map(_.split("#").length).getOrElse(0)
+    if (customN > 0) {
+      (0 until customN).foreach { i =>
+        df = df.withColumn(s"__cf$i", element_at(parts, 4 + i).cast("double"))
+      }
+      constStr("customFieldsLowerBounds").foreach { bs =>
+        bs.split("#").zipWithIndex.foreach { case (b, i) =>
+          df = df.filter(col(s"__cf$i") >= b.toDouble)
+        }
+      }
+      constStr("customFieldsUpperBounds").foreach { bs =>
+        bs.split("#").zipWithIndex.foreach { case (b, i) =>
+          df = df.filter(col(s"__cf$i") <= b.toDouble)
+        }
+      }
+    }
     var sels = Seq(col("__gs").as(subjVar))
     varOf("locationValue").foreach(v => sels :+= col("__gv").as(v))
     varOf("latValue").foreach(v => sels :+= Term.doubleLit(col("__lat")).as(v))
     varOf("lonValue").foreach(v => sels :+= Term.doubleLit(col("__lon")).as(v))
     varOf("timeValue").foreach(v => sels :+= Term.intLit(col("__gt")).as(v))
+    // customFieldsValues binds the custom components re-packed with the separator
+    varOf("customFieldsValues").foreach { v =>
+      if (customN == 0) throw new IllegalArgumentException(
+        "geo:customFieldsValues requires geo:customFields")
+      sels :+= Term.strLit(concat_ws("#",
+        (0 until customN).map(i => col(s"__cf$i").cast("string")): _*)).as(v)
+    }
     varOf("distanceValue").foreach { v =>
       val c = center.getOrElse(throw new IllegalArgumentException(
         "geo:distanceValue requires an inCircle search"))

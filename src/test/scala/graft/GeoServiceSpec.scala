@@ -76,6 +76,30 @@ class GeoServiceSpec extends GraftSuite {
     assert(ts == Set(200L, 150L))
   }
 
+  test("custom fields filter as numeric ranges and bind re-packed values") {
+    val st = Update(store,
+      """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        |INSERT DATA {
+        |  <urn:cf:a> <urn:p:pos2> "1.0#1.0#100#7#0.5"^^geo:geoSpatialLiteral .
+        |  <urn:cf:b> <urn:p:pos2> "1.5#1.5#200#9#0.9"^^geo:geoSpatialLiteral .
+        |  <urn:cf:c> <urn:p:pos2> "2.0#2.0#150#3#0.2"^^geo:geoSpatialLiteral .
+        |}""".stripMargin)
+    val df = Engine.query(st,
+      """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        |SELECT ?res ?cv WHERE {
+        |  ?res geo:search "inRectangle" ;
+        |       geo:predicate <urn:p:pos2> ;
+        |       geo:spatialRectangleSouthWest "0#0" ;
+        |       geo:spatialRectangleNorthEast "5#5" ;
+        |       geo:customFields "severity#confidence" ;
+        |       geo:customFieldsLowerBounds "5#0.4" ;
+        |       geo:customFieldsUpperBounds "10#1.0" ;
+        |       geo:customFieldsValues ?cv }""".stripMargin)
+    assert(subjects(df) == Set("urn:cf:a", "urn:cf:b"))
+    val vals = df.select(col("cv")("str")).collect().map(_.getString(0)).toSet
+    assert(vals == Set("7.0#0.5", "9.0#0.9"))
+  }
+
   test("lat/lon/location value bindings join into the surrounding BGP") {
     val df = Engine.query(geoStore,
       """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
