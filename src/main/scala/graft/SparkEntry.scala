@@ -903,6 +903,15 @@ object SparkEntry {
              |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
              |SELECT a, b, round(score, 6) AS score FROM p WHERE score >= 0.3""".stripMargin)),
 
+    ("p_unigram_freq", ((s: SparkSession, dir: String) =>
+      TextStats.unigramFreqStats(docs(s, dir), "doc_id", "text")): Q,
+      Some("""WITH toks AS (SELECT doc_id, t.tok
+             |  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(tok)
+             |  WHERE length(t.tok) > 0),
+             |counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+             |SELECT doc_id, COUNT(*) AS n_toks, SUM(cnt) AS sum_freq
+             |FROM toks JOIN counts USING (tok) GROUP BY doc_id""".stripMargin)),
+
     ("p_token_count", ((s: SparkSession, dir: String) =>
       docs(s, dir).select(col("doc_id"),
         TextStats.tokenCount(col("text")).as("tokens"))): Q,

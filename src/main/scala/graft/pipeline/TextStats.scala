@@ -134,4 +134,35 @@ object TextStats {
     docs.select(col(idCol),
       array_min(transform(Dedup.shingles(col(textCol), n), sh => md5(sh)))
         .as("fingerprint"))
+
+  /** Corpus-relative unigram frequency statistics — the frequency/perplexity
+    * quality signal of C4/RefinedWeb-style pipelines (documents whose tokens are
+    * rare under the corpus' own unigram distribution read as unnatural). Returns
+    * exact integers per document: token count and the sum of corpus frequencies
+    * of its tokens (exact → externally verifiable; divide for the mean, or take
+    * -log for a perplexity proxy).
+    *
+    * Scale shape: the token-count table is built by one map-side-combined
+    * aggregate over the exploded corpus; the per-document stats re-join tokens
+    * against it on the token key — both linear, no all-pairs anything.
+    */
+  def unigramFreqStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.engine.DfOps.spread(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    toks.join(counts, "tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"), sum(col("cnt")).as("sum_freq"))
+  }
+
+  /** Convenience float score: mean -log2 of the token's corpus probability. */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val total = docs.select(sum(tokenCount(col(textCol))).as("__total"))
+    unigramFreqStats(docs, idCol, textCol)
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        (-log2(col("sum_freq").cast("double") /
+          (col("n_toks") * col("__total")).cast("double"))).as("surprisal"))
+  }
 }

@@ -174,6 +174,20 @@ class PipelineSpec extends GraftSuite {
     assert(types == Set("urn:c:A", "urn:c:B", "urn:c:C"))
   }
 
+  test("unigram frequency stats: common tokens raise sum_freq; surprisal ranks rare text") {
+    val d = Seq(
+      (1L, "the the the the"),             // only common tokens
+      (2L, "the zxqv the plmw")            // half rare tokens
+    ).toDF("doc_id", "text")
+    val stats = TextStats.unigramFreqStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats(1L) == ((4L, 24L))) // 4 toks × cnt("the")=6
+    assert(stats(2L) == ((4L, 14L))) // 2×6 + 2×1
+    val sur = TextStats.unigramSurprisal(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sur(2L) > sur(1L)) // rarer tokens → higher surprisal
+  }
+
   test("fuzzySssp: shortest-path vertices at depth 0, bounded expansion, exact cap") {
     // path graph 1-2-3-4-5 with a branch 3-10-11-12
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
