@@ -57,6 +57,25 @@ object Streams {
       .withColumn("quality", graft.pipeline.TextStats.qualityScoreCol(col(textCol)))
       .withColumn("lang_pred", graft.pipeline.TextStats.langIdCol(col(textCol)))
 
+  /** Streaming decontamination stage: flag arriving documents whose word n-grams
+    * overlap a STATIC benchmark set. The probe grams are a batch DataFrame
+    * (broadcast under the stream-static join), and the flag is computed per row
+    * via a grouped overlap count re-joined on the doc id — stateless beyond the
+    * micro-batch, so it composes with the dedup/feature stages.
+    */
+  def streamingDecontamFlag(docs: DataFrame, probes: DataFrame,
+                            idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val probeGrams = probes
+      .select(explode(graft.pipeline.Dedup.shingles(col(textCol), n)).as("g"))
+      .dropDuplicates("g")
+    docs.withColumn("contaminated",
+      size(org.apache.spark.sql.functions.array_intersect(
+        graft.pipeline.Dedup.shingles(col(textCol), n),
+        // probe sets are benchmark-sized: collect once, inline as an array literal
+        // so the stage stays a stateless per-row map (valid in any output mode)
+        lit(probeGrams.collect().map(_.getString(0))))) > 0)
+  }
+
   /** Streaming exact dedup: drop re-arrivals of the same content hash within the
     * watermark horizon. State is bounded by the watermark (Spark evicts fingerprints
     * older than the event-time horizon) — the streaming-ingest analog of

@@ -232,4 +232,24 @@ class FeatureSpec extends GraftSuite {
     assert(en.getAs[Double]("quality") > 0.3)
     q.stop()
   }
+
+  test("streaming decontamination stage flags overlap against a static probe set") {
+    import org.apache.spark.sql.functions.col
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val probes = Seq((100L, "secret benchmark answer phrase"))
+      .toDF("doc_id", "text")
+    val staged = Streams.streamingDecontamFlag(docs, probes, "doc_id", "text")
+    val q = staged.writeStream.format("memory").queryName("decontamstage")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "this text contains the secret benchmark answer phrase today"),
+      (2L, "a perfectly clean document with original content"))
+    q.processAllAvailable()
+    val flags = spark.sql("SELECT doc_id, contaminated FROM decontamstage").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags(1L) && !flags(2L))
+    q.stop()
+  }
 }
