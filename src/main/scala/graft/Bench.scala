@@ -30,7 +30,10 @@ object Bench {
     // reported post-warm, as the reference's published numbers are)
     for (w <- Seq("q_ask", "q_join3", "q_agg_group", "p_token_count"))
       SparkEntry.queries.get(w).foreach(fn =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () })
+        try fn(spark, sfDir).count() catch { case e: Throwable =>
+          // a broken warmup query means the timed run below will also report -1;
+          // surface it rather than silently reclassifying the failure as "warm"
+          System.err.println(s"[bench] warmup $w failed: ${e.getClass.getSimpleName}: ${e.getMessage}") })
     // optional focus list for local profiling: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -138,6 +138,65 @@ object Dev {
         |  { VALUES ?x { 1 } } UNION { BIND("y" AS ?tag) }
         |  OPTIONAL { VALUES (?x ?z) { (1 10) (7 70) } } }""".stripMargin).count()
     println(s"PROBE-COMPAT-LEFTJOIN rows=$cj (expect 3)")
+    // probe 13 (r6): geo customFieldsValues binds the ORIGINAL packed lexicals
+    locally {
+      val gs = engine.Update(model.Tpch.store(spark, "/root/testdata/sf0.001"),
+        """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+          |INSERT DATA { <urn:cfv:x> <urn:p:pos6> "2#3#0#7#0.5"^^geo:geoSpatialLiteral .
+          |  <urn:cfv:bad> <urn:p:pos6> "1#1"^^geo:geoSpatialLiteral . }""".stripMargin)
+      val cv = engine.Engine.query(gs,
+        """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+          |SELECT ?cv WHERE { ?r geo:search "inRectangle" ; geo:predicate <urn:p:pos6> ;
+          |  geo:spatialRectangleSouthWest "0#0" ; geo:spatialRectangleNorthEast "5#5" ;
+          |  geo:customFields "sev#conf" ; geo:customFieldsLowerBounds "0#0" ;
+          |  geo:customFieldsValues ?cv }""".stripMargin)
+        .select(col("cv")("str")).collect().map(_.getString(0)).toSeq
+      println(s"PROBE-GEO-CFV: $cv (expect List(7#0.5) — raw lexicals; short literal skipped, not a crash)")
+      val arity = try {
+        engine.Engine.query(gs,
+          """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+            |SELECT ?r WHERE { ?r geo:search "inRectangle" ; geo:predicate <urn:p:pos6> ;
+            |  geo:spatialRectangleSouthWest "0#0" ; geo:spatialRectangleNorthEast "5#5" ;
+            |  geo:customFields "sev" ; geo:customFieldsLowerBounds "1#2#3" }""".stripMargin).count()
+        "NO ERROR (bad)"
+      } catch { case e: IllegalArgumentException => e.getMessage }
+      println(s"PROBE-GEO-ARITY: $arity (expect arity message naming customFieldsLowerBounds)")
+    }
+    // probe 14 (r6): hasValue fires on rdfs9-DERIVED restriction membership
+    locally {
+      val s6 = engine.Update(store,
+        """INSERT DATA {
+          |  <urn:r6:EV> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:r6:Plugin> .
+          |  <urn:r6:Plugin> a <http://www.w3.org/2002/07/owl#Restriction> .
+          |  <urn:r6:Plugin> <http://www.w3.org/2002/07/owl#onProperty> <urn:r6:charge> .
+          |  <urn:r6:Plugin> <http://www.w3.org/2002/07/owl#hasValue> <urn:r6:socket> .
+          |  <urn:r6:bolt> a <urn:r6:EV> . }""".stripMargin)
+      val hv2 = engine.Engine.query(inference.Rdfs.closure(s6),
+        "ASK { <urn:r6:bolt> <urn:r6:charge> <urn:r6:socket> }").first().getBoolean(0)
+      println(s"PROBE-OWL-HASVALUE-2ND: $hv2 (expect true)")
+    }
+    // probe 15 (r6): lexicon cache invalidation — a store REBUILT at the same
+    // path must not be served the previous build's lexicon
+    locally {
+      import org.apache.spark.sql.functions.lit
+      val lexP = "/tmp/graft-dev-lexgen-lexicon"
+      def tiny(o: String) = model.GraftStore.assemble(
+        spark.range(1).select(
+          model.Term.iri("urn:lg:s").as("s"), model.Term.iri("urn:lg:p").as("p"),
+          model.Term.iri(o).as("o"), model.Term.nullTerm.as("g"),
+          lit(model.GraftStore.STYPE_EXPLICIT).as("stype")))
+      def rmLex(): Unit = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(lexP), true)
+      rmLex()
+      val a = new model.GraftStore(spark, tiny("urn:lg:OLD"), Some(lexP))
+      val sawOld = a.nodeTerms.filter(col("n")("str") === "urn:lg:OLD").count() == 1
+      rmLex() // namespace recreate: at-rest store+lexicon dropped, same path reused
+      val b = new model.GraftStore(spark, tiny("urn:lg:NEW"), Some(lexP))
+      val sawNew = b.nodeTerms.filter(col("n")("str") === "urn:lg:NEW").count() == 1
+      val stale = b.nodeTerms.filter(col("n")("str") === "urn:lg:OLD").count() > 0
+      println(s"PROBE-LEX-REGEN: first=$sawOld rebuilt=$sawNew stale=$stale (expect true true false)")
+    }
     // flagship smoke (driver contract)
     val flag = SparkEntry.entry(spark)
     println(s"ENTRY-ROWS: ${flag.count()}")

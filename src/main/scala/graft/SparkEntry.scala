@@ -909,7 +909,7 @@ object SparkEntry {
              |  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(tok)
              |  WHERE length(t.tok) > 0),
              |counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
-             |SELECT doc_id, COUNT(*) AS n_toks, SUM(cnt) AS sum_freq
+             |SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM(cnt) AS BIGINT) AS sum_freq
              |FROM toks JOIN counts USING (tok) GROUP BY doc_id""".stripMargin)),
 
     ("p_token_count", ((s: SparkSession, dir: String) =>
@@ -1185,8 +1185,11 @@ object SparkEntry {
           col("resized_width").as("w"), col("resized_height").as("h"))): Q,
       // the stub's size law (bytes ∝ target area, capped by source, floor 16) is
       // pure arithmetic over the payload length — SQL-reproducible
+      // empty payloads resize to empty (the stub's size law only applies to
+      // non-empty input) — the CASE keeps oracle and stub aligned on that edge
       Some("""SELECT doc_id,
-             |  GREATEST(16, LEAST(octet_length(encode(text)), (512*512)//64)) AS n_out,
+             |  CASE WHEN octet_length(encode(text)) = 0 THEN 0
+             |       ELSE GREATEST(16, LEAST(octet_length(encode(text)), (512*512)//64)) END AS n_out,
              |  512 AS w, 512 AS h
              |FROM documents""".stripMargin)),
 

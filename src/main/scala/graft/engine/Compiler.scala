@@ -168,9 +168,12 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     val base = scanTriple(Triple(VarNode("__gs"), PLink(pred), VarNode("__gv"), None))
     val parts = split(col("__gv")("str"), "#")
     var df = base
-      .withColumn("__lat", element_at(parts, 1).cast("double"))
-      .withColumn("__lon", element_at(parts, 2).cast("double"))
-      .withColumn("__gt", element_at(parts, 3).cast("long"))
+      // try_element_at: a malformed/short packed literal yields NULL (row fails the
+      // spatial filter and drops out) instead of an ANSI array-index error killing
+      // the whole scan — one bad literal in a 100 TB corpus must not fail the query
+      .withColumn("__lat", try_element_at(parts, lit(1)).cast("double"))
+      .withColumn("__lon", try_element_at(parts, lit(2)).cast("double"))
+      .withColumn("__gt", try_element_at(parts, lit(3)).cast("long"))
     val func = constStr("search").getOrElse("inCircle") // default GeoFunction.IN_CIRCLE
     var center: Option[(Double, Double)] = None
     func match {
@@ -199,30 +202,34 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     val customN = constStr("customFields").map(_.split("#").length).getOrElse(0)
     if (customN > 0) {
       (0 until customN).foreach { i =>
-        df = df.withColumn(s"__cf$i", element_at(parts, 4 + i).cast("double"))
+        df = df.withColumn(s"__cf$i", try_element_at(parts, lit(4 + i)).cast("double"))
       }
-      constStr("customFieldsLowerBounds").foreach { bs =>
-        bs.split("#").zipWithIndex.foreach { case (b, i) =>
-          df = df.filter(col(s"__cf$i") >= b.toDouble)
-        }
+      def bounds(key: String): Option[Array[String]] = constStr(key).map { bs =>
+        val arr = bs.split("#")
+        if (arr.length > customN) throw new IllegalArgumentException(
+          s"geo:$key has ${arr.length} components but geo:customFields declares only $customN")
+        arr
       }
-      constStr("customFieldsUpperBounds").foreach { bs =>
-        bs.split("#").zipWithIndex.foreach { case (b, i) =>
-          df = df.filter(col(s"__cf$i") <= b.toDouble)
-        }
-      }
+      bounds("customFieldsLowerBounds").foreach(_.zipWithIndex.foreach { case (b, i) =>
+        df = df.filter(col(s"__cf$i") >= b.toDouble)
+      })
+      bounds("customFieldsUpperBounds").foreach(_.zipWithIndex.foreach { case (b, i) =>
+        df = df.filter(col(s"__cf$i") <= b.toDouble)
+      })
     }
     var sels = Seq(col("__gs").as(subjVar))
     varOf("locationValue").foreach(v => sels :+= col("__gv").as(v))
     varOf("latValue").foreach(v => sels :+= Term.doubleLit(col("__lat")).as(v))
     varOf("lonValue").foreach(v => sels :+= Term.doubleLit(col("__lon")).as(v))
     varOf("timeValue").foreach(v => sels :+= Term.intLit(col("__gt")).as(v))
-    // customFieldsValues binds the custom components re-packed with the separator
+    // customFieldsValues binds the custom components re-packed with the separator,
+    // preserving each slot's ORIGINAL lexical form ("7#0.5", not the double-cast
+    // "7.0#0.5") — the packed literal is the source of truth, not the filter cast
     varOf("customFieldsValues").foreach { v =>
       if (customN == 0) throw new IllegalArgumentException(
         "geo:customFieldsValues requires geo:customFields")
       sels :+= Term.strLit(concat_ws("#",
-        (0 until customN).map(i => col(s"__cf$i").cast("string")): _*)).as(v)
+        (0 until customN).map(i => try_element_at(parts, lit(4 + i))): _*)).as(v)
     }
     varOf("distanceValue").foreach { v =>
       val c = center.getOrElse(throw new IllegalArgumentException(

@@ -335,15 +335,36 @@ object Rdfs {
       tc.select(col("s"), Term.iri(Term.RDF_TYPE).as("p"), col("cls").as("o")))
 
     // rdfs9: (x type a), (a subClassOf* b) → (x type b) — over explicit + derived types
+    var lateTypes = typeCandidates // (s, cls) pairs derived AFTER the property rules
     if (sc.nonEmpty) {
       val scAll = pairsDf(sc.toSeq ++ scC, "c_a", "c_b").dropDuplicates("c_a", "c_b")
         .select(col("c_a")("id").as("tid"), col("c_b").as("cls"))
       val allTypes = (facts.filter(col("p_id") === typeId).select(col("s"), col("o")) +:
         typeCandidates.map(_.select(col("s"), col("cls").as("o"))))
         .map(graft.engine.DfOps.reid).reduce(_.unionByName(_))
-      derived :+= allTypes.select(col("s"), col("o")("id").as("tid"))
+      val r9 = allTypes.select(col("s"), col("o")("id").as("tid"))
         .join(broadcast(scAll), Seq("tid"))
-        .select(col("s"), Term.iri(Term.RDF_TYPE).as("p"), col("cls").as("o"))
+        .select(col("s"), col("cls"))
+      derived :+= r9.select(col("s"), Term.iri(Term.RDF_TYPE).as("p"), col("cls").as("o"))
+      lateTypes :+= r9
+    }
+
+    // RuleOwlHasValue, second application: the first firing runs BEFORE the type
+    // rules, so restriction membership derived by rdfs2/rdfs3/rdfs9 (x type R from
+    // domain/range/subclass) never met the hasValue check. The reference's rule
+    // program iterates to fixpoint; this staged re-application (one more broadcast
+    // join over the late type delta) covers the derived-type → restriction case.
+    // Deeper chains — hasValue output re-feeding rdfs2/3, FP/IFP sameAs cascades
+    // over substituted facts — remain staged-incomplete: see SCALE.md §OWL.
+    if (restrictions.nonEmpty && lateTypes.nonEmpty) {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val rRows2 = restrictions.map { case (a, p, v) => Row(a, p, v) }
+      val rDf2 = spark.createDataFrame(spark.sparkContext.parallelize(rRows2, 1),
+        StructType(Seq(StructField("tid", LongType),
+          StructField("hp", termType), StructField("hv", termType))))
+      val late = lateTypes.map(graft.engine.DfOps.reid).reduce(_.unionByName(_))
+      derived :+= late.join(broadcast(rDf2), col("cls")("id") === col("tid"))
+        .select(col("s"), col("hp").as("p"), col("hv").as("o"))
     }
 
     if (derived.isEmpty) return store

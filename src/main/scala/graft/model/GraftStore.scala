@@ -42,19 +42,12 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
     import GraftStore.{shapeLex => shape}
     lexiconPath match {
       case Some(p) =>
-        // keyed on the lexicon path so every store handle over the same at-rest
-        // store (e.g. the staging handle during load and the reopened handle that
-        // serves queries) shares ONE shaped+checkpointed lexicon
-        GraftStore.lexCache.getOrElseUpdate(p, {
-          if (!new java.io.File(p + "/_SUCCESS").exists()) {
-            // cold build: checkpoint the shaped lexicon FIRST, then persist it for
-            // future sessions from the checkpointed blocks — one dedup shuffle total,
-            // no write→re-read→re-shuffle round trip
-            val built = shape(buildNodeTerms)
-            built.write.mode("overwrite").parquet(p)
-            built
-          } else shape(spark.read.parquet(p))
-        })
+        // keyed on (lexicon path, at-rest generation) so every store handle over the
+        // same at-rest store (e.g. the staging handle during load and the reopened
+        // handle that serves queries) shares ONE shaped+checkpointed lexicon — while a
+        // store REBUILT at the same path (namespace recreate, test tmp-dir reuse) gets
+        // a fresh build instead of the stale cache
+        GraftStore.cachedLex(spark, p, () => shape(buildNodeTerms))
       case None => shape(buildNodeTerms)
     }
   }
@@ -80,9 +73,50 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
 }
 
 object GraftStore {
-  /** Shaped in-session lexicons, one per at-rest lexicon path. */
+  /** Shaped in-session lexicons, keyed (at-rest path, generation). The generation is
+    * the parquet `_SUCCESS` mtime, so rebuilding a store at the same path invalidates
+    * the in-session entry instead of serving the stale lexicon.
+    */
   private[model] val lexCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), DataFrame]
+  private val lexLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** At-rest generation marker for a parquet dir: `_SUCCESS` mtime, -1 = absent. */
+  private[graft] def parquetGen(p: String): Long = {
+    val f = new java.io.File(p + "/_SUCCESS")
+    if (f.exists()) f.lastModified() else -1L
+  }
+
+  /** Warm-or-build a shaped lexicon for path `p`. The per-path lock serializes the
+    * side-effecting cold build (two store handles racing on first access would
+    * otherwise both run the overwrite parquet write via TrieMap's non-exclusive
+    * getOrElseUpdate thunk).
+    */
+  private[model] def cachedLex(spark: SparkSession, p: String,
+                               coldBuild: () => DataFrame): DataFrame = {
+    val lock = lexLocks.getOrElseUpdate(p, new Object)
+    lock.synchronized {
+      val gen = parquetGen(p)
+      val warm = if (gen >= 0) lexCache.get((p, gen)) else None
+      warm.getOrElse {
+        // drop entries from older generations of this path (stale after rebuild)
+        lexCache.filterInPlace { case ((path, _), _) => path != p }
+        val df =
+          if (gen >= 0) shapeLex(spark.read.parquet(p))
+          else {
+            // cold build: checkpoint the shaped lexicon FIRST, then persist it for
+            // future sessions from the checkpointed blocks — one dedup shuffle total,
+            // no write→re-read→re-shuffle round trip
+            val built = coldBuild()
+            built.write.mode("overwrite").parquet(p)
+            built
+          }
+        lexCache.put((p, parquetGen(p)), df)
+        df
+      }
+    }
+  }
 
   /** In-session lexicon shape: hash-partitioned + sorted on the lookup key, so
     * term re-attach joins never move the lexicon — only the (small) probe side.

@@ -94,8 +94,11 @@ object TextIndex {
 
   private val cache = new java.util.WeakHashMap[GraftStore, TextIndex]()
   // path-keyed so the staging store handle used during bulk load and the reopened
-  // query-serving handle share one postings build
-  private val pathCache = scala.collection.concurrent.TrieMap.empty[String, TextIndex]
+  // query-serving handle share one postings build; the Long is the lexicon
+  // generation (_SUCCESS mtime) so a store rebuilt at the same path invalidates
+  // the cached index instead of serving stale postings
+  private val pathCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, TextIndex)]
 
   /** Per-store index handle. A store with a lexicon path also parquet-persists its
     * postings alongside (the reference maintains its full-text index at load,
@@ -103,13 +106,20 @@ object TextIndex {
     * postings instead of re-tokenizing the corpus.
     */
   def forStore(store: GraftStore): TextIndex = cache.synchronized {
-    store.lexiconPath.flatMap(pathCache.get).foreach { hit => return hit }
+    val lexGen = store.lexiconPath.map(GraftStore.parquetGen).getOrElse(-1L)
+    store.lexiconPath.flatMap(pathCache.get).foreach { case (gen, hit) =>
+      if (gen == lexGen) return hit
+      else store.lexiconPath.foreach(pathCache.remove) // store rebuilt → stale index
+    }
     var idx = cache.get(store)
     if (idx == null) {
       idx = store.lexiconPath match {
         case Some(p) =>
           val tp = p + "-text"
-          if (!new java.io.File(tp + "/postings/_SUCCESS").exists()) {
+          // at-rest postings are reusable only if written at-or-after the current
+          // lexicon generation; older postings belong to a previous store build
+          val postingsGen = GraftStore.parquetGen(tp + "/postings")
+          if (postingsGen < 0 || postingsGen < lexGen) {
             val built = build(store)
             built.lits.write.mode("overwrite").parquet(tp + "/lits")
             built.postings.write.mode("overwrite").parquet(tp + "/postings")
@@ -125,7 +135,7 @@ object TextIndex {
         case None => build(store)
       }
       cache.put(store, idx)
-      store.lexiconPath.foreach(p => pathCache.put(p, idx))
+      store.lexiconPath.foreach(p => pathCache.put(p, (lexGen, idx)))
     }
     idx
   }

@@ -96,8 +96,10 @@ class GeoServiceSpec extends GraftSuite {
         |       geo:customFieldsUpperBounds "10#1.0" ;
         |       geo:customFieldsValues ?cv }""".stripMargin)
     assert(subjects(df) == Set("urn:cf:a", "urn:cf:b"))
+    // slots keep their ORIGINAL lexical form from the packed literal ("7", not
+    // the filter's double-cast "7.0")
     val vals = df.select(col("cv")("str")).collect().map(_.getString(0)).toSet
-    assert(vals == Set("7.0#0.5", "9.0#0.9"))
+    assert(vals == Set("7#0.5", "9#0.9"))
   }
 
   test("lat/lon/location value bindings join into the surrounding BGP") {
@@ -131,6 +133,19 @@ class GeoServiceSpec extends GraftSuite {
           |  geo:spatialCircleCenter "0#0" ; geo:spatialCircleRadius "1" }""".stripMargin)
     }
     assert(e2.getMessage.contains("geo:predicate"))
+    // bounds list longer than the declared customFields: a clear arity error,
+    // not an unresolved-column analysis failure
+    val e3 = intercept[IllegalArgumentException] {
+      Engine.query(geoStore,
+        """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+          |SELECT ?r WHERE { ?r geo:search "inRectangle" ;
+          |  geo:predicate <urn:p:pos2> ;
+          |  geo:spatialRectangleSouthWest "0#0" ;
+          |  geo:spatialRectangleNorthEast "5#5" ;
+          |  geo:customFields "severity" ;
+          |  geo:customFieldsLowerBounds "5#0.4" }""".stripMargin)
+    }
+    assert(e3.getMessage.contains("customFieldsLowerBounds"))
   }
 
   test("STRDT mints opaque typed literals for non-xsd datatypes") {

@@ -103,6 +103,21 @@ class OwlSpec extends GraftSuite {
     assert(Engine.query(c, "ASK { <urn:o:tesla> <urn:o:fuel> <urn:o:battery> }").first().getBoolean(0))
   }
 
+  test("owl:hasValue fires on types derived by rdfs9 (second application)") {
+    // x a C, C subClassOf R (a Restriction) — membership in R is DERIVED by
+    // rdfs9, so the first (pre-type-rules) hasValue pass never sees it; the
+    // staged re-application must
+    val s0 = Update(store,
+      s"""INSERT DATA {
+         |  <urn:o:EV> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:o:Plugin> .
+         |  <urn:o:Plugin> a <${owl}Restriction> .
+         |  <urn:o:Plugin> <${owl}onProperty> <urn:o:charge> .
+         |  <urn:o:Plugin> <${owl}hasValue> <urn:o:socket> .
+         |  <urn:o:bolt> a <urn:o:EV> . }""".stripMargin)
+    val c = Rdfs.closure(s0)
+    assert(Engine.query(c, "ASK { <urn:o:bolt> <urn:o:charge> <urn:o:socket> }").first().getBoolean(0))
+  }
+
   test("rdfs closure still green after owl staging (regression)") {
     val closed = Rdfs.closure(store)
     val n = Engine.query(closed, "SELECT (COUNT(*) AS ?c) WHERE { ?x a <urn:c:Any> }")
