@@ -20,145 +20,82 @@ object Prof {
     val dir = "/root/testdata/sf0.1"
     val store = model.Tpch.store(spark, dir)
     t("store.count")(store.statements.count())
-    t("nodeTerms build")(store.nodeTerms.count())
-    t("q_path_plus 1st") {
-      engine.Engine.query(store,
-        """SELECT ?s ?t WHERE { ?s a <urn:c:Lineitem> .
-          |  ?s (<urn:fk:l_orderkey>|<urn:fk:o_custkey>)+ ?t . }""".stripMargin).count()
+
+    // q_geo_service staged: where does the 7 s go?
+    val insertText =
+      """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        |INSERT { ?e <urn:p:loc> ?loc } WHERE {
+        |  ?e <urn:p:event_id> ?id .
+        |  BIND(?id - FLOOR(?id/1.8e3)*1800 AS ?lm)
+        |  BIND(?id*7 AS ?i7)
+        |  BIND(?i7 - FLOOR(?i7/3.6e3)*3600 AS ?gm)
+        |  BIND(?lm/1.0e1 - 9.0e1 AS ?la)
+        |  BIND(?gm/1.0e1 - 1.8e2 AS ?lo)
+        |  BIND(STRDT(CONCAT(STR(?la), "#", STR(?lo)), geo:geoSpatialLiteral) AS ?loc) }""".stripMargin
+    val geoText =
+      """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        |SELECT ?res ?lat ?lon WHERE {
+        |  ?res geo:search "inCircle" ;
+        |       geo:predicate <urn:p:loc> ;
+        |       geo:spatialCircleCenter "30#40" ;
+        |       geo:spatialCircleRadius "2000" ;
+        |       geo:latValue ?lat ; geo:lonValue ?lon }""".stripMargin
+    val withLoc = t("geo: INSERT WHERE (update)")(engine.Update(store, insertText))
+    t("geo: search query")(println("rows " + engine.Engine.query(withLoc, geoText).count()))
+    t("geo: search query 2nd")(engine.Engine.query(withLoc, geoText).count())
+    // the update pieces, re-run standalone
+    t("geo: WHERE solutions only") {
+      val c = new engine.Compiler(store, engine.DatasetSpec.all)
+      val parsed = sparql.Parser.parseUpdate(insertText)
+      println("solutions " + c.compile(sparql.Algebra.lower(
+        parsed.collect { case m: sparql.Ast.Modify => m }.head.where)).count())
     }
-    t("q_path_plus 2nd") {
-      engine.Engine.query(store,
-        """SELECT ?s ?t WHERE { ?s a <urn:c:Lineitem> .
-          |  ?s (<urn:fk:l_orderkey>|<urn:fk:o_custkey>)+ ?t . }""".stripMargin).count()
-    }
-    t("q_path_alt") {
-      engine.Engine.query(store,
-        "SELECT ?s ?t WHERE { ?s (<urn:fk:n_regionkey>|<urn:p:n_name>) ?t . }").count()
-    }
-    // GAS BFS staging
+    // finer stages of the geo INSERT
     locally {
-      val li = spark.read.parquet(dir + "/lineitem.parquet")
-      val edges = li.select((col("l_partkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      val adj = t("bfs adjacency build") {
-        edges.select("src", "dst")
-          .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-          .dropDuplicates("src", "dst")
-          .repartition(col("src")).sortWithinPartitions("src")
-          .localCheckpoint()
+      val c = new engine.Compiler(store, engine.DatasetSpec.all, spreadScans = true)
+      val parsed = sparql.Parser.parseUpdate(insertText)
+      val m = parsed.collect { case x: sparql.Ast.Modify => x }.head
+      val sol0 = c.compile(sparql.Algebra.lower(m.where))
+      val projected = sol0.select(col("e"), col("loc"))
+      t("geo stage: full-row compute (no ckpt)") {
+        projected.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
       }
-      println("PROF adj rows " + adj.count())
-      val src = t("bfs min src")(edges.agg(min("src")).first().getLong(0))
-      import spark.implicits._
-      var visited = Seq((src, 0)).toDF("vertex", "level").localCheckpoint()
-      var frontier = visited
-      var level = 0
-      var n = 1L
-      while (n > 0 && level < 50) {
-        level += 1
-        val t0 = System.nanoTime()
-        val next = frontier.join(adj, col("vertex") === col("src"))
-          .select(col("dst").as("vertex")).dropDuplicates("vertex")
-          .join(visited, Seq("vertex"), "left_anti")
-          .withColumn("level", lit(level)).localCheckpoint()
-        n = next.count()
-        println(f"PROF bfs round $level frontier=$n%8d  ${(System.nanoTime() - t0) / 1e9}%6.3f s")
-        if (n > 0) { visited = visited.unionByName(engine.DfOps.reid(next)); frontier = next }
+      t("geo stage: persist+count") {
+        val p = projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(); p.unpersist()
       }
+      println("sol partitions " + projected.queryExecution.toRdd.getNumPartitions)
+      projected.explain("formatted")
+      val sol = t("geo stage: sol ckpt")(projected.localCheckpoint())
+      println("sol rows " + sol.count())
+      val inst = t("geo stage: instantiate") {
+        val d = sol.select(col("e").as("s"),
+          graft.model.Term.iri("urn:p:loc").as("p"), col("loc").as("o"),
+          graft.model.Term.nullTerm.as("g"))
+        println("inst rows " + d.count()); d
+      }
+      val pruned = store.statements.filter(col("p_id") === engine.TermIds.iriId("urn:p:loc"))
+      val fresh = t("geo stage: dedup+anti") {
+        val keyed = inst.withColumn("__k", xxhash64(col("s")("id"), col("p")("id"),
+          col("o")("id"), coalesce(col("g")("id"), lit(0L))))
+        val f = keyed.dropDuplicates("__k").join(
+          keyed.limit(0).select("__k"), Seq("__k"), "left_anti").drop("__k")
+        println("fresh rows " + f.count()); f
+      }
+      t("geo stage: delta ckpt") {
+        model.GraftStore.assemble(fresh
+          .withColumn("stype", lit(model.GraftStore.STYPE_EXPLICIT).cast("byte")))
+          .localCheckpoint().count()
+      }
+      println("pruned existing rows " + pruned.count())
     }
-    // q_collection staging
-    val stU = t("update: insert list") {
-      engine.Update(store, "INSERT DATA { <urn:q:list> <urn:p:items> ( 10 20 30 ) . }")
-    }
-    t("updated statements count")(stU.statements.count())
-    t("collection query") {
-      engine.Engine.query(stU,
-        """SELECT ?m WHERE { <urn:q:list> <urn:p:items> ?l .
-          |  ?l (<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>)*/<http://www.w3.org/1999/02/22-rdf-syntax-ns#first> ?m }""".stripMargin).count()
-    }
-    t("collection query 2nd") {
-      engine.Engine.query(stU,
-        """SELECT ?m WHERE { <urn:q:list> <urn:p:items> ?l .
-          |  ?l (<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>)*/<http://www.w3.org/1999/02/22-rdf-syntax-ns#first> ?m }""".stripMargin).count()
-    }
-    // minhash staging
-    val d = spark.read.parquet(dir + "/documents.parquet")
-    println("PROF docs rows " + d.count())
-    d.agg(avg("n_chars"), avg(size(split(col("text"), "\\s+")))).show()
-    t("split+explode tokens") {
-      println("PROF tok rows " + d.select(explode(split(lower(trim(col("text"))), "\\s+"))).count())
-    }
-    t("shingle explode only") {
-      println("PROF shingle rows " +
-        d.select(col("doc_id"), explode(pipeline.Dedup.shingles(col("text"), 3)).as("sh")).count())
-    }
-    t("shingle+hash explode") {
-      d.select(col("doc_id"),
-        explode(transform(pipeline.Dedup.shingles(col("text"), 3), s => xxhash64(s))).as("h"))
-        .agg(bit_xor(col("h"))).collect()
-    }
-    t("map-only signature") {
-      val withH = d.select(col("doc_id").as("id"),
-        transform(pipeline.Dedup.shingles(col("text"), 3), s => xxhash64(s)).as("hs"))
-        .filter(size(col("hs")) > 0)
-      val sigCol = transform(sequence(lit(0), lit(31)),
-        i => array_min(transform(col("hs"), h => xxhash64(h, i))))
-      withH.select(col("id"), sigCol.as("sig")).agg(bit_xor(element_at(col("sig"), 1))).collect()
-    }
-    val sig = t("minhash signatures") {
-      pipeline.Dedup.minhashSignature(d, "doc_id", "text").localCheckpoint()
-    }
-    t("minhash signatures warm") {
-      pipeline.Dedup.minhashSignature(d, "doc_id", "text").count()
-    }
-    println("PROF sig rows " + sig.count())
-    t("minhash pairs (from sig)") {
-      // band + self-join part only, replicated from minhashPairs
-      val bands = 8; val rows = 4; val k = 32
-      val banded = sig.select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-      val l = banded.select(col("band"), col("bh"), col("id").as("a"), col("sig").as("siga"))
-      val r = banded.select(col("band"), col("bh"), col("id").as("b"), col("sig").as("sigb"))
-      val cand = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
-        .select("a", "b", "siga", "sigb").dropDuplicates("a", "b")
-      val n = cand.withColumn("est_jaccard",
-        aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc2, v) => acc2 + v).cast("double") / k)
-        .filter(col("est_jaccard") >= 0.7).count()
-      println("PROF pairs rows " + n)
-    }
-    t("full minhashPairs")(pipeline.Dedup.minhashPairs(d, "doc_id", "text").count())
-    // manual replication of the seeded q_path_plus pipeline
-    val ids = engine.TermIds
-    val edges = t("edges build") {
-      store.statements
-        .filter(col("p_id").isin(ids.iriId("urn:fk:l_orderkey"), ids.iriId("urn:fk:o_custkey")))
-        .select(col("s")("id").as("a"), col("o")("id").as("b"))
-        .dropDuplicates("a", "b").localCheckpoint()
-    }
-    println("PROF edges rows " + edges.count())
-    val seeds = t("seeds") {
-      store.statements.filter(col("p_id") === ids.iriId(graft.model.Term.RDF_TYPE) &&
-          col("o")("id") === ids.iriId("urn:c:Lineitem"))
-        .select(col("s")("id").as("a")).dropDuplicates("a")
-    }
-    val acc0 = t("acc0 = edges ∩ seeds ckpt")(edges.join(seeds, Seq("a")).localCheckpoint())
-    val stepped = t("round1 step ckpt") {
-      acc0.select(col("a"), col("b").as("m"))
-        .join(edges.select(col("a").as("m"), col("b")), Seq("m"))
-        .select("a", "b").dropDuplicates("a", "b")
-        .join(acc0, Seq("a", "b"), "left_anti").localCheckpoint()
-    }
-    println("PROF frontier1 rows " + stepped.count())
-    val acc = acc0.unionByName(stepped)
-    val attached = t("attach b via nodeTerms") {
-      acc.join(store.nodeTerms.select(col("nid").as("b"), col("n")), Seq("b")).localCheckpoint()
-    }
-    val dfLineitem = store.statements.filter(col("p_id") === ids.iriId(graft.model.Term.RDF_TYPE) &&
-      col("o")("id") === ids.iriId("urn:c:Lineitem")).select(col("s"))
-    t("final join back")(dfLineitem.join(attached, col("s")("id") === col("a")).count())
+    t("q_truth_maint staged: closure 1")(inference.Rdfs.closure(store).statements.count())
+    val closed = inference.Rdfs.closure(store)
+    t("q_truth_maint staged: tm")(
+      engine.Update.withTruthMaintenance(closed,
+        """DELETE DATA { <urn:c:Customer>
+          |  <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:c:Any> . }""".stripMargin)
+        .statements.count())
     spark.stop()
   }
 }

@@ -53,7 +53,15 @@ object DatasetSpec {
   * broadcast/shuffled-hash/sort-merge physical joins — the JVM/HTree operator split
   * (`JVMHashJoinOp` vs `HTreeHashJoinOp`) is subsumed by Tungsten spill.
   */
-final class Compiler(val store: GraftStore, ds: DatasetSpec) {
+/** @param spreadScans round-robin a narrow pruned scan across the session's cores
+  *   before downstream work. UPDATE WHERE clauses set this: their solutions feed
+  *   expensive per-row template/BIND expression pipelines and a materializing
+  *   checkpoint, and a small predicate partition otherwise arrives as ONE split,
+  *   serializing all of it on a single task. No-op once a scan is already wide
+  *   (the at-scale case), so it costs nothing on big inputs.
+  */
+final class Compiler(val store: GraftStore, ds: DatasetSpec,
+                     spreadScans: Boolean = false) {
   private val spark = store.spark
   /** Named solution sets from WITH … AS %name (evaluated once, INCLUDE reuses). */
   private var namedSets: Map[String, DataFrame] = Map.empty
@@ -434,6 +442,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec) {
     }
     val sels = byVar.toSeq.map { case (v, ps) => col(ps.head).as(v) }
     if (sels.isEmpty) df.select(lit(1).as("__exists")).limit(1).drop("__exists")
+    else if (spreadScans) DfOps.spread(df.select(sels: _*))
     else df.select(sels: _*)
   }
 

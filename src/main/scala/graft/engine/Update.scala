@@ -144,7 +144,7 @@ object Update {
         case Some(g) => qs.map(q => if (q.g.isEmpty) q.copy(g = Some(IriNode(g))) else q)
         case None => qs
       }
-      val c = new Compiler(store, ds)
+      val c = new Compiler(store, ds, spreadScans = true)
       // project the WHERE solutions down to the template's variables before
       // materializing — BIND intermediates would otherwise be checkpointed per row
       def tmplVars(n: Node): Seq[String] = n match {

@@ -84,6 +84,29 @@ object Rdfs {
     closure(store.withStatements(
       store.statements.filter(col("stype") =!= GraftStore.STYPE_INFERRED)))
 
+  /** Rule-program FIXPOINT: re-run the staged closure until no new statements
+    * derive (the reference's InferenceEngine runs its rule set to quiescence;
+    * `rdf/rules/InferenceEngine.java` computeClosure). One round = one full
+    * staged pass, so this is the opt-in for ontologies whose derivations
+    * cascade across the stage order — hasValue output re-feeding domain/range,
+    * FP/IFP sameAs merge-of-merges (see SCALE.md §OWL). Each round's
+    * entailments are checkpointed, so plan depth stays bounded by one pass.
+    */
+  def closureFixpoint(store: GraftStore, maxRounds: Int = 8): GraftStore = {
+    var cur = store
+    var prev = -1L
+    var rounds = 0
+    while (rounds < maxRounds) {
+      val mat = closure(cur).statements.localCheckpoint()
+      val n = mat.count()
+      if (n == prev) return cur
+      cur = cur.withStatements(mat)
+      prev = n
+      rounds += 1
+    }
+    cur
+  }
+
   /** Materialize the closure; derived rows get stype=Inferred and the default graph. */
   def closure(store: GraftStore): GraftStore = {
     val spark = store.spark
@@ -257,7 +280,12 @@ object Rdfs {
     }
 
     // RuleOwlSameAs1/2/3: equivalence classes (CC in id space), all-pairs sameAs,
-    // then subject/object substitution over the fact base
+    // then subject/object substitution over the fact base. `sameAsActive` records
+    // whether substitution actually RAN: FP/IFP declarations with clean data (the
+    // common case) derive zero pairs, and the derived-predicate partition pruning
+    // of the novelty anti-join below must not be forfeited for them.
+    var sameAsActive = false
+    var saPairs: Option[DataFrame] = None
     if (hasSameAs) {
       val explicitSa = stmts.filter(col("p_id") === sameAsId).select(col("s"), col("o"))
       // RuleOwlFunctionalProperty: (p a owl:FunctionalProperty), (a p b), (a p c),
@@ -286,6 +314,12 @@ object Rdfs {
       }
       val saStmts = (Seq(explicitSa) ++ fpSa ++ ifpSa)
         .map(graft.engine.DfOps.reid).reduce(_.unionByName(_)).localCheckpoint()
+      // the checkpoint above already materialized the pair set — the emptiness
+      // probe is a metadata-cheap scan of it, not a recompute
+      sameAsActive = saStmts.limit(1).count() > 0
+      if (sameAsActive) saPairs = Some(saStmts)
+    }
+    saPairs.foreach { saStmts =>
       val comp = graft.gas.Gas.connectedComponents(
         saStmts.select(col("s")("id").as("src"), col("o")("id").as("dst")))
       val saDict = saStmts.select(col("s").as("n")).unionByName(saStmts.select(col("o").as("n")))
@@ -376,9 +410,11 @@ object Rdfs {
       .dropDuplicates("sk", "pk", "ok")
     // Without sameAs substitution every derived predicate is KNOWN (schema constants,
     // rdfs7 superproperties, inverses, transitive props), so the anti-join's existing-
-    // statements side prunes to those p_id partitions instead of scanning the store
+    // statements side prunes to those p_id partitions instead of scanning the store.
+    // Keyed on sameAsActive, not hasSameAs: FP/IFP vocabulary with zero derived
+    // pairs keeps the pruning.
     val derivedPids: Option[Seq[Long]] =
-      if (hasSameAs) None
+      if (sameAsActive) None
       else Some((Seq(subClassId, subPropId, eqClassId, eqPropId, typeId) ++
         (sp ++ spC).map(_._2.getAs[Long]("id")) ++
         inv.flatMap(p => Seq(p._1.getAs[Long]("id"), p._2.getAs[Long]("id"))) ++

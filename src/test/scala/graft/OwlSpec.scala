@@ -118,6 +118,25 @@ class OwlSpec extends GraftSuite {
     assert(Engine.query(c, "ASK { <urn:o:bolt> <urn:o:charge> <urn:o:socket> }").first().getBoolean(0))
   }
 
+  test("closureFixpoint cascades FP merges that the staged pass misses") {
+    // f, g functional; x f y1, x f y2 → y1 sameAs y2. Substituting y2 for y1
+    // gives y2 g z1 alongside y2 g z2 — a NEW functional violation, so
+    // z1 sameAs z2 derives only on a second rule pass.
+    val s0 = Update(store,
+      s"""INSERT DATA {
+         |  <urn:fx:f> a <${owl}FunctionalProperty> .
+         |  <urn:fx:g> a <${owl}FunctionalProperty> .
+         |  <urn:fx:x> <urn:fx:f> <urn:fx:y1> .
+         |  <urn:fx:x> <urn:fx:f> <urn:fx:y2> .
+         |  <urn:fx:y1> <urn:fx:g> <urn:fx:z1> .
+         |  <urn:fx:y2> <urn:fx:g> <urn:fx:z2> . }""".stripMargin)
+    val cascade = s"ASK { <urn:fx:z1> <${owl}sameAs> <urn:fx:z2> }"
+    // staged single pass: merge-of-merges absent (documented trade)
+    assert(!Engine.query(Rdfs.closure(s0), cascade).first().getBoolean(0))
+    // fixpoint driver: quiescence reached, cascade present
+    assert(Engine.query(Rdfs.closureFixpoint(s0), cascade).first().getBoolean(0))
+  }
+
   test("rdfs closure still green after owl staging (regression)") {
     val closed = Rdfs.closure(store)
     val n = Engine.query(closed, "SELECT (COUNT(*) AS ?c) WHERE { ?x a <urn:c:Any> }")
