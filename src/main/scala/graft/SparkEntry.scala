@@ -903,6 +903,43 @@ object SparkEntry {
              |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
              |SELECT a, b, round(score, 6) AS score FROM p WHERE score >= 0.3""".stripMargin)),
 
+    ("p_hybrid_search", ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val firstId = e.agg(min("vec_id")).first().getLong(0)
+      graft.pipeline.Retrieval.hybridTopK(docs(s, dir), e,
+        "doc_id", "text", "vec_id", "embedding",
+        Seq("spark", "vector", "stream"), firstId, candK = 50, k = 10)
+        .select(col("doc_id"), round(col("lex"), 6).as("lex_score"),
+          round(col("cos"), 6).as("cos_score"))
+    }): Q,
+      // mirrors the engine fold-for-fold: tf·ln((N+1)/(df+1)) summed left-to-right,
+      // then the p_ann_brute sequential-fold cosine — doubles are bit-identical
+      Some("""WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+             |           FROM documents),
+             |st AS (SELECT COUNT(*) AS n,
+             |  SUM(CASE WHEN list_contains(tk,'spark') THEN 1 ELSE 0 END) AS df0,
+             |  SUM(CASE WHEN list_contains(tk,'vector') THEN 1 ELSE 0 END) AS df1,
+             |  SUM(CASE WHEN list_contains(tk,'stream') THEN 1 ELSE 0 END) AS df2 FROM tk),
+             |lex AS (SELECT doc_id,
+             |    CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) * ln((n+1.0)/(df0+1.0))
+             |  + CAST(len(list_filter(tk, x -> x = 'vector')) AS DOUBLE) * ln((n+1.0)/(df1+1.0))
+             |  + CAST(len(list_filter(tk, x -> x = 'stream')) AS DOUBLE) * ln((n+1.0)/(df2+1.0)) AS lex
+             |  FROM tk, st),
+             |cand AS (SELECT doc_id, lex FROM lex WHERE lex > 0
+             |         ORDER BY lex DESC, doc_id LIMIT 50),
+             |q AS (SELECT embedding AS qv FROM embeddings
+             |      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+             |r AS (SELECT c.doc_id, c.lex,
+             |  list_reduce(list_transform(generate_series(1, len(e.embedding)),
+             |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x,y) -> x+y)
+             |  / ( sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+             |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+             |    * sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)),
+             |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x,y) -> x+y)) ) AS cos
+             |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q)
+             |SELECT doc_id, round(lex, 6) AS lex_score, round(cos, 6) AS cos_score
+             |FROM r ORDER BY cos DESC, doc_id LIMIT 10""".stripMargin)),
+
     ("p_unigram_freq", ((s: SparkSession, dir: String) =>
       TextStats.unigramFreqStats(docs(s, dir), "doc_id", "text")): Q,
       Some("""WITH toks AS (SELECT doc_id, t.tok

@@ -241,4 +241,34 @@ class PipelineSpec extends GraftSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast join for probe grams:\n$plan")
   }
+
+  test("hybrid retrieval: lexical recall stage feeds dense rerank, scale-safe plan") {
+    val corpus = Seq(
+      (1L, "spark engines process data with spark speed"), // 2×spark
+      (2L, "a stream of data in the stream engine"),       // 2×stream, no spark
+      (3L, "nothing relevant here at all"),
+      (4L, "spark stream spark stream spark stream")       // top lexical hit
+    ).toDF("doc_id", "text")
+    // embeddings: query vec (id 0) nearly parallel to doc 2's, orthogonal-ish to 4's
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.1f)),
+      (1L, Array(0.5f, 0.5f, 0.0f)),
+      (2L, Array(0.9f, 0.05f, 0.1f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.9f, 0.4f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.pipeline.Retrieval.hybridTopK(corpus, vecs,
+      "doc_id", "text", "vec_id", "embedding",
+      Seq("spark", "stream"), queryVecId = 0L, candK = 3, k = 2)
+    val rows = out.collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // doc 3 never enters (no query terms); doc 2 outranks 4 on cosine despite
+    // 4 winning the lexical stage
+    assert(rows.map(_._1).toSeq == Seq(2L, 1L), rows.mkString(","))
+    assert(rows.head._2 > 0.9)
+    val plan = out.queryExecution.executedPlan.toString
+    // recall stage: top-candK via TakeOrdered, never a global sort of the corpus
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected candidates broadcast into the rerank join:\n$plan")
+  }
 }
