@@ -903,6 +903,26 @@ object SparkEntry {
              |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
              |SELECT a, b, round(score, 6) AS score FROM p WHERE score >= 0.3""".stripMargin)),
 
+    ("p_quality_lr", ((s: SparkSession, dir: String) =>
+      graft.pipeline.QualityModel.score(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("prob"), 6).as("prob"))): Q,
+      // sigmoid(b + w·x) over the qualityFeatures expressions with the fixed
+      // DEFAULT weights — the same feature SQL as p_quality_score plus the
+      // upper-case ratio, identical left-to-right weighted sum
+      Some("""WITH f AS (SELECT doc_id,
+             |  CAST(length(text) AS DOUBLE) AS chars,
+             |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS words,
+             |  CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE) AS punct,
+             |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+             |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS uppers,
+             |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |       t -> t IN ('the','of','and','to','a','in','is','it','that','was','for','on','are','with','as','be','at','by','this','have','from'))) AS DOUBLE) AS stop
+             | FROM documents),
+             |z AS (SELECT doc_id,
+             |  -1.0 + 0.1*(chars/words) + -8.0*(punct/chars) + -6.0*(digits/chars)
+             |       + -2.0*(uppers/chars) + 6.0*(stop/words) AS z FROM f)
+             |SELECT doc_id, round(1.0/(1.0 + exp(-z)), 6) AS prob FROM z""".stripMargin)),
+
     ("p_hybrid_search", ((s: SparkSession, dir: String) => {
       val e = emb(s, dir)
       val firstId = e.agg(min("vec_id")).first().getLong(0)

@@ -242,6 +242,31 @@ class PipelineSpec extends GraftSuite {
       s"expected broadcast join for probe grams:\n$plan")
   }
 
+  test("quality classifier: trained LR separates prose from spam, scoring is UDF-free") {
+    import graft.pipeline.QualityModel
+    val prose = (1L to 30L).map(i => (i,
+      s"the value of this line is that it was written by a person with care and it reads well $i", 1.0))
+    val spam = (31L to 60L).map(i => (i,
+      s"$i 77341 9921 !!! ??? 00 11 22 33 44 55 66 $i%%% 8120 3 4 5 6 ${i * 7}", 0.0))
+    val labeled = (prose ++ spam).toDF("doc_id", "text", "label")
+    val wts = QualityModel.train(labeled, "doc_id", "text", "label")
+    val scored = QualityModel.score(labeled, "doc_id", "text", wts)
+    val byId = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val proseMin = (1L to 30L).map(byId).min
+    val spamMax = (31L to 60L).map(byId).max
+    assert(proseMin > spamMax,
+      s"trained model must separate: prose min $proseMin vs spam max $spamMax")
+    // the corpus-wide pass is pure columnar arithmetic — no ml transformer,
+    // no ScalaUDF, no vector column in the plan
+    val plan = QualityModel.score(labeled, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"scoring must stay codegen-able:\n$plan")
+    // default weights also rank prose above spam (usable untrained)
+    val d = QualityModel.score(labeled, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((1L to 30L).map(d).min > (31L to 60L).map(d).max)
+  }
+
   test("hybrid retrieval: lexical recall stage feeds dense rerank, scale-safe plan") {
     val corpus = Seq(
       (1L, "spark engines process data with spark speed"), // 2×spark
