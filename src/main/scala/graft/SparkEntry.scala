@@ -981,8 +981,10 @@ object SparkEntry {
         "'''[a-z]{1,2}| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) AS bpe_tokens FROM documents")),
 
     ("p_repetition", ((s: SparkSession, dir: String) =>
-      docs(s, dir).select(col("doc_id"),
-        round(TextStats.repetitionRatio(col("text")), 6).as("rep_ratio"))): Q,
+      docs(s, dir)
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("__toks"))
+        .select(col("doc_id"),
+          round(TextStats.repetitionRatioOfTokens(col("__toks")), 6).as("rep_ratio"))): Q,
       Some("""WITH sh AS (SELECT doc_id, list_transform(
              |    generate_series(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+'))-3, 0)),
              |    i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[i+1:i+3], ' ')) AS a

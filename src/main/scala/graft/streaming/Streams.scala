@@ -68,12 +68,14 @@ object Streams {
     val probeGrams = probes
       .select(explode(graft.pipeline.Dedup.shingles(col(textCol), n)).as("g"))
       .dropDuplicates("g")
-    docs.withColumn("contaminated",
+    docs.withColumn("__toks", split(lower(trim(col(textCol))), "\\s+"))
+      .withColumn("contaminated",
       size(org.apache.spark.sql.functions.array_intersect(
-        graft.pipeline.Dedup.shingles(col(textCol), n),
+        graft.pipeline.Dedup.shinglesOfTokens(col("__toks"), n),
         // probe sets are benchmark-sized: collect once, inline as an array literal
         // so the stage stays a stateless per-row map (valid in any output mode)
         lit(probeGrams.collect().map(_.getString(0))))) > 0)
+      .drop("__toks")
   }
 
   /** Streaming exact dedup: drop re-arrivals of the same content hash within the
