@@ -13,9 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: canonical keeper (min id) per identical text. */
+  /** Exact dedup: canonical keeper (min id) per identical text. Groups on the
+    * 8-byte content hash, NOT the text column — the exchange carries (id, hash)
+    * instead of whole documents, which is the difference between shuffling
+    * ~16 B/doc and shuffling the full 100 TB corpus. (64-bit collisions are
+    * negligible below billions of docs; pair (hash, length) or a 128-bit hash
+    * when they are not.)
+    */
   def exactKeepers(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)).select(idCol)
+    docs.select(col(idCol), xxhash64(col(textCol)).as("__th"))
+      .groupBy("__th").agg(min(col(idCol)).as(idCol)).select(idCol)
 
   /** Exact-dup groups of size > 1: (keeper, dup) pairs. */
   def exactPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
