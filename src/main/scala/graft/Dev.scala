@@ -197,6 +197,30 @@ object Dev {
       val stale = b.nodeTerms.filter(col("n")("str") === "urn:lg:OLD").count() > 0
       println(s"PROBE-LEX-REGEN: first=$sawOld rebuilt=$sawNew stale=$stale (expect true true false)")
     }
+    // probe 16 (r6): Graph Store Protocol over real HTTP
+    locally {
+      import java.net.URI
+      import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+      val srv = new server.SparqlServer(store).start()
+      try {
+        val base = s"http://127.0.0.1:${srv.boundPort}"
+        val client = HttpClient.newHttpClient()
+        def send(m: String, url: String, body: String, ct: String) =
+          client.send(HttpRequest.newBuilder(URI.create(url)).header("Content-Type", ct)
+            .method(m, HttpRequest.BodyPublishers.ofString(body)).build(),
+            HttpResponse.BodyHandlers.ofString())
+        val g = s"$base/sparql/gsp?graph=urn:g:devgsp"
+        val put = send("PUT", g, "<urn:dgsp:a> <urn:p:v> \"1\" .", "application/n-triples").statusCode()
+        val got = send("GET", g, "", "text/plain").body()
+        val post = send("POST", g, "<urn:dgsp:b> <urn:p:v> \"2\" .", "application/n-triples").statusCode()
+        val got2 = send("GET", g, "", "text/plain").body()
+        val del = send("DELETE", g, "", "text/plain").statusCode()
+        val got3 = send("GET", g, "", "text/plain").body().trim
+        println(s"PROBE-GSP: put=$put getA=${got.contains("urn:dgsp:a")} post=$post " +
+          s"getB=${got2.contains("urn:dgsp:b")} del=$del emptyAfter=${got3.isEmpty} " +
+          "(expect 200 true 200 true 200 true)")
+      } finally srv.stop()
+    }
     // flagship smoke (driver contract)
     val flag = SparkEntry.entry(spark)
     println(s"ENTRY-ROWS: ${flag.count()}")

@@ -206,6 +206,19 @@ object Update {
     case NamedRef(g) => applyOp(store, ClearGraph(Some(g)))
   }
 
+  // ---- Graph Store Protocol surface (RESTServlet/InsertServlet/DeleteServlet
+  // GSP support in the reference webapp): parsed-payload graph operations.
+
+  /** Insert statements (term-struct columns s, p, o, g) — deduped/novelty-checked
+    * like any UPDATE delta.
+    */
+  def insertStatements(store: GraftStore, quads: DataFrame): GraftStore =
+    insert(store, quads.select(col("s"), col("p"), col("o"), col("g")))
+
+  /** Drop a graph's statements (GSP DELETE). */
+  def dropGraph(store: GraftStore, graph: Option[String]): GraftStore =
+    clearRef(store, graph.map(NamedRef.apply).getOrElse(DefaultRef))
+
   private val bnodeScope = new java.util.concurrent.atomic.AtomicLong()
 
   /** Ground quads → statements DataFrame. Blank nodes (labeled or generated by

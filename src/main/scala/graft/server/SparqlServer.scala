@@ -132,6 +132,71 @@ final class SparqlServer(@volatile private var store: GraftStore, port: Int = 0)
     }
   })
 
+  // ---- SPARQL 1.1 Graph Store Protocol (the reference webapp's GSP support in
+  // RESTServlet/InsertServlet/DeleteServlet): /sparql/gsp?graph=<iri> or
+  // /sparql/gsp?default. GET serializes the graph (N-Triples), PUT replaces it
+  // with the request body, POST merges the body in, DELETE drops it. Payload is
+  // text/turtle or line-oriented N-Triples by Content-Type.
+  private def gspGraph(ex: HttpExchange): Either[String, Option[String]] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val p = params(q)
+    if (p.contains("graph")) Right(Some(p("graph")))
+    else if (q.split("&").contains("default") || p.contains("default")) Right(None)
+    else Left("GSP request needs ?graph=<iri> or ?default")
+  }
+
+  private def parsePayload(ex: HttpExchange, graph: Option[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    val spark = store.spark
+    val parsed =
+      if (ct.contains("turtle")) graft.sources.Rio.readTurtle(spark, body)
+      else {
+        import spark.implicits._
+        graft.sources.Rio.statementsFromLines(
+          spark.createDataset(body.linesIterator.filter(_.trim.nonEmpty).toSeq))
+      }
+    val g = graph.map(graft.model.Term.iri)
+      .getOrElse(lit(null).cast(graft.model.Term.schema))
+    parsed.select(col("s"), col("p"), col("o"), g.as("g"))
+  }
+
+  server.createContext("/sparql/gsp", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = try {
+      gspGraph(ex) match {
+        case Left(err) => respond(ex, 400, "text/plain", err)
+        case Right(graph) =>
+          import org.apache.spark.sql.functions.col
+          ex.getRequestMethod match {
+            case "GET" =>
+              val base = graph match {
+                case Some(g) => store.statements.filter(
+                  col("g").isNotNull && col("g")("id") === graft.engine.TermIds.iriId(g))
+                case None => store.statements.filter(col("g").isNull)
+              }
+              val lines = graft.sources.Rio.toNQuadLines(
+                base.select(col("s"), col("p"), col("o")))
+                .collect().map(_.getString(0)).mkString("", "\n", "\n")
+              respond(ex, 200, "application/n-triples", lines)
+            case "DELETE" =>
+              store = Update.dropGraph(store, graph)
+              respond(ex, 200, "text/plain", "OK")
+            case "PUT" =>
+              store = Update.insertStatements(Update.dropGraph(store, graph),
+                parsePayload(ex, graph))
+              respond(ex, 200, "text/plain", "OK")
+            case "POST" =>
+              store = Update.insertStatements(store, parsePayload(ex, graph))
+              respond(ex, 200, "text/plain", "OK")
+            case m => respond(ex, 405, "text/plain", s"unsupported GSP method $m")
+          }
+      }
+    } catch {
+      case e: Exception => respond(ex, 400, "text/plain", s"gsp error: ${e.getMessage}")
+    }
+  })
+
   def start(): SparqlServer = { server.start(); this }
   def stop(): Unit = server.stop(0)
 }

@@ -149,4 +149,44 @@ class ServerSpec extends GraftSuite {
         .statusCode() == 404)
     } finally srv.stop()
   }
+
+  test("graph store protocol: PUT/GET/POST/DELETE on named and default graphs") {
+    val srv = new SparqlServer(store).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val client = HttpClient.newHttpClient()
+      def send(method: String, url: String, body: String, ct: String) =
+        client.send(HttpRequest.newBuilder(URI.create(url))
+          .header("Content-Type", ct)
+          .method(method, HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val g = s"$base/sparql/gsp?graph=${enc("urn:g:gsp")}"
+      // PUT replaces the (empty) graph with N-Triples payload
+      val put = send("PUT", g,
+        "<urn:gsp:a> <urn:p:v> \"1\" .\n<urn:gsp:b> <urn:p:v> \"2\" .", "application/n-triples")
+      assert(put.statusCode() == 200, put.body())
+      val got = get(g)
+      assert(got.headers().firstValue("Content-Type").get.contains("n-triples"))
+      assert(got.body().contains("<urn:gsp:a>") && got.body().contains("<urn:gsp:b>"))
+      // graph is visible to SPARQL under GRAPH
+      assert(get(s"$base/sparql?query=${enc("ASK { GRAPH <urn:g:gsp> { <urn:gsp:a> ?p ?o } }")}")
+        .body().contains("true"))
+      // POST merges turtle payload
+      val pst = send("POST", g, "@prefix x: <urn:gsp:> .\nx:c <urn:p:v> \"3\" .", "text/turtle")
+      assert(pst.statusCode() == 200, pst.body())
+      assert(get(g).body().contains("<urn:gsp:c>"))
+      // PUT replaces (old triples gone)
+      send("PUT", g, "<urn:gsp:z> <urn:p:v> \"9\" .", "application/n-triples")
+      val after = get(g).body()
+      assert(after.contains("<urn:gsp:z>") && !after.contains("<urn:gsp:a>"))
+      // DELETE drops the graph; the default graph is untouched
+      val del = send("DELETE", g, "", "text/plain")
+      assert(del.statusCode() == 200)
+      assert(get(g).body().trim.isEmpty)
+      assert(get(s"$base/sparql?query=${enc("ASK { ?s <urn:p:r_name> ?o }")}")
+        .body().contains("true"))
+      // missing graph designator is a clean 400
+      assert(get(s"$base/sparql/gsp").statusCode() == 400)
+    } finally srv.stop()
+  }
 }
