@@ -48,6 +48,7 @@ object Retrieval {
                  idCol: String, textCol: String, embIdCol: String, vecCol: String,
                  queryTerms: Seq[String], queryVecId: Long,
                  candK: Int, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(embs.sparkSession)
     val cand = lexicalScores(docs, idCol, textCol, queryTerms)
       .filter(col("lex") > 0d)
       .orderBy(col("lex").desc, col(idCol).asc).limit(candK) // TakeOrdered, no global sort
@@ -56,7 +57,7 @@ object Retrieval {
     embs.join(broadcast(cand), col(embIdCol) === col(idCol))
       .crossJoin(broadcast(qv))
       .select(col(idCol), col("lex"),
-        Similarity.cosine(asDouble(col(vecCol)), col("qv")).as("cos"))
+        Similarity.cosineFast(asDouble(col(vecCol)), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }

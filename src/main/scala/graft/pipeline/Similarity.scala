@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two double-array columns (sequential fold — bit-stable). */
+  /** Cosine similarity between two double-array columns (sequential fold — bit-stable).
+    * HOF reference implementation; the operators below use `cosineFast`, the native
+    * codegen'd expression with the identical fold (higher-order functions are
+    * CodegenFallback — interpreted per row — see functions.CosineSim).
+    */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
@@ -21,18 +25,25 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Native fused-loop cosine, bit-identical to `cosine` (same sequential fold).
+    * The session must be registered first — every operator here does.
+    */
+  def cosineFast(a: Column, b: Column): Column =
+    call_function("graft_cos_sim", a, b)
+
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Brute-force cosine top-k for one query id: scan + TakeOrderedAndProject. */
   def topKForId(emb0: DataFrame, idCol: String, vecCol: String,
                 queryId: Long, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(emb0.sparkSession)
     val emb = graft.engine.DfOps.spread(emb0)
     val q = emb.filter(col(idCol) === queryId)
       .select(asDouble(col(vecCol)).as("qv"))
     emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol).as("neighbor"),
-        cosine(asDouble(col(vecCol)), col("qv")).as("score"))
+        cosineFast(asDouble(col(vecCol)), col("qv")).as("score"))
       .orderBy(col("score").desc, col("neighbor").asc)
       .limit(k)
   }
@@ -60,13 +71,14 @@ object Similarity {
   /** LSH-bucketed near-neighbor pairs: join within bucket, verify cosine ≥ threshold. */
   def lshPairs(emb0: DataFrame, idCol: String, vecCol: String,
                bits: Int = 12, threshold: Double = 0.8): DataFrame = {
+    graft.functions.VectorExprs.register(emb0.sparkSession)
     val emb = graft.engine.DfOps.spread(emb0)
     val b = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), bits)).localCheckpoint()
     val l = b.select(col("bucket"), col("id").as("a"), col("v").as("va"))
     val r = b.select(col("bucket"), col("id").as("b"), col("v").as("vb"))
     l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-      .withColumn("score", cosine(col("va"), col("vb")))
+      .withColumn("score", cosineFast(col("va"), col("vb")))
       .filter(col("score") >= threshold)
       .select("a", "b", "score")
   }
@@ -74,7 +86,7 @@ object Similarity {
   /** Nearest-centroid assignment: each doc row gains the `cid` of its best centroid. */
   private def assign(docs: DataFrame, centroids: DataFrame): DataFrame =
     docs.crossJoin(broadcast(centroids))
-      .withColumn("cs", cosine(col("v"), col("cv")))
+      .withColumn("cs", cosineFast(col("v"), col("cv")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("id")
           .orderBy(col("cs").desc, col("cid").asc)))
@@ -87,6 +99,7 @@ object Similarity {
     * combined). Centroid count m stays broadcast-small.
     */
   def kmeansCentroids(docs: DataFrame, m: Int, iters: Int, sampleMod: Int = 1): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
     val train = if (sampleMod <= 1) docs
       else docs.filter(pmod(col("id"), lit(sampleMod)) === 0)
     var cent = docs.orderBy("id").limit(m)
@@ -111,6 +124,7 @@ object Similarity {
   def ivfTopK(emb0: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, m: Int = 16, probes: Int = 4,
               trainIters: Int = 0): DataFrame = {
+    graft.functions.VectorExprs.register(emb0.sparkSession)
     val emb = graft.engine.DfOps.spread(emb0)
     val docs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val centroids =
@@ -121,12 +135,12 @@ object Similarity {
     val qRow = assigned.filter(col("id") === queryId)
       .select(col("v").as("qv")).localCheckpoint()
     val qCells = centroids.crossJoin(broadcast(qRow))
-      .withColumn("cs", cosine(col("cv"), col("qv")))
+      .withColumn("cs", cosineFast(col("cv"), col("qv")))
       .orderBy(col("cs").desc, col("cid").asc).limit(probes)
       .select("cid")
     assigned.join(broadcast(qCells), "cid").filter(col("id") =!= queryId)
       .crossJoin(broadcast(qRow))
-      .select(col("id").as("neighbor"), cosine(col("v"), col("qv")).as("score"))
+      .select(col("id").as("neighbor"), cosineFast(col("v"), col("qv")).as("score"))
       .orderBy(col("score").desc, col("neighbor").asc)
       .limit(k)
   }
