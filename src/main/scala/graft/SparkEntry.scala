@@ -358,6 +358,17 @@ object SparkEntry {
              | WHERE regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')
              |   AND regexp_matches(lower(text), '(^|[^a-z0-9])merge([^a-z0-9]|$)')""".stripMargin)),
 
+    ("q_search_prefix", sq(
+      """SELECT ?d WHERE { ?lit <http://www.bigdata.com/rdf/search#search> "wind quer" ;
+        |    <http://www.bigdata.com/rdf/search#prefixMatch> "true" ;
+        |    <http://www.bigdata.com/rdf/search#matchAllTerms> "true" .
+        |  ?doc <urn:p:text> ?lit ; <urn:p:doc_id> ?d }""".stripMargin,
+      oLng("d")) _,
+      // prefix semantics: each query term prefixes some token (word-boundary left)
+      Some("""SELECT doc_id AS d FROM documents
+             | WHERE regexp_matches(lower(text), '(^|[^a-z0-9])wind')
+             |   AND regexp_matches(lower(text), '(^|[^a-z0-9])quer')""".stripMargin)),
+
     ("q_text_rank", sq(
       """SELECT ?d ?rank WHERE {
         |  ?lit <http://www.bigdata.com/rdf/search#search> "window hash join" ;

@@ -137,7 +137,9 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       matchAllTerms = constStr("matchAllTerms").contains("true"),
       minRelevance = constStr("minRelevance").map(_.toDouble).getOrElse(0.0),
       maxRank = constStr("maxRank").map(_.toDouble.toInt).getOrElse(Int.MaxValue),
-      needRank = varOf("rank").isDefined)
+      needRank = varOf("rank").isDefined,
+      prefixMatch = constStr("prefixMatch").contains("true"),
+      matchRegex = constStr("matchRegex").contains("true"))
     var sels = Seq(col("lit").as(subjVar))
     varOf("relevance").foreach(v => sels :+= Term.doubleLit(col("relevance")).as(v))
     varOf("rank").foreach(v => sels :+= Term.intLit(col("rank")).as(v))

@@ -32,12 +32,40 @@ final class TextIndex(val postings: DataFrame, val lits: DataFrame, val nDocs: L
     */
   def search(query: String, matchAllTerms: Boolean = false,
              minRelevance: Double = 0.0, maxRank: Int = Int.MaxValue,
-             needRank: Boolean = true): DataFrame = {
+             needRank: Boolean = true, prefixMatch: Boolean = false,
+             matchRegex: Boolean = false): DataFrame = {
+    // bds:matchRegex (BDS.java matchRegex): the query is a regex over the whole
+    // literal — a post-filter scan of the literal dictionary, no token postings
+    // (the reference likewise bypasses the keyword index for regex)
+    if (matchRegex) {
+      val ord = Seq(col("lit_str").asc, asc_nulls_first("lit_lang"), col("lit_id").asc)
+      val m = lits.filter(col("lit_str").rlike(query))
+        .withColumn("relevance", lit(0.0d))
+      val ranked =
+        if (maxRank != Int.MaxValue) m.orderBy(ord: _*).limit(maxRank)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+        else if (needRank) m.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+        else m.withColumn("rank", lit(null).cast("int"))
+      return ranked.select(Term.strLit(col("lit_str"), col("lit_lang")).as("lit"),
+        col("relevance"), col("rank"))
+    }
     val terms = TextIndex.tokenize(query)
-    val hits = postings.filter(col("token").isin(terms: _*))
+    // bds:prefixMatch (BDS.java prefix match, the B+Tree key-range scan analog):
+    // a term matches every postings token it prefixes; nmatched counts QUERY
+    // terms (not tokens) so matchAllTerms keeps its semantics
+    val base =
+      if (prefixMatch) {
+        val qt = coalesce(terms.map(t =>
+          when(col("token").startsWith(t), lit(t))): _*)
+        postings.withColumn("qterm", qt).filter(col("qterm").isNotNull)
+      } else postings.filter(col("token").isin(terms: _*))
+        .withColumn("qterm", col("token"))
+    val hits = base
       .groupBy("lit_id")
       .agg(sum(col("tfidf")).as("relevance"),
-        countDistinct(col("token")).as("nmatched"))
+        countDistinct(col("qterm")).as("nmatched"))
     val filtered = if (matchAllTerms) hits.filter(col("nmatched") === terms.length) else hits
     // rank ties break on the lexical form (reproducible by external oracles — the
     // internal hash id is not), then lang and id to make the order total

@@ -71,6 +71,32 @@ class FeatureSpec extends GraftSuite {
     assert(any.map(_.getAs[Int]("rank")).toSeq.sorted == Seq(1, 2))
   }
 
+  test("bds:prefixMatch and bds:matchRegex search modes") {
+    val t = Seq(
+      ("urn:pm:1", "sparkling water dispenser"),
+      ("urn:pm:2", "spark executors at work"),
+      ("urn:pm:3", "nothing relevant")
+    ).toDF("si", "txt").select(Term.iri(col("si")).as("s"),
+      Term.iri("urn:p:text").as("p"), Term.strLit(col("txt")).as("o"),
+      Term.nullTerm.as("g"), lit(0).cast("byte").as("stype"))
+    val st = GraftStore.cached(spark, t)
+    val idx = TextIndex.build(st)
+    // exact term "spark" hits only doc 2; prefix match also hits "sparkling"
+    assert(idx.search("spark").count() == 1)
+    val pref = idx.search("spark", prefixMatch = true).collect()
+    assert(pref.length == 2)
+    // matchAllTerms composes with prefix semantics (each QUERY term must match)
+    assert(idx.search("spark disp", prefixMatch = true, matchAllTerms = true).count() == 1)
+    // regex runs against the whole literal
+    val re = idx.search("spark(ling)? \\w+", matchRegex = true).collect()
+    assert(re.length == 2)
+    // and through the SPARQL magic predicates
+    val viaSparql = Engine.query(st,
+      """PREFIX bds: <http://www.bigdata.com/rdf/search#>
+        |SELECT ?lit WHERE { ?lit bds:search "spark" ; bds:prefixMatch "true" }""".stripMargin)
+    assert(viaSparql.count() == 2)
+  }
+
   test("bds magic predicates bind literals through the engine") {
     val df = Engine.query(store,
       """SELECT ?name ?r WHERE {
