@@ -48,13 +48,22 @@ object Bench {
       System.gc()
       name -> sec
     }
-    // Keep the line SHORT (3-decimal ms precision): the driver captures only the output
-    // tail, and an over-long line gets its head truncated -> unparseable.
-    def f(v: Double): String = "%.3f".format(v)
+    // The driver captures only the LAST 2000 output chars; at 100 entries the key
+    // names alone exceed that, so (a) keep values at 2 decimals and the sf short,
+    // (b) put the queries object FIRST and the summary fields LAST — truncation
+    // then eats a couple of leading entries, never the totals — and (c) persist
+    // the COMPLETE line to BENCH_LOCAL.json in the repo, which the round commit
+    // picks up (the authoritative per-query record).
+    def f(v: Double): String = "%.2f".format(v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"load_sec":${f(loadSec)},"sf":"$sfDir"}""")
+    val sfShort = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val line =
+      s"""{"queries":$qs,"metric":"total","value":${f(total)},"unit":"sec","load_sec":${f(loadSec)},"sf":"$sfShort"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Exception => () } // read-only cwd must not fail the bench
+    println(line)
     spark.stop()
   }
 }
