@@ -914,6 +914,19 @@ object SparkEntry {
              |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
              |SELECT a, b, round(score, 6) AS score FROM p WHERE score >= 0.3""".stripMargin)),
 
+    // corpus mixing report: docs/tokens/chars per source — the data-mixture
+    // planning table (one map-side-combined aggregate; 100 TB shape is the same
+    // groupBy with partial aggregation)
+    ("p_source_mix", ((s: SparkSession, dir: String) =>
+      docs(s, dir).groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextStats.tokenCount(col("text"))).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))): Q,
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+             |FROM documents GROUP BY source""".stripMargin)),
+
     ("p_quality_lr", ((s: SparkSession, dir: String) =>
       graft.pipeline.QualityModel.score(docs(s, dir), "doc_id", "text")
         .select(col("doc_id"), round(col("prob"), 6).as("prob"))): Q,
