@@ -761,29 +761,39 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       }
       j.select(cols.toSeq: _*)
     }
-    // Single maybe-unbound shared var on an inner/left-outer join: decompose by
-    // the null pattern instead of the OR-null theta condition (which can only
-    // execute as a nested-loop join). The four disjoint branches partition the
-    // pair space exactly; the bound×bound bulk becomes a plain equi-join, and
-    // only the (typically tiny) null branches cross — the scale-safe shape. For
+    // Maybe-unbound shared vars on an inner/left-outer join: decompose by the
+    // null pattern instead of the OR-null theta condition (which can only
+    // execute as a nested-loop join). Rows partition into 2^k null-classes per
+    // side (k = risky vars, capped at 2 → ≤16 branch pairs); a pair of classes
+    // equi-joins on the vars bound on BOTH sides, so the pair space partitions
+    // exactly, the bound×bound bulk is a plain equi-join, and only the
+    // (typically tiny) all-null classes cross — the scale-safe shape. For
     // left-outer, unmatched left rows (tracked by a row id on the materialized
-    // left) are re-appended null-padded.
+    // left) are re-appended null-padded. k ≥ 3 keeps the theta fallback (64
+    // branches would blow up plan size for a case no test workload exhibits).
     if ((how == "inner" || how == "left_outer") &&
-        risky.size == 1 && shared.contains(risky.head)) {
-      val v = risky.head
-      val sure = shared.filterNot(_ == v)
+        risky.nonEmpty && risky.size <= 2 && risky.forall(shared.contains)) {
+      val vs = risky.toSeq.sorted
+      val sure = shared.filterNot(risky.contains)
       def eq(c: String) = col(c)("id") === col("__c_" + c)("id")
       def equiOn(a: DataFrame, b: DataFrame, keys: Seq[String]) =
         if (keys.isEmpty) a.crossJoin(b) else a.join(b, keys.map(eq).reduce(_ && _))
-      def branches(lhs: DataFrame): DataFrame = {
-        val (lB, lN) = (lhs.filter(col(v).isNotNull), lhs.filter(col(v).isNull))
-        val (rB, rN) = (r.filter(col("__c_" + v).isNotNull), r.filter(col("__c_" + v).isNull))
-        Seq(
-          equiOn(lB, rB, sure :+ v),
-          equiOn(lB, rN, sure),
-          equiOn(lN, rB, sure),
-          equiOn(lN, rN, sure))
-          .map(graft.engine.DfOps.reid).reduce(_.unionByName(_))
+      val masks = 0 until (1 << vs.length)
+      def cls(d: DataFrame, mask: Int, name: String => Column): DataFrame =
+        vs.zipWithIndex.foldLeft(d) { case (acc, (v, i)) =>
+          acc.filter(if (((mask >> i) & 1) == 1) name(v).isNotNull else name(v).isNull)
+        }
+      def branches(lhs0: DataFrame): DataFrame = {
+        // multi-var: each side is re-scanned once per null-class — materialize
+        val lhs = if (vs.length > 1) lhs0.localCheckpoint() else lhs0
+        val rhs = if (vs.length > 1) r.localCheckpoint() else r
+        val outs = for { lm <- masks; rm <- masks } yield {
+          val keys = sure ++ vs.zipWithIndex.collect {
+            case (v, i) if ((lm >> i) & 1) == 1 && ((rm >> i) & 1) == 1 => v
+          }
+          equiOn(cls(lhs, lm, col), cls(rhs, rm, v => col("__c_" + v)), keys)
+        }
+        outs.map(graft.engine.DfOps.reid).reduce(_.unionByName(_))
       }
       if (how == "inner") return merge(branches(l))
       // left_outer: inner matches + null-padded unmatched left rows

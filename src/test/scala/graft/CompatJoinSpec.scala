@@ -82,6 +82,37 @@ class CompatJoinSpec extends GraftSuite {
     assert(plan.contains("Union"), "expected branch decomposition in plan")
   }
 
+  test("TWO maybe-unbound vars decompose into null-class equi-joins (no nested loop)") {
+    // left: ?x and ?y each bound only for some ?k; right: VALUES with an UNDEF.
+    // Both shared vars are maybe-unbound on both sides → the old theta fallback.
+    val q = """SELECT ?k ?x ?y ?z WHERE {
+              |  { VALUES ?k { 1 2 3 }
+              |    OPTIONAL { VALUES (?k ?x) { (1 10) (2 20) } }
+              |    OPTIONAL { VALUES (?k ?y) { (1 100) (3 300) } } }
+              |  { VALUES (?x ?y ?z) { (10 100 7) (20 999 8) (UNDEF 300 9) } }
+              |}""".stripMargin
+    val df = Engine.query(store, q)
+    def lng(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) -1L else r.getStruct(i).getAs[Long]("lng")
+    val rows = df.collect().map(r => (lng(r, 0), lng(r, 1), lng(r, 2), lng(r, 3))).toSet
+    // k=1 (x=10,y=100) matches row1 exactly; k=2 (x=20, y unbound) matches row2
+    // (y merges to 999) and row3 (x UNDEF right, y unbound left → merges 20/300);
+    // k=3 (x unbound, y=300) matches row3 only
+    assert(rows == Set(
+      (1L, 10L, 100L, 7L),
+      (2L, 20L, 999L, 8L),
+      (2L, 20L, 300L, 9L),
+      (3L, -1L, 300L, 9L)), rows.toString)
+    // decomposed: the bound×bound bulk runs as an equi join inside a branch
+    // union (the remaining cross joins are the tiny null-classes, where SPARQL
+    // compatibility genuinely imposes no key)
+    val plan = Engine.explain(store, q)
+    assert(plan.contains("Union") &&
+      (plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin")),
+      s"expected null-class decomposition with an equi bulk branch:\n$plan")
+  }
+
   test("OPTIONAL after a union with maybe-unbound var: decomposed left join is exact") {
     val df = Engine.query(store,
       """SELECT ?x ?tag ?z WHERE {
