@@ -111,13 +111,19 @@ object Rdfs {
   def closure(store: GraftStore): GraftStore = {
     val spark = store.spark
     val stmts = store.statements
-    // ONE pruned scan collects every (vocabulary-sized) schema relation — not one
-    // driver action per predicate
+    // ONE pruned scan collects every (vocabulary-sized) schema relation AND the
+    // property-characteristic/restriction-marker rows — a single driver action, not
+    // one per vocabulary family (each action re-evaluates the statement plan, which
+    // after updates/closures is more than a bare parquet scan)
     val schemaPids = Seq(subClassId, subPropId, domainId, rangeId,
       inverseOfId, eqClassId, eqPropId, onPropertyId, hasValueId)
-    val schemaRows: Map[Long, Array[(Row, Row)]] = stmts
-      .filter(col("p_id").isin(schemaPids: _*))
-      .select(col("p_id"), col("s"), col("o")).collect()
+    val charIds = Seq(transitiveId, symmetricId, functionalId, invFunctionalId)
+    val vocabRows: Array[Row] = stmts
+      .filter(col("p_id").isin(schemaPids: _*) ||
+        (col("p_id") === typeId && col("o")("id").isin(charIds :+ restrictionId: _*)))
+      .select(col("p_id"), col("s"), col("o"), col("o")("id").as("o_id")).collect()
+    val schemaRows: Map[Long, Array[(Row, Row)]] = vocabRows
+      .filter(r => r.getLong(0) != typeId)
       .groupBy(_.getLong(0))
       .map { case (k, rs) => k -> rs.map(r => (r.getStruct(1), r.getStruct(2))) }
     def schema(pid: Long): Array[(Row, Row)] = schemaRows.getOrElse(pid, Array.empty)
@@ -131,13 +137,11 @@ object Rdfs {
     val dom = schema(domainId)
     val rng = schema(rangeId)
     val inv = schema(inverseOfId)
-    // property-characteristic declarations (vocabulary-sized): one pruned scan of
-    // the rdf:type partition collects transitive/symmetric/(inverse-)functional
-    val charIds = Seq(transitiveId, symmetricId, functionalId, invFunctionalId)
-    val propChars: Map[Long, Array[Row]] = stmts
-      .filter(col("p_id") === typeId && col("o")("id").isin(charIds: _*))
-      .select(col("o")("id"), col("s")).collect()
-      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getStruct(1)) }
+    // property-characteristic declarations (transitive/symmetric/(inverse-)functional)
+    // come from the same combined vocabulary scan, keyed by the type object
+    val propChars: Map[Long, Array[Row]] = vocabRows
+      .filter(r => r.getLong(0) == typeId && r.getLong(3) != restrictionId)
+      .groupBy(_.getLong(3)).map { case (k, rs) => k -> rs.map(_.getStruct(1)) }
     val transProps = propChars.getOrElse(transitiveId, Array.empty[Row])
     val symProps = propChars.getOrElse(symmetricId, Array.empty[Row])
     val funcProps = propChars.getOrElse(functionalId, Array.empty[Row])
@@ -149,9 +153,9 @@ object Rdfs {
       val hv = schema(hasValueId).map { case (a, v) => a.getAs[Long]("id") -> v }.toMap
       if (onP.isEmpty || hv.isEmpty) Nil
       else {
-        val isRestriction = stmts
-          .filter(col("p_id") === typeId && col("o")("id") === restrictionId)
-          .select(col("s")("id")).collect().map(_.getLong(0)).toSet
+        val isRestriction = vocabRows
+          .filter(r => r.getLong(0) == typeId && r.getLong(3) == restrictionId)
+          .map(_.getStruct(1).getAs[Long]("id")).toSet
         (onP.keySet intersect hv.keySet).toSeq.filter(isRestriction)
           .map(a => (a, onP(a), hv(a)))
       }
@@ -186,12 +190,16 @@ object Rdfs {
     if (eqp.nonEmpty) derived :+= pairsDf(eqp.map(_.swap).toSeq, "s", "o")
       .select(col("s"), Term.iri(OWL_EQPROP).as("p"), col("o"))
 
-    // rdfs7: (x p y), (p subPropertyOf* q) → (x q y) — one broadcast join
+    // rdfs7: (x p y), (p subPropertyOf* q) → (x q y) — one broadcast join.
+    // Materialized ONCE like dInv2: the delta feeds `facts`, which fans out to
+    // domain/range, rdfs9, FP/IFP, transitive, hasValue AND the novelty union —
+    // a consumer's p_id filter cannot prune this branch (the derived p comes from
+    // the broadcast side), so lazily it re-runs the data-sized join per consumer.
     val rdfs7 = if (sp.isEmpty) None else {
       val spAll = pairsDf(sp.toSeq ++ spC, "sp_s", "sp_o").dropDuplicates("sp_s", "sp_o")
         .select(col("sp_s")("id").as("p_id"), col("sp_o").as("q"))
       Some(spo.join(broadcast(spAll), Seq("p_id"))
-        .select(col("s"), col("q").as("p"), col("o")))
+        .select(col("s"), col("q").as("p"), col("o")).localCheckpoint())
     }
     rdfs7.foreach(d => derived :+= d)
 
