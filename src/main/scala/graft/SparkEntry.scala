@@ -739,6 +739,31 @@ object SparkEntry {
       Some("""SELECT doc_id, lang FROM documents
              |WHERE doc_id % (CASE WHEN lang='en' THEN 2 WHEN lang='de' THEN 4 ELSE 8 END) = 0""".stripMargin)),
 
+    ("p_temperature_sample", ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curate.temperatureSample(docs(s, dir), "source", "doc_id",
+        "n_chars", temperature = 2.0, targetFrac = 0.5)
+        .select(col("doc_id"), col("source"))): Q,
+      Some("""WITH m AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS m
+             |  FROM documents GROUP BY source),
+             |w AS (SELECT source, m, POW(m, 1.0/2.0) AS w FROM m),
+             |t AS (SELECT SUM(m) AS tm, SUM(w) AS tw FROM w),
+             |r AS (SELECT source, LEAST(1.0, 0.5 * tm * w / (tw * m)) AS rate FROM w, t),
+             |u AS (SELECT doc_id, source, list_reduce(list_transform(generate_series(1, 15),
+             |    i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+             |    (a, b) -> a * 16 + b) / POW(2.0, 60) AS u FROM documents)
+             |SELECT u.doc_id, u.source FROM u JOIN r USING (source) WHERE u.u < r.rate""".stripMargin)),
+
+    ("p_pack_sequences", ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curate.packSequences(docs(s, dir), "source", "doc_id",
+        "text", window = 2048)): Q,
+      Some("""WITH t AS (SELECT source, doc_id,
+             |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks FROM documents),
+             |c AS (SELECT source, doc_id, toks,
+             |    SUM(toks) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t)
+             |SELECT source, CAST(FLOOR((cum - toks) / 2048.0) AS BIGINT) AS bin,
+             |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS sum_toks
+             |FROM c GROUP BY 1, 2""".stripMargin)),
+
     ("p_curate", ((s: SparkSession, dir: String) => {
       val d = docs(s, dir)
       graft.pipeline.Curate.curate(

@@ -90,8 +90,12 @@ object Update {
         .select(col("q.s").as("s"), col("q.p").as("p"), col("q.o").as("o"),
           Term.nullTerm.as("g"))
     }
+    // history predicates are fixed vocabulary — skip the runtime delta-pid probe
     insert(next, hist(cs.added, HISTORY_ADDED)
-      .unionByName(hist(cs.removed, HISTORY_REMOVED)))
+      .unionByName(hist(cs.removed, HISTORY_REMOVED)),
+      Some(Seq(TermIds.iriId(HISTORY_ADDED), TermIds.iriId(HISTORY_REMOVED),
+        TermIds.iriId(Term.RDF_SUBJECT), TermIds.iriId(Term.RDF_PREDICATE),
+        TermIds.iriId(Term.RDF_OBJECT)).distinct))
   }
 
   /** Update with truth maintenance: when the store carries materialized entailments

@@ -22,6 +22,62 @@ object Curate {
     df.filter(pmod(col(idCol), denom) === 0)
   }
 
+  /** Engine-portable uniform draw in [0,1): 60-bit md5 fold of the key string
+    * over 2^60 (see Dedup.md5TokenHash). Deterministic and bit-identical in any
+    * SQL engine, so sampling decisions are reproducible across runs AND engines.
+    */
+  def uniformOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Dedup.md5TokenHash(key.cast("string")).cast("double") / lit(math.pow(2.0, 60))
+
+  /** Temperature-weighted source sampling — the data-mixing law of multi-source
+    * training corpora (sampling rate ∝ mass^(1/T), T>1 upweights small sources).
+    * Keeps an expected `targetFrac` of the total mass, allocated across sources by
+    * tempered weight; per-document decisions are the deterministic md5 uniform, so
+    * the sample is stable under re-runs, engine changes, and partitioning.
+    *
+    * Scale shape: one vocabulary-sized aggregate (per-source masses), rates
+    * broadcast back onto the scan — the document table is filtered in place, no
+    * data-sized shuffle anywhere.
+    */
+  def temperatureSample(df: DataFrame, srcCol: String, idCol: String,
+                        massCol: String, temperature: Double,
+                        targetFrac: Double): DataFrame = {
+    val mass = df.groupBy(srcCol).agg(sum(col(massCol)).cast("double").as("__m"))
+      .withColumn("__w", pow(col("__m"), lit(1.0 / temperature)))
+    val tot = mass.agg(sum("__m").as("__tm"), sum("__w").as("__tw"))
+    val rates = mass.crossJoin(broadcast(tot))
+      .withColumn("__rate", least(lit(1.0),
+        lit(targetFrac) * col("__tm") * col("__w") / (col("__tw") * col("__m"))))
+      .select(col(srcCol), col("__rate"))
+    df.join(broadcast(rates), Seq(srcCol))
+      .filter(uniformOf(col(idCol)) < col("__rate"))
+      .select(df.columns.map(col): _*)
+  }
+
+  /** Greedy sequence packing over token counts — the sample-packing layout pass
+    * that groups documents into fixed-size context windows before tokenization.
+    * Documents are laid out in deterministic (source, id) order; a document's bin
+    * is the window its first token lands in (cumulative-sum law, document
+    * boundaries preserved). Returns per-bin occupancy: (source, bin, n_docs,
+    * sum_toks) — the fill-ratio report that sizes a packing run.
+    *
+    * Scale shape: the running sum is windowed PER SOURCE, never globally — the
+    * sort is within a source's partition. For a 100 TB corpus a single source
+    * still outgrows one reducer: pre-shard the source column (e.g. append
+    * `pmod(id, shards)`) and pack within shards — the law is unchanged.
+    */
+  def packSequences(df: DataFrame, srcCol: String, idCol: String,
+                    textCol: String, window: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(srcCol).orderBy(idCol)
+    df.select(col(srcCol), col(idCol), TextStats.tokenCount(col(textCol)).as("__toks"))
+      .withColumn("__cum", sum(col("__toks")).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - col("__toks")) / lit(window.toDouble)).cast("long"))
+      .groupBy(col(srcCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("sum_toks"))
+  }
+
   /** End-to-end curation pass, composed from the individual operators:
     * quality floor → language allowlist → exact-dup keepers → drop documents
     * overlapping the probe (benchmark) set. Stays ONE lazy DataFrame plan — no

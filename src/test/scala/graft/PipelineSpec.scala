@@ -212,6 +212,44 @@ class PipelineSpec extends GraftSuite {
     assert(byLang("de") == 5) // ids 50..99, every 10th
   }
 
+  test("temperature sampling upweights small sources, deterministic, no data shuffle") {
+    // src "big": 90 docs of mass 100; src "small": 10 docs of mass 100
+    val d = (0L until 100L).map(i => (i, if (i < 90) "big" else "small", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = graft.pipeline.Curate.temperatureSample(
+      d, "source", "doc_id", "n_chars", temperature = 2.0, targetFrac = 0.5)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T=2 weights: w ∝ sqrt(m) → big gets rate 0.5·(tm·w_b)/(tw·m_b) ≈ 0.395,
+    // small gets min(1, 3·0.395) ≈ 1.0: every small-source doc survives
+    assert(kept("small") == 10, s"small source should be fully kept: $kept")
+    assert(kept("big") > 20 && kept("big") < 55, s"big source ≈ 40%: $kept")
+    // deterministic: second run selects the identical ids
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = graft.pipeline.Curate.temperatureSample(
+      d, "source", "doc_id", "n_chars", 2.0, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // rates broadcast onto the scan — the document side is never shuffled
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast rates join:\n$plan")
+  }
+
+  test("sequence packing bins follow the per-source cumulative token law") {
+    val d = Seq(
+      (1L, "s", Seq.fill(1000)("w").mkString(" ")), // cum 1000, starts bin 0
+      (2L, "s", Seq.fill(1500)("w").mkString(" ")), // starts at 1000 → bin 0
+      (3L, "s", Seq.fill(100)("w").mkString(" ")),  // starts at 2500 → bin 1
+      (4L, "t", Seq.fill(50)("w").mkString(" "))    // other source → own bin 0
+    ).toDF("doc_id", "source", "text")
+    val out = graft.pipeline.Curate.packSequences(d, "source", "doc_id", "text", 2048)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("s", 0L)) == (2L, 2500L))
+    assert(out(("s", 1L)) == (1L, 100L))
+    assert(out(("t", 0L)) == (1L, 50L))
+  }
+
   test("curate composes quality floor, lang allowlist, dedup and decontamination") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and it was a good day for all of the animals", "en"),
