@@ -325,6 +325,24 @@ object Parser {
 
     private def parseConstruct(): ConstructQuery = {
       expectWord("CONSTRUCT")
+      // SPARQL 1.1 shorthand: CONSTRUCT DatasetClause* WHERE { TriplesTemplate? }
+      // — the template IS the where pattern (grammar rule [10], second alternative)
+      if (!isPunct("{")) {
+        val ds = parseDatasets()
+        expectWord("WHERE")
+        expectPunct("{")
+        val buf = ArrayBuffer.empty[GP]
+        while (!isPunct("}")) {
+          parseTriplesSameSubject(buf)
+          if (!acceptPunct(".")) { if (!isPunct("}")) fail("expected '.' or '}'") }
+        }
+        expectPunct("}")
+        val (_, _, _, offset, limit, _) = parseModifiers()
+        val triples = buf.toSeq.collect { case t: TripleGP => t }
+        val q = ConstructQuery(triples, GroupGP(triples), offset, limit)
+        q.datasets = ds
+        return q
+      }
       expectPunct("{")
       val buf = ArrayBuffer.empty[GP]
       while (!isPunct("}")) {

@@ -139,6 +139,16 @@ class EngineSpec extends GraftSuite {
     assert(df.count() == exp)
   }
 
+  test("construct where shorthand round-trips the matched pattern") {
+    val df = Engine.query(store,
+      "CONSTRUCT WHERE { ?c <urn:fk:c_nationkey> ?n }")
+    val exp = sql1("SELECT COUNT(DISTINCT (c_nationkey, c_custkey)) FROM customer").asInstanceOf[Long]
+    assert(df.count() == exp)
+    // emitted triples carry the pattern's predicate
+    assert(df.select(col("p")("str")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("urn:fk:c_nationkey"))
+  }
+
   test("describe returns the resource subgraph") {
     val df = Engine.query(store, "DESCRIBE <urn:t:nation:3>")
     // type + n_nationkey + n_name + n_regionkey literal + fk:n_regionkey link

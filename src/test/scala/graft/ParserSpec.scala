@@ -95,6 +95,15 @@ class ParserSpec extends AnyFunSuite {
       .asInstanceOf[ConstructQuery]
     assert(c.template.length == 1)
     assert(Parser.parseQuery("DESCRIBE <urn:t:r:1>").isInstanceOf[DescribeQuery])
+    // SPARQL 1.1 shorthand: CONSTRUCT WHERE { TriplesTemplate } — template = pattern
+    val sh = Parser.parseQuery(
+      "CONSTRUCT WHERE { ?s <urn:p:y> ?o . ?s <urn:p:z> ?z }")
+      .asInstanceOf[ConstructQuery]
+    assert(sh.template.length == 2)
+    assert(sh.where == GroupGP(sh.template))
+    val shLim = Parser.parseQuery("CONSTRUCT WHERE { ?s ?p ?o } LIMIT 5")
+      .asInstanceOf[ConstructQuery]
+    assert(shLim.limit.contains(5L))
   }
 
   test("update forms") {
