@@ -739,6 +739,36 @@ object SparkEntry {
       Some("""SELECT doc_id, lang FROM documents
              |WHERE doc_id % (CASE WHEN lang='en' THEN 2 WHEN lang='de' THEN 4 ELSE 8 END) = 0""".stripMargin)),
 
+    ("p_asof_join", ((s: SparkSession, dir: String) => {
+      val ev = read(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // dedupe the build side per (key, time) so the asof winner is unambiguous
+      val r = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      graft.engine.DfOps.asofJoin(l, r, "user_id", "ts", Seq("view_id"))
+        .select(col("event_id"), col("user_id"), col("matched_view_id"))
+    }): Q,
+      Some("""WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+             |r AS (SELECT user_id, ts, MAX(event_id) AS view_id
+             |      FROM events WHERE event_type='view' GROUP BY 1, 2)
+             |SELECT l.event_id, l.user_id, r.view_id AS matched_view_id
+             |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
+
+    ("p_range_join", ((s: SparkSession, dir: String) => {
+      val bands = s.range(0, 25).select(col("id").as("band"),
+        (col("id") * col("id") * lit(1000.0)).as("lo"),
+        ((col("id") + 1) * (col("id") + 1) * lit(1000.0)).as("hi"))
+      graft.engine.DfOps.rangeJoin(
+        read(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", bands, "lo", "hi", band = 50000.0)
+        .select(col("o_orderkey"), col("band"))
+    }): Q,
+      Some("""WITH b AS (SELECT b AS band, b*b*1000.0 AS lo, (b+1)*(b+1)*1000.0 AS hi
+             |  FROM generate_series(0, 24) t(b))
+             |SELECT o_orderkey, band FROM orders JOIN b
+             |  ON o_totalprice >= lo AND o_totalprice < hi""".stripMargin)),
+
     ("p_temperature_sample", ((s: SparkSession, dir: String) =>
       graft.pipeline.Curate.temperatureSample(docs(s, dir), "source", "doc_id",
         "n_chars", temperature = 2.0, targetFrac = 0.5)

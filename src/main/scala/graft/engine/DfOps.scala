@@ -39,4 +39,58 @@ object DfOps {
     val b = build.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     p.join(b, Seq(key, "__salt"), how).drop("__salt")
   }
+
+  /** As-of join: for each left row, the single most recent right row with
+    * `right.timeCol <= left.timeCol` on the same key (event attribution, feature
+    * snapshots at training time, slowly-changing-dimension lookup).
+    *
+    * Catalyst has no asof operator; the naive formulation (theta join + per-row
+    * max) is a nested-loop cliff. This is the scalable shape: tag both sides,
+    * union, ONE exchange on the key, and a running `last(ignoreNulls)` window
+    * carries each right row forward to the left rows it answers — no join at
+    * all, cost = one shuffle + one sort, linear in rows. At equal timestamps the
+    * right row sorts first (asof `<=` semantics, like DuckDB ASOF JOIN / pandas
+    * merge_asof). Left rows with no prior right row are dropped (inner asof).
+    *
+    * `rightCols` are the right-side payload columns to carry; they arrive
+    * prefixed with `matched_`.
+    */
+  def asofJoin(leftDf: DataFrame, rightDf: DataFrame, key: String, time: String,
+               rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = leftDf.columns.toSeq
+    val l = leftDf.withColumn("__side", lit(1))
+    val r = rightDf.select((Seq(col(key), col(time).as("__rt"), lit(0).as("__side")) ++
+      rightCols.map(c => col(c).as(s"matched_$c"))): _*)
+      .withColumn(time, col("__rt"))
+    val all = l.unionByName(r.drop("__rt"), allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(all) { (df, c) =>
+      df.withColumn(s"matched_$c", last(col(s"matched_$c"), ignoreNulls = true).over(w))
+    }.withColumn("matched_" + time,
+      last(when(col("__side") === 0, col(time)), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1 && col(s"matched_${rightCols.head}").isNotNull)
+      .select((leftCols ++ rightCols.map("matched_" + _) :+ s"matched_$time").map(col): _*)
+  }
+
+  /** Banded range join: rows of `points` matched to rows of `ranges` with
+    * `lo <= v < hi`. The naive theta join is BroadcastNestedLoopJoin — quadratic
+    * work per partition pair. Banding makes it an equi-join: each range explodes
+    * to the `band`-width buckets it covers, each point hashes to its bucket, and
+    * the exact predicate filters within the (tiny) bucket-local candidate set —
+    * linear in points + range coverage, shuffle keyed on the bucket. Pick `band`
+    * near the typical range width: wider bands = fewer replicas, more post-filter.
+    */
+  def rangeJoin(points: DataFrame, vCol: String, ranges: DataFrame,
+                loCol: String, hiCol: String, band: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rb = ranges.withColumn("__b", explode(sequence(
+      floor(col(loCol) / band).cast("long"),
+      floor((col(hiCol) - lit(1e-9)) / band).cast("long"))))
+    val pb = points.withColumn("__b", floor(col(vCol) / band).cast("long"))
+    pb.join(rb, Seq("__b")).filter(col(vCol) >= col(loCol) && col(vCol) < col(hiCol))
+      .drop("__b")
+  }
 }

@@ -212,6 +212,30 @@ class PipelineSpec extends GraftSuite {
     assert(byLang("de") == 5) // ids 50..99, every 10th
   }
 
+  test("asof join carries the latest prior right row per key, no nested loop") {
+    val l = Seq((1L, "u1", 100L), (2L, "u1", 200L), (3L, "u2", 50L), (4L, "u3", 10L))
+      .toDF("event_id", "user", "t")
+    val r = Seq(("u1", 90L, 7L), ("u1", 150L, 8L), ("u1", 200L, 9L), ("u2", 60L, 10L))
+      .toDF("user", "t", "vid")
+    val out = graft.engine.DfOps.asofJoin(l, r, "user", "t", Seq("vid"))
+    val m = out.collect().map(x => x.getLong(0) -> x.getAs[Long]("matched_vid")).toMap
+    assert(m == Map(1L -> 7L, 2L -> 9L)) // 2: equal ts matches; 3: right later; 4: no right
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"asof must not nested-loop:\n$plan")
+    assert(plan.contains("Window"), s"expected window carry:\n$plan")
+  }
+
+  test("range join bands to an equi-join, exact within-bucket filter") {
+    val pts = Seq((1L, 5.0), (2L, 14.9), (3L, 15.0), (4L, 99.0)).toDF("id", "v")
+    val rng = Seq(("a", 0.0, 15.0), ("b", 15.0, 40.0), ("c", 90.0, 120.0))
+      .toDF("name", "lo", "hi")
+    val out = graft.engine.DfOps.rangeJoin(pts, "v", rng, "lo", "hi", band = 10.0)
+    val m = out.collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(m == Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "c"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"range join must be an equi-join:\n$plan")
+  }
+
   test("temperature sampling upweights small sources, deterministic, no data shuffle") {
     // src "big": 90 docs of mass 100; src "small": 10 docs of mass 100
     val d = (0L until 100L).map(i => (i, if (i < 90) "big" else "small", 100L))
