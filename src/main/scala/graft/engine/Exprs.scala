@@ -216,6 +216,7 @@ object Exprs {
           .otherwise(Term.doubleLit(-fNum(t))))
         .otherwise(Term.nullTerm)
     case EIn(_, _, _) => boolTerm(bool(e, env))
+    case ESid(s, p, o) => Term.sid(term(s, env), term(p, env), term(o, env))
     case ECall(fn, args) => call(fn, args, env)
     case EExists(_, _) =>
       throw new UnsupportedOperationException("EXISTS only supported directly under FILTER")

@@ -150,6 +150,7 @@ object Algebra {
     case EUnary(_, x) => collectAggs(x)
     case ECall(_, args) => args.flatMap(collectAggs)
     case EIn(x, list, _) => collectAggs(x) ++ list.flatMap(collectAggs)
+    case ESid(a, b, c) => collectAggs(a) ++ collectAggs(b) ++ collectAggs(c)
     case _ => Nil
   }
 
@@ -160,6 +161,7 @@ object Algebra {
     case EUnary(op, x) => EUnary(op, replaceAggs(x, mapping))
     case ECall(f, args) => ECall(f, args.map(replaceAggs(_, mapping)))
     case EIn(x, list, not) => EIn(replaceAggs(x, mapping), list.map(replaceAggs(_, mapping)), not)
+    case ESid(a, b, c) => ESid(replaceAggs(a, mapping), replaceAggs(b, mapping), replaceAggs(c, mapping))
     case other => other
   }
 }

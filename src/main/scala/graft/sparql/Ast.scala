@@ -41,6 +41,8 @@ object Ast {
   final case class EUnary(op: String, e: Expr) extends Expr
   final case class EIn(e: Expr, list: Seq[Expr], not: Boolean) extends Expr
   final case class EExists(gp: GroupGP, not: Boolean) extends Expr
+  /** RDR sid in expression position: BIND(<< ?s ?p ?o >> AS ?sid) (Blazegraph RDR). */
+  final case class ESid(s: Expr, p: Expr, o: Expr) extends Expr
   final case class EAgg(fn: String, distinct: Boolean, arg: Option[Expr],
                         sep: Option[String] = None) extends Expr
 

@@ -820,6 +820,17 @@ object Parser {
 
     private def parsePrimaryExpr(): Expr = cur match {
       case TPunct("(", _) => parseBracketted()
+      case TPunct("<<", _) =>
+        // RDR sid construction in expressions: BIND(<< ?s ?p ?o >> AS ?sid)
+        i += 1
+        def operand(): Expr = cur match {
+          case TVar(n, _) => i += 1; EVar(n)
+          case TPunct("<<", _) => parsePrimaryExpr()
+          case _ => EConst(parseGraphTerm())
+        }
+        val s = operand(); val p = operand(); val o = operand()
+        expectPunct(">>")
+        ESid(s, p, o)
       case TVar(n, _) => i += 1; EVar(n)
       case TNum(t, _) => i += 1; EConst(numLit(t))
       case TStr(_, _) => EConst(parseGraphTerm())

@@ -130,6 +130,27 @@ class Feature3Spec extends GraftSuite {
     assert(one.select(col("c")("num")).first().getDouble(0) == 0.4)
   }
 
+  test("RDR sid expression: BIND(<< s p o >> AS ?sid) builds the pattern-equal sid") {
+    val s0 = Update(store,
+      """INSERT DATA {
+        |  << <urn:f3:b1> <urn:p:worksFor> <urn:f3:inc> >> <urn:p:certainty> 0.7 .
+        |}""".stripMargin)
+    // the expression-built sid joins against the annotation stored via the
+    // pattern decomposition — same term construction on both paths
+    val df = Engine.query(s0,
+      """SELECT ?c WHERE {
+        |  BIND(<< <urn:f3:b1> <urn:p:worksFor> <urn:f3:inc> >> AS ?sid)
+        |  ?sid <urn:p:certainty> ?c }""".stripMargin)
+    assert(df.select(col("c")("num")).first().getDouble(0) == 0.7)
+    // var operands: rebuild the sid from matched components
+    val viaVars = Engine.query(s0,
+      """SELECT ?c WHERE {
+        |  ?w <urn:p:worksFor> ?org .
+        |  BIND(<< ?w <urn:p:worksFor> ?org >> AS ?sid)
+        |  ?sid <urn:p:certainty> ?c }""".stripMargin)
+    assert(viaVars.select(col("c")("num")).first().getDouble(0) == 0.7)
+  }
+
   test("change log reports the statement delta of an update") {
     val (next, log) = Update.applyWithLog(store,
       """INSERT DATA { <urn:f3:cl> <urn:p:v> 1 . } ;
