@@ -86,7 +86,9 @@ object DfOps {
   def rangeJoin(points: DataFrame, vCol: String, ranges: DataFrame,
                 loCol: String, hiCol: String, band: Double): DataFrame = {
     import org.apache.spark.sql.functions._
-    val rb = ranges.withColumn("__b", explode(sequence(
+    // empty intervals (lo >= hi) match nothing; dropping them up front also keeps
+    // sequence() from running DESCENDING (its start>stop behavior) into junk bands
+    val rb = ranges.filter(col(loCol) < col(hiCol)).withColumn("__b", explode(sequence(
       floor(col(loCol) / band).cast("long"),
       floor((col(hiCol) - lit(1e-9)) / band).cast("long"))))
     val pb = points.withColumn("__b", floor(col(vCol) / band).cast("long"))

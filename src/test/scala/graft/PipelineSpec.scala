@@ -232,6 +232,9 @@ class PipelineSpec extends GraftSuite {
     val out = graft.engine.DfOps.rangeJoin(pts, "v", rng, "lo", "hi", band = 10.0)
     val m = out.collect().map(x => x.getLong(0) -> x.getString(2)).toMap
     assert(m == Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "c"))
+    // empty interval matches nothing (and does not explode junk bands)
+    val empty = Seq(("e", 5.0, 5.0)).toDF("name", "lo", "hi")
+    assert(graft.engine.DfOps.rangeJoin(pts, "v", empty, "lo", "hi", 10.0).count() == 0)
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), s"range join must be an equi-join:\n$plan")
   }
