@@ -370,8 +370,13 @@ object Exprs {
         strFn(when(pos > 0, fStr(a0).substr(pos + length(fStr(a1)), length(fStr(a0))))
           .otherwise(lit("")), isStringy(a1))
       case "CONCAT" =>
+        // fn:concat argument compatibility: all operands sharing one language tag
+        // keep it; any mix (or any plain operand) yields a plain literal
+        val sharedLang =
+          if (args.isEmpty) lit(null).cast("string")
+          else args.map(fLang).reduce((a, b) => when(a <=> b, a))
         when(args.map(a => a.isNotNull && isStringy(a)).reduce(_ && _),
-          Term.strLit(concat(args.map(fStr): _*))).otherwise(Term.nullTerm)
+          Term.strLit(concat(args.map(fStr): _*), sharedLang)).otherwise(Term.nullTerm)
       case "ENCODE_FOR_URI" => strFn(regexp_replace(url_encode(fStr(a0)), "\\+", "%20"))
       case "REGEX" =>
         val pat = withFlags(argEs, 1, 2)

@@ -23,6 +23,10 @@ class ExprSpec extends GraftSuite {
     assert(str1("""STRAFTER("hello-world", "-")""") == "world")
     assert(str1("""STRBEFORE("nodash", "-")""") == "")
     assert(str1("""CONCAT("a", "b", "c")""") == "abc")
+    // fn:concat argument compatibility: shared lang kept, mixed drops to plain
+    assert(eval1("""CONCAT("a"@en, "b"@en)""").getAs[String]("lang") == "en")
+    assert(eval1("""CONCAT("a"@en, "b")""").getAs[String]("lang") == null)
+    assert(eval1("""CONCAT("a"@en, "b"@de)""").getAs[String]("lang") == null)
     assert(str1("""UCASE(SUBSTR("hello", 2, 3))""") == "ELL")
     assert(lng1("""STRLEN("héllo")""") == 5L)
     assert(str1("""ENCODE_FOR_URI("a b/c")""") == "a%20b%2Fc")
