@@ -170,9 +170,13 @@ object Parser {
     * `Term.tsLit`'s lexical identity exactly.
     */
   def parseDateTime(lex: String): String = {
+    // explicit zone = trailing Z or ±hh:mm (a bare contains("+")/("-") test would
+    // trip on the date part); zoneless lexicals are interpreted as UTC
+    val zoned = lex.endsWith("Z") || lex.matches(".*[+-]\\d{2}:\\d{2}$")
     val base = if (lex.length == 10) lex + "T00:00:00Z"
-      else if (lex.endsWith("Z") || lex.contains("+")) lex else lex + "Z"
-    val inst = java.time.Instant.parse(base)
+      else if (zoned) lex else lex + "Z"
+    // OffsetDateTime reads both Z and ±hh:mm forms (Instant.parse is Z-only)
+    val inst = java.time.OffsetDateTime.parse(base).toInstant
       .truncatedTo(java.time.temporal.ChronoUnit.MICROS)
     val full = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
       .withZone(java.time.ZoneOffset.UTC).format(inst)

@@ -108,6 +108,10 @@ class ExprSpec extends GraftSuite {
     assert(lng1("""YEAR("2024-03-05T10:20:30Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""") == 2024L)
     assert(lng1("""MONTH("2024-03-05T10:20:30Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""") == 3L)
     assert(lng1("""SECONDS("2024-03-05T10:20:30Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""") == 30L)
+    // explicit ±hh:mm offsets parse and normalize to the UTC instant (a bare
+    // contains("+") zone test once missed negative offsets and crashed)
+    assert(lng1("""HOURS("2011-01-10T14:45:13.815-05:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""") == 19L)
+    assert(lng1("""HOURS("2011-01-10T14:45:13+02:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""") == 12L)
   }
 
   test("hash functions") {
