@@ -4,16 +4,19 @@ package graft
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = Dev.session(8)
-    val store = model.Tpch.store(spark, "/root/testdata/sf0.001")
-    def one(q: String): String =
-      try engine.Engine.query(store, q).collect().map(_.toString).mkString(" | ")
-      catch { case e: Exception => "ERR " + e.getMessage.take(80) }
-    println("TZ        " + one("""SELECT ?x WHERE { BIND(TZ("2011-01-10T14:45:13.815-05:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?x) }"""))
-    println("TIMEZONE  " + one("""SELECT ?x WHERE { BIND(TIMEZONE("2011-01-10T14:45:13.815-05:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?x) }"""))
-    println("VAL-EQ    " + one("""SELECT ?x WHERE { BIND(("05"^^<http://www.w3.org/2001/XMLSchema#integer> = 5) AS ?x) }"""))
-    println("DT-CMP    " + one("""SELECT ?x WHERE { BIND(("2020-01-01T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime> < "2021-01-01T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?x) }"""))
-    println("STR-IRI   " + one("""SELECT ?x WHERE { BIND(STR(<urn:a:b>) AS ?x) }"""))
-    println("HOURS     " + one("""SELECT ?x WHERE { BIND(HOURS("2011-01-10T14:45:13"^^<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?x) }"""))
+    val store0 = model.Tpch.store(spark, "/root/testdata/sf0.001")
+    def q(s: String): String =
+      try engine.Engine.query(store0, s).collect().map(_.toString).mkString(" | ")
+      catch { case e: Exception => "ERR " + e.getMessage.take(100) }
+    def u(s: String): String =
+      try { engine.Update(store0, s); "OK" }
+      catch { case e: Exception => "ERR " + e.getMessage.take(100) }
+    println("NEG-DATA   " + u("INSERT DATA { <urn:n:1> <urn:p:v> -5 . <urn:n:1> <urn:p:w> -2.5 }"))
+    println("NEG-FILTER " + q("SELECT ?x WHERE { BIND(-5 < -2 AS ?x) }"))
+    println("TRAIL-SEMI " + q("SELECT ?b WHERE { ?c <urn:p:c_acctbal> ?b ; . } LIMIT 1"))
+    println("TRIPLE-UNION " + q("SELECT ?x WHERE { { BIND(1 AS ?x) } UNION { BIND(2 AS ?x) } UNION { BIND(3 AS ?x) } }"))
+    println("HAVING-ALIAS " + q("SELECT ?k (COUNT(*) AS ?n) WHERE { ?c <urn:fk:c_nationkey> ?k } GROUP BY ?k HAVING (?n > 0) LIMIT 1"))
+    println("NESTED-AGG-EXPR " + q("SELECT (SUM(?b)/COUNT(?b) AS ?avg) WHERE { ?c <urn:p:c_acctbal> ?b }"))
     spark.stop()
   }
 }

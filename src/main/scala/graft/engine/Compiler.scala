@@ -954,7 +954,15 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         case (e2, None) => throw new IllegalArgumentException(s"projection expr needs AS: $e2")
       }
     }).map { case (e, n) => (Aggregates.resolveCustom(e), n) }
-    val havingE = q.having.map(Aggregates.resolveCustom)
+    // HAVING runs pre-projection, so SELECT aliases are not columns yet; resolve
+    // alias references to their expressions up front (HAVING(?n > 1) with
+    // (COUNT(*) AS ?n) — accepted by the reference and most engines). Passthrough
+    // projections (?k AS ?k / bare ?k) are real solution columns, not aliases.
+    val selAliases: Map[String, Expr] = projItems.collect {
+      case (e, name) if e != EVar(name) => name -> e
+    }.toMap
+    val havingE = q.having.map(h =>
+      Aggregates.resolveCustom(Algebra.substVars(h, selAliases)))
     val orderByE = q.orderBy.map { case (e, asc) => (Aggregates.resolveCustom(e), asc) }
 
     val aggsNeeded = (projItems.map(_._1) ++ havingE ++ orderByE.map(_._1))

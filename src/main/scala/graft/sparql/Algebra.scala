@@ -154,6 +154,17 @@ object Algebra {
     case _ => Nil
   }
 
+  /** Substitute variable references by expression (SELECT-alias resolution in HAVING). */
+  def substVars(e: Expr, m: Map[String, Expr]): Expr = e match {
+    case EVar(n) if m.contains(n) => m(n)
+    case EBinary(op, l, r) => EBinary(op, substVars(l, m), substVars(r, m))
+    case EUnary(op, x) => EUnary(op, substVars(x, m))
+    case ECall(f, args) => ECall(f, args.map(substVars(_, m)))
+    case EIn(x, list, not) => EIn(substVars(x, m), list.map(substVars(_, m)), not)
+    case ESid(a, b, c) => ESid(substVars(a, m), substVars(b, m), substVars(c, m))
+    case other => other
+  }
+
   /** Replace aggregate sub-expressions with variable references (post-grouping eval). */
   def replaceAggs(e: Expr, mapping: Map[EAgg, String]): Expr = e match {
     case a: EAgg => EVar(mapping(a))
