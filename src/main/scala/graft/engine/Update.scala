@@ -172,15 +172,21 @@ object Update {
       if (ins.isEmpty) s1
       else insert(s1, instantiate(sol, target(ins)), knownPids(target(ins)))
     case CreateGraph(_) => store // schemaless store: graphs exist by containing triples
-    case LoadGraph(src, into) =>
-      val path = src.stripPrefix("file://")
-      val loaded = graft.sources.Rio.readStatements(store.spark, path)
-        .select("s", "p", "o", "g")
-      val retargeted = into match {
-        case Some(g) => loaded.withColumn("g", Term.iri(g))
-        case None => loaded
+    case LoadGraph(src, into, silent) =>
+      try {
+        val path = src.stripPrefix("file://")
+        val loaded = graft.sources.Rio.readStatements(store.spark, path)
+          .select("s", "p", "o", "g")
+        val retargeted = into match {
+          case Some(g) => loaded.withColumn("g", Term.iri(g))
+          case None => loaded
+        }
+        insert(store, retargeted)
+      } catch {
+        // SPARQL 1.1 Update: SILENT means the operation reports success even when
+        // the document is absent/unreadable — the store is left unchanged
+        case e: Exception if silent => store
       }
-      insert(store, retargeted)
     case AddGraph(from, to) =>
       if (from == to) store else insert(store, graphSlice(store, from, to))
     case CopyGraph(from, to) =>

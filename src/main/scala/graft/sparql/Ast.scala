@@ -105,7 +105,7 @@ object Ast {
   sealed trait GraphRef
   case object DefaultRef extends GraphRef
   final case class NamedRef(iri: String) extends GraphRef
-  final case class LoadGraph(src: String, into: Option[String]) extends UpdateOp
+  final case class LoadGraph(src: String, into: Option[String], silent: Boolean = false) extends UpdateOp
   final case class AddGraph(from: GraphRef, to: GraphRef) extends UpdateOp
   final case class CopyGraph(from: GraphRef, to: GraphRef) extends UpdateOp
   final case class MoveGraph(from: GraphRef, to: GraphRef) extends UpdateOp

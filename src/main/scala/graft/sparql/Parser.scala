@@ -954,11 +954,11 @@ object Parser {
             ops += CreateGraph(parseIri())
           case TWord("LOAD", _, _) =>
             i += 1
-            acceptWord("SILENT")
+            val silent = acceptWord("SILENT")
             val src = parseIri()
             val into = if (acceptWord("INTO")) { expectWord("GRAPH"); Some(parseIri()) }
                        else None
-            ops += LoadGraph(src, into)
+            ops += LoadGraph(src, into, silent)
           case TWord("ADD", _, _) | TWord("COPY", _, _) | TWord("MOVE", _, _) =>
             val kind = cur.asInstanceOf[TWord].upper
             i += 1
@@ -1011,14 +1011,15 @@ object Parser {
         expectPunct("}")
       }
       while (!isPunct("}")) {
-        // TriG-style blocks: `GRAPH <g> { … }` or bare `<g> { … }`
-        if (acceptWord("GRAPH")) graphBlock(IriNode(parseIri()))
+        // TriG-style blocks: `GRAPH <g> { … }` or bare `<g> { … }`; the grammar
+        // allows an optional '.' after each block (Quads ::= … QuadsNotTriples '.'? …)
+        if (acceptWord("GRAPH")) { graphBlock(IriNode(parseIri())); acceptPunct(".") }
         else if ((cur.isInstanceOf[TIri] || cur.isInstanceOf[TPName]) &&
                  (toks.lift(i + 1) match {
                    case Some(TPunct("{", _)) => true
                    case _ => false
                  })) {
-          graphBlock(IriNode(parseIri()))
+          graphBlock(IriNode(parseIri())); acceptPunct(".")
         } else { parseQuadTriple(out, None, assertInner); acceptPunct(".") }
       }
       expectPunct("}")

@@ -151,6 +151,14 @@ class Feature3Spec extends GraftSuite {
     assert(viaVars.select(col("c")("num")).first().getDouble(0) == 0.7)
   }
 
+  test("LOAD SILENT of an unreadable document leaves the store unchanged") {
+    val before = store.statements.count()
+    val st = Update(store, "LOAD SILENT <file:///nonexistent-corpus.nt>")
+    assert(st.statements.count() == before)
+    // non-SILENT still surfaces the failure
+    intercept[Exception] { Update(store, "LOAD <file:///nonexistent-corpus.nt>") }
+  }
+
   test("change log reports the statement delta of an update") {
     val (next, log) = Update.applyWithLog(store,
       """INSERT DATA { <urn:f3:cl> <urn:p:v> 1 . } ;

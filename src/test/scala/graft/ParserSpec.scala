@@ -106,6 +106,17 @@ class ParserSpec extends AnyFunSuite {
     assert(shLim.limit.contains(5L))
   }
 
+  test("quads accept an optional dot after GRAPH blocks; LOAD carries SILENT") {
+    // Quads ::= TriplesTemplate? ( QuadsNotTriples '.'? TriplesTemplate? )*
+    val ops = Parser.parseUpdate(
+      """INSERT DATA { <urn:a:1> <urn:p:x> 1 . GRAPH <urn:g:a> { <urn:w:1> <urn:p:m> 1 } . <urn:a:2> <urn:p:x> 2 }""")
+    assert(ops.head.asInstanceOf[InsertData].quads.length == 3)
+    val load = Parser.parseUpdate("LOAD SILENT <file:///missing.nt> INTO GRAPH <urn:g:l>").head
+    assert(load == LoadGraph("file:///missing.nt", Some("urn:g:l"), silent = true))
+    assert(Parser.parseUpdate("LOAD <file:///x.nt>").head ==
+      LoadGraph("file:///x.nt", None, silent = false))
+  }
+
   test("update forms") {
     val ops = Parser.parseUpdate(
       """INSERT DATA { <urn:s:1> <urn:p:a> 5 . GRAPH <urn:g:x> { <urn:s:2> <urn:p:b> "v" } } ;
