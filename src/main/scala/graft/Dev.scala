@@ -221,6 +221,20 @@ object Dev {
           "(expect 200 true 200 true 200 true)")
       } finally srv.stop()
     }
+    // probe (r6): event-log operators end-to-end over real testdata
+    locally {
+      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
+      val sess = pipeline.Events.sessionize(ev, "user_id", "ts_us",
+        gapSec = 1800, tsPerSec = 1000000L)
+      val nSess = sess.count()
+      val nEv = sess.agg(org.apache.spark.sql.functions.sum("n_events")).first().getLong(0)
+      val hh = pipeline.TextStats.heavyHitters(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "text", 3)
+        .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(",")
+      println(s"PROBE-EVENTS sessions=$nSess coveredEvents=$nEv " +
+        s"(expect coveredEvents = event count) topTokens=$hh")
+    }
     // flagship smoke (driver contract)
     val flag = SparkEntry.entry(spark)
     println(s"ENTRY-ROWS: ${flag.count()}")

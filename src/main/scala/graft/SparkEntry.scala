@@ -2,7 +2,7 @@ package graft
 
 import graft.engine.Engine
 import graft.model.Tpch
-import graft.pipeline.{Dedup, Similarity, TextStats}
+import graft.pipeline.{Dedup, Events, Similarity, TextStats}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1406,7 +1406,99 @@ object SparkEntry {
         .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
     }): Q,
       Some("""SELECT c_mktsegment, COUNT(*) AS cnt FROM orders
-             | JOIN customer ON o_custkey=c_custkey GROUP BY 1""".stripMargin))
+             | JOIN customer ON o_custkey=c_custkey GROUP BY 1""".stripMargin)),
+
+    // sessionization: 30-min-gap sessions per user (ts is epoch-nanos long in Spark)
+    ("p_sessionize", ((s: SparkSession, dir: String) =>
+      // sessionize over µs-truncated stamps (integer div — the oracle engine's
+      // timestamp type is µs, and long/1000 via double would lose low bits at
+      // 1e18) so gap decisions AND bounds are bit-identical across engines
+      Events.sessionize(
+        read(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", gapSec = 1800, tsPerSec = 1000000L)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("start_ts").as("start_us"), col("end_ts").as("end_us"))): Q,
+      Some("""WITH f AS (SELECT user_id, epoch_us(ts) AS tsu,
+             |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS newf
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |sess AS (SELECT user_id, tsu,
+             |  CAST(SUM(newf) OVER (PARTITION BY user_id ORDER BY tsu) AS BIGINT) AS session_idx FROM f)
+             |SELECT user_id, session_idx, COUNT(*) AS n_events,
+             |  MIN(tsu) AS start_us, MAX(tsu) AS end_us
+             |FROM sess GROUP BY user_id, session_idx""".stripMargin)),
+
+    // group-wise top-k: 3 highest-value events per user, deterministic tie-break
+    ("p_topk_user", ((s: SparkSession, dir: String) =>
+      Events.topKPerKey(read(s, dir, "events"), "user_id", "value", "event_id", k = 3)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("rnk").cast("long").as("rnk"))): Q,
+      Some("""SELECT user_id, event_id, value, rnk FROM (
+             |  SELECT user_id, event_id, value, ROW_NUMBER() OVER (
+             |    PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+             |  FROM events) WHERE rnk <= 3""".stripMargin)),
+
+    // rolling per-user features over the previous 10 events (exact integer cents
+    // so the sliding sum is engine-portable; mean = exact/exact division)
+    ("p_rolling", ((s: SparkSession, dir: String) =>
+      Events.rollingFeatures(read(s, dir, "events"), "user_id", "ts", "event_id",
+          "value", frame = 10)
+        .select(col("user_id"), col("event_id"), col("seq").cast("long").as("seq"),
+          col("roll_cents"), col("roll_n"), col("roll_mean"))): Q,
+      Some("""WITH c AS (SELECT user_id, event_id, ts,
+             |  CAST(ROUND(value*100, 0) AS BIGINT) AS cents FROM events)
+             |SELECT user_id, event_id,
+             |  ROW_NUMBER() OVER w AS seq,
+             |  CAST(SUM(cents) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents,
+             |  COUNT(*) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS roll_n,
+             |  CAST(SUM(cents) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    / (COUNT(*) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) / 100.0 AS roll_mean
+             |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
+    // exact discrete percentiles per group (1-based rank ceil(q*n) over sorted
+    // integer cents — identical selection law on both engines)
+    ("p_percentiles", ((s: SparkSession, dir: String) =>
+      Events.percentilesPerKey(read(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.95))): Q,
+      Some("""WITH c AS (SELECT l_returnflag,
+             |  CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) AS cents FROM lineitem)
+             |SELECT l_returnflag, COUNT(*) AS n,
+             |  (list_sort(list(cents)))[CAST(ceil(0.25*COUNT(*)) AS INT)] AS p25,
+             |  (list_sort(list(cents)))[CAST(ceil(0.50*COUNT(*)) AS INT)] AS p50,
+             |  (list_sort(list(cents)))[CAST(ceil(0.75*COUNT(*)) AS INT)] AS p75,
+             |  (list_sort(list(cents)))[CAST(ceil(0.95*COUNT(*)) AS INT)] AS p95
+             |FROM c GROUP BY l_returnflag""".stripMargin)),
+
+    // corpus heavy hitters: exact top-20 tokens (map-side-combined count + top-k)
+    ("p_heavy_hitters", ((s: SparkSession, dir: String) =>
+      TextStats.heavyHitters(docs(s, dir), "text", k = 20)): Q,
+      Some("""WITH toks AS (SELECT t.tok FROM documents,
+             |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(tok)
+             |  WHERE length(t.tok) > 0)
+             |SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+             |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin)),
+
+    // PII redaction: corpus has no natural PII, so a deterministic span is
+    // planted on every 7th document in BOTH engines — the redaction (email →
+    // ip → phone replacement order) is then actually exercised
+    ("p_redact", ((s: SparkSession, dir: String) =>
+      TextStats.redactPii(
+        docs(s, dir).withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com or 10.0."), col("doc_id") % 250,
+              lit(".1 tel +1 (555) 123-4567")))
+            .otherwise(col("text"))),
+        "doc_id", "text")): Q,
+      Some("""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN
+             |  text || ' contact user' || doc_id || '@example.com or 10.0.'
+             |       || (doc_id % 250) || '.1 tel +1 (555) 123-4567'
+             |  ELSE text END AS text FROM documents)
+             |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |  '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+             |  '\+?[0-9][0-9()\- ]{7,14}[0-9]', '[PHONE]', 'g') AS redacted
+             |FROM d""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

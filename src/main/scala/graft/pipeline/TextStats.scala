@@ -130,6 +130,34 @@ object TextStats {
       size(regexp_extract_all(t, lit(IPV4_PATTERN), lit(0))).cast("long").as("ipv4s"))
   }
 
+  /** PII redaction: replace matched spans with typed placeholder tokens — the
+    * mutation counterpart of piiCounts (count → filter threshold, redact → keep
+    * the document). Pure regexp_replace chain: linear scan, codegen'd, no shuffle.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EMAIL_PATTERN, "[EMAIL]"),
+          IPV4_PATTERN, "[IP]"),
+        PHONE_PATTERN, "[PHONE]").as("redacted"))
+
+  /** Corpus-wide heavy hitters: the k most frequent tokens, exactly. Two-stage
+    * shape: explode → map-side-combined count (shuffle = distinct tokens, not
+    * token instances) → TakeOrderedAndProject for the top k (per-partition heads
+    * only, never a global sort). Ties break lexicographically so the cut is
+    * deterministic. The approximate analog at unbounded vocabulary is a
+    * count-min/space-saving sketch; for natural-language token distributions the
+    * exact aggregate is already scale-safe (vocabulary ≪ corpus).
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    graft.engine.DfOps.spread(docs)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+
   /** Winnowing-style document fingerprint: min hash over word 3-gram shingles
     * (robust to small edits; equal fingerprints → near-dup candidates). The hash is
     * md5-hex rather than xxhash64 so the min is engine-portable (cross-checkable in
