@@ -869,8 +869,10 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       exprs.foldLeft(compile(child))((df, e) => applyFilter(df, e))
     case OpExtend(child, name, expr) =>
       val df = compile(child)
-      val st = Exprs.stageSubexprs(df, expr, env(df))
-      st.df.withColumn(name, Exprs.term(st.expr, st.env)).drop(st.temps: _*)
+      val (df1, e1, exTemps) = stageExists(df, expr)
+      val st = Exprs.stageSubexprs(df1, e1, env(df1))
+      st.df.withColumn(name, Exprs.term(st.expr, st.env))
+        .drop(st.temps: _*).drop(exTemps: _*)
     case OpValues(v) => valuesDf(v)
     case OpSubquery(q) => compileSelect(q)
     case OpService(iri, inner, silent) => Services.dispatch(this, iri, inner, silent)
@@ -888,8 +890,55 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       if (shared.isEmpty) df.join(sub.limit(1), lit(true), how)
       else joinDf(df, sub, how)
     case other =>
-      val st = Exprs.stageSubexprs(df, other, env(df))
-      st.df.filter(Exprs.filterPred(st.expr, st.env)).drop(st.temps: _*)
+      val (df1, e1, exTemps) = stageExists(df, other)
+      val st = Exprs.stageSubexprs(df1, e1, env(df1))
+      st.df.filter(Exprs.filterPred(st.expr, st.env))
+        .drop(st.temps: _*).drop(exTemps: _*)
+  }
+
+  private val existsIds = new java.util.concurrent.atomic.AtomicLong()
+
+  /** EXISTS in EXPRESSION position — IF(EXISTS{…}, …), BIND(EXISTS{…} AS ?v),
+    * FILTER(EXISTS{…} && …) — per ExistsNode/NotExistsNode, which the reference
+    * evaluates as an askable subquery wherever an expression appears. Each
+    * EExists node becomes an xsd:boolean term column computed by ONE marker
+    * left-join against the subpattern's (deduped, shared-var-projected)
+    * solutions; the FILTER-root case above keeps its plain semi/anti join.
+    * Returns (augmented frame, rewritten expr, temp columns to drop).
+    */
+  private def stageExists(df0: DataFrame, e0: Expr): (DataFrame, Expr, Seq[String]) = {
+    var df = df0
+    var temps = List.empty[String]
+    def walk(e: Expr): Expr = e match {
+      case EExists(gp, not) =>
+        val sub = compile(Algebra.lower(gp))
+        val shared = df.columns.intersect(sub.columns).toSeq
+        val name = s"__exists${existsIds.incrementAndGet()}"
+        if (shared.isEmpty) {
+          // uncorrelated: one bounded emptiness probe, not a per-row join
+          val nonEmpty = sub.limit(1).count() > 0
+          df = df.withColumn(name, Exprs.boolTerm(lit(nonEmpty != not)))
+        } else {
+          val mk = "__m" + name
+          val marker = shared.foldLeft(
+            sub.select(shared.map(col): _*).dropDuplicates(shared)
+              .withColumn(mk, lit(true)))((d, c) => d.withColumnRenamed(c, "__j_" + c))
+          val cond = shared.map(c => col(c)("id") === col("__j_" + c)("id")).reduce(_ && _)
+          df = df.join(marker, cond, "left_outer")
+            .withColumn(name, Exprs.boolTerm(lit(not) =!= coalesce(col(mk), lit(false))))
+            .drop(mk +: shared.map("__j_" + _): _*)
+        }
+        temps ::= name
+        EVar(name)
+      case EBinary(op, l, r) => EBinary(op, walk(l), walk(r))
+      case EUnary(op, x) => EUnary(op, walk(x))
+      case EIn(x, list, not) => EIn(walk(x), list.map(walk), not)
+      case ECall(fn, args) => ECall(fn, args.map(walk))
+      case ESid(s, p, o) => ESid(walk(s), walk(p), walk(o))
+      case other => other
+    }
+    val e1 = walk(e0)
+    (df, e1, temps)
   }
 
   private def leftJoin(dl: DataFrame, dr: DataFrame, cond: Seq[Expr],
@@ -1009,8 +1058,10 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         else df.groupBy(keyCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       // HAVING (post-aggregation ConditionalRoutingOp)
       havingE.foreach { h =>
-        val st = Exprs.stageSubexprs(df, Algebra.replaceAggs(h, aggMap), env(df))
-        df = st.df.filter(Exprs.filterPred(st.expr, st.env)).drop(st.temps: _*)
+        val (df1, h1, exTemps) = stageExists(df, Algebra.replaceAggs(h, aggMap))
+        val st = Exprs.stageSubexprs(df1, h1, env(df1))
+        df = st.df.filter(Exprs.filterPred(st.expr, st.env))
+          .drop(st.temps: _*).drop(exTemps: _*)
       }
     }
 
@@ -1021,8 +1072,10 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       e2 match {
         case EVar(n) if n == name => () // passthrough (may be absent → padded below)
         case _ =>
-          val st = Exprs.stageSubexprs(df, e2, env(df))
-          df = st.df.withColumn(name, Exprs.term(st.expr, st.env)).drop(st.temps: _*)
+          val (df1, e3, exTemps) = stageExists(df, e2)
+          val st = Exprs.stageSubexprs(df1, e3, env(df1))
+          df = st.df.withColumn(name, Exprs.term(st.expr, st.env))
+            .drop(st.temps: _*).drop(exTemps: _*)
       }
       outNames :+= name
     }

@@ -236,8 +236,11 @@ object Exprs {
     case EBinary(">", l, r) => cmpTerm(term(l, env), term(r, env)) > 0
     case EBinary(">=", l, r) => cmpTerm(term(l, env), term(r, env)) >= 0
     case EIn(x, list, not) =>
+      // IN = (t=e1) || (t=e2) || … with SPARQL || error semantics (Kleene null):
+      // any true → true, else any error → error, else false. NOT IN negates, so
+      // an erroring member with no match poisons the row (17.4.1.9/10).
       val t = term(x, env)
-      val anyEq = list.map(i => coalesce(eqTerm(t, term(i, env)), lit(false)))
+      val anyEq = list.map(i => eqTerm(t, term(i, env)))
         .reduceOption(_ || _).getOrElse(lit(false))
       if (not) !anyEq else anyEq
     case other => ebvOfTerm(term(other, env))
@@ -390,7 +393,10 @@ object Exprs {
           .when(range === "*", tag =!= "")
           .otherwise(tag === range || tag.startsWith(concat(range, lit("-")))))
       case "ABS" => numeric1(a0, abs(fNum(a0)), abs(fLng(a0)), abs(fDec(a0)))
-      case "ROUND" => numeric1(a0, round(fNum(a0)), fLng(a0), round(fDec(a0), 0))
+      // fn:round = round half toward +∞ (ROUND(-2.5) = -2), i.e. floor(x + 0.5) —
+      // NOT Spark's HALF_UP round (which gives -3)
+      case "ROUND" => numeric1(a0, floor(fNum(a0) + 0.5d).cast(DoubleType), fLng(a0),
+        floor(fDec(a0) + lit(0.5)))
       case "CEIL" => numeric1(a0, ceil(fNum(a0)).cast(DoubleType), fLng(a0), ceil(fDec(a0)))
       case "FLOOR" => numeric1(a0, floor(fNum(a0)).cast(DoubleType), fLng(a0), floor(fDec(a0)))
       case "RAND" => Term.doubleLit(rand())
