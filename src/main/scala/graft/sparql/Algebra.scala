@@ -63,7 +63,13 @@ object Algebra {
           case a => g = OpLeftJoin(g, a, Nil)
         }
       case MinusGP(inner) => g = OpMinus(g, lower(inner, ctx))
-      case BindGP(e, v) => g = OpExtend(g, v.name, e)
+      case BindGP(e, v) =>
+        // grammar note 12 (§10.1): the BIND target must not be in-scope from the
+        // preceding elements of this group — Blazegraph raises the same error
+        if (vars(g).contains(v.name))
+          throw new IllegalArgumentException(
+            s"BIND(… AS ?${v.name}): variable ?${v.name} already in scope")
+        g = OpExtend(g, v.name, e)
       case other => g = join(g, lower(other, ctx))
     }
     val fs = filters.result()
