@@ -48,6 +48,11 @@ object Exprs {
   def isNumericT(t: Column): Column = fNum(t).isNotNull
   private def isPlainStr(t: Column): Column = isLiteral(t) && fDt(t).isNull && fLang(t).isNull
   private def isStringy(t: Column): Column = isLiteral(t) && fDt(t).isNull
+  /** fn argument compatibility (SPARQL §17.4.3.1.1): (simple,simple), (lang,simple),
+    * (lang@X,lang@X) are compatible; (simple,lang) and (lang@X,lang@Y) are type errors.
+    */
+  private def argCompat(l: Column, r: Column): Column =
+    isStringy(l) && isStringy(r) && (fLang(r).isNull || fLang(r) === fLang(l))
   private def isBool(t: Column): Column = fDt(t) === Term.XSD_BOOLEAN
   private def isDateTime(t: Column): Column = fTs(t).isNotNull
   private def isInt(t: Column): Column = fDt(t) === Term.XSD_INTEGER
@@ -359,19 +364,31 @@ object Exprs {
         strFn(fStr(a0).substr(start, len))
       case "UCASE" => strFn(upper(fStr(a0)))
       case "LCASE" => strFn(lower(fStr(a0)))
-      case "STRSTARTS" => boolTerm(when(isStringy(a0) && isStringy(a1),
+      // fn argument compatibility (§17.4.3.1.1): both stringy AND the second arg's
+      // lang tag, if any, must equal the first's ("foo"@en vs "f"@cy → type error)
+      case "STRSTARTS" => boolTerm(when(argCompat(a0, a1),
         fStr(a0).startsWith(fStr(a1))).otherwise(nullB))
-      case "STRENDS" => boolTerm(when(isStringy(a0) && isStringy(a1),
+      case "STRENDS" => boolTerm(when(argCompat(a0, a1),
         fStr(a0).endsWith(fStr(a1))).otherwise(nullB))
-      case "CONTAINS" => boolTerm(when(isStringy(a0) && isStringy(a1),
+      case "CONTAINS" => boolTerm(when(argCompat(a0, a1),
         fStr(a0).contains(fStr(a1))).otherwise(nullB))
       case "STRBEFORE" =>
+        // a matched (incl. empty-pattern) result carries arg1's lang; a non-match
+        // yields the SIMPLE empty literal (spec examples, §17.4.3.4)
         val pos = locate_(fStr(a1), fStr(a0))
-        strFn(when(pos > 0, fStr(a0).substr(lit(1), pos - 1)).otherwise(lit("")), isStringy(a1))
+        when(argCompat(a0, a1),
+          when(length(fStr(a1)) === 0, Term.strLit(lit(""), fLang(a0)))
+            .when(pos > 0, Term.strLit(fStr(a0).substr(lit(1), pos - 1), fLang(a0)))
+            .otherwise(Term.strLit(lit(""))))
+          .otherwise(Term.nullTerm)
       case "STRAFTER" =>
         val pos = locate_(fStr(a1), fStr(a0))
-        strFn(when(pos > 0, fStr(a0).substr(pos + length(fStr(a1)), length(fStr(a0))))
-          .otherwise(lit("")), isStringy(a1))
+        when(argCompat(a0, a1),
+          when(length(fStr(a1)) === 0, Term.strLit(fStr(a0), fLang(a0)))
+            .when(pos > 0, Term.strLit(
+              fStr(a0).substr(pos + length(fStr(a1)), length(fStr(a0))), fLang(a0)))
+            .otherwise(Term.strLit(lit(""))))
+          .otherwise(Term.nullTerm)
       case "CONCAT" =>
         // fn:concat argument compatibility: all operands sharing one language tag
         // keep it; any mix (or any plain operand) yields a plain literal
@@ -406,7 +423,13 @@ object Exprs {
       case "DAY" => dtPart(a0, dayofmonth(fTs(a0)))
       case "HOURS" => dtPart(a0, hour(fTs(a0)))
       case "MINUTES" => dtPart(a0, minute(fTs(a0)))
-      case "SECONDS" => dtPart(a0, second(fTs(a0)))
+      case "SECONDS" =>
+        // fn:seconds-from-dateTime → xsd:decimal INCLUDING the fractional part
+        val micros = unix_micros(fTs(a0))
+        val secOfMin = ((micros % 60000000L) + 60000000L) % 60000000L
+        when(isDateTime(a0),
+          Term.decimalLit(secOfMin.cast(Term.DECIMAL_TYPE) / lit(1000000L)))
+          .otherwise(Term.nullTerm)
       case "TZ" =>
         // timezone token from the LEXICAL form ("" when absent, per fn:TZ)
         when(isDateTime(a0),
@@ -480,7 +503,10 @@ object Exprs {
     * literals rely on this).
     */
   private def strdt(v: Column, dtE: Expr): Column = dtE match {
-    case EConst(IriNode(dt)) if dt.startsWith(Term.XSD) => castFn(dt, v)
+    // STRDT requires a SIMPLE literal first argument (§17.4.2.8) — lang-tagged or
+    // already-typed input is a type error (castFn alone would happily re-cast it)
+    case EConst(IriNode(dt)) if dt.startsWith(Term.XSD) =>
+      when(v.isNotNull && isPlainStr(v), castFn(dt, v)).otherwise(Term.nullTerm)
     case EConst(IriNode(dt)) =>
       when(v.isNotNull && isPlainStr(v), Term.typedLit(fStr(v), dt)).otherwise(Term.nullTerm)
     case _ => Term.nullTerm

@@ -107,7 +107,7 @@ class ExprSpec extends GraftSuite {
   test("datetime functions") {
     assert(lng1("""YEAR("2024-03-05T10:20:30Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""") == 2024L)
     assert(lng1("""MONTH("2024-03-05T10:20:30Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""") == 3L)
-    assert(lng1("""SECONDS("2024-03-05T10:20:30Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""") == 30L)
+    assert(str1("""SECONDS("2024-03-05T10:20:30Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""") == "30")
     // explicit ±hh:mm offsets parse and normalize to the UTC instant (a bare
     // contains("+") zone test once missed negative offsets and crashed)
     assert(lng1("""HOURS("2011-01-10T14:45:13.815-05:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""") == 19L)
@@ -131,6 +131,32 @@ class ExprSpec extends GraftSuite {
     assert(t.getAs[String]("dt") == "http://www.w3.org/2001/XMLSchema#dayTimeDuration")
     // non-datetime argument: type error → unbound
     assert(eval1("""TIMEZONE("abc")""") == null)
+  }
+
+  test("fn argument compatibility and simple-literal guards (§17.4.3.1.1)") {
+    // second arg's lang must match the first's; (simple, lang) is also an error
+    assert(str1("""STRBEFORE("abc"@en, "b")""") == "a")
+    assert(eval1("""STRBEFORE("abc"@en, "b")""").getAs[String]("lang") == "en")
+    assert(eval1("""STRAFTER("abc"@en, "b"@cy)""") == null)
+    assert(eval1("""STRSTARTS("foo"@en, "f"@cy)""") == null)
+    assert(eval1("""CONTAINS("foo", "o"@en)""") == null)
+    // no-match yields the SIMPLE empty literal even for lang-tagged input;
+    // empty-pattern match keeps the input's lang
+    val noMatch = eval1("""STRBEFORE("abc"@en, "xyz")""")
+    assert(noMatch.getAs[String]("str") == "" && noMatch.getAs[String]("lang") == null)
+    val emptyPat = eval1("""STRAFTER("abc"@en, ""@en)""")
+    assert(emptyPat.getAs[String]("str") == "abc" && emptyPat.getAs[String]("lang") == "en")
+    // STRDT/STRLANG require a simple literal
+    assert(eval1("""STRDT("x"@en, <http://www.w3.org/2001/XMLSchema#string>)""") == null)
+    assert(eval1("""STRLANG("x"@en, "de")""") == null)
+    assert(str1("""STRDT("5", <http://www.w3.org/2001/XMLSchema#integer>)""") == "5")
+  }
+
+  test("SECONDS returns xsd:decimal with the fractional part") {
+    val r = eval1("""SECONDS("2024-01-01T01:02:03.5Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""")
+    assert(r.getAs[String]("str") == "3.5")
+    assert(r.getAs[String]("dt").endsWith("decimal"))
+    assert(str1("""SECONDS("2024-01-01T01:02:03Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)""") == "3")
   }
 
   test("comparison edge semantics") {
