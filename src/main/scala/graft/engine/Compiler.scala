@@ -871,8 +871,24 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       val df = compile(child)
       val (df1, e1, exTemps) = stageExists(df, expr)
       val st = Exprs.stageSubexprs(df1, e1, env(df1))
-      st.df.withColumn(name, Exprs.term(st.expr, st.env))
-        .drop(st.temps: _*).drop(exTemps: _*)
+      val value = Exprs.term(st.expr, st.env)
+      val out =
+        if (!st.df.columns.contains(name))
+          st.df.withColumn(name, value)
+        else {
+          // BIND onto an in-scope variable: strict SPARQL makes this a syntax error,
+          // but the reference accepts it with conditional-bind semantics
+          // (bop/ConditionalBind.java:107-176): a bound row survives iff the computed
+          // value equals the existing binding (an errored expression fails it); an
+          // unbound row takes the assignment (an errored expression leaves it unbound)
+          val cb = "__cbind_" + name
+          st.df.withColumn(cb, value)
+            .filter(col(name).isNull ||
+              (col(cb).isNotNull && col(cb)("id") === col(name)("id")))
+            .withColumn(name, coalesce(col(name), col(cb)))
+            .drop(cb)
+        }
+      out.drop(st.temps: _*).drop(exTemps: _*)
     case OpValues(v) => valuesDf(v)
     case OpSubquery(q) => compileSelect(q)
     case OpService(iri, inner, silent) => Services.dispatch(this, iri, inner, silent)
@@ -880,6 +896,18 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       .orElse(SolutionSets.view(store).get(name))
       .getOrElse(
         throw new IllegalArgumentException(s"INCLUDE %$name: no such named subquery"))
+    case OpGraphs(gn) =>
+      // `GRAPH ?g {}` / `GRAPH <g> {}`: enumerate (or probe) the named graphs,
+      // honoring a FROM NAMED dataset restriction
+      var graphs = store.namedGraphs.select(col("g")).dropDuplicates("g")
+      ds.named.foreach(gs => graphs = graphs.filter(col("g")("str").isin(gs: _*)))
+      gn match {
+        case VarNode(n) => graphs.select(col("g").as(n))
+        case IriNode(i) =>
+          graphs.filter(col("g")("str") === i).limit(1).select()
+        case other =>
+          throw new IllegalArgumentException(s"GRAPH label must be var or IRI: $other")
+      }
   }
 
   private def applyFilter(df: DataFrame, e: Expr): DataFrame = e match {
@@ -1074,8 +1102,21 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         case _ =>
           val (df1, e3, exTemps) = stageExists(df, e2)
           val st = Exprs.stageSubexprs(df1, e3, env(df1))
-          df = st.df.withColumn(name, Exprs.term(st.expr, st.env))
-            .drop(st.temps: _*).drop(exTemps: _*)
+          val value = Exprs.term(st.expr, st.env)
+          df =
+            if (!st.df.columns.contains(name)) st.df.withColumn(name, value)
+            else {
+              // projection alias onto an in-scope variable: ConditionalBind (the
+              // reference's projection assignments, ConditionalBind.isProjection) —
+              // a bound row survives iff the computed value equals the binding
+              val cb = "__cbp_" + outNames.size
+              st.df.withColumn(cb, value)
+                .filter(col(name).isNull ||
+                  (col(cb).isNotNull && col(cb)("id") === col(name)("id")))
+                .withColumn(name, coalesce(col(name), col(cb)))
+                .drop(cb)
+            }
+          df = df.drop(st.temps: _*).drop(exTemps: _*)
       }
       outNames :+= name
     }

@@ -177,14 +177,18 @@ object Term {
     * construction dispatches on the datatype at runtime.
     */
   def literalFromParts(str: Column, dt: Column, lang: Column): Column = {
-    val base = when(dt === XSD_INTEGER, intLit(str.cast(LongType)))
-      .when(dt === XSD_DOUBLE, doubleLit(str.cast(DoubleType)))
+    // try_cast everywhere: an ILL-TYPED literal ("xyz"^^xsd:integer) must load as an
+    // opaque typed literal (the `otherwise` branch), not abort the job under ANSI mode
+    val base = when(dt === XSD_INTEGER && str.try_cast(LongType).isNotNull,
+        intLit(str.try_cast(LongType)))
+      .when(dt === XSD_DOUBLE && str.try_cast(DoubleType).isNotNull,
+        doubleLit(str.try_cast(DoubleType)))
       .when(dt === XSD_DECIMAL && str.try_cast(DECIMAL_TYPE).isNotNull,
         decimalLit(str.try_cast(DECIMAL_TYPE)))
       .when(dt === XSD_BOOLEAN, boolLit(str === "true"))
-      .when(dt === XSD_DATETIME,
+      .when(dt === XSD_DATETIME && try_to_timestamp(regexp_replace(str, "Z$", "")).isNotNull,
         // default parser: accepts optional fractional seconds
-        tsLit(to_timestamp(regexp_replace(str, "Z$", ""))))
+        tsLit(try_to_timestamp(regexp_replace(str, "Z$", ""))))
     Datatypes.reg.foldLeft(base) { case (acc, (iri, f)) =>
       acc.when(dt === iri,
         mk(lit(KIND_LITERAL), str, dt, lang, f(str), nullLng, nullTs))

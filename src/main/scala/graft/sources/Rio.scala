@@ -181,8 +181,10 @@ object Rio {
         t.stripSuffix(".").trim.replaceFirst("(?i)@base", "BASE")
       else l
     }
-    val (pfx, body) = lines.partition(l =>
-      l.trim.startsWith("PREFIX") || l.trim.startsWith("BASE"))
+    val (pfx, body) = lines.partition { l =>
+      val u = l.trim.toUpperCase // Turtle 1.1 also allows sparql-style lowercase decls
+      u.startsWith("PREFIX") || u.startsWith("BASE")
+    }
     val ops = Parser.parseUpdate(
       pfx.mkString("\n") + "\nINSERT DATA {\n" + body.mkString("\n") + "\n}")
     import graft.sparql.Ast._
@@ -201,6 +203,45 @@ object Rio {
     }
     import spark.implicits._
     statementsFromParsed(quads.toDF())
+  }
+
+  /** TriG document string → statements. TriG wraps Turtle triples in graph blocks —
+    * `<g> { … }`, `:g { … }`, `GRAPH <g> { … }`, or an unlabeled `{ … }` for the
+    * default graph — with the label on the same line or the one before the `{`.
+    * Normalizes to the SPARQL quad-data form readTurtle accepts (`GRAPH <g> { … }`;
+    * default-graph braces dropped). Graph blocks do not nest in TriG, so one
+    * open-block state suffices.
+    */
+  def readTrig(spark: SparkSession, trig: String): DataFrame =
+    readTurtle(spark, trigToQuads(trig))
+
+  private[sources] def trigToQuads(text: String): String = {
+    val lines = text.linesIterator.toIndexedSeq
+    val labelRe = "^(<[^>\\s]*>|[A-Za-z0-9_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*|:[A-Za-z0-9_.-]*)$".r
+    val out = Seq.newBuilder[String]
+    var openDefault = false
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i); val t = l.trim
+      def nextNonEmpty: Option[String] = lines.drop(i + 1).map(_.trim)
+        .find(s => s.nonEmpty && !s.startsWith("#"))
+      t match {
+        case _ if labelRe.matches(t) && nextNonEmpty.exists(_.startsWith("{")) =>
+          // graph label alone on its line: fold into the `{` line
+          val j = lines.indexWhere(s => s.trim.startsWith("{"), i + 1)
+          out += ("GRAPH " + t + " " + lines(j).trim)
+          i = j
+        case _ if t.startsWith("{") =>
+          out += t.stripPrefix("{"); openDefault = true // unlabeled default-graph block
+        case _ if t.endsWith("{") && !t.toUpperCase.startsWith("GRAPH") && !t.startsWith("#") =>
+          out += ("GRAPH " + t)
+        case "}" if openDefault =>
+          out += ""; openDefault = false
+        case _ => out += l
+      }
+      i += 1
+    }
+    out.result().mkString("\n")
   }
 
   // ---- dump (SPARQL result sinks analog for RDF output) ----

@@ -26,6 +26,10 @@ object Algebra {
   final case class OpSubquery(q: SelectQuery) extends Op
   final case class OpService(iri: Node, inner: Op, silent: Boolean) extends Op
   final case class OpInclude(name: String) extends Op
+  /** `GRAPH ?g {}` / `GRAPH <g> {}` — enumerate the named graphs (var form) or gate
+    * on the graph's existence (IRI form); the reference's TestTCK trac709/trac429.
+    */
+  final case class OpGraphs(g: Node) extends Op
 
   def lower(gp: GP): Op = lower(gp, None)
 
@@ -36,11 +40,26 @@ object Algebra {
       OpLeftJoin(OpUnit, lower(inner, ctx), Nil)
     case UnionGP(alts) => alts.map(lower(_, ctx)).reduce(OpUnion(_, _))
     case MinusGP(inner) => OpMinus(OpUnit, lower(inner, ctx))
-    case FilterGP(e) => OpFilter(Seq(e), OpUnit)
-    case BindGP(e, v) => OpExtend(OpUnit, v.name, e)
+    case FilterGP(e) => OpFilter(Seq(ctxExpr(e, ctx)), OpUnit)
+    case BindGP(e, v) => OpExtend(OpUnit, v.name, ctxExpr(e, ctx))
     case v: ValuesGP => OpValues(v)
-    case GraphGP(g, inner) => lower(inner, Some(g))
-    case SubSelectGP(q) => OpSubquery(q)
+    case GraphGP(g, inner) =>
+      lower(inner, Some(g)) match {
+        case OpUnit => OpGraphs(g) // empty GRAPH group: enumerate/probe named graphs
+        case low => g match {
+          // var label never used as a graph context inside (everything shadowed or
+          // subqueries only): GRAPH ?g still ranges ?g over the named graphs and
+          // joins any ?g the body binds (Test1892 subquery03-modified3)
+          case v: VarNode if !usesGraphCtx(low, v.name) => OpJoin(low, OpGraphs(v))
+          case _ => low
+        }
+      }
+    case CtxGraphGP(g, inner) => // synthetic push: no membership join
+      lower(inner, Some(g)) match {
+        case OpUnit => OpGraphs(g)
+        case low => low
+      }
+    case SubSelectGP(q) => OpSubquery(scopeSubquery(q, ctx))
     case ServiceGP(iri, inner, silent) => OpService(iri, lower(inner, ctx), silent)
     case IncludeGP(name) => OpInclude(name)
   }
@@ -56,7 +75,7 @@ object Algebra {
     val filters = Seq.newBuilder[Expr]
     elems.foreach {
       case t: TripleGP => g = join(g, lower(t, ctx))
-      case FilterGP(e) => filters += e
+      case FilterGP(e) => filters += ctxExpr(e, ctx)
       case OptionalGP(inner) =>
         lower(inner, ctx) match {
           case OpFilter(fs, a) => g = OpLeftJoin(g, a, fs)
@@ -64,16 +83,146 @@ object Algebra {
         }
       case MinusGP(inner) => g = OpMinus(g, lower(inner, ctx))
       case BindGP(e, v) =>
-        // grammar note 12 (§10.1): the BIND target must not be in-scope from the
-        // preceding elements of this group — Blazegraph raises the same error
-        if (vars(g).contains(v.name))
-          throw new IllegalArgumentException(
-            s"BIND(… AS ?${v.name}): variable ?${v.name} already in scope")
-        g = OpExtend(g, v.name, e)
+        // grammar note 12 (§10.1) makes a BIND target already in scope a syntax
+        // error, but the reference ACCEPTS it with conditional-bind semantics
+        // (bop/ConditionalBind.java, TestBindings bindingsWithSubquery03b-06) —
+        // the Compiler's OpExtend handles the in-scope case
+        g = OpExtend(g, v.name, ctxExpr(e, ctx))
       case other => g = join(g, lower(other, ctx))
     }
     val fs = filters.result()
     if (fs.nonEmpty) OpFilter(fs, g) else g
+  }
+
+  /** A subquery under GRAPH inherits the context the way the reference pushes it
+    * (ASTGraphGroupOptimizer): a CONSTANT label scopes the body to that graph
+    * (TestTicket832); a VARIABLE label is pushed BY NAME — the subquery's own
+    * same-named variable becomes its graph context (so `?g a type1` inside means
+    * "in the graph ?g names", Test1892 additional2), inner GRAPH labels shadow it,
+    * and aggregation groups per active graph with a projection alias onto the
+    * context var acting as a conditional bind (additional5).
+    */
+  private val renameCtr = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def scopeSubquery(q: SelectQuery, ctx: Option[Node]): SelectQuery = ctx match {
+    case Some(i: IriNode) => q.copy(where = GroupGP(Seq(GraphGP(i, q.where))))
+    case Some(v: VarNode) =>
+      // bottom-up scoping first: a body variable spelled like the label that the
+      // subquery does NOT project is a DIFFERENT variable (Test1892 additional3) —
+      // rename it so the context push below cannot capture it
+      val q1 =
+        if (projectsVar(q, v.name)) q
+        else q.copy(where = renameVar(q.where, v.name, "-rn_" + v.name + "_" + renameCtr.incrementAndGet()))
+      val wrapped = GroupGP(Seq(CtxGraphGP(v, q1.where)))
+      val ctxBinds = vars(lower(wrapped)).contains(v.name)
+      val aggregated = q1.groupBy.nonEmpty || (q1.projection match {
+        case ProjVars(items) => items.exists(_._1.isInstanceOf[EAgg])
+        case _ => false
+      })
+      val gb = if (ctxBinds && aggregated) q1.groupBy :+ ((EVar(v.name): Expr, None: Option[String]))
+      else q1.groupBy
+      q1.copy(where = wrapped, groupBy = gb)
+    case _ => q
+  }
+
+  private def projectsVar(q: SelectQuery, name: String): Boolean = q.projection match {
+    case Star => true
+    case ProjVars(items) => items.exists {
+      case (EVar(n), None) => n == name
+      case (_, Some(a)) => a == name
+      case _ => false
+    }
+  }
+
+  /** Rename every occurrence of variable `from` to `to` in a pattern, stopping at
+    * nested subqueries that do not project `from` (their `from` is a fresh scope).
+    */
+  private def renameVar(gp: GP, from: String, to: String): GP = {
+    def n(x: Node): Node = x match {
+      case VarNode(`from`) => VarNode(to)
+      case SidNode(s, p, o) => SidNode(n(s), n(p), n(o))
+      case other => other
+    }
+    def p(path: Path): Path = path match {
+      case PLink(i) => if (i == "?" + from) PLink("?" + to) else PLink(i)
+      case PInv(x) => PInv(p(x))
+      case PSeq(a, b) => PSeq(p(a), p(b))
+      case PAlt(a, b) => PAlt(p(a), p(b))
+      case PZeroOrOne(x) => PZeroOrOne(p(x))
+      case PZeroOrMore(x) => PZeroOrMore(p(x))
+      case POneOrMore(x) => POneOrMore(p(x))
+      case neg: PNeg => neg
+    }
+    def e(x: Expr): Expr = x match {
+      case EVar(`from`) => EVar(to)
+      case ECall(fn, args) => ECall(fn, args.map(e))
+      case EBinary(op, l, r) => EBinary(op, e(l), e(r))
+      case EUnary(op, a) => EUnary(op, e(a))
+      case EIn(a, list, not) => EIn(e(a), list.map(e), not)
+      case EExists(g, not) => EExists(walk(g).asInstanceOf[GroupGP], not)
+      case ESid(s, pp, o) => ESid(e(s), e(pp), e(o))
+      case EAgg(fn, d, arg, sep) => EAgg(fn, d, arg.map(e), sep)
+      case other => other
+    }
+    def walk(g: GP): GP = g match {
+      case TripleGP(s, pp, o) => TripleGP(n(s), p(pp), n(o))
+      case GroupGP(elems) => GroupGP(elems.map(walk))
+      case OptionalGP(i) => OptionalGP(walk(i))
+      case UnionGP(alts) => UnionGP(alts.map(walk))
+      case MinusGP(i) => MinusGP(walk(i))
+      case FilterGP(x) => FilterGP(e(x))
+      case BindGP(x, v) => BindGP(e(x), n(v).asInstanceOf[VarNode])
+      case ValuesGP(vs, rows) => ValuesGP(vs.map(v => n(v).asInstanceOf[VarNode]), rows)
+      case GraphGP(lbl, i) => GraphGP(n(lbl), walk(i))
+      case CtxGraphGP(lbl, i) => CtxGraphGP(n(lbl), walk(i))
+      case SubSelectGP(sq) =>
+        if (!projectsVar(sq, from)) SubSelectGP(sq) // fresh scope: stop
+        else SubSelectGP(sq.copy(
+          where = walk(sq.where),
+          projection = sq.projection match {
+            case Star => Star
+            case ProjVars(items) => ProjVars(items.map {
+              case (EVar(`from`), None) => (EVar(to): Expr, None: Option[String])
+              case (ex, Some(`from`)) => (e(ex), Some(to): Option[String])
+              case (ex, a) => (e(ex), a)
+            })
+          }))
+      case ServiceGP(iri, i, s) => ServiceGP(n(iri), walk(i), s)
+      case inc: IncludeGP => inc
+    }
+    walk(gp)
+  }
+
+  /** Does `op` contain a scan whose graph context is the variable `name`? */
+  private def usesGraphCtx(op: Op, name: String): Boolean = op match {
+    case OpBgp(ts) => ts.exists(_.g.contains(VarNode(name)))
+    case OpJoin(l, r) => usesGraphCtx(l, name) || usesGraphCtx(r, name)
+    case OpLeftJoin(l, r, _) => usesGraphCtx(l, name) || usesGraphCtx(r, name)
+    case OpUnion(l, r) => usesGraphCtx(l, name) || usesGraphCtx(r, name)
+    case OpMinus(l, r) => usesGraphCtx(l, name) || usesGraphCtx(r, name)
+    case OpFilter(_, c) => usesGraphCtx(c, name)
+    case OpExtend(c, _, _) => usesGraphCtx(c, name)
+    case OpGraphs(g) => g == VarNode(name)
+    case _ => false
+  }
+
+  /** Propagate the active GRAPH context into (NOT) EXISTS patterns inside filter /
+    * BIND expressions — their group is lowered later (Compiler.applyFilter), after the
+    * ctx parameter is gone, so a FILTER NOT EXISTS inside `GRAPH ?g { … }` would
+    * otherwise match against the union default graph (the reference scopes it to the
+    * active graph — TestNamedGraphs ticket 888).
+    */
+  private def ctxExpr(e: Expr, ctx: Option[Node]): Expr = ctx match {
+    case None => e
+    case Some(_) => e match {
+      case EExists(gp, not) => EExists(GroupGP(Seq(GraphGP(ctx.get, gp))), not)
+      case ECall(fn, args) => ECall(fn, args.map(ctxExpr(_, ctx)))
+      case EBinary(op, l, r) => EBinary(op, ctxExpr(l, ctx), ctxExpr(r, ctx))
+      case EUnary(op, x) => EUnary(op, ctxExpr(x, ctx))
+      case EIn(x, list, not) => EIn(ctxExpr(x, ctx), list.map(ctxExpr(_, ctx)), not)
+      case ESid(s, p, o) => ESid(ctxExpr(s, ctx), ctxExpr(p, ctx), ctxExpr(o, ctx))
+      case other => other
+    }
   }
 
   /** Free variables an Op can bind (for join planning / projection *). */
@@ -96,6 +245,7 @@ object Algebra {
     }
     case OpService(_, inner, _) => vars(inner)
     case OpInclude(_) => Set.empty // resolved at compile time from the named set
+    case OpGraphs(g) => g match { case VarNode(n) => Set(n); case _ => Set.empty }
   }
 
   /** Vars that may be UNBOUND in some solution of `op` (StaticAnalysis's
@@ -139,6 +289,7 @@ object Algebra {
     }
     case OpService(_, inner, _) => maybeUnbound(inner)
     case OpInclude(_) => Set.empty // named sets: resolved by the compiler's own analysis
+    case OpGraphs(_) => Set.empty
   }
 
   def tripleVars(t: Triple): Seq[String] = {

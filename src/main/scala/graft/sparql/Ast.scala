@@ -58,6 +58,11 @@ object Ast {
   final case class BindGP(expr: Expr, v: VarNode) extends GP
   final case class ValuesGP(vars: Seq[VarNode], rows: Seq[Seq[Option[Node]]]) extends GP
   final case class GraphGP(g: Node, inner: GP) extends GP
+  /** Synthetic graph-context wrapper the algebra uses to push an enclosing GRAPH
+    * into a subquery — lowers exactly like GraphGP minus the named-graph
+    * membership join (the enclosing GRAPH already supplies it).
+    */
+  final case class CtxGraphGP(g: Node, inner: GP) extends GP
   final case class SubSelectGP(q: SelectQuery) extends GP
   final case class ServiceGP(iri: Node, inner: GP, silent: Boolean) extends GP
   /** INCLUDE %name — named-subquery solution-set reuse (NamedSubqueryInclude). */

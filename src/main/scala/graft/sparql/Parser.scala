@@ -43,8 +43,9 @@ object Parser {
       val c = q(i)
       if (isWS(c)) i += 1
       else if (c == '#') { while (i < n && q(i) != '\n') i += 1 }
-      else if (c == '<' && i + 1 < n && (q(i + 1).isLetter || "_:/#".contains(q(i + 1)))) {
-        // IRIREF — only when it looks like <scheme…>, else '<' is an operator
+      else if (c == '<' && i + 1 < n && (q(i + 1).isLetter || "_:/#>.%".contains(q(i + 1)))) {
+        // IRIREF — only when it looks like <scheme…> or a (possibly empty) relative
+        // reference (<>, <../x>, <%40x>), else '<' is an operator
         val j = q.indexOf('>', i)
         if (j < 0) throw ParseError("unterminated IRI", i)
         val body = q.substring(i + 1, j)
@@ -146,6 +147,18 @@ object Parser {
   }
 
   def canonicalLit(lex: String, dt: Option[String], lang: Option[String]): LitNode = {
+    // An ILL-TYPED literal ("xyz"^^xsd:integer) is still a valid RDF term — keep it
+    // as an opaque typed literal instead of failing the parse (the reference stores
+    // them too; its open-eq-12 TCK data depends on it). Value semantics see a
+    // non-numeric term, which is exactly the spec's treatment.
+    try canonicalLit0(lex, dt, lang)
+    catch {
+      case _: NumberFormatException | _: java.time.format.DateTimeParseException =>
+        LitNode(lex, dt, lang.map(_.toLowerCase))
+    }
+  }
+
+  private def canonicalLit0(lex: String, dt: Option[String], lang: Option[String]): LitNode = {
     dt match {
       case Some(d) if d.startsWith(graft.model.Term.XSD) =>
         val local = d.substring(graft.model.Term.XSD.length)
@@ -197,9 +210,19 @@ object Parser {
   def parseQuery(q: String): Query = new P(tokenize(q)).parseQueryTop()
   def parseUpdate(q: String): Seq[UpdateOp] = new P(tokenize(q)).parseUpdateTop()
 
+  /** Pre-declared prefixes, matching the reference's `PrefixDeclProcessor.java:88-98`
+    * default decls (rdf/rdfs/sesame/owl/xsd/fn/foaf/dc/hint/bd/bds) plus the service
+    * vocabularies; an explicit PREFIX in the query shadows these.
+    */
   private val builtinPrefixes = Map(
     "rdf" -> graft.model.Term.RDF, "rdfs" -> graft.model.Term.RDFS,
     "xsd" -> graft.model.Term.XSD, "owl" -> "http://www.w3.org/2002/07/owl#",
+    "sesame" -> "http://www.openrdf.org/schema/sesame#",
+    "fn" -> "http://www.w3.org/2005/xpath-functions#",
+    "foaf" -> "http://xmlns.com/foaf/0.1/",
+    "dc" -> "http://purl.org/dc/elements/1.1/",
+    "hint" -> "http://www.bigdata.com/queryHints#",
+    "bd" -> "http://www.bigdata.com/rdf#",
     "bds" -> "http://www.bigdata.com/rdf/search#",
     "geo" -> "http://www.bigdata.com/rdf/geospatial#",
     "gas" -> "http://www.bigdata.com/rdf/gas#")
@@ -207,6 +230,7 @@ object Parser {
   private final class P(toks: IndexedSeq[Tok]) {
     private var i = 0
     private var prefixes: Map[String, String] = builtinPrefixes
+    private var baseIri: Option[String] = None
     private var bnodeCtr = 0
 
     private def cur: Tok = toks(i)
@@ -249,13 +273,20 @@ object Parser {
             case TPName(pr, "", po) => i += 1; (pr, po)
             case TPName(pr, l, po) => i += 1; (pr + ":" + l, po) // e.g. odd empty-local
             case TPunct(":", po) => i += 1; ("", po)
+            case TWord(_, orig, po) => // `@prefix name : <…>` with a space before ':'
+              i += 1
+              cur match {
+                case TPName("", "", _) | TPunct(":", _) => i += 1
+                case _ => fail("expected ':' after prefix name")
+              }
+              (orig, po)
             case _ => fail("expected prefix name")
           }
-          val iri = cur match { case TIri(v, _) => i += 1; v; case _ => fail("expected IRI") }
+          val iri = cur match { case TIri(v, _) => i += 1; resolveIri(v); case _ => fail("expected IRI") }
           prefixes += (p.stripSuffix(":") -> iri)
           val _ = pos
         } else if (acceptWord("BASE")) {
-          cur match { case TIri(_, _) => i += 1; case _ => fail("expected IRI") }
+          cur match { case TIri(v, _) => i += 1; baseIri = Some(v); case _ => fail("expected IRI") }
         } else go = false
       }
     }
@@ -270,9 +301,19 @@ object Parser {
     }
 
     private def parseIri(): String = cur match {
-      case TIri(v, _) => i += 1; v
+      case TIri(v, _) => i += 1; resolveIri(v)
       case TPName(p, l, pos) => i += 1; resolvePName(p, l, pos)
       case _ => fail("expected IRI")
+    }
+
+    /** Resolve a relative IRIREF against the declared BASE (no-op when absolute or no
+      * BASE is in effect — absolute = a ':' appears before any '/', '#' or '?').
+      */
+    private def resolveIri(v: String): String = {
+      val absolute = v.takeWhile(c => c != '/' && c != '#' && c != '?').contains(':')
+      if (absolute || baseIri.isEmpty) v
+      else try java.net.URI.create(baseIri.get).resolve(v).toString
+      catch { case _: IllegalArgumentException => v }
     }
 
     private def parseSelect(): SelectQuery = {
@@ -429,7 +470,27 @@ object Parser {
         else go2 = false
       }
       if (isWord("VALUES")) values = Some(parseValues())
+      else if (isWord("BINDINGS")) values = Some(parseBindingsLegacy())
       (groupBy, having, orderBy, offset, limit, values)
+    }
+
+    /** Legacy SPARQL 1.1 *draft* trailer `BINDINGS ?x ?y { (v1 v2) … }` — accepted by
+      * the reference's grammar alongside VALUES; rows are always parenthesized.
+      */
+    private def parseBindingsLegacy(): ValuesGP = {
+      expectWord("BINDINGS")
+      val vars = ArrayBuffer.empty[VarNode]
+      while (!isPunct("{")) vars += parseVar()
+      expectPunct("{")
+      val rows = ArrayBuffer.empty[Seq[Option[Node]]]
+      while (acceptPunct("(")) {
+        val row = ArrayBuffer.empty[Option[Node]]
+        while (!isPunct(")")) row += parseDataValue()
+        expectPunct(")")
+        rows += row.toSeq
+      }
+      expectPunct("}")
+      ValuesGP(vars.toSeq, rows.toSeq)
     }
 
     private def parseBracketted(): Expr = { expectPunct("("); val e = parseExpr(); expectPunct(")"); e }
@@ -461,6 +522,17 @@ object Parser {
           case TWord("BIND", _, _) =>
             i += 1; expectPunct("(")
             val e = parseExpr(); expectWord("AS"); val v = parseVar(); expectPunct(")")
+            elems += BindGP(e, v)
+          case TWord("LET", _, _) =>
+            // legacy assignment syntax `LET (?v := expr)` — the reference's
+            // sparql.jj AssignmentNode production, equivalent to BIND(expr AS ?v)
+            i += 1; expectPunct("(")
+            val v = parseVar()
+            cur match {
+              case TPName("", "", _) => i += 1; expectPunct("=") // ':=' lexes as ':'+'='
+              case _ => fail("expected ':=' in LET")
+            }
+            val e = parseExpr(); expectPunct(")")
             elems += BindGP(e, v)
           case TWord("VALUES", _, _) => elems += parseValues()
           case TWord("GRAPH", _, _) =>
@@ -499,8 +571,8 @@ object Parser {
               if (!acceptPunct(".")) {
                 // allow next pattern keyword without '.'
                 cur match {
-                  case TWord("OPTIONAL" | "MINUS" | "FILTER" | "BIND" | "VALUES" |
-                    "GRAPH" | "SERVICE", _, _) | TPunct("{", _) => ()
+                  case TWord("OPTIONAL" | "MINUS" | "FILTER" | "BIND" | "LET" | "VALUES" |
+                    "GRAPH" | "SERVICE" | "INCLUDE", _, _) | TPunct("{", _) => ()
                   case _ => fail("expected '.' or '}'")
                 }
               }
@@ -663,7 +735,7 @@ object Parser {
     }
 
     private def parseGraphTerm(): Node = cur match {
-      case TIri(v, _) => i += 1; IriNode(v)
+      case TIri(v, _) => i += 1; IriNode(resolveIri(v))
       case TPName(p, l, pos) => i += 1; IriNode(resolvePName(p, l, pos))
       case TWord("A", "a", _) => i += 1; IriNode(graft.model.Term.RDF_TYPE)
       case TWord("TRUE", _, _) => i += 1; LitNode("true", Some(graft.model.Term.XSD_BOOLEAN))
