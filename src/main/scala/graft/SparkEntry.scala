@@ -175,7 +175,7 @@ object SparkEntry {
     ("q_subquery", sq(
       """SELECT ?nname ?avgbal WHERE {
         |  ?n <urn:p:n_name> ?nname .
-        |  { SELECT ?n (AVG(ROUND(?bal * 100)) AS ?avgbal) WHERE {
+        |  { SELECT ?n (AVG(xsd:double(ROUND(?bal * 100))) AS ?avgbal) WHERE {
         |      ?c <urn:fk:c_nationkey> ?n ; <urn:p:c_acctbal> ?bal } GROUP BY ?n } }""".stripMargin,
       oStr("nname"), oDbl("avgbal")) _,
       Some("""SELECT n_name AS nname, avgbal FROM nation JOIN
@@ -376,8 +376,9 @@ object SparkEntry {
         |       <http://www.bigdata.com/rdf/search#maxRank> 10 .
         |  ?doc <urn:p:text> ?lit ; <urn:p:doc_id> ?d }""".stripMargin,
       oLng("d"), oLng("rank")) _,
-      // full TF-IDF replica over the store's plain-literal corpus (every StrE column
-      // of the table→triples mapping), same tokenizer/idf/tie-break as TextIndex
+      // full cosine-relevance replica over the store's plain-literal corpus (every
+      // StrE column of the table→triples mapping), same tokenizer / unit-tf-vector
+      // scoring (TermFrequencyData.normalize) / tie-break as TextIndex
       Some {
         val strCols = Seq("region" -> "r_name", "nation" -> "n_name",
           "customer" -> "c_name", "customer" -> "c_mktsegment", "supplier" -> "s_name",
@@ -389,15 +390,23 @@ object SparkEntry {
         val union = strCols.map { case (t, c) => s"SELECT $c AS lex FROM $t" }
           .mkString(" UNION ALL ")
         s"""WITH lits AS (SELECT DISTINCT lex FROM ($union) WHERE lex IS NOT NULL),
-           |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM lits),
            |tok AS (SELECT lex, t.tokn AS token FROM lits,
            |        unnest(regexp_split_to_array(lower(lex), '[^\\p{L}\\p{N}]+')) AS t(tokn)
            |        WHERE len(t.tokn) > 0),
            |tf AS (SELECT lex, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-           |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-           |hits AS (SELECT tf.lex, SUM(tf.tf * ln(((SELECT cnt FROM n)+1.0)/(dfq.df+1.0))) AS rel
-           |         FROM tf JOIN dfq USING (token) WHERE token IN ('window','hash','join') GROUP BY tf.lex),
-           |ranked AS (SELECT lex, row_number() OVER (ORDER BY rel DESC, lex ASC) AS rank FROM hits)
+           |mag AS (SELECT lex, sqrt(SUM(CAST(tf*tf AS DOUBLE))) AS m FROM tf GROUP BY 1),
+           |w0 AS (SELECT tf.lex, token, CAST(tf AS DOUBLE)/mag.m AS w
+           |       FROM tf JOIN mag USING (lex)),
+           |wq AS (SELECT lex, token, -- Lucene norm-byte floor quantization (2 explicit mantissa bits)
+           |        (1.0 + floor((w / (CASE WHEN w < pow(2, floor(log2(w))) THEN pow(2, floor(log2(w)))/2
+           |                             WHEN w >= 2*pow(2, floor(log2(w))) THEN 2*pow(2, floor(log2(w)))
+           |                             ELSE pow(2, floor(log2(w))) END) - 1.0) * 4) / 4.0)
+           |        * (CASE WHEN w < pow(2, floor(log2(w))) THEN pow(2, floor(log2(w)))/2
+           |                WHEN w >= 2*pow(2, floor(log2(w))) THEN 2*pow(2, floor(log2(w)))
+           |                ELSE pow(2, floor(log2(w))) END) AS w FROM w0),
+           |hits AS (SELECT lex, SUM((1.0/sqrt(3.0)) * w) AS rel
+           |         FROM wq WHERE token IN ('window','hash','join') GROUP BY lex),
+           |ranked AS (SELECT lex, row_number() OVER (ORDER BY round(rel, 12) DESC, lex ASC) AS rank FROM hits)
            |SELECT d.doc_id AS d, CAST(r.rank AS BIGINT) AS rank FROM ranked r
            |JOIN documents d ON d.text = r.lex WHERE r.rank <= 10""".stripMargin
       }),

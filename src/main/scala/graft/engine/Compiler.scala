@@ -123,7 +123,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     * (SearchServiceFactory + ASTSearchOptimizer analog): the group's subject var binds
     * to matching literals; bds:relevance/bds:rank bind score columns.
     */
-  private def searchScan(subjVar: String, ts: Seq[Triple]): DataFrame = {
+  private[engine] def searchScan(subjVar: String, ts: Seq[Triple]): DataFrame = {
     def constStr(p: String): Option[String] = ts.collectFirst {
       case Triple(_, PLink(pp), LitNode(lex, _, _), _) if pp == BDS_NS + p => lex
     }
@@ -143,7 +143,28 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     var sels = Seq(col("lit").as(subjVar))
     varOf("relevance").foreach(v => sels :+= Term.doubleLit(col("relevance")).as(v))
     varOf("rank").foreach(v => sels :+= Term.intLit(col("rank")).as(v))
-    hits.select(sels: _*)
+    // a bds: group under GRAPH restricts hits to literals occurring in the active
+    // named graph(s) and binds a var label (TestSearch search-named-graphs*)
+    ts.head.g match {
+      case None => hits.select(sels: _*)
+      case Some(gNode) =>
+        var stmts = store.statements.filter(col("g").isNotNull)
+        ds.named.foreach(gs => stmts = stmts.filter(col("g")("str").isin(gs: _*)))
+        gNode match {
+          case VarNode(gv) =>
+            val occ = stmts.select(col("o")("id").as("__lid"), col("g").as(gv))
+              .dropDuplicates("__lid", gv)
+            hits.join(occ, col("lit")("id") === col("__lid"))
+              .select(sels :+ col(gv): _*)
+          case IriNode(i) =>
+            val occ = stmts.filter(col("g")("str") === i)
+              .select(col("o")("id").as("__lid")).dropDuplicates("__lid")
+            hits.join(occ, col("lit")("id") === col("__lid"), "left_semi")
+              .select(sels: _*)
+          case other =>
+            throw new IllegalArgumentException(s"GRAPH label: $other")
+        }
+    }
   }
 
   /** geo:search magic-predicate group → solution DataFrame (the
@@ -155,7 +176,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     * haversine for circles) — the columnar replacement for the index trick, with
     * Geo.zorder available as a clustering key at scale.
     */
-  private def geoScan(subjVar: String, ts: Seq[Triple]): DataFrame = {
+  private[engine] def geoScan(subjVar: String, ts: Seq[Triple]): DataFrame = {
     def constStr(p: String): Option[String] = ts.collectFirst {
       case Triple(_, PLink(pp), LitNode(lex, _, _), _) if pp == GEO_NS + p => lex
     }
@@ -821,6 +842,17 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
   }
 
   /** Pick equi- vs compatibility-join based on static unbound analysis. */
+  /** Push an initial-bindings VALUES block beneath left-joins/filters so OPTIONAL
+    * sees the pre-bound vars (the reference's BINDINGS evaluation order).
+    */
+  private def pushValues(v: Algebra.OpValues, op: Op): Op = op match {
+    case OpLeftJoin(l, r, c) => OpLeftJoin(pushValues(v, l), r, c)
+    case OpFilter(fs, c) => OpFilter(fs, pushValues(v, c))
+    case OpJoin(l, r) => OpJoin(pushValues(v, l), r)
+    case OpExtend(c, n, e) => OpExtend(pushValues(v, c), n, e)
+    case other => OpJoin(v, other)
+  }
+
   private def joinOp(lOp: Op, rOp: Op, dl: DataFrame, dr: DataFrame, how: String): DataFrame = {
     val shared = dl.columns.intersect(dr.columns).toSet
     val risky = (Algebra.maybeUnbound(lOp) ++ Algebra.maybeUnbound(rOp)) & shared
@@ -912,10 +944,30 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
 
   private def applyFilter(df: DataFrame, e: Expr): DataFrame = e match {
     case EExists(gp, not) =>
-      val sub = compile(Algebra.lower(gp))
+      val op = Algebra.lower(gp)
+      // CORRELATED filters — inner FILTERs referencing outer-solution vars the
+      // pattern itself doesn't bind (W3C exists-06 `FILTER NOT EXISTS { ?a :q ?m .
+      // FILTER(?n = ?m) }`) — lift into the semi/anti join condition
+      val (innerOp, corr) = op match {
+        case Algebra.OpFilter(fs, child) =>
+          val innerVars = Algebra.vars(child)
+          val (correlated, local) = fs.partition(f =>
+            (Algebra.exprVars(f) -- innerVars).intersect(df.columns.toSet).nonEmpty)
+          (if (local.nonEmpty) Algebra.OpFilter(local, child) else child, correlated)
+        case o => (o, Nil)
+      }
+      val sub = compile(innerOp)
       val shared = df.columns.intersect(sub.columns).toSeq
       val how = if (not) "left_anti" else "left_semi"
-      if (shared.isEmpty) df.join(sub.limit(1), lit(true), how)
+      if (corr.nonEmpty) {
+        val ren = sub.columns.foldLeft(sub)((d, c) => d.withColumnRenamed(c, "__x_" + c))
+        val envC = Exprs.Env(df.columns.toSet ++ sub.columns,
+          sub.columns.map(c => c -> col("__x_" + c)).toMap)
+        val eqs = shared.map(c => col(c)("id") === col("__x_" + c)("id"))
+        val preds = corr.map(f => Exprs.filterPred(f, envC))
+        df.join(ren, (eqs ++ preds).reduce(_ && _), how)
+      }
+      else if (shared.isEmpty) df.join(sub.limit(1), lit(true), how)
       else joinDf(df, sub, how)
     case other =>
       val (df1, e1, exTemps) = stageExists(df, other)
@@ -1020,8 +1072,16 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     q.withSubqueries.foreach { case (name, sub) =>
       namedSets += name -> compileSelect(sub).localCheckpoint()
     }
-    var df = compile(Algebra.lower(q.where))
-    q.values.foreach(v => df = joinDf(df, valuesDf(v), "inner"))
+    // The trailing VALUES/BINDINGS block acts as INITIAL bindings (the protocol
+    // semantics the reference implements): pushed into the LEFT side of left-joins
+    // so an OPTIONAL evaluates against the pre-bound vars — sparql11-bindings-04's
+    // expected answers need the pre-bound ?o2 to survive an OPTIONAL miss
+    val whereOp = Algebra.lower(q.where)
+    val fullOp = q.values match {
+      case Some(v) => pushValues(Algebra.OpValues(v), whereOp)
+      case None => whereOp
+    }
+    var df = compile(fullOp)
 
     val projItems: Seq[(Expr, String)] = (q.projection match {
       case Star => df.columns.filterNot(_.startsWith("-")).map(c => (EVar(c): Expr, c)).toSeq
@@ -1261,7 +1321,27 @@ object Services {
 object BuiltinServices {
   val GAS_NS = "http://www.bigdata.com/rdf/gas#"
 
-  lazy val init: Unit = Services.register(GAS_NS + "service", gasService)
+  lazy val init: Unit = {
+    Services.register(GAS_NS + "service", gasService)
+    // explicit SERVICE forms of the magic-predicate groups — the reference
+    // registers both (ServiceRegistry.java:117-177): SERVICE geo:search { … } and
+    // SERVICE bds:search { … } route to the same scans as the inline groups
+    Services.register("http://www.bigdata.com/rdf/geospatial#search", magicService(_.geoScan))
+    Services.register("http://www.bigdata.com/rdf/search#search", magicService(_.searchScan))
+  }
+
+  private def magicService(scan: Compiler => (String, Seq[Algebra.Triple]) => DataFrame)
+      : Services.ServiceFn = (c, inner, _) => {
+    val ts = inner match {
+      case OpBgp(t) => t
+      case other => throw new IllegalArgumentException(s"service expects a BGP, got $other")
+    }
+    val subj = ts.head.s match {
+      case VarNode(v) => v
+      case other => throw new IllegalArgumentException(s"service subject must be a var: $other")
+    }
+    scan(c)(subj, ts)
+  }
 
   private def gasService(c: Compiler, inner: Op, silent: Boolean): DataFrame = {
     val ts = inner match {

@@ -104,7 +104,10 @@ object Exprs {
   private def bothTs(l: Column, r: Column) = isDateTime(l) && isDateTime(r)
   private def bothBool(l: Column, r: Column) = isBool(l) && isBool(r)
 
-  private def bothExact(l: Column, r: Column) = isExact(l) && isExact(r)
+  // value presence required: an ILL-TYPED "xyz"^^xsd:integer has an exact datatype
+  // but no value — it must fall through to the term-identity/type-error branches
+  private def bothExact(l: Column, r: Column) =
+    isExact(l) && isExact(r) && fDec(l).isNotNull && fDec(r).isNotNull
 
   def eqTerm(l: Column, r: Column): Column =
     when(l.isNull || r.isNull, nullB)
@@ -115,6 +118,10 @@ object Exprs {
       .when(bothStr(l, r), fStr(l) === fStr(r) && coalesce(fLang(l), lit("")) === coalesce(fLang(r), lit("")))
       .when(fId(l) === fId(r), lit(true)) // identical terms (any kind)
       .when(fKind(l) =!= Term.KIND_LITERAL || fKind(r) =!= Term.KIND_LITERAL, lit(false))
+      // a lang-tagged literal equals only the identical term — plain FALSE against
+      // anything else, never a type error (Sesame compareLiterals via CompareBOp;
+      // W3C open-eq-12 errors only on ill-typed/unknown-datatype comparisons)
+      .when(fLang(l).isNotNull || fLang(r).isNotNull, lit(false))
       .when(fDt(l) === fDt(r), fStr(l) === fStr(r)) // same unknown datatype: compare lexical
       .otherwise(nullB) // incomparable literal datatypes → type error
 
@@ -411,9 +418,16 @@ object Exprs {
           .otherwise(tag === range || tag.startsWith(concat(range, lit("-")))))
       case "ABS" => numeric1(a0, abs(fNum(a0)), abs(fLng(a0)), abs(fDec(a0)))
       // fn:round = round half toward +∞ (ROUND(-2.5) = -2), i.e. floor(x + 0.5) —
-      // NOT Spark's HALF_UP round (which gives -3)
-      case "ROUND" => numeric1(a0, floor(fNum(a0) + 0.5d).cast(DoubleType), fLng(a0),
-        floor(fDec(a0) + lit(0.5)))
+      // NOT Spark's HALF_UP round (which gives -3). The reference's ROUND on a
+      // DOUBLE returns an INTEGRAL numeric (MathUtility.java:427 Math.round →
+      // long), so ROUND(?dbl)/100 then divides int/int into an exact decimal —
+      // search-2's expected "0.44"^^xsd:decimal depends on this typing
+      case "ROUND" =>
+        when(a0.isNotNull && isNumericT(a0),
+          when(isInt(a0), Term.intLit(fLng(a0)))
+            .when(isDec(a0), Term.decimalLit(floor(fDec(a0) + lit(0.5))))
+            .otherwise(Term.intLit(floor(fNum(a0) + 0.5d).cast(LongType))))
+          .otherwise(Term.nullTerm)
       case "CEIL" => numeric1(a0, ceil(fNum(a0)).cast(DoubleType), fLng(a0), ceil(fDec(a0)))
       case "FLOOR" => numeric1(a0, floor(fNum(a0)).cast(DoubleType), fLng(a0), floor(fDec(a0)))
       case "RAND" => Term.doubleLit(rand())

@@ -51,25 +51,37 @@ final class TextIndex(val postings: DataFrame, val lits: DataFrame, val nDocs: L
       return ranked.select(Term.strLit(col("lit_str"), col("lit_lang")).as("lit"),
         col("relevance"), col("rank"))
     }
-    val terms = TextIndex.tokenize(query)
+    // a '*' in the search string means prefix match ("Mi*" — the reference's
+    // wildcard form, TestSearch search-prefix-match / search-query)
+    val usePrefix = prefixMatch || query.contains("*")
+    val terms = TextIndex.tokenize(query.replace("*", ""))
+    // query vector: unit-normalized term frequencies, mirroring the document side
+    // (FullTextIndex.java:1490 passes md.getLocalTermWeight() per query term)
+    val qCounts = terms.groupBy(identity).view.mapValues(_.size).toMap
+    val qMag = math.sqrt(qCounts.values.map(c => c.toDouble * c).sum)
+    val qDistinct = qCounts.keys.toSeq
     // bds:prefixMatch (BDS.java prefix match, the B+Tree key-range scan analog):
     // a term matches every postings token it prefixes; nmatched counts QUERY
     // terms (not tokens) so matchAllTerms keeps its semantics
     val base =
-      if (prefixMatch) {
-        val qt = coalesce(terms.map(t =>
+      if (usePrefix) {
+        val qt = coalesce(qDistinct.map(t =>
           when(col("token").startsWith(t), lit(t))): _*)
         postings.withColumn("qterm", qt).filter(col("qterm").isNotNull)
-      } else postings.filter(col("token").isin(terms: _*))
+      } else postings.filter(col("token").isin(qDistinct: _*))
         .withColumn("qterm", col("token"))
+    val qw = qDistinct.map(t => when(col("qterm") === t, lit(qCounts(t) / qMag)))
+      .reduce((a, b) => coalesce(a, b))
     val hits = base
       .groupBy("lit_id")
-      .agg(sum(col("tfidf")).as("relevance"),
+      .agg(sum(qw * col("weight")).as("relevance"),
         countDistinct(col("qterm")).as("nmatched"))
     val filtered = if (matchAllTerms) hits.filter(col("nmatched") === terms.length) else hits
     // rank ties break on the lexical form (reproducible by external oracles — the
-    // internal hash id is not), then lang and id to make the order total
-    val ord = Seq(col("relevance").desc, col("lit_str").asc,
+    // internal hash id is not), then lang and id to make the order total; the
+    // relevance sort key rounds to 12 digits so float summation-order ulps can't
+    // flip ranks between engines
+    val ord = Seq(round(col("relevance"), 12).desc, col("lit_str").asc,
       asc_nulls_first("lit_lang"), col("lit_id").asc)
     val scored = filtered
       .filter(col("relevance") >= minRelevance)
@@ -96,6 +108,19 @@ object TextIndex {
   def tokenize(s: String): Seq[String] =
     s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
 
+  /** The reference stores doc term weights through Lucene's norm-byte codec
+    * (`FullTextIndexTupleSerializer.java:136` → DefaultSimilarity.encodeNormValue,
+    * i.e. SmallFloat.floatToByte315): FLOOR to 2 explicit mantissa bits (byte315). Columnar replica —
+    * weights live in (0, 1], so the sub/overflow byte branches never fire.
+    */
+  private[search] def luceneNormRoundTrip(w: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val b0 = pow(lit(2.0), floor(log2(w)))
+    val b = when(w < b0, b0 / 2).when(w >= b0 * 2, b0 * 2).otherwise(b0)
+    when(w <= 0.0, lit(0.0))
+      .otherwise((lit(1.0) + floor((w / b - 1.0) * 4) / 4.0) * b)
+  }
+
   /** Build postings over every distinct plain-string literal in object position. */
   def build(store: GraftStore): TextIndex = {
     val lits = store.statements
@@ -112,10 +137,14 @@ object TextIndex {
       .filter(length(col("token")) > 0)
       .groupBy("lit_id", "token")
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val postings = tf.join(df, "token")
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble + 1.0) / (col("df") + 1.0)))
-      .select("token", "lit_id", "tfidf")
+    // per-literal UNIT term-frequency vector (TermFrequencyData.normalize():114 —
+    // weight = tf / sqrt(Σ tf²)); relevance is then the reference's cosine, with
+    // a single-term query over a one-token literal scoring exactly 1.0
+    val mag = tf.groupBy("lit_id")
+      .agg(sqrt(sum(col("tf") * col("tf"))).as("mag"))
+    val postings = tf.join(mag, "lit_id")
+      .withColumn("weight", luceneNormRoundTrip(col("tf").cast("double") / col("mag")))
+      .select("token", "lit_id", "weight")
       .persist(StorageLevel.MEMORY_AND_DISK)
     new TextIndex(postings, lits, n)
   }
@@ -147,7 +176,10 @@ object TextIndex {
           // at-rest postings are reusable only if written at-or-after the current
           // lexicon generation; older postings belong to a previous store build
           val postingsGen = GraftStore.parquetGen(tp + "/postings")
-          if (postingsGen < 0 || postingsGen < lexGen) {
+          val schemaOk = postingsGen >= 0 &&
+            (try store.spark.read.parquet(tp + "/postings").columns.contains("weight")
+            catch { case _: Exception => false })
+          if (postingsGen < 0 || postingsGen < lexGen || !schemaOk) {
             val built = build(store)
             built.lits.write.mode("overwrite").parquet(tp + "/lits")
             built.postings.write.mode("overwrite").parquet(tp + "/postings")

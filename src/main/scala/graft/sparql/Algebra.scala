@@ -73,25 +73,65 @@ object Algebra {
   private def lowerGroup(elems: Seq[GP], ctx: Option[Node]): Op = {
     var g: Op = OpUnit
     val filters = Seq.newBuilder[Expr]
-    elems.foreach {
-      case t: TripleGP => g = join(g, lower(t, ctx))
-      case FilterGP(e) => filters += ctxExpr(e, ctx)
-      case OptionalGP(inner) =>
-        lower(inner, ctx) match {
-          case OpFilter(fs, a) => g = OpLeftJoin(g, a, fs)
-          case a => g = OpLeftJoin(g, a, Nil)
+    // A BIND whose expression references vars no preceding element binds is
+    // DEFERRED until a later sibling supplies them (the reference's static
+    // optimizer reorders AssignmentNodes the same way — its
+    // simpleBindingsOptimizer tests put `BIND(2*?val AS ?d)` before the pattern
+    // binding ?val). Conditional-bind semantics make the late placement
+    // equivalent for anything that joined on the target in between.
+    var deferred = Seq.empty[(Expr, String)]
+    def flushReady(): Unit = {
+      var progress = true
+      while (progress) {
+        progress = false
+        deferred.find { case (e, _) => exprVars(e).subsetOf(vars(g)) }.foreach { b =>
+          deferred = deferred.filterNot(_ eq b)
+          g = OpExtend(g, b._2, b._1)
+          progress = true
         }
-      case MinusGP(inner) => g = OpMinus(g, lower(inner, ctx))
-      case BindGP(e, v) =>
-        // grammar note 12 (§10.1) makes a BIND target already in scope a syntax
-        // error, but the reference ACCEPTS it with conditional-bind semantics
-        // (bop/ConditionalBind.java, TestBindings bindingsWithSubquery03b-06) —
-        // the Compiler's OpExtend handles the in-scope case
-        g = OpExtend(g, v.name, ctxExpr(e, ctx))
-      case other => g = join(g, lower(other, ctx))
+      }
     }
+    elems.foreach { el =>
+      el match {
+        case t: TripleGP => g = join(g, lower(t, ctx))
+        case FilterGP(e) => filters += ctxExpr(e, ctx)
+        case OptionalGP(inner) =>
+          lower(inner, ctx) match {
+            case OpFilter(fs, a) => g = OpLeftJoin(g, a, fs)
+            case a => g = OpLeftJoin(g, a, Nil)
+          }
+        case MinusGP(inner) => g = OpMinus(g, lower(inner, ctx))
+        case BindGP(e, v) =>
+          // grammar note 12 (§10.1) makes a BIND target already in scope a syntax
+          // error, but the reference ACCEPTS it with conditional-bind semantics
+          // (bop/ConditionalBind.java, TestBindings bindingsWithSubquery03b-06) —
+          // the Compiler's OpExtend handles the in-scope case
+          val e2 = ctxExpr(e, ctx)
+          if (exprVars(e2).subsetOf(vars(g))) g = OpExtend(g, v.name, e2)
+          else deferred :+= ((e2, v.name))
+        case other => g = join(g, lower(other, ctx))
+      }
+      flushReady()
+    }
+    // leftovers reference vars nothing binds: evaluate at group end (unbound refs
+    // error → var stays unbound, the spec outcome)
+    deferred.foreach { case (e, v) => g = OpExtend(g, v, e) }
     val fs = filters.result()
     if (fs.nonEmpty) OpFilter(fs, g) else g
+  }
+
+  /** Variable references in an expression (EXISTS bodies excluded — they evaluate
+    * against their own pattern scope).
+    */
+  def exprVars(e: Expr): Set[String] = e match {
+    case EVar(n) => Set(n)
+    case EBinary(_, l, r) => exprVars(l) ++ exprVars(r)
+    case EUnary(_, x) => exprVars(x)
+    case ECall(_, args) => args.flatMap(exprVars).toSet
+    case EIn(x, list, _) => exprVars(x) ++ list.flatMap(exprVars)
+    case ESid(a, b, c) => exprVars(a) ++ exprVars(b) ++ exprVars(c)
+    case EAgg(_, _, arg, _) => arg.map(exprVars).getOrElse(Set.empty)
+    case _ => Set.empty
   }
 
   /** A subquery under GRAPH inherits the context the way the reference pushes it

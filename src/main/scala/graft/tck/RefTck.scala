@@ -60,6 +60,15 @@ object RefTck {
       return Outcome(name, "SKIP-CONSTRUCT")
     if (qUpper.contains("DESCRIBE") && !qUpper.contains("SELECT"))
       return Outcome(name, "SKIP-DESCRIBE")
+    // external-system tests: the Solr FTS connector (a documented permanent
+    // exclusion) and federation against live remote endpoints (zero-egress sandbox)
+    if (rq.contains("/rdf/fts#") || rq.contains("SERVICE <http://localhost") ||
+        rq.contains("service <http://localhost") || rq.contains("http://localhost:8983"))
+      return Outcome(name, "SKIP-EXTERNAL")
+    // these run under a Java-side geo-datatype PRECISION configuration
+    // (TestGeoSpatialServiceConfiguration.getProperties) the data files don't carry
+    if (name == "geo-rectangle08" || name == "geo-custom-precisiontest")
+      return Outcome(name, "SKIP-CONFIG")
     val data = dataFile(dir, name).get
     val store =
       try {
@@ -74,6 +83,16 @@ object RefTck {
       } catch {
         case e: Exception => return Outcome(name, "SKIP-DATA", msg(e))
       }
+    // TestInclude pre-creates %solutionSet1 through the ISolutionSetManager with
+    // rows {x=1,y=2}, {}, {x=3,y=4,z=5} (TestInclude.java:629-675) — replicate via
+    // the SolutionSets API so the INCLUDE tests run
+    if (name == "include_03")
+      // TestInclude.java:423 test_include_03: {(x=Mike,y=2), (x=Bryan,y=4)}
+      graft.engine.SolutionSets.put(store, "solutionSet1",
+        "SELECT * WHERE { VALUES (?x ?y) { (<http://www.bigdata.com/Mike> 2) (<http://www.bigdata.com/Bryan> 4) } }")
+    else if (name.startsWith("include_"))
+      graft.engine.SolutionSets.put(store, "solutionSet1",
+        "SELECT * WHERE { VALUES (?x ?y ?z) { (1 2 UNDEF) (UNDEF UNDEF UNDEF) (3 4 5) } }")
     val expected =
       try Srx.parse(new File(dir, name + ".srx"))
       catch { case e: Exception => return Outcome(name, "SKIP-SRX", msg(e)) }
@@ -110,16 +129,19 @@ object RefTck {
           return if (collected.isEmpty) Outcome(name, "PASS")
           else Outcome(name, "FAIL", s"rows got=${collected.size} want=0")
         // several reference expected files omit never-bound vars from the head
-        // (optionals_simplest lists a,b,c but not d) — tolerate actual columns
-        // beyond the head ONLY when they are unbound in every row
-        val extraCols = cols.filterNot(vars.contains)
-        if (!vars.forall(cols.contains) ||
+        // (optionals_simplest lists a,b,c but not d) or list vars the query cannot
+        // bind at all (union_06 lists c) — tolerate actual columns beyond the head
+        // ONLY when they are unbound in every row, and expected head vars absent
+        // from the query ONLY when no expected row binds them
+        val effVars = vars.filter(v => cols.contains(v) || rows.exists(_.contains(v)))
+        val extraCols = cols.filterNot(effVars.contains)
+        if (!effVars.forall(cols.contains) ||
             extraCols.exists(c => collected.exists(r => !r.isNullAt(r.fieldIndex(c)))))
           return Outcome(name, "FAIL-VARS", s"got=${cols.sorted} want=${vars.sorted}")
-        val keep = cols.filter(vars.contains)
+        val keep = cols.filter(effVars.contains)
         val got = collected.map(r => canonRow(keep.map(c =>
           c -> termToken(r.getAs[Row](c)))))
-        val want = rows.map(m => canonRow(vars.map(v => v -> m.getOrElse(v, null))))
+        val want = rows.map(m => canonRow(effVars.map(v => v -> m.getOrElse(v, null))))
         if (got.sorted == want.sorted) Outcome(name, "PASS")
         else {
           val extra = diff(got, want).take(2)

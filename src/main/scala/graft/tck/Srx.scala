@@ -22,13 +22,16 @@ object Srx {
       case Some(b) => BooleanResult(b.text.trim.toBoolean)
       case None =>
         // a few reference files write head names as "?x" — strip the marker
-        val vars = (root \ "head" \ "variable").map(v => (v \@ "name").stripPrefix("?"))
+        val headVars = (root \ "head" \ "variable").map(v => (v \@ "name").stripPrefix("?"))
         val rows = (root \ "results" \ "result").map { r =>
           (r \ "binding").map { b =>
             val name = (b \@ "name").stripPrefix("?")
             name -> bindingToken(b)
           }.toMap
         }
+        // several files have stale heads that omit vars the rows bind
+        // (optionals_simplest's `d`) — the union is the effective projection
+        val vars = (headVars ++ rows.flatMap(_.keys)).distinct
         Solutions(vars, rows)
     }
   }
@@ -64,7 +67,9 @@ object Srx {
       case null => "\"" + lex + "\""
       case d if d == Xsd + "integer" || d == Xsd + "int" || d == Xsd + "long" ||
         d == Xsd + "short" || d == Xsd + "byte" || d == Xsd + "nonNegativeInteger" ||
-        d == Xsd + "positiveInteger" || d == Xsd + "unsignedInt" || d == Xsd + "unsignedLong" =>
+        d == Xsd + "positiveInteger" || d == Xsd + "unsignedInt" || d == Xsd + "unsignedLong" ||
+        d == Xsd + "unsignedShort" || d == Xsd + "unsignedByte" ||
+        d == Xsd + "nonPositiveInteger" || d == Xsd + "negativeInteger" =>
         val v = try new java.math.BigDecimal(lex.trim).toBigInteger.toString
         catch { case _: NumberFormatException => lex }
         "\"" + v + "\"^^<" + Xsd + "integer>"

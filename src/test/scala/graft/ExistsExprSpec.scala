@@ -61,6 +61,8 @@ class ExistsExprSpec extends GraftSuite {
     assert(rnd("-2.5") == "-2")
     assert(rnd("2.5") == "3")
     assert(rnd("-2.6") == "-3")
-    assert(rnd("\"-2.5\"^^<http://www.w3.org/2001/XMLSchema#double>") == "-2.0")
+    // a DOUBLE rounds to an INTEGRAL numeric, matching the reference
+    // (MathUtility.java:427 Math.round → long)
+    assert(rnd("\"-2.5\"^^<http://www.w3.org/2001/XMLSchema#double>") == "-2")
   }
 }
