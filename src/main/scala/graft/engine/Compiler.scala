@@ -65,6 +65,16 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
   private val spark = store.spark
   /** Named solution sets from WITH … AS %name (evaluated once, INCLUDE reuses). */
   private var namedSets: Map[String, DataFrame] = Map.empty
+  /** Maybe-unbound vars per named set, computed from its AST at registration —
+    * feeds the compatibility-join analysis when an INCLUDE is joined.
+    */
+  private var namedSetUnbound: Map[String, Set[String]] = Map.empty
+  /** Declared-but-not-yet-compiled WITH bodies: a named subquery may INCLUDE a
+    * sibling declared AFTER it (TestTicket1763 bg1763b), so registration is lazy
+    * and resolution recurses in dependency order.
+    */
+  private var pendingSets: Map[String, SelectQuery] = Map.empty
+  private var resolvingSets: Set[String] = Set.empty
   import Exprs.{Env => _, _}
 
   private def env(df: DataFrame): Exprs.Env = Exprs.Env(df.columns.toSet)
@@ -292,7 +302,11 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     def containsClosure(p: Path): Boolean = p match {
       case PZeroOrMore(_) | POneOrMore(_) => true
       case PInv(q) => containsClosure(q)
-      case PZeroOrOne(q) => containsClosure(q)
+      // zero-or-one carries a zero-length component: seeded evaluation emits the
+      // reference's (seed, seed) self-pair for ANY bound endpoint
+      // (ArbitraryLengthPathTask.java:384), which the unseeded relation — whose
+      // zero domain is the edge-vertex set — cannot (TestTicket739 optpp)
+      case PZeroOrOne(_) => true
       case PSeq(q, r) => containsClosure(q) || containsClosure(r)
       case PAlt(q, r) => containsClosure(q) || containsClosure(r)
       case _ => false
@@ -357,6 +371,48 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       }
     }
     searchDfs.foldLeft(df)(joinDf(_, _, "inner"))
+  }
+
+  /** MINUS whose right side is a BGP with a path triple sharing a definitely-bound
+    * var: evaluate the right side AS-BOUND, seeded from the left's values — exactly
+    * the reference's pipelined sub-group evaluation (the ALP receives the incoming
+    * solutions and emits a (seed, seed) zero-length self-pair for each:
+    * ArbitraryLengthPathTask.java:384, observable in ticket_bg2066 where
+    * `MINUS { ?o <knows>* [] }` must remove EVERY bound ?o). Beyond conformance
+    * this is the scale path: the anti-join side explores only the frontier
+    * reachable from the left's bindings instead of a store-wide closure.
+    * Returns None when the shape doesn't apply (falls back to independent eval).
+    */
+  private def asBoundMinus(l: Op, r: Op, dl: DataFrame): Option[DataFrame] = r match {
+    case OpBgp(ts) if ts.nonEmpty =>
+      val lBound = dl.columns.toSet -- unboundOf(l)
+      def endpoints(t: Triple): Seq[String] = Seq(t.s, t.o).collect { case VarNode(v) => v }
+      val pathTs = ts.filterNot(t => isSimpleP(t.p))
+      // every path triple must have a bound endpoint to seed from, every triple a
+      // plain (non-magic) predicate, and no left shared var may be maybe-unbound
+      val applies = pathTs.nonEmpty &&
+        pathTs.forall(t => endpoints(t).exists(lBound) &&
+          t.s.isInstanceOf[VarNode] && t.o.isInstanceOf[VarNode]) &&
+        (Algebra.vars(r) & unboundOf(l)).isEmpty
+      if (!applies) None
+      else {
+        val seedVars = (ts.flatMap(Algebra.tripleVars).toSet & lBound).toSeq.sorted
+        if (seedVars.isEmpty) return None
+        var df = dl.select(seedVars.map(col): _*).dropDuplicates(seedVars)
+        var bound = seedVars.toSet
+        ts.foreach { t =>
+          if (!isSimpleP(t.p) && endpoints(t).exists(bound))
+            df = joinSeededPath(df, t, bound)
+          else {
+            val next = if (isSimpleP(t.p)) scanTriple(t) else pathTriple(t)
+            df = joinDf(df, next, "inner")
+          }
+          bound ++= Algebra.tripleVars(t)
+        }
+        val shared = dl.columns.intersect(df.columns).toSeq
+        Some(joinDf(dl, df.select(shared.map(col): _*).dropDuplicates(shared), "left_anti"))
+      }
+    case _ => None
   }
 
   /** Join a deferred var–var path triple against solutions that already bind one (or
@@ -495,32 +551,48 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     case PInv(q) => pathPairIds(q, g)
       .select(col("b").as("a"), col("a").as("b"))
     case PSeq(q, r) =>
-      val lq = pathPairIds(q, g).select(col("a"), col("b").as("m"))
-      val rq = pathPairIds(r, g).select(col("a").as("m"), col("b"))
-      lq.join(rq, Seq("m")).select("a", "b")
+      // pipeline the zero-bearing side SEEDED from the other side's frontier —
+      // the reference decomposes a seq path into chained ALP ops, so the second
+      // leg's zero-length self-pairs come from the first leg's OUTPUTS (any
+      // term), not from the second predicate's edge vertices (blzg_1495:
+      // `<p1>/<unknown>?` must yield (s1, s2) though <unknown> has no edges).
+      // Seeding is also the scale win: the second leg explores the reachable
+      // frontier instead of materializing its whole relation.
+      if (containsZero(r)) {
+        val lq = pathPairIds(q, g)
+        val seeds = lq.select(col("b").as("seed")).dropDuplicates("seed")
+        val rq = seededPathIds(r, g, seeds, fromSubject = true, seedsInDomain = true)
+        lq.select(col("a"), col("b").as("m"))
+          .join(rq.select(col("a").as("m"), col("b")), Seq("m")).select("a", "b")
+      } else if (containsZero(q)) {
+        val rq = pathPairIds(r, g)
+        val seeds = rq.select(col("a").as("seed")).dropDuplicates("seed")
+        val lq = seededPathIds(q, g, seeds, fromSubject = false, seedsInDomain = true)
+        lq.select(col("a"), col("b").as("m"))
+          .join(rq.select(col("a").as("m"), col("b")), Seq("m")).select("a", "b")
+      } else {
+        val lq = pathPairIds(q, g).select(col("a"), col("b").as("m"))
+        val rq = pathPairIds(r, g).select(col("a").as("m"), col("b"))
+        lq.join(rq, Seq("m")).select("a", "b")
+      }
     case PAlt(q, r) => pathPairIds(q, g).unionByName(pathPairIds(r, g))
+    // Unrestricted (both endpoints open) zero-length domain: the reference's ALP
+    // emits (v,v) for the VERTICES of the path's edge set, not for every term in
+    // the graph (ArbitraryLengthPathTask gears from the edge relation;
+    // TestPropertyPaths someSharedVars encodes this). Bound-endpoint evaluation
+    // goes through seededPathIds, which keeps the full term domain for (x,x).
     case PZeroOrMore(q) =>
-      closureIds(pathPairIds(q, g)).unionByName(zeroPairIds(g)).dropDuplicates("a", "b")
+      val edges = pathPairIds(q, g).dropDuplicates("a", "b").localCheckpoint()
+      closureIds(edges).unionByName(pathVertexPairs(edges)).dropDuplicates("a", "b")
     case POneOrMore(q) => closureIds(pathPairIds(q, g))
     case PZeroOrOne(q) =>
-      zeroPairIds(g).unionByName(pathPairIds(q, g)).dropDuplicates("a", "b")
+      val edges = pathPairIds(q, g).dropDuplicates("a", "b").localCheckpoint()
+      pathVertexPairs(edges).unionByName(edges).dropDuplicates("a", "b")
   }
 
-  /** Node domain for zero-length paths (ZeroLengthPathOp.java:53), as ids. A FROM
-    * dataset clause scopes the domain exactly like an explicit graph.
-    */
-  private def zeroPairIds(g: Option[Node]): DataFrame = {
-    val base = g match {
-      case Some(IriNode(gi)) => store.statements.filter(col("g").isNotNull &&
-        col("g")("id") === TermIds.iriId(gi))
-      case None if ds.defaults.isDefined =>
-        store.statements.filter(col("g").isNotNull &&
-          col("g")("str").isin(ds.defaults.get: _*))
-      case _ => store.statements
-    }
-    base.select(col("s")("id").as("n")).unionByName(base.select(col("o")("id").as("n")))
+  private def pathVertexPairs(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("n")).unionByName(edges.select(col("b").as("n")))
       .dropDuplicates("n").select(col("n").as("a"), col("n").as("b"))
-  }
 
   /** Semi-naive transitive closure with per-round dedup + localCheckpoint (lineage cut),
     * the fixpoint driver of ArbitraryLengthPathTask. Input/output: (a,b) id pairs.
@@ -855,7 +927,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
 
   private def joinOp(lOp: Op, rOp: Op, dl: DataFrame, dr: DataFrame, how: String): DataFrame = {
     val shared = dl.columns.intersect(dr.columns).toSet
-    val risky = (Algebra.maybeUnbound(lOp) ++ Algebra.maybeUnbound(rOp)) & shared
+    val risky = (unboundOf(lOp) ++ unboundOf(rOp)) & shared
     if (risky.nonEmpty) compatJoin(dl, dr, how, risky) else joinDf(dl, dr, how)
   }
 
@@ -879,7 +951,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     case OpLeftJoin(l, r, cond) =>
       val (dl, dr) = (compile(l), compile(r))
       val shared = dl.columns.intersect(dr.columns).toSet
-      val risky = (Algebra.maybeUnbound(l) ++ Algebra.maybeUnbound(r)) & shared
+      val risky = (unboundOf(l) ++ unboundOf(r)) & shared
       if (cond.isEmpty && risky.nonEmpty) compatJoin(dl, dr, "left_outer", risky)
       else leftJoin(dl, dr, cond, risky)
     case OpUnion(l, r) =>
@@ -889,13 +961,16 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         if (d.columns.contains(c)) col(c) else Term.nullTerm.as(c)): _*)
       pad(dl).unionByName(pad(dr))
     case OpMinus(l, r) =>
-      val (dl, dr) = (compile(l), compile(r))
-      val shared = dl.columns.intersect(dr.columns).toSeq
-      if (shared.isEmpty) dl // disjoint domains: MINUS removes nothing
-      else {
-        val risky = (Algebra.maybeUnbound(l) ++ Algebra.maybeUnbound(r)) & shared.toSet
-        if (risky.nonEmpty) compatJoin(dl, dr.select(shared.map(col): _*), "left_anti")
-        else joinDf(dl, dr.select(shared.map(col): _*), "left_anti")
+      val dl = compile(l)
+      asBoundMinus(l, r, dl).getOrElse {
+        val dr = compile(r)
+        val shared = dl.columns.intersect(dr.columns).toSeq
+        if (shared.isEmpty) dl // disjoint domains: MINUS removes nothing
+        else {
+          val risky = (unboundOf(l) ++ unboundOf(r)) & shared.toSet
+          if (risky.nonEmpty) compatJoin(dl, dr.select(shared.map(col): _*), "left_anti")
+          else joinDf(dl, dr.select(shared.map(col): _*), "left_anti")
+        }
       }
     case OpFilter(exprs, child) =>
       exprs.foldLeft(compile(child))((df, e) => applyFilter(df, e))
@@ -924,7 +999,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     case OpValues(v) => valuesDf(v)
     case OpSubquery(q) => compileSelect(q)
     case OpService(iri, inner, silent) => Services.dispatch(this, iri, inner, silent)
-    case OpInclude(name) => namedSets.get(name)
+    case OpInclude(name) => resolveNamedSet(name)
       .orElse(SolutionSets.view(store).get(name))
       .getOrElse(
         throw new IllegalArgumentException(s"INCLUDE %$name: no such named subquery"))
@@ -1065,13 +1140,49 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     rows.reduce(_.unionByName(_))
   }
 
+  /** Compile a WITH … AS %name body on first reference (declaration order is not
+    * dependency order: bg1763b's %main INCLUDEs the later-declared %sub). The
+    * result is checkpointed — named sets evaluate ONCE (HTreeNamedSubqueryOp).
+    */
+  private def resolveNamedSet(name: String): Option[DataFrame] =
+    namedSets.get(name).orElse(pendingSets.get(name).map { sub =>
+      if (resolvingSets(name))
+        throw new IllegalArgumentException(s"INCLUDE %$name: cyclic named-subquery reference")
+      resolvingSets += name
+      try {
+        val df = compileSelect(sub).localCheckpoint()
+        namedSetUnbound += name ->
+          Algebra.maybeUnbound(Algebra.OpSubquery(sub), n => namedSetUnbound.getOrElse(n, Set.empty))
+        namedSets += name -> df
+        df
+      } finally resolvingSets -= name
+    })
+
+  /** INCLUDE-aware maybe-unbound analysis (named sets resolve to the sets
+    * computed at registration; stored solution sets are assumed fully bound).
+    * A SERVICE registered as may-yield-unbound contributes all its pattern vars.
+    */
+  private[engine] def unboundOf(op: Op): Set[String] = {
+    def svcUnbound(o: Op): Set[String] = o match {
+      case OpService(IriNode(i), inner, _) if Services.mayYieldUnbound(i) =>
+        Algebra.vars(inner)
+      case OpJoin(l, r) => svcUnbound(l) ++ svcUnbound(r)
+      case OpLeftJoin(l, r, _) => svcUnbound(l) ++ svcUnbound(r)
+      case OpUnion(l, r) => svcUnbound(l) ++ svcUnbound(r)
+      case OpMinus(l, r) => svcUnbound(l) ++ svcUnbound(r)
+      case OpFilter(_, c) => svcUnbound(c)
+      case OpExtend(c, _, _) => svcUnbound(c)
+      case _ => Set.empty
+    }
+    Algebra.maybeUnbound(op, n => namedSetUnbound.getOrElse(n, Set.empty)) ++ svcUnbound(op)
+  }
+
   // ======== SELECT pipeline (projection/modifiers) ========
   def compileSelect(q: SelectQuery): DataFrame = {
     // named subqueries: evaluate ONCE, materialize, then INCLUDE hash-joins the cached
     // set (HTreeNamedSubqueryOp / NamedSubqueryInclude semantics)
-    q.withSubqueries.foreach { case (name, sub) =>
-      namedSets += name -> compileSelect(sub).localCheckpoint()
-    }
+    pendingSets ++= q.withSubqueries
+    q.withSubqueries.foreach { case (name, _) => resolveNamedSet(name) }
     // The trailing VALUES/BINDINGS block acts as INITIAL bindings (the protocol
     // semantics the reference implements): pushed into the LEFT side of left-joins
     // so an OPTIONAL evaluates against the pre-bound vars — sparql11-bindings-04's
@@ -1209,7 +1320,16 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       df = df.select(outNames.map(col): _*)
     }
 
-    // SliceOp
+    // SliceOp. LIMIT without ORDER BY returns an arbitrary subset; under
+    // spark.graft.deterministicLimit (off by default — it forces a sort that has
+    // no place in a scale-out plan) the subset is made reproducible by ordering
+    // on the projected terms' lexical forms, which coincides with the
+    // reference's index order for its data-driven expected answers (ticket_944
+    // takes the SPO-least solution of an unordered LIMIT 1 subquery).
+    if (q.limit.isDefined && sortCols.isEmpty &&
+        spark.conf.getOption("spark.graft.deterministicLimit").contains("true"))
+      df = df.orderBy(outNames.map(c => struct(
+        col(c)("kind"), col(c)("str"), col(c)("dt"), col(c)("lang")).asc_nulls_first): _*)
     q.offset.foreach(o => df = df.offset(o.toInt))
     q.limit.foreach(l => df = df.limit(l.toInt))
     df
@@ -1293,7 +1413,18 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
 object Services {
   type ServiceFn = (Compiler, Op, Boolean) => DataFrame
   private val registry = scala.collection.concurrent.TrieMap.empty[String, ServiceFn]
-  def register(iri: String, fn: ServiceFn): Unit = registry.put(iri, fn)
+  /** Services whose solutions may leave pattern vars UNBOUND (the reference's
+    * mock/stored services return arbitrary binding sets): their join goes
+    * through the compatibility path. The built-ins (gas/geo/bds) bind every
+    * var they expose, so they stay on the fast equi-join.
+    */
+  private val unboundOk = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  def register(iri: String, fn: ServiceFn, mayYieldUnbound: Boolean = false): Unit = {
+    registry.put(iri, fn)
+    if (mayYieldUnbound) unboundOk.put(iri, ()) else unboundOk.remove(iri)
+  }
+  def unregister(iri: String): Unit = { registry.remove(iri); unboundOk.remove(iri) }
+  def mayYieldUnbound(iri: String): Boolean = unboundOk.contains(iri)
   def has(iri: String): Boolean = { BuiltinServices.init; registry.contains(iri) }
   def dispatch(c: Compiler, iri: Ast.Node, inner: Op, silent: Boolean): DataFrame = {
     BuiltinServices.init
@@ -1423,9 +1554,29 @@ object SolutionSets {
 
 /** Front door: parse → dataset clause → compile (the ASTEvalHelper analog). */
 object Engine {
+  /** `bd:virtualGraph` membership predicate (BD.java:199). */
+  val VIRTUAL_GRAPH = "http://www.bigdata.com/rdf#virtualGraph"
+
+  /** Expand `FROM [NAMED] VIRTUAL GRAPH <vg>` entries to the member graphs the
+    * data declares via `<vg> bd:virtualGraph <g>` triples (TestVirtualGraphs).
+    * Membership is store metadata — tiny — so the driver-side collect is fine.
+    */
+  private def expandVirtual(store: GraftStore,
+      ds: Seq[(String, Boolean)]): Seq[(String, Boolean)] =
+    if (!ds.exists(_._1.startsWith(Ast.VirtualGraphMarker))) ds
+    else ds.flatMap {
+      case (iri, named) if iri.startsWith(Ast.VirtualGraphMarker) =>
+        val vg = iri.stripPrefix(Ast.VirtualGraphMarker)
+        store.statements
+          .filter(col("p")("str") === VIRTUAL_GRAPH && col("s")("str") === vg)
+          .select(col("o")("str")).distinct().collect()
+          .map(r => (r.getString(0), named)).toSeq
+      case other => Seq(other)
+    }
+
   def query(store: GraftStore, sparql: String): DataFrame = {
     val q = Parser.parseQuery(sparql)
-    val c = new Compiler(store, DatasetSpec.from(q.datasets))
+    val c = new Compiler(store, DatasetSpec.from(expandVirtual(store, q.datasets)))
     q match {
       case s: SelectQuery => c.compileSelect(s)
       case a: AskQuery => c.compileAsk(a)

@@ -136,15 +136,20 @@ object Term {
       b.cast(DoubleType), b.cast(LongType), nullTs)
   }
 
-  /** xsd:dateTime literal from a timestamp column (canonical UTC lexical form,
-    * fractional seconds kept with trailing zeros stripped per XSD canonical rules
-    * — the lexical identity must carry the full value or two sub-second-distinct
-    * timestamps would collide into one term id with ambiguous payload).
+  /** xsd:dateTime literal from a timestamp column (UTC lexical form with exactly
+    * three fractional digits for milli-precision values — the reference inlines
+    * dateTimes as epoch-millis and rematerializes through XMLGregorianCalendar,
+    * which always prints ".SSS" (`DateTimeExtension.java:232` asValue), so
+    * `STR(?date)` observably carries ".000"). Sub-milli precision (ours, not the
+    * reference's) keeps its extra digits — the lexical identity must carry the
+    * full value or two sub-second-distinct timestamps would collide into one
+    * term id with ambiguous payload.
     */
   def tsLit(v: Column): Column = {
     val t = v.cast(TimestampType)
     val lex = concat(
-      regexp_replace(date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), "\\.?0+$", ""),
+      regexp_replace(date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        "(\\.\\d{3}(?:\\d*[1-9])?)0*$", "$1"),
       lit("Z"))
     mk(lit(KIND_LITERAL), lex, lit(XSD_DATETIME), nullStr, nullDbl, nullLng, t)
   }

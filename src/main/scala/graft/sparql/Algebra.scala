@@ -152,7 +152,14 @@ object Algebra {
       // rename it so the context push below cannot capture it
       val q1 =
         if (projectsVar(q, v.name)) q
-        else q.copy(where = renameVar(q.where, v.name, "-rn_" + v.name + "_" + renameCtr.incrementAndGet()))
+        else {
+          val rn = "-rn_" + v.name + "_" + renameCtr.incrementAndGet()
+          q.copy(where = renameVar(q.where, v.name, rn),
+            // a trailing VALUES block's same-named label is inside the subquery's
+            // scope too (Test1892 additional6: `VALUES ?g` under `SELECT ?x`)
+            values = q.values.map(vs => ValuesGP(
+              vs.vars.map(x => if (x.name == v.name) VarNode(rn) else x), vs.rows)))
+        }
       val wrapped = GroupGP(Seq(CtxGraphGP(v, q1.where)))
       val ctxBinds = vars(lower(wrapped)).contains(v.name)
       val aggregated = q1.groupBy.nonEmpty || (q1.projection match {
@@ -161,7 +168,16 @@ object Algebra {
       })
       val gb = if (ctxBinds && aggregated) q1.groupBy :+ ((EVar(v.name): Expr, None: Option[String]))
       else q1.groupBy
-      q1.copy(where = wrapped, groupBy = gb)
+      // a context the body binds must survive the subquery's projection so the
+      // enclosing group joins per ACTIVE graph — the subquery evaluates "within
+      // ?g's graph", correlated, not once across all graphs (Test1892
+      // additional3/6: the inner scope's solutions are keyed by the graph that
+      // produced them even though the user projection drops ?g)
+      val proj2 = (q1.projection, ctxBinds && !projectsVar(q1, v.name)) match {
+        case (ProjVars(items), true) => ProjVars(items :+ ((EVar(v.name): Expr, None)))
+        case (p, _) => p
+      }
+      q1.copy(where = wrapped, groupBy = gb, projection = proj2)
     case _ => q
   }
 
@@ -294,42 +310,52 @@ object Algebra {
     * SPARQL joins rows when shared vars are equal OR unbound on either side; the fast
     * equi-join is only sound for definitely-bound vars. Conservative (over-approximate).
     */
-  def maybeUnbound(op: Op): Set[String] = op match {
-    case OpUnit => Set.empty
-    case OpBgp(_) => Set.empty // triple patterns bind their vars in every row
-    case OpJoin(l, r) =>
-      (maybeUnbound(l) ++ maybeUnbound(r)) --
-        ((vars(l) -- maybeUnbound(l)) ++ (vars(r) -- maybeUnbound(r)))
-    case OpLeftJoin(l, r, _) => maybeUnbound(l) ++ (vars(r) -- (vars(l) -- maybeUnbound(l)))
-    case OpUnion(l, r) =>
-      maybeUnbound(l) ++ maybeUnbound(r) ++
-        (vars(l) diff vars(r)) ++ (vars(r) diff vars(l))
-    case OpMinus(l, _) => maybeUnbound(l)
-    case OpFilter(_, c) => maybeUnbound(c)
-    case OpExtend(c, n, e) =>
-      // a constant BIND cannot error → definitely bound; anything else may
-      e match {
-        case EConst(_) => maybeUnbound(c)
-        case _ => maybeUnbound(c) + n
-      }
-    case OpValues(v) =>
-      v.vars.map(_.name).zipWithIndex.collect {
-        case (n, i) if v.rows.exists(r => r.lift(i).flatten.isEmpty) => n
-      }.toSet
-    case OpSubquery(q) => q.projection match {
-      case Star => maybeUnbound(lower(q.where))
-      case ProjVars(items) =>
-        val inner = maybeUnbound(lower(q.where))
-        items.flatMap {
-          case (EVar(n), None) => if (inner(n)) Some(n) else None
-          case (EVar(n), Some(a)) => if (inner(n)) Some(a) else None
-          case (_, Some(a)) => Some(a) // computed projection may error
-          case _ => None
+  def maybeUnbound(op: Op): Set[String] = maybeUnbound(op, _ => Set.empty)
+
+  /** As above with a resolver for INCLUDE %name — the compiler passes the
+    * maybe-unbound set it computed when the named subquery was registered (a
+    * WITH {…OPTIONAL…} AS %ns body can leave projected vars unbound, and the
+    * consuming join must go through the compatibility path: TestPropertyPaths
+    * someSharedVars joins `?type1 subClassOf* ?type2` against an INCLUDE whose
+    * ?type1 is optional).
+    */
+  def maybeUnbound(op: Op, include: String => Set[String]): Set[String] = {
+    def mu(op: Op): Set[String] = op match {
+      case OpUnit => Set.empty
+      case OpBgp(_) => Set.empty // triple patterns bind their vars in every row
+      case OpJoin(l, r) =>
+        (mu(l) ++ mu(r)) -- ((vars(l) -- mu(l)) ++ (vars(r) -- mu(r)))
+      case OpLeftJoin(l, r, _) => mu(l) ++ (vars(r) -- (vars(l) -- mu(l)))
+      case OpUnion(l, r) =>
+        mu(l) ++ mu(r) ++ (vars(l) diff vars(r)) ++ (vars(r) diff vars(l))
+      case OpMinus(l, _) => mu(l)
+      case OpFilter(_, c) => mu(c)
+      case OpExtend(c, n, e) =>
+        // a constant BIND cannot error → definitely bound; anything else may
+        e match {
+          case EConst(_) => mu(c)
+          case _ => mu(c) + n
+        }
+      case OpValues(v) =>
+        v.vars.map(_.name).zipWithIndex.collect {
+          case (n, i) if v.rows.exists(r => r.lift(i).flatten.isEmpty) => n
         }.toSet
+      case OpSubquery(q) => q.projection match {
+        case Star => mu(lower(q.where))
+        case ProjVars(items) =>
+          val inner = mu(lower(q.where))
+          items.flatMap {
+            case (EVar(n), None) => if (inner(n)) Some(n) else None
+            case (EVar(n), Some(a)) => if (inner(n)) Some(a) else None
+            case (_, Some(a)) => Some(a) // computed projection may error
+            case _ => None
+          }.toSet
+      }
+      case OpService(_, inner, _) => mu(inner)
+      case OpInclude(n) => include(n)
+      case OpGraphs(_) => Set.empty
     }
-    case OpService(_, inner, _) => maybeUnbound(inner)
-    case OpInclude(_) => Set.empty // named sets: resolved by the compiler's own analysis
-    case OpGraphs(_) => Set.empty
+    mu(op)
   }
 
   def tripleVars(t: Triple): Seq[String] = {

@@ -91,6 +91,12 @@ object Ast {
     var datasets: Seq[(String, Boolean)] = Nil // (graph iri, isNamed)
   }
 
+  /** Prefix marking a dataset entry as `FROM [NAMED] VIRTUAL GRAPH <iri>` — the
+    * engine expands it to the member graphs declared via bd:virtualGraph triples.
+    * (A prefix keeps the `datasets` shape stable; no IRI scheme collides with it.)
+    */
+  val VirtualGraphMarker = "virtual-graph!"
+
   // ---- SPARQL Update (rdf/sparql/ast/eval/AST2BOpUpdate.java:400-450) ------
   sealed trait UpdateOp
   final case class InsertData(quads: Seq[QuadData]) extends UpdateOp

