@@ -21,7 +21,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm: build the parquet-backed statement store once (bulk-load phase)
+    // warm: build the parquet-backed statement store once (bulk-load phase).
+    // load_sec is COLD (derive+write store/lexicon/text index) only when the
+    // /tmp parquet cache for this STORE_VERSION is absent; otherwise it is a
+    // warm read-back — load_cold in the JSON says which one this run measured,
+    // so cross-round load_sec deltas aren't misread as ingest regressions.
+    val loadCold = !new java.io.File(
+      s"/tmp/graft-store/v${model.Tpch.STORE_VERSION}" +
+        sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + "/_SUCCESS").exists()
     val t0 = System.nanoTime()
     model.Tpch.store(spark, sfDir).statements.count()
     val loadSec = (System.nanoTime() - t0) / 1e9
@@ -60,7 +67,7 @@ object Bench {
     val total = results.map(_._2).sum
     val sfShort = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val line =
-      s"""{"queries":$qs,"metric":"total","value":${f(total)},"unit":"sec","load_sec":${f(loadSec)},"sf":"$sfShort"}"""
+      s"""{"queries":$qs,"metric":"total","value":${f(total)},"unit":"sec","load_sec":${f(loadSec)},"load_cold":$loadCold,"sf":"$sfShort"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Exception => () } // read-only cwd must not fail the bench
     println(line)

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions.col
 
-/** Scratch main: per-phase timing of the cold store build (assemble → save →
-  * read-back → lexicon build → lexicon read + repartition). Not part of the API.
+/** Scratch main: per-phase timing of the cold store build (derive → save →
+  * read-back → lexicon build → text-index build). Not part of the API.
   */
 object LoadProf {
   def main(args: Array[String]): Unit = {
@@ -16,7 +16,10 @@ object LoadProf {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path + "-lexicon"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path + "-lexicon-text"))
     val stmts = model.Tpch.statements(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("derive-count") { stmts.count() }
     t("save-partitioned") { model.GraftStore.save(stmts, path) }
     val st = t("read-back") {
       val s = new model.GraftStore(spark, model.GraftStore.load(spark, path).statements,
@@ -24,6 +27,7 @@ object LoadProf {
       s.statements.count(); s
     }
     t("lexicon-build+read") { st.nodeTerms.count() }
+    t("text-index-build") { graft.search.TextIndex.forStore(st).postings.count() }
     t("recount") { st.statements.count() }
     spark.stop()
   }

@@ -47,7 +47,11 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
         // handle that serves queries) shares ONE shaped+checkpointed lexicon — while a
         // store REBUILT at the same path (namespace recreate, test tmp-dir reuse) gets
         // a fresh build instead of the stale cache
-        GraftStore.cachedLex(spark, p, () => shape(buildNodeTerms))
+        // cold build skips the shape() repartition: dropDuplicates("nid") already
+        // leaves the rows hash-partitioned on nid, so sort-in-place + checkpoint
+        // gives the same "lexicon never moves" join layout one full shuffle cheaper
+        GraftStore.cachedLex(spark, p,
+          () => buildNodeTerms.sortWithinPartitions("nid").localCheckpoint())
       case None => shape(buildNodeTerms)
     }
   }
