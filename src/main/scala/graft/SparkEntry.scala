@@ -612,7 +612,7 @@ object SparkEntry {
       val sch = s.read.parquet(s"$dir/events.parquet").schema
       val ev = s.readStream.schema(sch)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts2", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts2", tsStamp(sch("ts").dataType))
       val agg = ev.groupBy(window(col("ts2"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(round(col("value") * 100)).as("cents"))
         .select(col("w")("start").as("window_start"), col("event_type"),
@@ -687,6 +687,22 @@ object SparkEntry {
   }
   private def docs(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
+
+  /** events.ts is generation-dependent: TIMESTAMP(NANOS) parquet read as epoch-nanos
+    * LONG (legacy nanosAsLong) in older testdata, plain TIMESTAMP[µs] in newer. Both
+    * normalize to the same value space here so the event operators (and their DuckDB
+    * `epoch_us(ts)` oracles) are physical-type-independent. Integer `div` on the long
+    * path — a double-rounded /1000 loses low bits at 1e18.
+    */
+  private def tsEpochUs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+    case _ => unix_micros(col("ts").cast("timestamp"))
+  }
+  /** Same normalization, as a TimestampType column (for window() aggregation). */
+  private def tsStamp(dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+    case _ => col("ts").cast("timestamp")
+  }
 
   private val pipelineQueries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -1380,8 +1396,8 @@ object SparkEntry {
     // tumbling-window aggregation over the events table (batch form of the
     // Structured Streaming operator — same window() semantics)
     ("p_window_agg", ((s: SparkSession, dir: String) => {
-      val ev = read(s, dir, "events")
-        .withColumn("ts2", timestamp_micros((col("ts") / 1000L).cast("long")))
+      val ev0 = read(s, dir, "events")
+      val ev = ev0.withColumn("ts2", tsStamp(ev0.schema("ts").dataType))
       ev.groupBy(window(col("ts2"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(round(col("value") * 100)).as("cents"))
         .select(col("w")("start").as("window_start"), col("event_type"),
@@ -1423,7 +1439,7 @@ object SparkEntry {
       // timestamp type is µs, and long/1000 via double would lose low bits at
       // 1e18) so gap decisions AND bounds are bit-identical across engines
       Events.sessionize(
-        read(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        { val ev = read(s, dir, "events"); ev.withColumn("ts_us", tsEpochUs(ev)) },
         "user_id", "ts_us", gapSec = 1800, tsPerSec = 1000000L)
         .select(col("user_id"), col("session_idx"), col("n_events"),
           col("start_ts").as("start_us"), col("end_ts").as("end_us"))): Q,

@@ -26,10 +26,18 @@ object Gas {
     * reference holding the statics in a B+Tree while streaming solutions past it.
     */
   private def undirected(edges: DataFrame): DataFrame =
-    edges.select("src", "dst")
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    directed(edges.select("src", "dst")
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
+
+  /** Dedup + hash-partition + sort an edge list in ONE exchange: partitioning on
+    * `src` already co-locates equal (src,dst) pairs (src ⊆ the dedup keys), so the
+    * distinct aggregate runs on the repartition shuffle without a second exchange —
+    * the old dedup-then-repartition shape moved the full edge list twice.
+    */
+  private def directed(edges: DataFrame): DataFrame =
+    edges.repartition(col("src"))
       .dropDuplicates("src", "dst")
-      .repartition(col("src")).sortWithinPartitions("src")
+      .sortWithinPartitions("src")
       .localCheckpoint()
 
   /** BFS levels from a source vertex: (vertex, level). */
@@ -63,8 +71,9 @@ object Gas {
       else edges.withColumn("weight", lit(1.0))
     val adj = w.select("src", "dst", "weight")
       .unionByName(w.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      .repartition(col("src")) // one exchange: src ⊆ the grouping keys (see directed)
       .groupBy("src", "dst").agg(min("weight").as("weight"))
-      .repartition(col("src")).sortWithinPartitions("src")
+      .sortWithinPartitions("src")
       .localCheckpoint()
     var dist = Seq((source, 0.0)).toDF("vertex", "dist").localCheckpoint()
     var frontier = dist
@@ -88,24 +97,34 @@ object Gas {
     dist
   }
 
-  /** Connected components by min-label propagation: (vertex, component = min id). */
+  /** Connected components by min-label propagation: (vertex, component = min id).
+    *
+    * Delta-propagating: after the first full round only vertices whose label
+    * IMPROVED last round scatter to their neighbors (the reference's GAS scatter
+    * set, `IGASProgram` frontier semantics) — a vertex's min can only drop when a
+    * neighbor's dropped. Per-round shuffle volume tracks the shrinking change
+    * frontier instead of staying |E| every round.
+    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val adj = undirected(edges)
     var labels = adj.select(col("src").as("vertex"))
       .unionByName(adj.select(col("dst").as("vertex")))
       .dropDuplicates("vertex").withColumn("label", col("vertex")).localCheckpoint()
+    var delta = labels // every vertex is "changed" at initialization
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       iter += 1
-      val nbrMin = labels.join(adj, col("vertex") === col("src"))
+      val push = delta.join(adj, col("vertex") === col("src"))
         .groupBy(col("dst").as("v2")).agg(min("label").as("nl"))
-      val updated = labels.join(nbrMin, col("vertex") === col("v2"), "left_outer")
+      val updated = labels.join(push, col("vertex") === col("v2"), "left_outer")
         .select(col("vertex"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label2"),
           col("label"))
-        .localCheckpoint() // materialize once; the changed-count and next labels reuse it
+        .localCheckpoint() // materialize once; changed-count, delta and next labels reuse it
       changed = updated.filter(col("label2") < col("label")).count()
+      delta = updated.filter(col("label2") < col("label"))
+        .select(col("vertex"), col("label2").as("label"))
       labels = updated.select(col("vertex"), col("label2").as("label"))
     }
     labels.withColumnRenamed("label", "component")
@@ -119,23 +138,30 @@ object Gas {
     * pre-partitioned on the probe key.
     */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
-    val out = edges.select("src", "dst").dropDuplicates("src", "dst")
-      .repartition(col("src")).sortWithinPartitions("src").localCheckpoint()
+    val out = directed(edges.select("src", "dst"))
     val vertices = out.select(col("src").as("vertex"))
       .unionByName(out.select(col("dst").as("vertex")))
-      .dropDuplicates("vertex")
-      .repartition(col("vertex")).sortWithinPartitions("vertex").localCheckpoint()
+      .repartition(col("vertex")).dropDuplicates("vertex")
+      .sortWithinPartitions("vertex").localCheckpoint()
     val nV = vertices.count().toDouble
-    val deg = out.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    // static per-iteration inputs, annotated ONCE: adjacency carrying its
+    // out-degree (the old loop re-joined ranks↔deg↔out every round), and the
+    // dangling vertex set (no out-edges) as a semi-join probe for the mass sum.
+    // out is already hash-partitioned + sorted on src, so the count window runs
+    // in place — no exchange, no sort, no join
+    val adjDeg = out.withColumn("outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .localCheckpoint()
+    val danglingV = vertices.join(out.select("src").dropDuplicates("src"),
+        col("vertex") === col("src"), "left_anti")
+      .select("vertex").localCheckpoint()
     var ranks = vertices.withColumn("rank", lit(1.0 / nV)).localCheckpoint()
     for (_ <- 1 to iters) {
-      val withDeg = ranks.join(deg, col("vertex") === col("src"), "left_outer")
-      val contribs = withDeg.filter(col("outdeg").isNotNull)
-        .join(out, "src")
+      val contribs = ranks.join(adjDeg, col("vertex") === col("src"))
         .select(col("dst").as("vertex"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("vertex").agg(sum("c").as("recv"))
       // dangling mass as a lazy 1-row frame, broadcast into the update
-      val dangling = withDeg.filter(col("outdeg").isNull)
+      val dangling = ranks.join(danglingV, Seq("vertex"), "left_semi")
         .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
       val inbound = vertices.join(contribs, Seq("vertex"), "left_outer")
         .select(col("vertex"), coalesce(col("recv"), lit(0.0)).as("recv"))
