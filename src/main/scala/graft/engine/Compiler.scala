@@ -598,7 +598,11 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     * the fixpoint driver of ArbitraryLengthPathTask. Input/output: (a,b) id pairs.
     */
   private def closureIds(edges0: DataFrame): DataFrame = {
-    val edges = edges0.dropDuplicates("a", "b").localCheckpoint()
+    // key the static edge relation on `a` ONCE (a ⊆ the dedup keys, so the distinct
+    // aggregate runs on the same exchange): every fixpoint round probes it on a=m,
+    // and a (a,b)-hashed layout would re-shuffle the full relation per round
+    val edges = edges0.repartition(col("a")).dropDuplicates("a", "b")
+      .sortWithinPartitions("a").localCheckpoint()
     var acc = edges
     var frontier = edges
     var n = frontier.count()
@@ -631,7 +635,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     * of alternations, and turn closures into BFS from the seed frontier instead of the
     * all-pairs fixpoint (critical at scale). `seeds0`: one LONG column named `seed`.
     */
-  private[engine] def seededPathIds(p: Path, g: Option[Node], seeds0: DataFrame,
+  private[graft] def seededPathIds(p: Path, g: Option[Node], seeds0: DataFrame,
                                     fromSubject: Boolean,
                                     seedsInDomain: Boolean = false): DataFrame = p match {
     case PInv(q) =>
@@ -677,7 +681,10 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
                                seedsInDomain: Boolean = false): DataFrame = {
     val raw = pathPairIds(inner, g)
     val oriented = if (fromSubject) raw else raw.select(col("b").as("a"), col("a").as("b"))
-    val edges = oriented.dropDuplicates("a", "b").localCheckpoint()
+    // keyed on `a` once — each BFS round probes edges on a=m without re-shuffling
+    // the static relation (see closureIds)
+    val edges = oriented.repartition(col("a")).dropDuplicates("a", "b")
+      .sortWithinPartitions("a").localCheckpoint()
     val seeds = seeds0.select(col("seed").as("a")).dropDuplicates("a")
     var acc = edges.join(seeds, Seq("a")).localCheckpoint()
     var frontier = acc
