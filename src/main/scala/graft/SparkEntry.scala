@@ -1007,6 +1007,42 @@ object SparkEntry {
              |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
              |FROM documents GROUP BY source""".stripMargin)),
 
+    // cross-document segment dedup (boilerplate removal): drop 12-token spans
+    // shared by >1 document, rebuild texts in order
+    ("p_segment_dedup", ((s: SparkSession, dir: String) =>
+      Dedup.segmentDedup(docs(s, dir), "doc_id", "text", w = 12, maxDf = 1)): Q,
+      Some("""WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+             |  FROM documents),
+             |seg0 AS (SELECT doc_id, unnest(list_transform(
+             |    generate_series(0, greatest(CAST(ceil(len(w)/12.0) AS INT)-1, 0)),
+             |    i -> struct_pack(pos := i, seg := array_to_string(w[(i*12+1):(i*12+12)], ' ')))) AS u
+             |  FROM tk),
+             |seg AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM seg0),
+             |sdf AS (SELECT md5(seg) AS sh, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY 1),
+             |kept AS (SELECT s.doc_id, s.pos, s.seg FROM seg s JOIN sdf ON md5(s.seg)=sdf.sh
+             |  WHERE sdf.df <= 1),
+             |tot AS (SELECT doc_id, COUNT(*) AS n_seg FROM seg GROUP BY 1)
+             |SELECT t.doc_id, COALESCE(string_agg(k.seg, ' ' ORDER BY k.pos), '') AS text,
+             |  COUNT(k.pos) AS n_kept, t.n_seg - COUNT(k.pos) AS n_dropped
+             |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+             |GROUP BY t.doc_id, t.n_seg""".stripMargin)),
+
+    // data-mixture planning: pairwise Jensen-Shannon divergence between the
+    // per-source unigram distributions
+    ("p_source_divergence", ((s: SparkSession, dir: String) =>
+      TextStats.sourceDivergence(docs(s, dir), "source", "text")): Q,
+      Some("""WITH tok AS (SELECT source AS src,
+             |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents),
+             |cnt AS (SELECT src, tok, COUNT(*) AS c FROM tok WHERE len(tok)>0 GROUP BY 1,2),
+             |tot AS (SELECT src, SUM(c) AS n FROM cnt GROUP BY 1),
+             |p AS (SELECT src, tok, c/n AS p FROM cnt JOIN tot USING (src)),
+             |ov AS (SELECT a.src AS src_a, b.src AS src_b,
+             |    SUM(0.5*(a.p*ln(2*a.p/(a.p+b.p)) + b.p*ln(2*b.p/(a.p+b.p)))) AS js_ov,
+             |    SUM(a.p) AS ma, SUM(b.p) AS mb
+             |  FROM p a JOIN p b ON a.tok=b.tok AND a.src<b.src GROUP BY 1,2)
+             |SELECT src_a, src_b,
+             |  ROUND(js_ov + 0.5*ln(2)*((1-ma)+(1-mb)), 6) AS js FROM ov""".stripMargin)),
+
     ("p_quality_lr", ((s: SparkSession, dir: String) =>
       graft.pipeline.QualityModel.score(docs(s, dir), "doc_id", "text")
         .select(col("doc_id"), round(col("prob"), 6).as("prob"))): Q,

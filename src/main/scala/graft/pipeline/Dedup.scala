@@ -32,6 +32,45 @@ object Dedup {
       .select(col("keeper"), col("id").as("dup"))
   }
 
+  /** Cross-document segment dedup — the boilerplate-removal pass of web-corpus
+    * curation pipelines (drop any fixed-width token span that repeats across more
+    * than `maxDf` documents: navbars, footers, license blurbs), per the approach
+    * popularized by the CCNet/RefinedWeb line of work. Documents are chunked into
+    * consecutive `w`-token segments; each distinct segment's document frequency is
+    * counted corpus-wide; documents are rebuilt in order from the segments with
+    * df ≤ maxDf. Output: (id, text, n_kept, n_dropped) — one row per input doc,
+    * text possibly empty when every segment was boilerplate.
+    *
+    * Scale shape: segment chunking is O(tokens) map-side; the df count is a
+    * map-side-combined aggregate on the segment hash; the join back is
+    * co-partitioned on that same hash; reassembly is one per-doc aggregate with an
+    * order-preserving sorted collect. No all-pairs comparison anywhere. md5 keys
+    * keep the hash family engine-portable for the oracle.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   w: Int = 12, maxDf: Long = 1): DataFrame = {
+    val withSegs = graft.engine.DfOps.spread(docs)
+      .withColumn("__w", tokens(col(textCol)))
+      .withColumn("__segs", transform(
+        sequence(lit(0), greatest((ceil(size(col("__w")) / w.toDouble) - 1).cast("int"), lit(0))),
+        i => array_join(slice(col("__w"), i * w + 1, lit(w)), " ")))
+      .select(col(idCol), posexplode(col("__segs")).as(Seq("pos", "seg")))
+    val seg = withSegs.withColumn("sh", md5(col("seg")))
+    val segDf = seg.groupBy("sh").agg(countDistinct(col(idCol)).as("df"))
+    val kept = seg.join(segDf, "sh").filter(col("df") <= maxDf)
+    val tot = seg.groupBy(idCol).agg(count(lit(1)).as("n_seg"))
+    val rebuilt = kept.groupBy(idCol).agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+        s => s("seg")), " ").as(textCol),
+      count(lit(1)).as("n_kept"))
+    tot.join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_seg") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  private def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
   /** Word n-gram shingles of a text column (lower-cased, whitespace-tokenized). */
   def shingles(text: Column, n: Int): Column =
     shinglesOfTokens(split(lower(trim(text)), "\\s+"), n)

@@ -191,6 +191,39 @@ object TextStats {
       .agg(count(lit(1)).as("n_toks"), sum(col("cnt")).as("sum_freq"))
   }
 
+  /** Pairwise Jensen-Shannon divergence between per-source unigram
+    * distributions — the data-mixture planning table (how lexically distinct are
+    * the corpus sources feeding a training mix). JS(P,Q) = ½KL(P‖M) + ½KL(Q‖M),
+    * M = (P+Q)/2; tokens present in only one source contribute ½·ln2·(their
+    * probability mass), so the shared-vocabulary join plus the exclusive-mass
+    * remainder gives the exact value without materializing the vocabulary union.
+    *
+    * Scale shape: token explode is map-side; per-(source, token) counts are one
+    * map-side-combined aggregate; the pair join is keyed on token (sources are
+    * vocabulary-sized, so the pair blow-up is bounded by #sources²); one final
+    * tiny aggregate per source pair. Output: (src_a, src_b, js), src_a < src_b,
+    * js rounded to 6 dp so float-sum association noise never reaches the value.
+    */
+  def sourceDivergence(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val tok = graft.engine.DfOps.spread(docs)
+      .select(col(sourceCol).as("src"), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val cnt = tok.groupBy("src", "tok").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("src").agg(sum("c").as("n"))
+    val p = cnt.join(tot, "src")
+      .select(col("src"), col("tok"), (col("c").cast("double") / col("n")).as("p"))
+    val a = p.select(col("src").as("src_a"), col("tok"), col("p").as("pa"))
+    val b = p.select(col("src").as("src_b"), col("tok"), col("p").as("pb"))
+    a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(lit(0.5) * (col("pa") * log(lit(2) * col("pa") / (col("pa") + col("pb"))) +
+          col("pb") * log(lit(2) * col("pb") / (col("pa") + col("pb"))))).as("js_ov"),
+        sum("pa").as("ma"), sum("pb").as("mb"))
+      .select(col("src_a"), col("src_b"),
+        round(col("js_ov") + lit(0.5 * math.log(2.0)) * ((lit(1) - col("ma")) + (lit(1) - col("mb"))),
+          6).as("js"))
+  }
+
   /** Convenience float score: mean -log2 of the token's corpus probability. */
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val total = docs.select(sum(tokenCount(col(textCol))).as("__total"))
