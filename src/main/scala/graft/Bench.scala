@@ -26,9 +26,16 @@ object Bench {
     // /tmp parquet cache for this STORE_VERSION is absent; otherwise it is a
     // warm read-back — load_cold in the JSON says which one this run measured,
     // so cross-round load_sec deltas aren't misread as ingest regressions.
-    val loadCold = !new java.io.File(
-      s"/tmp/graft-store/v${model.Tpch.STORE_VERSION}" +
-        sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + "/_SUCCESS").exists()
+    // "cold" if ANY of the three at-rest artifacts (store, lexicon, text postings)
+    // is missing — a partial rebuild would otherwise be labeled warm and its
+    // load_sec misread as a read-back regression
+    val storeBase = model.Tpch.storePath(sfDir)
+    val markers = Seq(storeBase + "/_SUCCESS", storeBase + "-lexicon/_SUCCESS",
+      storeBase + "-lexicon-text/postings/_SUCCESS")
+    val present = markers.count(m => new java.io.File(m).exists())
+    val loadCold = present < markers.size
+    val loadState =
+      if (present == markers.size) "warm" else if (present == 0) "cold" else "partial"
     val t0 = System.nanoTime()
     model.Tpch.store(spark, sfDir).statements.count()
     val loadSec = (System.nanoTime() - t0) / 1e9
@@ -67,7 +74,7 @@ object Bench {
     val total = results.map(_._2).sum
     val sfShort = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val line =
-      s"""{"queries":$qs,"metric":"total","value":${f(total)},"unit":"sec","load_sec":${f(loadSec)},"load_cold":$loadCold,"sf":"$sfShort"}"""
+      s"""{"queries":$qs,"metric":"total","value":${f(total)},"unit":"sec","load_sec":${f(loadSec)},"load_cold":$loadCold,"load_state":"$loadState","sf":"$sfShort"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Exception => () } // read-only cwd must not fail the bench
     println(line)

@@ -225,10 +225,7 @@ object Dev {
     locally {
       val ev0 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       // ts is epoch-nanos LONG (old testdata generations) or TIMESTAMP[µs] (new)
-      val ev = ev0.withColumn("ts_us",
-        if (ev0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          org.apache.spark.sql.functions.expr("ts div 1000")
-        else org.apache.spark.sql.functions.unix_micros(col("ts").cast("timestamp")))
+      val ev = ev0.withColumn("ts_us", pipeline.Events.tsEpochUs(ev0.schema("ts").dataType))
       val sess = pipeline.Events.sessionize(ev, "user_id", "ts_us",
         gapSec = 1800, tsPerSec = 1000000L)
       val nSess = sess.count()

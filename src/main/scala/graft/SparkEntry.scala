@@ -688,21 +688,11 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
 
-  /** events.ts is generation-dependent: TIMESTAMP(NANOS) parquet read as epoch-nanos
-    * LONG (legacy nanosAsLong) in older testdata, plain TIMESTAMP[µs] in newer. Both
-    * normalize to the same value space here so the event operators (and their DuckDB
-    * `epoch_us(ts)` oracles) are physical-type-independent. Integer `div` on the long
-    * path — a double-rounded /1000 loses low bits at 1e18.
-    */
-  private def tsEpochUs(df: DataFrame): Column = df.schema("ts").dataType match {
-    case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-    case _ => unix_micros(col("ts").cast("timestamp"))
-  }
-  /** Same normalization, as a TimestampType column (for window() aggregation). */
-  private def tsStamp(dt: org.apache.spark.sql.types.DataType): Column = dt match {
-    case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
-    case _ => col("ts").cast("timestamp")
-  }
+  // events.ts physical-type normalization — canonical copy lives in pipeline.Events
+  private def tsEpochUs(df: DataFrame): Column =
+    pipeline.Events.tsEpochUs(df.schema("ts").dataType)
+  private def tsStamp(dt: org.apache.spark.sql.types.DataType): Column =
+    pipeline.Events.tsStamp(dt)
 
   private val pipelineQueries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -1039,9 +1029,12 @@ object SparkEntry {
              |ov AS (SELECT a.src AS src_a, b.src AS src_b,
              |    SUM(0.5*(a.p*ln(2*a.p/(a.p+b.p)) + b.p*ln(2*b.p/(a.p+b.p)))) AS js_ov,
              |    SUM(a.p) AS ma, SUM(b.p) AS mb
-             |  FROM p a JOIN p b ON a.tok=b.tok AND a.src<b.src GROUP BY 1,2)
-             |SELECT src_a, src_b,
-             |  ROUND(js_ov + 0.5*ln(2)*((1-ma)+(1-mb)), 6) AS js FROM ov""".stripMargin)),
+             |  FROM p a JOIN p b ON a.tok=b.tok AND a.src<b.src GROUP BY 1,2),
+             |pairs AS (SELECT a.src AS src_a, b.src AS src_b
+             |  FROM tot a JOIN tot b ON a.src < b.src)
+             |SELECT pairs.src_a, pairs.src_b,
+             |  COALESCE(ROUND(js_ov + 0.5*ln(2)*((1-ma)+(1-mb)), 6), ROUND(ln(2), 6)) AS js
+             |FROM pairs LEFT JOIN ov USING (src_a, src_b)""".stripMargin)),
 
     ("p_quality_lr", ((s: SparkSession, dir: String) =>
       graft.pipeline.QualityModel.score(docs(s, dir), "doc_id", "text")

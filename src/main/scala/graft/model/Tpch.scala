@@ -156,10 +156,16 @@ object Tpch {
     */
   val STORE_VERSION = 3
 
+  /** Canonical at-rest location for a source dir's store — the single sanitizer
+    * shared by `store` and external tools (ScaleStress deletes through this so a
+    * "cold" phase really is cold; a hand-built literal path silently diverges).
+    */
+  def storePath(dir: String): String =
+    s"/tmp/graft-store/v$STORE_VERSION${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+
   def store(spark: SparkSession, dir: String): GraftStore =
     registry.getOrElseUpdate(dir, {
-      val clean = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val path = s"/tmp/graft-store/v$STORE_VERSION$clean"
+      val path = storePath(dir)
       val marker = new java.io.File(path + "/_SUCCESS")
       if (!marker.exists()) {
         // Cold load: normalize+hash the source tables ONCE into a materialized

@@ -17,6 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** events.ts is generation-dependent: TIMESTAMP(NANOS) parquet read as epoch-nanos
+    * LONG (legacy nanosAsLong) in older testdata, plain TIMESTAMP[µs] in newer. Both
+    * normalize to the same µs value space here so event operators (and their DuckDB
+    * `epoch_us(ts)` oracles) are physical-type-independent. This is THE canonical
+    * copy — SparkEntry / Dev / streaming all route through it. Integer `div` on the
+    * long path: a double-rounded /1000 loses low bits at 1e18.
+    */
+  def tsEpochUs(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
+  /** Same normalization, as a TimestampType column (for window() aggregation). */
+  def tsStamp(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+
   /** Sessionize: a new session starts when the gap to the previous event of the
     * same key exceeds `gapSec`. Output: one row per session with bounds and size.
     * Shape: ONE hash exchange on `keyCol` + per-partition sort — the classic

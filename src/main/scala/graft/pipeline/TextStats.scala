@@ -214,7 +214,7 @@ object TextStats {
       .select(col("src"), col("tok"), (col("c").cast("double") / col("n")).as("p"))
     val a = p.select(col("src").as("src_a"), col("tok"), col("p").as("pa"))
     val b = p.select(col("src").as("src_b"), col("tok"), col("p").as("pb"))
-    a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
+    val ov = a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
       .groupBy("src_a", "src_b")
       .agg(sum(lit(0.5) * (col("pa") * log(lit(2) * col("pa") / (col("pa") + col("pb"))) +
           col("pb") * log(lit(2) * col("pb") / (col("pa") + col("pb"))))).as("js_ov"),
@@ -222,6 +222,15 @@ object TextStats {
       .select(col("src_a"), col("src_b"),
         round(col("js_ov") + lit(0.5 * math.log(2.0)) * ((lit(1) - col("ma")) + (lit(1) - col("mb"))),
           6).as("js"))
+    // a zero-overlap pair yields NO row from the token join, but it is the MOST
+    // divergent pair (js = ln 2) — outer-join the source cross product (sources
+    // are vocabulary-sized → broadcast) so mixture planners see every pair
+    val pairs = broadcast(tot.select(col("src").as("src_a")))
+      .crossJoin(broadcast(tot.select(col("src").as("src_b"))))
+      .filter(col("src_a") < col("src_b"))
+    pairs.join(ov, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("js"), round(lit(math.log(2.0)), 6)).as("js"))
   }
 
   /** Convenience float score: mean -log2 of the token's corpus probability. */

@@ -48,6 +48,18 @@ object ScaleStress {
         }
         def amplify(tbl: String, keys: Map[String, Long]): Unit = {
           val df = spark.read.parquet(s"$base/$tbl.parquet")
+          // amplified keys are computed in long space then cast back to the
+          // source dtype — guard the narrow-int case where (k-1)*span + max
+          // would silently wrap into colliding keys across replicas
+          keys.foreach { case (c, sp) =>
+            val ceiling = df.schema(c).dataType match {
+              case org.apache.spark.sql.types.IntegerType => Int.MaxValue.toLong
+              case org.apache.spark.sql.types.ShortType   => Short.MaxValue.toLong
+              case _                                      => Long.MaxValue
+            }
+            require((k - 1).toLong * sp <= ceiling - sp,
+              s"$tbl.$c: k=$k * span=$sp overflows ${df.schema(c).dataType} — widen the column or lower k")
+          }
           val reps = (0 until k).map { i =>
             keys.foldLeft(df) { case (d, (c, sp)) =>
               d.withColumn(c, (col(c).cast("long") + lit(i * sp)).cast(df.schema(c).dataType))
@@ -83,10 +95,11 @@ object ScaleStress {
       }
     }
 
-    org.apache.commons.io.FileUtils.deleteDirectory(
-      new java.io.File(s"/tmp/graft-store/v${graft.model.Tpch.STORE_VERSION}_tmp_graft-scale_x$k"))
-    org.apache.commons.io.FileUtils.deleteDirectory(
-      new java.io.File(s"/tmp/graft-store/v${graft.model.Tpch.STORE_VERSION}_tmp_graft-scale_x$k-lexicon"))
+    // delete through the same sanitizer `Tpch.store` uses — a hand-built path
+    // misses, the _SUCCESS marker survives, and "cold_load" measures a warm read
+    val storeBase = graft.model.Tpch.storePath(out)
+    for (suffix <- Seq("", "-lexicon", "-lexicon-text"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(storeBase + suffix))
     var store: graft.model.GraftStore = null
     val loadSec = t("cold_load") {
       store = graft.model.Tpch.store(spark, out)
