@@ -26,6 +26,34 @@ object DfOps {
     if (bytes >= BigInt(target) * (4L << 20)) df else df.repartition(target)
   }
 
+  /** Global row_number WITHOUT a single-partition window: range-repartition on the
+    * sort key, count per partition (tiny collect — one row per partition), broadcast
+    * the cumulative offsets back as a literal map, and add a partition-LOCAL
+    * row_number. The classic distributed rank (what RDD.zipWithIndex does under the
+    * hood), expressed in DataFrame-land so the result stays a DataFrame.
+    *
+    * The input is materialized (localCheckpoint) before the offset job: range
+    * partitioner boundaries are sampled, so an unmaterialized plan could re-sample
+    * different boundaries between the count job and the final pass, skewing ranks.
+    */
+  def globalRowNumber(df: DataFrame, ord: Seq[org.apache.spark.sql.Column],
+                      out: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sorted = df.repartitionByRange(ord: _*).sortWithinPartitions(ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) => val o = acc; acc += n; (pid, o) }.toMap
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedLit(offsets), col("__pid"))
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(ord: _*)
+    sorted.withColumn(out, offCol + row_number().over(local)).drop("__pid")
+  }
+
   /** Salted equi-join for skewed keys (SURVEY §7 "salting for skew"): the build side is
     * replicated `salt` times, the probe side gets a random salt in [0, salt), and the
     * exchange partitions on (key, salt) — spreading a hot key over `salt` reducers.

@@ -41,13 +41,10 @@ final class TextIndex(val postings: DataFrame, val lits: DataFrame, val nDocs: L
       val ord = Seq(col("lit_str").asc, asc_nulls_first("lit_lang"), col("lit_id").asc)
       val m = lits.filter(col("lit_str").rlike(query))
         .withColumn("relevance", lit(0.0d))
+      val limited = if (maxRank != Int.MaxValue) m.orderBy(ord: _*).limit(maxRank) else m
       val ranked =
-        if (maxRank != Int.MaxValue) m.orderBy(ord: _*).limit(maxRank)
-          .withColumn("rank", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
-        else if (needRank) m.withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
-        else m.withColumn("rank", lit(null).cast("int"))
+        if (needRank) TextIndex.rankBounded(limited, ord)
+        else limited.withColumn("rank", lit(null).cast("int"))
       return ranked.select(Term.strLit(col("lit_str"), col("lit_lang")).as("lit"),
         col("relevance"), col("rank"))
     }
@@ -86,16 +83,13 @@ final class TextIndex(val postings: DataFrame, val lits: DataFrame, val nDocs: L
     val scored = filtered
       .filter(col("relevance") >= minRelevance)
       .join(lits, "lit_id")
+    // top-k first: TakeOrderedAndProject (per-partition top-k, only k rows cross
+    // the exchange); the rank attaches afterwards — and only when requested
+    val limited =
+      if (maxRank != Int.MaxValue) scored.orderBy(ord: _*).limit(maxRank) else scored
     val ranked =
-      if (maxRank != Int.MaxValue)
-        // top-k: TakeOrderedAndProject, then rank over the bounded k-row set
-        scored.orderBy(ord: _*).limit(maxRank)
-          .withColumn("rank", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
-      else if (needRank)
-        scored.withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
-      else scored.withColumn("rank", lit(null).cast("int"))
+      if (needRank) TextIndex.rankBounded(limited, ord)
+      else limited.withColumn("rank", lit(null).cast("int"))
     // terms are self-describing: the plain-string literal struct reconstructs
     // canonically from its lexical form — no struct dictionary needed
     ranked.select(Term.strLit(col("lit_str"), col("lit_lang")).as("lit"),
@@ -104,6 +98,17 @@ final class TextIndex(val postings: DataFrame, val lits: DataFrame, val nDocs: L
 }
 
 object TextIndex {
+
+  /** Attach the rank column via partition-offset global row_number — no
+    * single-partition window anywhere in a ranked search plan (the unbounded-rank
+    * request used to funnel the full hit set through one task; a 100 TB corpus
+    * with a broad query made that the plan's only non-scalable edge).
+    */
+  private[search] def rankBounded(df: org.apache.spark.sql.DataFrame,
+                                  ord: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.DataFrame =
+    graft.engine.DfOps.globalRowNumber(df, ord, "rank")
+      .withColumn("rank", col("rank").cast("int"))
 
   def tokenize(s: String): Seq[String] =
     s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq

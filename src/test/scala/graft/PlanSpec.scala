@@ -37,13 +37,38 @@ class PlanSpec extends GraftSuite {
   }
 
   test("bounded-maxRank text search plans as TakeOrderedAndProject (no global window)") {
+    // no rank var: the top-k limit is the only sort — pure TakeOrderedAndProject
     val plan = planOf(
       """PREFIX bds: <http://www.bigdata.com/rdf/search#>
-        |SELECT ?lit ?score ?r WHERE {
+        |SELECT ?lit ?score WHERE {
         |  ?lit bds:search "customer" ; bds:relevance ?score ;
-        |       bds:rank ?r ; bds:maxRank 10 }""".stripMargin)
+        |       bds:maxRank 10 }""".stripMargin)
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected top-k TakeOrderedAndProject for bounded maxRank:\n$plan")
+    assert(!plan.contains("Window"),
+      s"expected no window when rank is not requested:\n$plan")
+  }
+
+  test("ranked search plans carry no unpartitioned window (bounded or not)") {
+    // rank requested WITHOUT maxRank: the old shape funneled every hit through a
+    // single-partition window; now rank is partition-offset (range repartition +
+    // per-partition row_number) — assert no WindowExec with an empty partitionSpec
+    for (extra <- Seq("", "; bds:maxRank 10")) {
+      val df = Engine.query(store,
+        s"""PREFIX bds: <http://www.bigdata.com/rdf/search#>
+           |SELECT ?lit ?r WHERE {
+           |  ?lit bds:search "customer" ; bds:rank ?r $extra }""".stripMargin)
+      val global = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"unpartitioned window in ranked search plan (extra='$extra'):\n" +
+          df.queryExecution.executedPlan)
+      // ranks must still be the dense global sequence
+      val ranks = df.collect().map(_.getStruct(1).getLong(6)).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq, s"ranks not dense: ${ranks.toSeq.take(20)}")
+    }
   }
 
   test("rank-free text search skips the global sort entirely") {
