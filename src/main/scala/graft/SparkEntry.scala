@@ -642,6 +642,50 @@ object SparkEntry {
     }): Q,
       Some("SELECT n_name AS nm FROM nation")),
 
+    ("q_jsonld", ((s: SparkSession, dir: String) => {
+      // JSON-LD 1.1 ingestion: nations as node objects exercising @nest (the
+      // region key is grouped under a nesting term), @json (the key also rides
+      // as an rdf:JSON literal), and @included (regions carried alongside,
+      // linked only via the id-coerced "region" term)
+      val nations = read(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+        .collect().sortBy(_.getLong(0))
+      val regions = read(s, dir, "region")
+        .select(col("r_regionkey").cast("long"), col("r_name"))
+        .collect().sortBy(_.getLong(0))
+      val doc =
+        s"""{
+           |  "@context": {
+           |    "name": "urn:p:jl_name", "rname": "urn:p:jl_rname",
+           |    "meta": "@nest",
+           |    "region": {"@id": "urn:p:jl_region", "@type": "@id"},
+           |    "blob": {"@id": "urn:p:jl_blob", "@type": "@json"}
+           |  },
+           |  "@graph": [
+           |${nations.map(n =>
+               s"""    {"@id": "urn:jl:nation:${n.getLong(0)}", "name": "${n.getString(1)}",
+                  |     "meta": {"region": "urn:jl:region:${n.getLong(2)}",
+                  |              "blob": {"rk": ${n.getLong(2)}, "nk": ${n.getLong(0)}}}}""".stripMargin)
+              .mkString(",\n")}
+           |  ],
+           |  "@included": [
+           |${regions.map(r =>
+               s"""    {"@id": "urn:jl:region:${r.getLong(0)}", "rname": "${r.getString(1)}"}""")
+              .mkString(",\n")}
+           |  ]
+           |}""".stripMargin
+      val st = new graft.model.GraftStore(s, graft.sources.Rio.readJsonLd(s, doc))
+      Engine.query(st,
+        """SELECT ?name ?rname ?blob WHERE {
+          |  ?n <urn:p:jl_name> ?name ; <urn:p:jl_region> ?r ; <urn:p:jl_blob> ?blob .
+          |  ?r <urn:p:jl_rname> ?rname }""".stripMargin)
+        .select(oStr("name"), oStr("rname"), oStr("blob"))
+    }): Q,
+      // @json canonicalization sorts keys: nk before rk
+      Some("""SELECT n_name AS name, r_name AS rname,
+             |  '{"nk":' || n_nationkey || ',"rk":' || n_regionkey || '}' AS blob
+             |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
     // OWL-subset rules (RuleOwlInverseOf): declare an inverse, close, query reversed
     ("q_inference_owl", ((s: SparkSession, dir: String) => {
       val withSchema = graft.engine.Update(Tpch.store(s, dir),

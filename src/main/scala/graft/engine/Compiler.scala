@@ -864,16 +864,36 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     // Maybe-unbound shared vars on an inner/left-outer join: decompose by the
     // null pattern instead of the OR-null theta condition (which can only
     // execute as a nested-loop join). Rows partition into 2^k null-classes per
-    // side (k = risky vars, capped at 2 → ≤16 branch pairs); a pair of classes
-    // equi-joins on the vars bound on BOTH sides, so the pair space partitions
-    // exactly, the bound×bound bulk is a plain equi-join, and only the
-    // (typically tiny) all-null classes cross — the scale-safe shape. For
-    // left-outer, unmatched left rows (tracked by a row id on the materialized
-    // left) are re-appended null-padded. k ≥ 3 keeps the theta fallback (64
-    // branches would blow up plan size for a case no test workload exhibits).
-    if ((how == "inner" || how == "left_outer") &&
-        risky.nonEmpty && risky.size <= 2 && risky.forall(shared.contains)) {
-      val vs = risky.toSeq.sorted
+    // side (k = decomposition vars, capped at 2 → ≤16 branch pairs); a pair of
+    // classes equi-joins on the vars bound on BOTH sides, so the pair space
+    // partitions exactly, the bound×bound bulk is a plain equi-join, and only
+    // the (typically tiny) all-null classes cross — the scale-safe shape. With
+    // ≥3 risky vars, the 2 LEAST-OFTEN-UNBOUND vars (one cheap count per side)
+    // are decomposed — they route the bulk of rows into the equi branch — and
+    // the rest apply as residual compat FILTERS inside each branch: still a
+    // hash join, never a nested loop. For left-outer, unmatched left rows
+    // (tracked by a row id on the materialized left) are re-appended null-padded.
+    if ((how == "inner" || how == "left_outer") && risky.nonEmpty &&
+        risky.forall(shared.contains)) {
+      val all = risky.toSeq.sorted
+      // multi-var: each side is re-scanned once per null-class (and, for k ≥ 3,
+      // once more by the selectivity probe) — materialize both sides first
+      val lM = if (all.length > 1) l.localCheckpoint() else l
+      val rM = if (all.length > 1) r.localCheckpoint() else r
+      def compatCond(v: String): Column =
+        col(v).isNull || col("__c_" + v).isNull || col(v)("id") === col("__c_" + v)("id")
+      val (vs, residual) =
+        if (all.length <= 2) (all, Seq.empty[String])
+        else {
+          val nullsOf = (d: DataFrame, name: String => Column) => {
+            val row = d.select(all.map(v =>
+              (count(lit(1)) - count(name(v))).as(v)): _*).first()
+            all.map(v => v -> row.getAs[Long](v)).toMap
+          }
+          val (lN, rN) = (nullsOf(lM, col), nullsOf(rM, v => col("__c_" + v)))
+          val picked = all.sortBy(v => (lN(v) + rN(v), v)).take(2).sorted
+          (picked, all.filterNot(picked.contains))
+        }
       val sure = shared.filterNot(risky.contains)
       def eq(c: String) = col(c)("id") === col("__c_" + c)("id")
       def equiOn(a: DataFrame, b: DataFrame, keys: Seq[String]) =
@@ -883,21 +903,20 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         vs.zipWithIndex.foldLeft(d) { case (acc, (v, i)) =>
           acc.filter(if (((mask >> i) & 1) == 1) name(v).isNotNull else name(v).isNull)
         }
-      def branches(lhs0: DataFrame): DataFrame = {
-        // multi-var: each side is re-scanned once per null-class — materialize
-        val lhs = if (vs.length > 1) lhs0.localCheckpoint() else lhs0
-        val rhs = if (vs.length > 1) r.localCheckpoint() else r
+      def branches(lhs: DataFrame): DataFrame = {
         val outs = for { lm <- masks; rm <- masks } yield {
           val keys = sure ++ vs.zipWithIndex.collect {
             case (v, i) if ((lm >> i) & 1) == 1 && ((rm >> i) & 1) == 1 => v
           }
-          equiOn(cls(lhs, lm, col), cls(rhs, rm, v => col("__c_" + v)), keys)
+          val joined = equiOn(cls(lhs, lm, col), cls(rM, rm, v => col("__c_" + v)), keys)
+          residual.map(compatCond).reduceOption(_ && _)
+            .map(joined.filter).getOrElse(joined)
         }
         outs.map(graft.engine.DfOps.reid).reduce(_.unionByName(_))
       }
-      if (how == "inner") return merge(branches(l))
+      if (how == "inner") return merge(branches(lM))
       // left_outer: inner matches + null-padded unmatched left rows
-      val lk = l.withColumn("__rid", monotonically_increasing_id()).localCheckpoint()
+      val lk = lM.withColumn("__rid", monotonically_increasing_id()).localCheckpoint()
       val inner = branches(lk)
       val unmatched = lk.join(inner.select("__rid").dropDuplicates("__rid"),
         Seq("__rid"), "left_anti")
@@ -1372,15 +1391,23 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       .dropDuplicates("s", "p", "o")
   }
 
-  /** DESCRIBE via Concise Bounded Description (rdf/sparql/ast/eval/CBD.java):
-    * the direct subgraph of each target, then an expansion loop that chases bnode
-    * OBJECTS until no new bnodes appear (CBD.java's fixed-point; its statement-
-    * reification expansion is out of scope — no explicit reification quads here).
-    * Each round is one semi-join of the (small) bnode frontier against the
-    * statement table — O(closure-depth) rounds, frontier-sized shuffles only,
+  /** DESCRIBE with mode selection (rdf/sparql/ast/DescribeModeEnum.java via the
+    * `hint:describeMode` query hint, QueryHints.java:587):
+    *
+    *  - ForwardOneStep — attributes and forward links only (subject = target);
+    *  - SymmetricOneStep — forward plus backward links (object = target);
+    *  - CBD (default here) — forward links, then the bnode-OBJECT fixed point
+    *    (rdf/sparql/ast/eval/CBD.java; its statement-reification expansion is out
+    *    of scope — no explicit reification quads in this store);
+    *  - SCBD — CBD plus the reverse closure: backward links, recursing through
+    *    bnode SUBJECTS (DescribeModeEnum.java:127 SCBD semantics).
+    *
+    * Each expansion round is one semi-join of the (small) bnode frontier against
+    * the statement table — O(closure-depth) rounds, frontier-sized shuffles only,
     * lineage cut per round like the other fixpoints.
     */
   def compileDescribe(q: DescribeQuery): DataFrame = {
+    val mode = describeModeHint(q.where).getOrElse("CBD")
     val consts = q.targets.collect { case IriNode(i) => i }
     val vars = q.targets.collect { case VarNode(v) => v }
     val nodeDfs =
@@ -1391,25 +1418,61 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         }
     val nodes = nodeDfs.reduce(_.unionByName(_)).dropDuplicates("n")
     val stmts = store.statements
-    var seen = nodes.select(col("n")("id").as("nid")).localCheckpoint()
-    var acc = stmts.join(nodes, col("s")("id") === col("n")("id"), "left_semi")
-      .select("s", "p", "o").localCheckpoint()
-    var frontier = acc.filter(col("o")("kind") === Term.KIND_BNODE)
-      .select(col("o")("id").as("nid")).dropDuplicates("nid")
-      .join(seen, Seq("nid"), "left_anti").localCheckpoint()
-    var rounds = 0
-    val maxRounds = 50 // CBD depth bound: cycles terminate via `seen` regardless
-    while (rounds < maxRounds && frontier.limit(1).count() > 0) {
-      val next = stmts.join(frontier, col("s")("id") === col("nid"), "left_semi")
-        .select("s", "p", "o")
-      seen = seen.unionByName(frontier).localCheckpoint()
-      acc = acc.unionByName(next).localCheckpoint()
-      frontier = next.filter(col("o")("kind") === Term.KIND_BNODE)
-        .select(col("o")("id").as("nid")).dropDuplicates("nid")
-        .join(seen, Seq("nid"), "left_anti").localCheckpoint()
-      rounds += 1
+    def forward(ids: DataFrame): DataFrame =
+      stmts.join(ids, col("s")("id") === col("nid"), "left_semi").select("s", "p", "o")
+    def reverse(ids: DataFrame): DataFrame =
+      stmts.join(ids, col("o")("id") === col("nid"), "left_semi").select("s", "p", "o")
+    /** Fixed point: expand from `start` along `step`, chasing bnodes picked out of
+      * each round's new statements by `bnodeSide`, until no unseen bnodes remain.
+      */
+    def closure(startIds: DataFrame, step: DataFrame => DataFrame,
+                bnodeSide: String): DataFrame = {
+      var seen = startIds.localCheckpoint()
+      var acc = step(startIds).localCheckpoint()
+      def newBnodes(df: DataFrame, seenIds: DataFrame): DataFrame = df
+        .filter(col(bnodeSide)("kind") === Term.KIND_BNODE)
+        .select(col(bnodeSide)("id").as("nid")).dropDuplicates("nid")
+        .join(seenIds, Seq("nid"), "left_anti")
+      var frontier = newBnodes(acc, seen).localCheckpoint()
+      var rounds = 0
+      val maxRounds = 50 // depth bound: cycles terminate via `seen` regardless
+      while (rounds < maxRounds && frontier.limit(1).count() > 0) {
+        val next = step(frontier)
+        seen = seen.unionByName(frontier).localCheckpoint()
+        acc = acc.unionByName(next).localCheckpoint()
+        frontier = newBnodes(next, seen).localCheckpoint()
+        rounds += 1
+      }
+      acc
+    }
+    val ids = nodes.select(col("n")("id").as("nid"))
+    val acc = mode match {
+      case "ForwardOneStep" => forward(ids)
+      case "SymmetricOneStep" => forward(ids).unionByName(reverse(ids))
+      case "SCBD" =>
+        closure(ids, forward, "o").unionByName(closure(ids, reverse, "s"))
+      case _ => closure(ids, forward, "o") // CBD
     }
     acc.dropDuplicates("s", "p", "o")
+  }
+
+  /** Extract `hint:Query hint:describeMode "<mode>"` from the WHERE group
+    * (ASTDescribeOptimizer reads QueryHints.DESCRIBE_MODE; modes:
+    * DescribeModeEnum.{ForwardOneStep,SymmetricOneStep,CBD,SCBD}).
+    */
+  private def describeModeHint(where: Option[GP]): Option[String] = {
+    def scan(gp: GP): Seq[String] = gp match {
+      case TripleGP(_, PLink(p), LitNode(m, _, _)) if p == HINT_NS + "describeMode" =>
+        Seq(m)
+      case GroupGP(es) => es.flatMap(scan)
+      case _ => Nil
+    }
+    val found = where.toSeq.flatMap(scan)
+    found.foreach { m =>
+      require(Set("ForwardOneStep", "SymmetricOneStep", "CBD", "SCBD")(m),
+        s"unknown describeMode '$m' (DescribeModeEnum: ForwardOneStep, SymmetricOneStep, CBD, SCBD)")
+    }
+    found.headOption
   }
 }
 

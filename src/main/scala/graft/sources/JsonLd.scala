@@ -19,6 +19,11 @@ import scala.collection.mutable.ArrayBuffer
   *     node objects, arrays (multi-valued), and `@list` (rdf:List chains).
   *   - top level: a node object, an array of them, or `@graph` (named when the
   *     carrier has `@id`, else default graph).
+  *   - 1.1: `@included` (secondary node objects carried alongside a node, same
+  *     graph, no connecting edge), `@nest` (property grouping — nested map's
+  *     properties belong to the enclosing node; context terms may alias `@nest`),
+  *     and `@json` literals (`@type: @json` on a value object or via context
+  *     coercion → an rdf:JSON literal with a canonical key-sorted serialization).
   *
   * Unsupported 1.1 features (`@reverse`, `@container` indexing, scoped contexts,
   * remote contexts) fail loudly rather than silently mis-parse.
@@ -32,6 +37,7 @@ object JsonLd {
     var bn = 0
     val labeled = scala.collection.mutable.Map.empty[String, String]
     var terms = Map.empty[String, (String, Option[String])] // term -> (iri, coercion)
+    var nestAliases = Set.empty[String] // context terms defined as "@nest"
     var vocab: Option[String] = None
     def freshBnode(): String = { bn += 1; s"jb$bn" }
     def bnode(label: String): String =
@@ -59,6 +65,9 @@ object JsonLd {
         val gIri = Option(n.get("@id")).map(i => expandIri(i.asText(), ctx))
         val items = if (g.isArray) g.elements().asScala.toSeq else Seq(g)
         items.foreach(nodeObject(_, ctx, gIri))
+        // a @graph carrier may still carry @included alongside (same graph)
+        Option(n.get("@included")).foreach(inc =>
+          values(inc).foreach(nodeObject(_, ctx, gIri)))
     }
   }
 
@@ -69,13 +78,14 @@ object JsonLd {
       val (k, v) = (e.getKey, e.getValue)
       if (k == "@vocab") ctx.vocab = Some(v.asText())
       else if (k.startsWith("@")) () // @base/@language: accepted, not modeled
+      else if (v.isTextual && v.asText() == "@nest") ctx.nestAliases += k
       else if (v.isTextual) ctx.terms += k -> (v.asText(), None)
       else if (v.isObject) {
         val id = Option(v.get("@id")).map(_.asText())
           .getOrElse(unsupported(s"context term $k without @id"))
         val coerce = Option(v.get("@type")).map(_.asText())
         if (v.has("@reverse") || v.has("@container")) unsupported(s"context term $k")
-        ctx.terms += k -> (id, coerce)
+        if (id == "@nest") ctx.nestAliases += k else ctx.terms += k -> (id, coerce)
       }
     }
   }
@@ -114,6 +124,13 @@ object JsonLd {
   private def nodeObject(n: JsonNode, ctx: Ctx, g: Option[String]): (Byte, String) = {
     if (!n.isObject) unsupported(s"node ${n.getNodeType}")
     val subj = subjectOf(n, ctx)
+    processProps(n, ctx, subj, g)
+    subj
+  }
+
+  /** One node object's (or one @nest map's) property entries, all owned by `subj`. */
+  private def processProps(n: JsonNode, ctx: Ctx, subj: (Byte, String),
+                           g: Option[String]): Unit = {
     n.properties().asScala.foreach { e =>
       val (k, v) = (e.getKey, e.getValue)
       k match {
@@ -123,22 +140,60 @@ object JsonLd {
           types.foreach(t =>
             emit(ctx, subj, RDF + "type", Term.KIND_IRI, expandIri(t.asText(), ctx), null, null, g))
         case "@graph" => unsupported("nested @graph")
-        case "@reverse" | "@included" => unsupported(k)
+        case "@reverse" => unsupported(k)
+        case "@included" =>
+          // secondary node objects: same graph, no edge from the carrier
+          values(v).foreach(nodeObject(_, ctx, g))
+        case term if term == "@nest" || ctx.nestAliases(term) =>
+          values(v).foreach { nv =>
+            if (!nv.isObject || nv.has("@value")) unsupported("@nest value (must be a node-ish map)")
+            if (nv.has("@id")) unsupported("@id inside @nest")
+            processProps(nv, ctx, subj, g)
+          }
         case term =>
+          // context term values may themselves be compact IRIs ("ex:blob") —
+          // expand at use time (prefix defs may appear anywhere in the context)
           val (prop, coerce) = ctx.terms.get(term)
-            .map { case (iri, c) => (iri, c) }
+            .map { case (iri, c) => (expandIri(iri, ctx), c) }
             .getOrElse((expandIri(term, ctx), None))
-          values(v).foreach(value(_, ctx, subj, prop, coerce, g))
+          // an @json-coerced ARRAY is one literal, not one value per element
+          if (coerce.contains("@json")) value(v, ctx, subj, prop, coerce, g)
+          else values(v).foreach(value(_, ctx, subj, prop, coerce, g))
       }
     }
-    subj
   }
 
   private def values(v: JsonNode): Seq[JsonNode] =
     if (v.isArray) v.elements().asScala.toSeq else Seq(v)
 
+  /** rdf:JSON literal lexical form: canonical key-sorted serialization (the
+    * JSON-LD 1.1 JSON-literal rule — object keys sorted, no whitespace; numbers
+    * and escapes as Jackson prints them, a documented simplification of JCS).
+    */
+  private[sources] def canonicalJson(n: JsonNode): String =
+    if (n.isObject)
+      n.properties().asScala.toSeq.map(e => (e.getKey, e.getValue)).sortBy(_._1)
+        .map { case (k, v) =>
+          com.fasterxml.jackson.databind.node.TextNode.valueOf(k).toString + ":" + canonicalJson(v)
+        }.mkString("{", ",", "}")
+    else if (n.isArray) n.elements().asScala.map(canonicalJson).mkString("[", ",", "]")
+    else n.toString // strings print quoted+escaped; numbers/bools/null as-is
+
+  private val RDF_JSON = RDF + "JSON"
+
+  private def emitJson(ctx: Ctx, subj: (Byte, String), prop: String,
+                       v: JsonNode, g: Option[String]): Unit =
+    ctx.out += Rio.ParsedQuad(subj._1, subj._2, prop, Term.KIND_LITERAL,
+      canonicalJson(v), RDF_JSON, null, Term.KIND_IRI, g.orNull)
+
   private def value(v: JsonNode, ctx: Ctx, subj: (Byte, String), prop: String,
                     coerce: Option[String], g: Option[String]): Unit = {
+    // context coercion "@type": "@json" — the ENTIRE value is one JSON literal
+    if (coerce.contains("@json")) { emitJson(ctx, subj, prop, v, g); return }
+    if (v.isObject && v.has("@value") &&
+        Option(v.get("@type")).exists(_.asText() == "@json")) {
+      emitJson(ctx, subj, prop, v.get("@value"), g); return
+    }
     if (v.isObject && v.has("@list")) {
       val items = values(v.get("@list"))
       if (items.isEmpty) emit(ctx, subj, prop, Term.KIND_IRI, RDF + "nil", null, null, g)

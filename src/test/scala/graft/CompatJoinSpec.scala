@@ -113,6 +113,41 @@ class CompatJoinSpec extends GraftSuite {
       s"expected null-class decomposition with an equi bulk branch:\n$plan")
   }
 
+  test("THREE maybe-unbound vars: decompose on the 2 most selective, residual-filter the rest") {
+    // ?k is definitely bound on both sides (every branch pair equi-joins on it);
+    // ?x ?y ?w are each maybe-unbound on both sides. The old path fell back to a
+    // theta join — one BroadcastNestedLoopJoin over the whole input. Now the 2
+    // least-often-unbound vars decompose into null classes and the third applies
+    // as a residual compat filter inside each equi branch.
+    val q = """SELECT ?k ?x ?y ?w ?z WHERE {
+              |  { VALUES ?k { 1 2 3 }
+              |    OPTIONAL { VALUES (?k ?x) { (1 10) (2 20) } }
+              |    OPTIONAL { VALUES (?k ?y) { (1 100) (3 300) } }
+              |    OPTIONAL { VALUES (?k ?w) { (1 1000) (2 2000) } } }
+              |  { VALUES (?k ?x ?y ?w ?z) {
+              |      (1 10 100 1000 7) (2 20 999 UNDEF 8)
+              |      (3 UNDEF 300 3000 9) (2 UNDEF UNDEF 9999 11) } }
+              |}""".stripMargin
+    val df = Engine.query(store, q)
+    def lng(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) -1L else r.getStruct(i).getAs[Long]("lng")
+    val rows = df.collect().map(r => (lng(r, 0), lng(r, 1), lng(r, 2), lng(r, 3), lng(r, 4))).toSet
+    // k=1: exact match of row1. k=2: x=20 eq, y unbound-left, w UNDEF-right →
+    // row2 (y→999, w stays 2000); row4 fails on w (2000≠9999). k=3: x unbound
+    // both sides, y=300 eq, w unbound-left → row3 (w→3000, x stays unbound).
+    assert(rows == Set(
+      (1L, 10L, 100L, 1000L, 7L),
+      (2L, 20L, 999L, 2000L, 8L),
+      (3L, -1L, 300L, 3000L, 9L)), rows.toString)
+    val plan = Engine.explain(store, q)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"3 risky vars must not fall back to a nested-loop/theta join:\n$plan")
+    assert(plan.contains("Union") &&
+      (plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin")),
+      s"expected null-class decomposition with equi branches:\n$plan")
+  }
+
   test("OPTIONAL after a union with maybe-unbound var: decomposed left join is exact") {
     val df = Engine.query(store,
       """SELECT ?x ?tag ?z WHERE {

@@ -66,6 +66,65 @@ class JsonLdSpec extends GraftSuite {
     assert(items == Set("x", "y"))
   }
 
+  test("@nest groups properties onto the enclosing node (direct and aliased)") {
+    val d = """{
+              |  "@context": {"ex": "http://example.org/", "meta": "@nest"},
+              |  "@id": "ex:n1",
+              |  "@nest": {"ex:a": 1},
+              |  "meta": {"ex:b": 2, "ex:deep": {"@id": "ex:n2", "ex:c": 3}}
+              |}""".stripMargin
+    val st = new GraftStore(ss, Rio.readJsonLd(ss, d))
+    def ask2(q: String) = Engine.query(st, q).first().getBoolean(0)
+    assert(ask2("ASK { <http://example.org/n1> <http://example.org/a> 1 }"))
+    assert(ask2("ASK { <http://example.org/n1> <http://example.org/b> 2 }"))
+    // values inside a nest are still full node objects with their own identity
+    assert(ask2("""ASK { <http://example.org/n1> <http://example.org/deep> <http://example.org/n2> .
+                  |  <http://example.org/n2> <http://example.org/c> 3 }""".stripMargin))
+    val e = intercept[IllegalArgumentException](
+      JsonLd.parse("""{"@id": "urn:x", "@nest": {"@id": "urn:y"}}"""))
+    assert(e.getMessage.contains("@id inside @nest"))
+  }
+
+  test("@included carries secondary nodes in the same graph, without an edge") {
+    val d = """{
+              |  "@context": {"ex": "http://example.org/"},
+              |  "@id": "ex:main", "ex:p": 1,
+              |  "@included": [
+              |    {"@id": "ex:side1", "ex:q": 2},
+              |    {"@id": "ex:side2", "ex:q": 3}
+              |  ]
+              |}""".stripMargin
+    val st = new GraftStore(ss, Rio.readJsonLd(ss, d))
+    def ask2(q: String) = Engine.query(st, q).first().getBoolean(0)
+    assert(ask2("ASK { <http://example.org/side1> <http://example.org/q> 2 }"))
+    assert(ask2("ASK { <http://example.org/side2> <http://example.org/q> 3 }"))
+    // no edge minted from the carrier to included nodes
+    assert(!ask2("ASK { <http://example.org/main> ?p <http://example.org/side1> }"))
+  }
+
+  test("@json values become rdf:JSON literals with canonical key order") {
+    val d = """{
+              |  "@context": {"ex": "http://example.org/",
+              |    "blob": {"@id": "ex:blob", "@type": "@json"}},
+              |  "@id": "ex:j",
+              |  "blob": {"zeta": 1, "alpha": {"b": [1, 2, "x"], "a": true}},
+              |  "ex:inline": {"@value": {"k": "v"}, "@type": "@json"},
+              |  "ex:arr": {"@value": [3, null], "@type": "@json"}
+              |}""".stripMargin
+    val st = new GraftStore(ss, Rio.readJsonLd(ss, d))
+    val got = Engine.query(st,
+      """SELECT ?o WHERE { <http://example.org/j> <http://example.org/blob> ?o }""")
+      .first().getStruct(0)
+    assert(got.getAs[String]("str") ==
+      """{"alpha":{"a":true,"b":[1,2,"x"]},"zeta":1}""")
+    assert(got.getAs[String]("dt") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON")
+    def lex(p: String) = Engine.query(st,
+      s"""SELECT ?o WHERE { <http://example.org/j> <http://example.org/$p> ?o }""")
+      .first().getStruct(0).getAs[String]("str")
+    assert(lex("inline") == """{"k":"v"}""")
+    assert(lex("arr") == "[3,null]")
+  }
+
   test("unsupported 1.1 features fail loudly") {
     val e = intercept[IllegalArgumentException](
       JsonLd.parse("""{"@context": "http://remote/ctx", "@id": "ex:x"}"""))
