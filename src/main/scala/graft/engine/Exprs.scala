@@ -348,6 +348,10 @@ object Exprs {
       case "ISNUMERIC" => boolTerm(when(a0.isNull, nullB).otherwise(isNumericT(a0)))
       case "STR" => when(a0.isNull, Term.nullTerm)
         .when(fKind(a0) === Term.KIND_BNODE, Term.nullTerm)
+        // dateTimes materialize through their UTC instant (DateTimeExtension
+        // asValue — the reference's STR is the rematerialized form, regardless
+        // of the authored zone, which stays in the lexical for sameTerm/TZ)
+        .when(isDateTime(a0) && fTs(a0).isNotNull, Term.strLit(Term.tsLex(fTs(a0))))
         .otherwise(Term.strLit(fStr(a0)))
       case "LANG" => when(a0.isNotNull && isLiteral(a0), Term.strLit(coalesce(fLang(a0), lit(""))))
         .otherwise(Term.nullTerm)

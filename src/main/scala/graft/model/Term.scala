@@ -145,13 +145,17 @@ object Term {
     * full value or two sub-second-distinct timestamps would collide into one
     * term id with ambiguous payload.
     */
+  /** Canonical UTC lexical of a timestamp — the reference's materialized form
+    * (XMLGregorianCalendar print, milli digits always, sub-milli kept).
+    */
+  def tsLex(t: Column): Column = concat(
+    regexp_replace(date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+      "(\\.\\d{3}(?:\\d*[1-9])?)0*$", "$1"),
+    lit("Z"))
+
   def tsLit(v: Column): Column = {
     val t = v.cast(TimestampType)
-    val lex = concat(
-      regexp_replace(date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
-        "(\\.\\d{3}(?:\\d*[1-9])?)0*$", "$1"),
-      lit("Z"))
-    mk(lit(KIND_LITERAL), lex, lit(XSD_DATETIME), nullStr, nullDbl, nullLng, t)
+    mk(lit(KIND_LITERAL), tsLex(t), lit(XSD_DATETIME), nullStr, nullDbl, nullLng, t)
   }
 
   /** Custom-datatype inline-value extension point (the `IExtension` analog,
@@ -192,8 +196,12 @@ object Term {
         decimalLit(str.try_cast(DECIMAL_TYPE)))
       .when(dt === XSD_BOOLEAN, boolLit(str === "true"))
       .when(dt === XSD_DATETIME && try_to_timestamp(regexp_replace(str, "Z$", "")).isNotNull,
-        // default parser: accepts optional fractional seconds
-        tsLit(try_to_timestamp(regexp_replace(str, "Z$", ""))))
+        // keep the AUTHORED lexical (zone token included — identity/sameTerm and
+        // fn:TZ read it); ts carries the instant for all value-space operations.
+        // Spark's cast-style parser reads "±hh:mm" offsets and zoneless forms
+        // (session TZ = UTC) directly; only a trailing Z needs stripping.
+        mk(lit(KIND_LITERAL), str, lit(XSD_DATETIME), nullStr, nullDbl, nullLng,
+          try_to_timestamp(regexp_replace(str, "Z$", ""))))
     Datatypes.reg.foldLeft(base) { case (acc, (iri, f)) =>
       acc.when(dt === iri,
         mk(lit(KIND_LITERAL), str, dt, lang, f(str), nullLng, nullTs))

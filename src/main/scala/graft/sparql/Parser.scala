@@ -178,24 +178,29 @@ object Parser {
     }
   }
 
-  /** Normalize a dateTime/date lexical to the canonical UTC form — fractional
-    * seconds kept with trailing zeros stripped (micro precision), matching
-    * `Term.tsLit`'s lexical identity exactly.
+  /** Canonicalize a dateTime/date lexical — the local fields and fraction go to
+    * the reference's milli form (≥3 fractional digits, trailing zeros stripped
+    * past micro precision — see Term.tsLit), but the AUTHORED zone token is
+    * preserved verbatim: "Z", "±hh:mm", or absent. The zone is part of the
+    * literal's identity (sameTerm distinguishes "…Z" from "…+00:00" — the
+    * lexical term model the reference keeps when dateTime inlining is off), and
+    * fn:TZ/fn:TIMEZONE read it back from this lexical. Value-space operations
+    * (=, <, ORDER BY, YEAR…) use the `ts` instant and are unaffected; zoneless
+    * lexicals are interpreted as UTC instants (documented trade).
     */
-  def parseDateTime(lex: String): String = {
+  def parseDateTime(lex0: String): String = {
+    val lex = lex0.trim
     // explicit zone = trailing Z or ±hh:mm (a bare contains("+")/("-") test would
-    // trip on the date part); zoneless lexicals are interpreted as UTC
-    val zoned = lex.endsWith("Z") || lex.matches(".*[+-]\\d{2}:\\d{2}$")
-    val base = if (lex.length == 10) lex + "T00:00:00Z"
-      else if (zoned) lex else lex + "Z"
-    // OffsetDateTime reads both Z and ±hh:mm forms (Instant.parse is Z-only)
-    val inst = java.time.OffsetDateTime.parse(base).toInstant
-      .truncatedTo(java.time.temporal.ChronoUnit.MICROS)
+    // trip on the date part)
+    val zone = if (lex.endsWith("Z")) "Z"
+      else "[+-]\\d{2}:\\d{2}$".r.findFirstIn(lex).getOrElse("")
+    val core0 = lex.stripSuffix(zone)
+    val core = if (core0.length == 10) core0 + "T00:00:00" else core0
+    // OffsetDateTime validates; the authored offset does not shift the local part
+    val odt = java.time.OffsetDateTime.parse(core + (if (zone.isEmpty) "Z" else zone))
     val full = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
-      .withZone(java.time.ZoneOffset.UTC).format(inst)
-    // keep exactly 3 fractional digits for milli-precision values (the reference's
-    // XMLGregorianCalendar lexical — see Term.tsLit), more only when sub-milli
-    full.replaceAll("(\\.\\d{3}(?:\\d*[1-9])?)0*$", "$1") + "Z"
+      .format(odt.toLocalDateTime.truncatedTo(java.time.temporal.ChronoUnit.MICROS))
+    full.replaceAll("(\\.\\d{3}(?:\\d*[1-9])?)0*$", "$1") + zone
   }
 
   /** SPARQL grammar numeric literal typing: INTEGER → xsd:integer, DECIMAL (dot, no

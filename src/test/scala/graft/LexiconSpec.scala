@@ -35,6 +35,13 @@ class LexiconSpec extends GraftSuite {
       == "2024-01-17T10:56:23.488074Z")
     assert(graft.sparql.Parser.parseDateTime("2024-01-17T10:56:23.480Z")
       == "2024-01-17T10:56:23.480Z")
-    assert(graft.sparql.Parser.parseDateTime("2024-01-17") == "2024-01-17T00:00:00.000Z")
+    // round 8: the AUTHORED zone token is part of the lexical identity — Z,
+    // ±hh:mm and zoneless survive as written (fn:TZ/sameTerm read them);
+    // zoneless lexicals still VALUE as UTC instants
+    assert(graft.sparql.Parser.parseDateTime("2024-01-17") == "2024-01-17T00:00:00.000")
+    assert(graft.sparql.Parser.parseDateTime("2024-01-17T10:56:23+02:00")
+      == "2024-01-17T10:56:23.000+02:00")
+    assert(graft.sparql.Parser.parseDateTime("2024-01-17T10:56:23.480+00:00")
+      == "2024-01-17T10:56:23.480+00:00")
   }
 }
