@@ -1596,7 +1596,124 @@ object SparkEntry {
              |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
              |  '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
              |  '\+?[0-9][0-9()\- ]{7,14}[0-9]', '[PHONE]', 'g') AS redacted
-             |FROM d""".stripMargin))
+             |FROM d""".stripMargin)),
+
+    // RAG/pretraining context prep: fixed-size token windows with overlap —
+    // a pure per-row map (zero shuffles; see Curate.chunkTokens)
+    ("p_chunk", ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curate.chunkTokens(docs(s, dir), "doc_id", "text",
+        chunkSize = 32, overlap = 8)): Q,
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |s AS (SELECT doc_id, toks,
+             |  unnest(generate_series(0, greatest(len(toks)-1, 0), 24)) AS st FROM t)
+             |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+             |  array_to_string(toks[st+1 : st+32], ' ') AS chunk_text,
+             |  CAST(len(toks[st+1 : st+32]) AS BIGINT) AS n_tokens
+             |FROM s""".stripMargin)),
+
+    // near-dup survivorship: within each dup cluster keep the best doc by
+    // (n_chars desc, id asc) — the oracle rebuilds the same clusters via
+    // recursive closure, then applies the same window
+    ("p_dedup_canonical", ((s: SparkSession, dir: String) =>
+      Dedup.canonicalKeepers(docs(s, dir), "doc_id", "text", "n_chars")
+        .withColumn("is_dup", col("is_dup").cast("int"))): Q,
+      Some("""WITH RECURSIVE sh AS (SELECT doc_id AS id,
+             |  list_distinct(list_transform(
+             |    generate_series(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+'))-3, 0)),
+             |    i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\s+'))[i+1:i+3], ' '))) AS sh
+             | FROM documents),
+             |k AS (SELECT id, sh, list_aggregate(sh, 'min') AS key FROM sh),
+             |pairs AS (SELECT a, b FROM (
+             |  SELECT l.id AS a, r.id AS b,
+             |    CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+             |      / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS jaccard
+             |  FROM k l JOIN k r ON l.key = r.key AND l.id < r.id)
+             |  WHERE jaccard >= 0.5),
+             |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT a, a FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+             |comp AS (SELECT a AS doc_id, MIN(b) AS keeper FROM reach GROUP BY a),
+             |j AS (SELECT c.doc_id, c.keeper, d.n_chars
+             |      FROM comp c JOIN documents d USING (doc_id))
+             |SELECT doc_id,
+             |  first_value(doc_id) OVER w AS canonical_id,
+             |  CAST(doc_id <> first_value(doc_id) OVER w AS INTEGER) AS is_dup
+             |FROM j WINDOW w AS (PARTITION BY keeper ORDER BY n_chars DESC, doc_id ASC)""".stripMargin)),
+
+    // embedding-space QA: bottom-5 cosine-to-own-label-centroid per label
+    // (centroids broadcast; corpus pass is one codegen'd cosine per row)
+    ("p_emb_outlier", ((s: SparkSession, dir: String) =>
+      graft.pipeline.Similarity.centroidOutliers(emb(s, dir), "vec_id",
+        "embedding", "label", k = 5)): Q,
+      Some("""WITH ex AS (SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS v FROM
+             |  (SELECT label, embedding,
+             |     unnest(generate_series(1, len(embedding))) AS pos FROM embeddings) q),
+             |cent AS (SELECT label, pos, SUM(v) AS c FROM ex GROUP BY 1, 2),
+             |ca AS (SELECT label, list(c ORDER BY pos ASC) AS cv FROM cent GROUP BY label),
+             |sc AS (SELECT e.vec_id AS id, e.label,
+             |  list_reduce(list_transform(generate_series(1, len(e.embedding)),
+             |    i -> CAST(e.embedding[i] AS DOUBLE) * cv[i]), (x,y) -> x+y)
+             |  / ( sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+             |       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+             |    * sqrt(list_reduce(list_transform(generate_series(1, len(cv)),
+             |       i -> cv[i] * cv[i]), (x,y) -> x+y)) ) AS score
+             |  FROM embeddings e JOIN ca ON e.label = ca.label)
+             |SELECT id, label, round(score, 6) AS score FROM
+             |  (SELECT *, row_number() OVER (PARTITION BY label ORDER BY score ASC, id ASC) AS rn
+             |   FROM sc) t
+             |WHERE rn <= 5""".stripMargin)),
+
+    // per-source duplication-rate governance report; the corpus has no natural
+    // exact dups, so boilerplate texts are planted deterministically in BOTH
+    // engines (cf. p_redact) — dups counted against the whole corpus
+    ("p_dup_rate", ((s: SparkSession, dir: String) =>
+      Dedup.dupRate(
+        docs(s, dir).withColumn("text",
+          when(col("doc_id") % 7 === 3,
+            concat(lit("boilerplate notice "), (col("doc_id") % 3).cast("string")))
+            .otherwise(col("text"))),
+        "doc_id", "text", "source")): Q,
+      Some("""WITH d AS (SELECT source, doc_id, CASE WHEN doc_id % 7 = 3
+             |  THEN 'boilerplate notice ' || CAST(doc_id % 3 AS VARCHAR)
+             |  ELSE text END AS text FROM documents),
+             |r AS (SELECT source, doc_id,
+             |  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM d)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+             |  round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+             |FROM r GROUP BY source""".stripMargin)),
+
+    // Structured Streaming session windows: gap-based event-time sessions per
+    // user (session_window + stateful merge), flushed via the memory sink; the
+    // oracle derives identical sessions with the lag/cumulative-sum law
+    ("p_stream_sessions", ((s: SparkSession, dir: String) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts2", tsStamp(sch("ts").dataType))
+      val agg = ev.groupBy(session_window(col("ts2"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100)).cast("long").as("cents"))
+        .select(col("w")("start").as("session_start"), col("user_id"),
+          col("n_events"), col("cents"))
+      val qn = "pss_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+    }): Q,
+      Some("""WITH p AS (SELECT user_id, ts, value,
+             |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+             |s AS (SELECT user_id, ts, value,
+             |  SUM(CASE WHEN prev IS NULL OR ts >= prev + INTERVAL '30 minutes' THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM p)
+             |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events,
+             |  CAST(SUM(ROUND(value*100, 0)) AS BIGINT) AS cents
+             |FROM s GROUP BY user_id, sid""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

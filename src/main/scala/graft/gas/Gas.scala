@@ -64,7 +64,16 @@ object Gas {
   }
 
   /** Single-source shortest paths (weighted, Bellman-Ford style frontier relaxation). */
-  def sssp(edges: DataFrame, source: Long, maxIter: Int = 50): DataFrame = {
+  def sssp(edges: DataFrame, source: Long, maxIter: Int = 50): DataFrame =
+    multiSssp(edges, Seq(source), maxIter).drop("seed")
+
+  /** Multi-source SSSP: ONE fixpoint relaxes every seed together, state keyed
+    * (seed, vertex). Rounds = the max relaxation depth over seeds (not the sum),
+    * and each round's shuffle carries all seeds' frontiers in the same exchange —
+    * the batched form of what the reference runs as one GAS program per source
+    * (`analytics/SSSP.java`). Output: (seed, vertex, dist).
+    */
+  def multiSssp(edges: DataFrame, seeds: Seq[Long], maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val w = if (edges.columns.contains("weight")) edges
@@ -75,21 +84,22 @@ object Gas {
       .groupBy("src", "dst").agg(min("weight").as("weight"))
       .sortWithinPartitions("src")
       .localCheckpoint()
-    var dist = Seq((source, 0.0)).toDF("vertex", "dist").localCheckpoint()
+    var dist = seeds.distinct.map(v => (v, v, 0.0)).toDF("seed", "vertex", "dist")
+      .localCheckpoint()
     var frontier = dist
     var iter = 0
     var n = 1L
     while (n > 0 && iter < maxIter) {
       iter += 1
       val cand = frontier.join(adj, col("vertex") === col("src"))
-        .select(col("dst").as("vertex"), (col("dist") + col("weight")).as("nd"))
-        .groupBy("vertex").agg(min("nd").as("nd"))
-      val improved = cand.join(dist, Seq("vertex"), "left_outer")
+        .select(col("seed"), col("dst").as("vertex"), (col("dist") + col("weight")).as("nd"))
+        .groupBy("seed", "vertex").agg(min("nd").as("nd"))
+      val improved = cand.join(dist, Seq("seed", "vertex"), "left_outer")
         .filter(col("dist").isNull || col("nd") < col("dist"))
-        .select(col("vertex"), col("nd").as("dist")).localCheckpoint()
+        .select(col("seed"), col("vertex"), col("nd").as("dist")).localCheckpoint()
       n = improved.count()
       if (n > 0) {
-        dist = dist.join(improved, Seq("vertex"), "left_anti")
+        dist = dist.join(improved, Seq("seed", "vertex"), "left_anti")
           .unionByName(graft.engine.DfOps.reid(improved)).localCheckpoint() // dist is re-joined each round: keep materialized
         frontier = improved
       }
@@ -181,25 +191,30 @@ object Gas {
     * shortest paths. Unreachable pairs contribute nothing (the reference marks
     * them -1 and skips). Output: (vertex, depth), depth 0 = on a shortest path.
     *
-    * Scale shape: |sources|+|targets| SSSP fixpoints (each seeded, id-space),
-    * then per-pair joins of the two distance maps; the expansion truncates each
-    * round deterministically by vertex id to land exactly on `n`.
+    * Scale shape: ONE multi-source SSSP fixpoint covers every distinct endpoint
+    * (per-round shuffles carry all seeds together; rounds = max depth, not the
+    * sum — the round-7 version serialized one fixpoint per endpoint through the
+    * driver), then a single relational join of the seed-keyed distance map with
+    * itself recovers all pairs' shortest-path vertex sets; the expansion
+    * truncates each round deterministically by vertex id to land exactly on `n`.
     */
   def fuzzySssp(edges: DataFrame, sources: Seq[Long], targets: Seq[Long], n: Long,
                 maxIter: Int = 50): DataFrame = {
-    val dists: Map[Long, DataFrame] =
-      (sources ++ targets).distinct.map(v => v -> sssp(edges, v, maxIter)).toMap
-    val pairSps = for (s <- sources; t <- targets) yield {
-      val ds = dists(s).select(col("vertex"), col("dist").as("ds"))
-      val dt = dists(t).select(col("vertex"), col("dist").as("dt"))
-      val total = ds.filter(col("vertex") === t).select(col("ds").as("d_total"))
-      ds.join(dt, "vertex")
-        .crossJoin(broadcast(total)) // 1 row, or empty when t unreachable from s
-        .filter(col("ds") + col("dt") === col("d_total"))
-        .select("vertex")
-    }
-    val spSet = pairSps.map(graft.engine.DfOps.reid).reduce(_.unionByName(_))
-      .dropDuplicates("vertex")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val d = multiSssp(edges, (sources ++ targets).distinct, maxIter) // (seed, vertex, dist)
+    val pairs = (for (s <- sources; t <- targets) yield (s, t)).distinct.toDF("s", "t")
+    // d(s,t) per pair = the s-seeded map evaluated at t; inner join drops
+    // unreachable pairs (the reference marks them -1 and skips)
+    val dTotal = pairs.join(d, pairs("s") === d("seed") && pairs("t") === d("vertex"))
+      .select(col("s"), col("t"), col("dist").as("d_total"))
+    val ds = d.select(col("seed").as("s"), col("vertex"), col("dist").as("ds"))
+    val dt = graft.engine.DfOps.reid(d)
+      .select(col("seed").as("t"), col("vertex"), col("dist").as("dt"))
+    val spSet = ds.join(dt, "vertex")
+      .join(broadcast(dTotal), Seq("s", "t")) // |pairs| rows — broadcast
+      .filter(col("ds") + col("dt") === col("d_total"))
+      .select("vertex").dropDuplicates("vertex")
     val adj = undirected(edges)
     var out = spSet.withColumn("depth", lit(0)).localCheckpoint()
     var frontier = out

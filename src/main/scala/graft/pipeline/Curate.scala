@@ -78,6 +78,31 @@ object Curate {
       .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("sum_toks"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the context-window prep
+    * stage of RAG / pretraining pipelines: each document becomes ⌈tokens/stride⌉
+    * chunks of `chunkSize` tokens, consecutive chunks sharing `overlap` tokens.
+    * Output: (id, chunk_id, chunk_text, n_tokens); the final chunk is short.
+    *
+    * Scale shape: a pure per-row map — tokenize once, explode the stride-spaced
+    * start offsets, slice. ZERO shuffles; chunking 100 TB is scan-bound, and the
+    * chunk rows inherit the input partitioning for the downstream embed/index
+    * stage.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int = 512, overlap: Int = 64): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id").cast("long"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        size(slice(col("__toks"), col("__start") + 1, lit(chunkSize))).cast("long")
+          .as("n_tokens"))
+  }
+
   /** End-to-end curation pass, composed from the individual operators:
     * quality floor → language allowlist → exact-dup keepers → drop documents
     * overlapping the probe (benchmark) set. Stays ONE lazy DataFrame plan — no

@@ -214,6 +214,52 @@ object Dedup {
     cc.select(col("vertex").as("doc_id"), col("component").as("keeper"))
   }
 
+  /** Survivorship over near-dup clusters: within each `dupClusters` component
+    * keep the best document by (quality desc, id asc) instead of blindly keeping
+    * the min id — the curation decision real pipelines make (keep the longest /
+    * highest-quality member, drop the rest). Returns (doc_id, canonical_id,
+    * is_dup) for every clustered doc.
+    *
+    * Scale shape: the cluster relation holds only docs with a candidate pair
+    * (≪ corpus); the quality join is co-partitioned on the doc id and the
+    * per-component window sorts component-local rows, so nothing here touches
+    * corpus-sized data beyond the candidate generation itself.
+    */
+  def canonicalKeepers(docs: DataFrame, idCol: String, textCol: String,
+                       qualityCol: String, shingleN: Int = 3,
+                       threshold: Double = 0.5): DataFrame = {
+    val clusters = dupClusters(docs, idCol, textCol, shingleN, threshold)
+    val q = docs.select(col(idCol).as("doc_id"), col(qualityCol).as("__q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("keeper").orderBy(col("__q").desc, col("doc_id").asc)
+    clusters.join(q, "doc_id")
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+  }
+
+  /** Per-group duplication-rate report — the corpus-governance metric that
+    * decides which sources need dedup attention: for each `groupCol` value,
+    * how many docs, how many are exact dups of an earlier doc (same content
+    * hash, higher id — anywhere in the corpus, not just within the group), and
+    * the dup fraction.
+    *
+    * Scale shape: one exchange on the 8-byte content hash (first-occurrence
+    * ranking), then a map-side-combined rollup on the group key. Documents
+    * themselves never shuffle.
+    */
+  def dupRate(docs: DataFrame, idCol: String, textCol: String,
+              groupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__th").orderBy(col(idCol).asc)
+    docs.select(col(groupCol), col(idCol), xxhash64(col(textCol)).as("__th"))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(groupCol).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dups"))
+      .withColumn("dup_frac", round(col("n_dups") / col("n_docs"), 6))
+  }
+
   /** 64-bit SimHash over tf-weighted tokens. */
   /** Engine-portable 60-bit token hash: exact integer fold of the first 15 md5 hex
     * digits — any SQL engine reproduces it (the oracle's list_reduce mirrors the

@@ -48,6 +48,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-label centroid outliers — embedding-space QA for a labeled corpus:
+    * build each label's (unnormalized) centroid as a vector sum, score every
+    * member by cosine to its own label's centroid, and return the bottom-`k`
+    * per label — the mislabeled / off-distribution candidates a curation pass
+    * reviews. Output: (id, label, score), score rounded to 6 decimals.
+    *
+    * Scale shape: the explode feeds a map-side-combined (label, pos) sum whose
+    * result is |labels|×dims rows — reassembled into one centroid array per
+    * label and BROADCAST back, so the corpus-side pass is a per-row codegen'd
+    * cosine (native `graft_cos_sim`, sequential fold) plus a per-label window
+    * on (score, id). The corpus is never self-joined and never re-exploded.
+    */
+  def centroidOutliers(emb0: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, k: Int = 5): DataFrame = {
+    graft.functions.VectorExprs.register(emb0.sparkSession)
+    val emb = graft.engine.DfOps.spread(emb0)
+    val ex = emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val cent = ex.groupBy("label", "pos").agg(sum("v").as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s("c")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("score").asc, col("id").asc)
+    emb.select(col(idCol).as("id"), col(labelCol).as("label"),
+        asDouble(col(vecCol)).as("dv"))
+      .join(broadcast(cent), "label")
+      .withColumn("score", cosineFast(col("dv"), col("cv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("id"), col("label"), round(col("score"), 6).as("score"))
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits from hash-derived pseudo-planes.
     * Plane i's component for dimension d = centered quadratic-residue mix of (d, i)
     * mod a prime — deterministic, no stored plane matrix, computable inside codegen,

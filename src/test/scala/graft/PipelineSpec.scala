@@ -149,6 +149,17 @@ class PipelineSpec extends GraftSuite {
     assert(dist(2L) == 2.0)
   }
 
+  test("multiSssp relaxes all seeds in one fixpoint, per-seed maps independent") {
+    val edges = Seq((1L, 2L, 10.0), (1L, 3L, 1.0), (3L, 2L, 1.0), (4L, 2L, 5.0))
+      .toDF("src", "dst", "weight")
+    val d = Gas.multiSssp(edges, Seq(1L, 4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(d((1L, 2L)) == 2.0) // via 1-3-2, not the direct 10.0 edge
+    assert(d((4L, 2L)) == 5.0)
+    assert(d((4L, 3L)) == 6.0) // 4-2-3 through the undirected 3->2 edge
+    assert(d((1L, 1L)) == 0.0 && d((4L, 4L)) == 0.0)
+  }
+
   test("pagerank mass conserved and symmetric graph uniform") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val pr = Gas.pageRank(edges, iters = 3).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -199,6 +210,11 @@ class PipelineSpec extends GraftSuite {
     assert(out.filter(_._2 == 0).keySet == Set(1L, 2L, 3L, 4L, 5L))
     assert(out.size == 7)
     assert(out(10L) == 1)
+    // multi-pair: both pairs' shortest-path sets merge at depth 0
+    val out2 = graft.gas.Gas.fuzzySssp(edges, Seq(1L, 12L), Seq(5L), n = 100L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out2.filter(_._2 == 0).keySet ==
+      Set(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L))
   }
 
   test("stratified sampling keeps 1-in-rate per stratum, deterministic") {
@@ -360,5 +376,58 @@ class PipelineSpec extends GraftSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected candidates broadcast into the rerank join:\n$plan")
+  }
+
+  test("chunkTokens: stride-spaced overlapping windows, short tail, no shuffle") {
+    val d = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
+    val out = graft.pipeline.Curate.chunkTokens(d, "doc_id", "text",
+      chunkSize = 4, overlap = 2)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // stride 2: starts 0,2,4,6,8 → 5 chunks; the last is the 2-token tail
+    assert(d1.map(_._3).toSeq == Seq("a b c d", "c d e f", "e f g h", "g h i j", "i j"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L, 4L, 2L))
+    assert(rows.filter(_._1 == 2L).map(_._3).toSeq == Seq("x y"))
+    // pure per-row map: no exchange anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("canonicalKeepers picks the highest-quality cluster member, not min id") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 10L),
+      (2L, "the quick brown fox jumps over the lazy cat", 99L), // best quality
+      (3L, "totally unrelated text with no pair at all", 50L)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.canonicalKeepers(d, "doc_id", "text", "n_chars")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((2L, true)))  // 1 is a dup of canonical 2
+    assert(out(2L) == ((2L, false)))
+    assert(!out.contains(3L))        // unclustered docs are out of scope
+  }
+
+  test("dupRate counts cross-corpus dups per group, docs never shuffled whole") {
+    val d = Seq(
+      (1L, "same text", "s1"), (2L, "same text", "s2"), (3L, "same text", "s2"),
+      (4L, "unique a", "s1"), (5L, "unique b", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dupRate(d, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("s1") == ((2L, 0L)))  // doc 1 is the first occurrence — not a dup
+    assert(out("s2") == ((3L, 2L)))  // docs 2,3 duplicate doc 1 cross-source
+  }
+
+  test("centroidOutliers flags the farthest-from-centroid member per label") {
+    // label 0: three near-identical vectors + one opposite-direction outlier
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(1.0f, 0.1f), 0), (4L, Array(-1.0f, -0.2f), 0),
+      (5L, Array(0.0f, 1.0f), 1), (6L, Array(0.1f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.pipeline.Similarity.centroidOutliers(e, "vec_id", "embedding",
+      "label", k = 1).collect().map(r => r.getInt(1) -> r.getLong(0)).toMap
+    assert(out(0) == 4L) // the anti-parallel vector is label 0's worst member
+    assert(Set(5L, 6L).contains(out(1)))
   }
 }
