@@ -193,12 +193,34 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     def varOf(p: String): Option[String] = ts.collectFirst {
       case Triple(_, PLink(pp), VarNode(v), _) if pp == GEO_NS + p => v
     }
-    def latLon(p: String): Option[(Double, Double)] = constStr(p).map { s =>
-      val a = s.split("#"); (a(0).toDouble, a(1).toDouble)
-    }
     val pred = ts.collectFirst {
       case Triple(_, PLink(pp), IriNode(i), _) if pp == GEO_NS + "predicate" => i
     }.getOrElse(throw new IllegalArgumentException("geo: group without geo:predicate"))
+    // datatype configuration (GeoSpatialDatatypeConfiguration): geo:searchDatatype
+    // picks a registered config, else the default datatype's; the config carries
+    // the packed-slot order and the per-field storage multipliers. Rectangle
+    // bounds snap onto the storage grid (encode∘decode — the reference encodes
+    // bounds with the literal codec before its z-order range scan), so a bound
+    // with more precision than the grid (e.g. 1.100000001111 at 1e5) matches the
+    // grid values it rounds over. Stored literals are already canonicalized at
+    // load by the same config (Term.Datatypes lexical canonicalizer).
+    import graft.search.GeoDatatypes
+    val dtExplicit = ts.collectFirst {
+      case Triple(_, PLink(pp), IriNode(i), _) if pp == GEO_NS + "searchDatatype" => i
+    }
+    val cfg = dtExplicit.map(u => GeoDatatypes.get(u).getOrElse(
+        throw new IllegalArgumentException(s"unregistered geo:searchDatatype <$u>")))
+      .orElse(GeoDatatypes.defaultConfig)
+    val latIdx = cfg.flatMap(_.idx("LATITUDE")).getOrElse(0)
+    val lonIdx = cfg.flatMap(_.idx("LONGITUDE")).getOrElse(1)
+    val timeIdx = cfg.flatMap(_.idx("TIME")).getOrElse(2)
+    def latLon(p: String): Option[(Double, Double)] = constStr(p).map { s =>
+      val a = s.split("#")
+      cfg match {
+        case Some(c) => (c.truncBound(latIdx, a(0)), c.truncBound(lonIdx, a(1)))
+        case None => (a(0).toDouble, a(1).toDouble)
+      }
+    }
     // DEFAULT_GEO_SPATIAL_UNIT = Kilometers (GeoSpatial.java:125)
     val unitMeters = constStr("spatialUnit").getOrElse("Kilometers") match {
       case "Kilometers" => 1000.0
@@ -206,15 +228,19 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       case "Miles" => 1609.344
       case u => throw new IllegalArgumentException(s"unknown geo:spatialUnit $u")
     }
-    val base = scanTriple(Triple(VarNode("__gs"), PLink(pred), VarNode("__gv"), None))
+    val base0 = scanTriple(Triple(VarNode("__gs"), PLink(pred), VarNode("__gv"), None))
+    // an EXPLICIT search datatype restricts the scan to literals of that datatype
+    // (the reference searches exactly that datatype's index); the default-config
+    // path keeps matching untyped packed literals for compatibility
+    val base = dtExplicit.fold(base0)(u => base0.filter(col("__gv")("dt") === u))
     val parts = split(col("__gv")("str"), "#")
     var df = base
       // try_element_at: a malformed/short packed literal yields NULL (row fails the
       // spatial filter and drops out) instead of an ANSI array-index error killing
       // the whole scan — one bad literal in a 100 TB corpus must not fail the query
-      .withColumn("__lat", try_element_at(parts, lit(1)).cast("double"))
-      .withColumn("__lon", try_element_at(parts, lit(2)).cast("double"))
-      .withColumn("__gt", try_element_at(parts, lit(3)).cast("long"))
+      .withColumn("__lat", try_element_at(parts, lit(latIdx + 1)).cast("double"))
+      .withColumn("__lon", try_element_at(parts, lit(lonIdx + 1)).cast("double"))
+      .withColumn("__gt", try_element_at(parts, lit(timeIdx + 1)).cast("long"))
     val func = constStr("search").getOrElse("inCircle") // default GeoFunction.IN_CIRCLE
     var center: Option[(Double, Double)] = None
     func match {
@@ -240,10 +266,12 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     // custom dimensions beyond lat/lon/time (GeoSpatial.java:232-242): declared
     // field names map positionally onto the packed literal's remaining "#" slots;
     // lower/upper bound lists filter them as sargable numeric ranges
+    val customBase = cfg.map(_.fields.size).getOrElse(3) + 1 // first slot after the configured fields
     val customN = constStr("customFields").map(_.split("#").length).getOrElse(0)
     if (customN > 0) {
       (0 until customN).foreach { i =>
-        df = df.withColumn(s"__cf$i", try_element_at(parts, lit(4 + i)).cast("double"))
+        df = df.withColumn(s"__cf$i",
+          try_element_at(parts, lit(customBase + i)).cast("double"))
       }
       def bounds(key: String): Option[Array[String]] = constStr(key).map { bs =>
         val arr = bs.split("#")
@@ -270,7 +298,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       if (customN == 0) throw new IllegalArgumentException(
         "geo:customFieldsValues requires geo:customFields")
       sels :+= Term.strLit(concat_ws("#",
-        (0 until customN).map(i => try_element_at(parts, lit(4 + i))): _*)).as(v)
+        (0 until customN).map(i => try_element_at(parts, lit(customBase + i))): _*)).as(v)
     }
     varOf("distanceValue").foreach { v =>
       val c = center.getOrElse(throw new IllegalArgumentException(

@@ -114,8 +114,17 @@ object Gas {
     * set, `IGASProgram` frontier semantics) — a vertex's min can only drop when a
     * neighbor's dropped. Per-round shuffle volume tracks the shrinking change
     * frontier instead of staying |E| every round.
+    *
+    * From round `jumpAfter` on, each round also POINTER-JUMPS the label map
+    * (L(v) ← min(L(v), L(L(v))) — valid because L(v) is always a reachable
+    * vertex): edge propagation alone needs O(diameter) rounds, and a
+    * high-diameter component (chains, lattices) at 100 TB would pay one keyed
+    * shuffle per hop; jumping doubles the label-shortcut length per round, so
+    * convergence is O(d/jumpAfter + log d)-ish. Low-diameter graphs converge
+    * before the jump kicks in and never pay the extra |V| self-join.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+                          jumpAfter: Int = 3): DataFrame = {
     val adj = undirected(edges)
     var labels = adj.select(col("src").as("vertex"))
       .unionByName(adj.select(col("dst").as("vertex")))
@@ -127,11 +136,19 @@ object Gas {
       iter += 1
       val push = delta.join(adj, col("vertex") === col("src"))
         .groupBy(col("dst").as("v2")).agg(min("label").as("nl"))
-      val updated = labels.join(push, col("vertex") === col("v2"), "left_outer")
+      val prop = labels.join(push, col("vertex") === col("v2"), "left_outer")
         .select(col("vertex"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label2"),
           col("label"))
         .localCheckpoint() // materialize once; changed-count, delta and next labels reuse it
+      val updated = if (iter < jumpAfter) prop else {
+        val m = prop.select(col("vertex").as("__mv"), col("label2").as("__ml"))
+        prop.join(m, col("label2") === col("__mv"), "left_outer")
+          .select(col("vertex"),
+            least(col("label2"), coalesce(col("__ml"), col("label2"))).as("label2"),
+            col("label"))
+          .localCheckpoint()
+      }
       changed = updated.filter(col("label2") < col("label")).count()
       delta = updated.filter(col("label2") < col("label"))
         .select(col("vertex"), col("label2").as("label"))

@@ -174,18 +174,33 @@ object Term {
     def isRegistered(dtIri: String): Boolean = reg.contains(dtIri)
     private[Term] def numFor(dtIri: String, lex: Column): Column =
       reg.get(dtIri).map(f => f(lex)).getOrElse(lit(null).cast(DoubleType))
+
+    /** Lexical canonicalizers: a registered handler REWRITES the lexical of its
+      * datatype's literals at mint time — the term's identity becomes the
+      * canonical form, exactly what the reference's extension IVs do when they
+      * store only the encoded value and rematerialize the literal from it
+      * (e.g. `GeoSpatialLiteralExtension.asValue`). Register before loading.
+      */
+    private[Term] val lexReg =
+      scala.collection.concurrent.TrieMap.empty[String, Column => Column]
+    def registerLex(dtIri: String, canon: Column => Column): Unit = lexReg(dtIri) = canon
+    def unregisterLex(dtIri: String): Unit = lexReg.remove(dtIri)
   }
 
   /** Typed literal with an arbitrary datatype IRI (inline value via any registered
     * datatype handler).
     */
-  def typedLit(s: Column, dt: String): Column =
+  def typedLit(s0: Column, dt: String): Column = {
+    graft.search.GeoDatatypes.init // builtin geo configs register their canonicalizers
+    val s = Datatypes.lexReg.get(dt).map(f => f(s0)).getOrElse(s0)
     mk(lit(KIND_LITERAL), s, lit(dt), nullStr, Datatypes.numFor(dt, s), nullLng, nullTs)
+  }
 
   /** Typed literal whose datatype/lang are *columns* (loader path): inline-value
     * construction dispatches on the datatype at runtime.
     */
   def literalFromParts(str: Column, dt: Column, lang: Column): Column = {
+    graft.search.GeoDatatypes.init // builtin geo configs register their canonicalizers
     // try_cast everywhere: an ILL-TYPED literal ("xyz"^^xsd:integer) must load as an
     // opaque typed literal (the `otherwise` branch), not abort the job under ANSI mode
     val base = when(dt === XSD_INTEGER && str.try_cast(LongType).isNotNull,
@@ -202,9 +217,17 @@ object Term {
         // (session TZ = UTC) directly; only a trailing Z needs stripping.
         mk(lit(KIND_LITERAL), str, lit(XSD_DATETIME), nullStr, nullDbl, nullLng,
           try_to_timestamp(regexp_replace(str, "Z$", ""))))
-    Datatypes.reg.foldLeft(base) { case (acc, (iri, f)) =>
+    // lexical canonicalizers dispatch first (the rewritten lexical also feeds any
+    // registered inline-num handler for the same datatype), then num-only handlers
+    val withLex = Datatypes.lexReg.foldLeft(base) { case (acc, (iri, g)) =>
       acc.when(dt === iri,
-        mk(lit(KIND_LITERAL), str, dt, lang, f(str), nullLng, nullTs))
+        mk(lit(KIND_LITERAL), g(str), dt, lang, Datatypes.numFor(iri, g(str)),
+          nullLng, nullTs))
+    }
+    Datatypes.reg.filter { case (k, _) => !Datatypes.lexReg.contains(k) }.foldLeft(withLex) {
+      case (acc, (iri, f)) =>
+        acc.when(dt === iri,
+          mk(lit(KIND_LITERAL), str, dt, lang, f(str), nullLng, nullTs))
     }.otherwise(mk(lit(KIND_LITERAL), str, dt, lang, nullDbl, nullLng, nullTs))
   }
 

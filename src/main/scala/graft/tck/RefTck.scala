@@ -78,10 +78,21 @@ object RefTck {
         rq.contains("service <http://localhost") || rq.contains("http://localhost:8983") ||
         rq.contains("wikiba.se/ontology#"))
       return Outcome(name, "SKIP-EXTERNAL")
-    // these run under a Java-side geo-datatype PRECISION configuration
-    // (TestGeoSpatialServiceConfiguration.getProperties) the data files don't carry
-    if (name == "geo-rectangle08" || name == "geo-custom-precisiontest")
-      return Outcome(name, "SKIP-CONFIG")
+    // geo-datatype configurations the reference's test classes set via store
+    // properties (the data files don't carry them): geo-rectangle08 runs under
+    // the default geoSpatialLiteral config (lat/lon ×1e5 + LONG time —
+    // TestGeoSpatialServiceEvaluation.getProperties:1246-1259, identical to the
+    // engine's builtin default); geo-custom-precisiontest registers a custom
+    // datatype with per-field precisions (lat ×1e6, lon ×1e5 —
+    // TestGeoSpatialServiceConfigurationCustomDatatype.getProperties:368-376).
+    // Registration must precede the data load: the config canonicalizes literal
+    // lexicals at mint time. Unregistered in testSetup's cleanup.
+    if (name == "geo-custom-precisiontest")
+      graft.search.GeoDatatypes.register(graft.search.GeoDatatypes.Config(
+        "http://my.custom.datatype/lat-lon-time", Seq(
+          graft.search.GeoDatatypes.Field("DOUBLE", 1000000L, "LATITUDE"),
+          graft.search.GeoDatatypes.Field("DOUBLE", 100000L, "LONGITUDE"),
+          graft.search.GeoDatatypes.Field("LONG", 1L, "TIME"))))
     // known reference bug encoded in the expected file: BLZG-1907 — the reference
     // evaluates a sub-SELECT under GRAPH ?var once, unsegregated by active graph
     // (additional2.srx records that behavior; the spec-correct per-active-graph
@@ -199,6 +210,9 @@ object RefTck {
             |SELECT ?book ?title ?price {
             |  ?book dc:title ?title ; ns:price ?price . }""".stripMargin))
         () => Services.unregister(uri)
+      case "geo-custom-precisiontest" =>
+        // config was registered pre-load (see runOne) — drop it after the test
+        () => graft.search.GeoDatatypes.unregister("http://my.custom.datatype/lat-lon-time")
       case "ticket_944" =>
         // LIMIT-without-ORDER subquery: the expected file encodes the reference's
         // SPO-index-order choice — make ours deterministic the same way

@@ -148,6 +148,43 @@ class GeoServiceSpec extends GraftSuite {
     assert(e3.getMessage.contains("customFieldsLowerBounds"))
   }
 
+  test("datatype config: literals canonicalize to the storage grid, bounds snap") {
+    // default geoSpatialLiteral config = lat/lon ×1e5: a 7-decimal lon truncates
+    // at load (GeoSpatialLiteralExtension encode∘decode), and a bound with more
+    // precision than the grid snaps down onto it
+    val st = Update(store,
+      """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        |INSERT DATA {
+        |  <urn:gp:a> <urn:p:gpos> "6.666666#6.6666666#0"^^geo:geoSpatialLiteral .
+        |  <urn:gp:b> <urn:p:gpos> "6.66667#1.1#0"^^geo:geoSpatialLiteral .
+        |}""".stripMargin)
+    val lex = Engine.query(st,
+      "SELECT ?o WHERE { <urn:gp:a> <urn:p:gpos> ?o }")
+      .select(col("o")("str")).first().getString(0)
+    assert(lex == "6.66666#6.66666#0", lex) // ×1e5 truncation, Java-Double print
+    val df = Engine.query(st,
+      """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        |SELECT ?res WHERE {
+        |  ?res geo:search "inRectangle" ;
+        |       geo:predicate <urn:p:gpos> ;
+        |       geo:spatialRectangleSouthWest "1.10#1.100000001111" ;
+        |       geo:spatialRectangleNorthEast "6.666666#7" }""".stripMargin)
+    // bound lon 1.100000001111 snaps to 1.1 → b qualifies; a's lat 6.66666 is
+    // inside; b's lat 6.66667 would exceed an unsnapped 6.666666 bound? No —
+    // 6.66667 > 6.666666, b is excluded on latitude; a included
+    assert(subjects(df) == Set("urn:gp:a"))
+    // and with the SW lon bound unsnapped, b's lon 1.1 < 1.100000001111 would
+    // also have excluded it — verify the snap by querying just b's cell
+    val df2 = Engine.query(st,
+      """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        |SELECT ?res WHERE {
+        |  ?res geo:search "inRectangle" ;
+        |       geo:predicate <urn:p:gpos> ;
+        |       geo:spatialRectangleSouthWest "6.66667#1.100000001111" ;
+        |       geo:spatialRectangleNorthEast "7#1.1" }""".stripMargin)
+    assert(subjects(df2) == Set("urn:gp:b"))
+  }
+
   test("STRDT mints opaque typed literals for non-xsd datatypes") {
     val df = Engine.query(store,
       """SELECT ?x WHERE { VALUES ?s { "7#8" }

@@ -142,6 +142,15 @@ class PipelineSpec extends GraftSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("connectedComponents converges on a long chain via pointer-jumping") {
+    // 60-vertex chain: pure propagation needs 59 rounds; with jumps from round 3
+    // the label-shortcut length doubles per round, so 14 rounds must suffice
+    val edges = (1L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = Gas.connectedComponents(edges, maxIter = 14)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 60 && cc.values.forall(_ == 1L), s"unconverged: $cc")
+  }
+
   test("sssp picks the shorter weighted path") {
     val edges = Seq((1L, 2L, 10.0), (1L, 3L, 1.0), (3L, 2L, 1.0))
       .toDF("src", "dst", "weight")
