@@ -38,6 +38,8 @@ object JsonLd {
     val labeled = scala.collection.mutable.Map.empty[String, String]
     var terms = Map.empty[String, (String, Option[String])] // term -> (iri, coercion)
     var nestAliases = Set.empty[String] // context terms defined as "@nest"
+    var reverseTerms = Set.empty[String] // context terms defined via "@reverse"
+    var containers = Map.empty[String, Seq[String]] // term → @container keywords
     var vocab: Option[String] = None
     def freshBnode(): String = { bn += 1; s"jb$bn" }
     def bnode(label: String): String =
@@ -61,13 +63,16 @@ object JsonLd {
     Option(n.get("@context")).foreach(readContext(_, ctx))
     n.get("@graph") match {
       case null => nodeObject(n, ctx, None); ()
+      case _ if n.has("@id") =>
+        // named-graph node: processProps routes the items into the graph the
+        // @id names and keeps the node's other entries about the name itself
+        nodeObject(n, ctx, None); ()
       case g =>
-        val gIri = Option(n.get("@id")).map(i => expandIri(i.asText(), ctx))
         val items = if (g.isArray) g.elements().asScala.toSeq else Seq(g)
-        items.foreach(nodeObject(_, ctx, gIri))
+        items.foreach(nodeObject(_, ctx, None))
         // a @graph carrier may still carry @included alongside (same graph)
         Option(n.get("@included")).foreach(inc =>
-          values(inc).foreach(nodeObject(_, ctx, gIri)))
+          values(inc).foreach(nodeObject(_, ctx, None)))
     }
   }
 
@@ -81,11 +86,24 @@ object JsonLd {
       else if (v.isTextual && v.asText() == "@nest") ctx.nestAliases += k
       else if (v.isTextual) ctx.terms += k -> (v.asText(), None)
       else if (v.isObject) {
-        val id = Option(v.get("@id")).map(_.asText())
+        val rev = Option(v.get("@reverse")).map(_.asText())
+        val id = Option(v.get("@id")).map(_.asText()).orElse(rev)
           .getOrElse(unsupported(s"context term $k without @id"))
         val coerce = Option(v.get("@type")).map(_.asText())
-        if (v.has("@reverse") || v.has("@container")) unsupported(s"context term $k")
-        if (id == "@nest") ctx.nestAliases += k else ctx.terms += k -> (id, coerce)
+        // @container: @set is a no-op on the flattened form; @list builds RDF
+        // lists; @language / @index maps re-key the values (index keys are
+        // dropped in RDF, the JSON-LD 1.1 default). Anything else (@graph/@id
+        // containers) stays rejected with a diagnostic.
+        val containers = Option(v.get("@container")).toSeq.flatMap(c =>
+          if (c.isArray) c.elements().asScala.map(_.asText()).toSeq else Seq(c.asText()))
+        val bad = containers.filterNot(Set("@set", "@list", "@language", "@index"))
+        if (bad.nonEmpty) unsupported(s"context term $k @container ${bad.mkString(",")}")
+        if (id == "@nest") ctx.nestAliases += k
+        else {
+          ctx.terms += k -> (id, coerce)
+          if (rev.isDefined) ctx.reverseTerms += k
+          if (containers.nonEmpty) ctx.containers += k -> containers
+        }
       }
     }
   }
@@ -139,8 +157,24 @@ object JsonLd {
           val types = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
           types.foreach(t =>
             emit(ctx, subj, RDF + "type", Term.KIND_IRI, expandIri(t.asText(), ctx), null, null, g))
-        case "@graph" => unsupported("nested @graph")
-        case "@reverse" => unsupported(k)
+        case "@graph" =>
+          // a named-graph node: this node's @id names the graph holding the items
+          // (the node's other entries still describe the name in the parent graph)
+          subj match {
+            case (Term.KIND_IRI, gname) => values(v).foreach(nodeObject(_, ctx, Some(gname)))
+            case _ => unsupported("bnode-named nested @graph")
+          }
+        case "@reverse" =>
+          // inverse edges: { "@reverse": { prop: node-refs } } → (node, prop, subj)
+          v.properties().asScala.foreach { re =>
+            val prop = ctx.terms.get(re.getKey)
+              .map { case (iri, _) => expandIri(iri, ctx) }
+              .getOrElse(expandIri(re.getKey, ctx))
+            values(re.getValue).foreach { nv =>
+              val o = nodeRef(nv, ctx, g)
+              emit(ctx, o, prop, subj._1, subj._2, null, null, g)
+            }
+          }
         case "@included" =>
           // secondary node objects: same graph, no edge from the carrier
           values(v).foreach(nodeObject(_, ctx, g))
@@ -156,12 +190,44 @@ object JsonLd {
           val (prop, coerce) = ctx.terms.get(term)
             .map { case (iri, c) => (expandIri(iri, ctx), c) }
             .getOrElse((expandIri(term, ctx), None))
+          val cont = ctx.containers.getOrElse(term, Nil)
+          def one(nv: JsonNode): Unit =
+            if (ctx.reverseTerms(term)) {
+              val o = nodeRef(nv, ctx, g)
+              emit(ctx, o, prop, subj._1, subj._2, null, null, g)
+            } else value(nv, ctx, subj, prop, coerce, g)
           // an @json-coerced ARRAY is one literal, not one value per element
           if (coerce.contains("@json")) value(v, ctx, subj, prop, coerce, g)
-          else values(v).foreach(value(_, ctx, subj, prop, coerce, g))
+          else if (cont.contains("@list") && !(v.isObject && v.has("@list"))) {
+            // array (or lone) value reads as a list under @container: @list
+            val on = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.objectNode()
+            on.set[JsonNode]("@list",
+              if (v.isArray) v
+              else com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.arrayNode().add(v))
+            value(on, ctx, subj, prop, coerce, g)
+          } else if (cont.contains("@language") && v.isObject && !v.has("@value")) {
+            // language map: key = language tag ("@none" = no tag), value = string(s)
+            v.properties().asScala.foreach { lm =>
+              val lang = if (lm.getKey == "@none") null else lm.getKey.toLowerCase
+              values(lm.getValue).foreach(tv =>
+                emit(ctx, subj, prop, Term.KIND_LITERAL, tv.asText(), null, lang, g))
+            }
+          } else if (cont.contains("@index") && v.isObject &&
+              !v.has("@value") && !v.has("@id") && !v.has("@list")) {
+            // index map: keys are dropped in RDF, values flatten
+            v.properties().asScala.foreach(im => values(im.getValue).foreach(one))
+          } else values(v).foreach(one)
       }
     }
   }
+
+  /** A node reference position: IRI/bnode string or a (nested) node object. */
+  private def nodeRef(nv: JsonNode, ctx: Ctx, g: Option[String]): (Byte, String) =
+    if (nv.isTextual) {
+      val t = nv.asText()
+      if (t.startsWith("_:")) (Term.KIND_BNODE, ctx.bnode(t))
+      else (Term.KIND_IRI, expandIri(t, ctx))
+    } else nodeObject(nv, ctx, g)
 
   private def values(v: JsonNode): Seq[JsonNode] =
     if (v.isArray) v.elements().asScala.toSeq else Seq(v)

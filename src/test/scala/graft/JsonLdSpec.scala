@@ -130,7 +130,66 @@ class JsonLdSpec extends GraftSuite {
       JsonLd.parse("""{"@context": "http://remote/ctx", "@id": "ex:x"}"""))
     assert(e.getMessage.contains("unsupported"))
     val e2 = intercept[IllegalArgumentException](
-      JsonLd.parse("""{"@id": "urn:x", "@reverse": {"urn:p": {"@id": "urn:y"}}}"""))
+      JsonLd.parse("""{"@context": {"t": {"@id": "urn:p", "@container": "@graph"}},
+                     | "@id": "urn:x", "t": {"@id": "urn:y"}}""".stripMargin))
     assert(e2.getMessage.contains("unsupported"))
+  }
+
+  test("@reverse: node-object form and context-term form invert the edge") {
+    val d =
+      """{
+        |  "@context": {"ex": "http://example.org/",
+        |    "childOf": {"@reverse": "ex:parentOf"}},
+        |  "@id": "ex:alice",
+        |  "@reverse": {"ex:knows": [{"@id": "ex:bob"}, "ex:carol"]},
+        |  "childOf": "ex:dan"
+        |}""".stripMargin
+    val st = new GraftStore(ss, Rio.readJsonLd(ss, d))
+    def ask2(q: String) = Engine.query(st, q).first().getBoolean(0)
+    assert(ask2("ASK { <http://example.org/bob> <http://example.org/knows> <http://example.org/alice> }"))
+    assert(ask2("ASK { <http://example.org/carol> <http://example.org/knows> <http://example.org/alice> }"))
+    assert(ask2("ASK { <http://example.org/dan> <http://example.org/parentOf> <http://example.org/alice> }"))
+    assert(!ask2("ASK { <http://example.org/alice> <http://example.org/knows> ?x }"))
+  }
+
+  test("@container: @set flattens, @list chains, @language and @index re-key") {
+    val d =
+      """{
+        |  "@context": {"ex": "http://example.org/",
+        |    "tags":  {"@id": "ex:tag", "@container": "@set"},
+        |    "steps": {"@id": "ex:steps", "@container": "@list"},
+        |    "label": {"@id": "ex:label", "@container": "@language"},
+        |    "posts": {"@id": "ex:post", "@container": "@index", "@type": "@id"}
+        |  },
+        |  "@id": "ex:thing",
+        |  "tags": ["a", "b"],
+        |  "steps": ["s1", "s2"],
+        |  "label": {"en": "Thing", "de": ["Ding"], "@none": "thing"},
+        |  "posts": {"2024": "ex:p1", "2025": ["ex:p2"]}
+        |}""".stripMargin
+    val st = new GraftStore(ss, Rio.readJsonLd(ss, d))
+    def ask2(q: String) = Engine.query(st, q).first().getBoolean(0)
+    assert(ask2("""ASK { <http://example.org/thing> <http://example.org/tag> "a", "b" }"""))
+    assert(ask2("""PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+                  |ASK { <http://example.org/thing> <http://example.org/steps> ?l .
+                  |  ?l rdf:first "s1" ; rdf:rest ?r .
+                  |  ?r rdf:first "s2" ; rdf:rest rdf:nil }""".stripMargin))
+    assert(ask2("""ASK { <http://example.org/thing> <http://example.org/label> "Thing"@en, "Ding"@de, "thing" }"""))
+    assert(ask2("""ASK { <http://example.org/thing> <http://example.org/post>
+                  |  <http://example.org/p1>, <http://example.org/p2> }""".stripMargin))
+  }
+
+  test("nested named @graph lands items in the graph the node's @id names") {
+    val d =
+      """{
+        |  "@context": {"ex": "http://example.org/"},
+        |  "@id": "ex:g1",
+        |  "ex:about": "claims",
+        |  "@graph": [{"@id": "ex:s", "ex:p": "v"}]
+        |}""".stripMargin
+    val st = new GraftStore(ss, Rio.readJsonLd(ss, d))
+    def ask2(q: String) = Engine.query(st, q).first().getBoolean(0)
+    assert(ask2("""ASK { GRAPH <http://example.org/g1> { <http://example.org/s> <http://example.org/p> "v" } }"""))
+    assert(ask2("""ASK { <http://example.org/g1> <http://example.org/about> "claims" }"""))
   }
 }
