@@ -115,13 +115,15 @@ object Gas {
     * neighbor's dropped. Per-round shuffle volume tracks the shrinking change
     * frontier instead of staying |E| every round.
     *
-    * From round `jumpAfter` on, each round also POINTER-JUMPS the label map
+    * When the change frontier STOPS SHRINKING (the high-diameter signature —
+    * a chain/lattice propagates a near-constant wavefront for O(diameter)
+    * rounds), each round additionally POINTER-JUMPS the label map
     * (L(v) ← min(L(v), L(L(v))) — valid because L(v) is always a reachable
-    * vertex): edge propagation alone needs O(diameter) rounds, and a
-    * high-diameter component (chains, lattices) at 100 TB would pay one keyed
-    * shuffle per hop; jumping doubles the label-shortcut length per round, so
-    * convergence is O(d/jumpAfter + log d)-ish. Low-diameter graphs converge
-    * before the jump kicks in and never pay the extra |V| self-join.
+    * vertex): jumping doubles the label-shortcut length per round, collapsing
+    * convergence to ~log(d) rounds. Low-diameter graphs (the common case —
+    * their frontier shrinks geometrically) never trigger the jump and never
+    * pay its |V| self-join; jump-driven label changes re-enter the delta set,
+    * so jump + delta-scatter compose.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
                           jumpAfter: Int = 3): DataFrame = {
@@ -131,6 +133,7 @@ object Gas {
       .dropDuplicates("vertex").withColumn("label", col("vertex")).localCheckpoint()
     var delta = labels // every vertex is "changed" at initialization
     var changed = 1L
+    var prevChanged = Long.MaxValue
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       iter += 1
@@ -141,7 +144,8 @@ object Gas {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label2"),
           col("label"))
         .localCheckpoint() // materialize once; changed-count, delta and next labels reuse it
-      val updated = if (iter < jumpAfter) prop else {
+      // jump only on slow convergence: frontier not halving round-over-round
+      val updated = if (iter < jumpAfter || changed * 2 < prevChanged) prop else {
         val m = prop.select(col("vertex").as("__mv"), col("label2").as("__ml"))
         prop.join(m, col("label2") === col("__mv"), "left_outer")
           .select(col("vertex"),
@@ -149,6 +153,7 @@ object Gas {
             col("label"))
           .localCheckpoint()
       }
+      prevChanged = changed
       changed = updated.filter(col("label2") < col("label")).count()
       delta = updated.filter(col("label2") < col("label"))
         .select(col("vertex"), col("label2").as("label"))
