@@ -1686,6 +1686,87 @@ object SparkEntry {
              |  round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
              |FROM r GROUP BY source""".stripMargin)),
 
+    // tokenizer training: learn the top-3 BPE merges corpus-wide (greedy
+    // left-to-right merge semantics; per-round work is vocabulary-sized)
+    ("p_bpe_train", ((s: SparkSession, dir: String) =>
+      TextStats.bpeTrainMerges(docs(s, dir), "doc_id", "text", merges = 3)): Q,
+      Some("""WITH wf AS (SELECT t.w, COUNT(*) AS freq FROM documents,
+             |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(w)
+             |  WHERE length(t.w) > 0 GROUP BY t.w),
+             |seq_1 AS (SELECT w, freq,
+             |  list_transform(generate_series(1, length(w)), i -> w[i:i]) AS seq FROM wf),
+             |bg_1 AS (SELECT w, freq, seq, unnest(generate_series(1, len(seq)-1)) AS j FROM seq_1),
+             |pc_1 AS (SELECT seq[j] AS l, seq[j+1] AS r, SUM(freq) AS cnt FROM bg_1 GROUP BY 1, 2),
+             |top_1 AS (SELECT l, r, cnt FROM pc_1 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+             |mm_1 AS (SELECT b.w, b.j FROM bg_1 b, top_1 t WHERE b.seq[b.j] = t.l AND b.seq[b.j+1] = t.r),
+             |isl_1 AS (SELECT w, j, j - ROW_NUMBER() OVER (PARTITION BY w ORDER BY j) AS grp FROM mm_1),
+             |sel_1 AS (SELECT w, j FROM (SELECT w, j,
+             |    ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY j) AS k FROM isl_1) t WHERE k % 2 = 1),
+             |pos_1 AS (SELECT w, freq, seq, unnest(generate_series(1, len(seq))) AS p FROM seq_1),
+             |seq_2 AS (
+             |  SELECT p1.w, any_value(p1.freq) AS freq,
+             |    list(CASE WHEN s.j IS NOT NULL THEN p1.seq[p1.p] || p1.seq[p1.p+1]
+             |              ELSE p1.seq[p1.p] END ORDER BY p1.p) AS seq
+             |  FROM pos_1 p1
+             |  LEFT JOIN sel_1 s ON s.w = p1.w AND s.j = p1.p
+             |  LEFT JOIN sel_1 s2 ON s2.w = p1.w AND s2.j = p1.p - 1
+             |  WHERE s2.j IS NULL
+             |  GROUP BY p1.w),
+             |bg_2 AS (SELECT w, freq, seq, unnest(generate_series(1, len(seq)-1)) AS j FROM seq_2),
+             |pc_2 AS (SELECT seq[j] AS l, seq[j+1] AS r, SUM(freq) AS cnt FROM bg_2 GROUP BY 1, 2),
+             |top_2 AS (SELECT l, r, cnt FROM pc_2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+             |mm_2 AS (SELECT b.w, b.j FROM bg_2 b, top_2 t WHERE b.seq[b.j] = t.l AND b.seq[b.j+1] = t.r),
+             |isl_2 AS (SELECT w, j, j - ROW_NUMBER() OVER (PARTITION BY w ORDER BY j) AS grp FROM mm_2),
+             |sel_2 AS (SELECT w, j FROM (SELECT w, j,
+             |    ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY j) AS k FROM isl_2) t WHERE k % 2 = 1),
+             |pos_2 AS (SELECT w, freq, seq, unnest(generate_series(1, len(seq))) AS p FROM seq_2),
+             |seq_3 AS (
+             |  SELECT p1.w, any_value(p1.freq) AS freq,
+             |    list(CASE WHEN s.j IS NOT NULL THEN p1.seq[p1.p] || p1.seq[p1.p+1]
+             |              ELSE p1.seq[p1.p] END ORDER BY p1.p) AS seq
+             |  FROM pos_2 p1
+             |  LEFT JOIN sel_2 s ON s.w = p1.w AND s.j = p1.p
+             |  LEFT JOIN sel_2 s2 ON s2.w = p1.w AND s2.j = p1.p - 1
+             |  WHERE s2.j IS NULL
+             |  GROUP BY p1.w),
+             |bg_3 AS (SELECT w, freq, seq, unnest(generate_series(1, len(seq)-1)) AS j FROM seq_3),
+             |pc_3 AS (SELECT seq[j] AS l, seq[j+1] AS r, SUM(freq) AS cnt FROM bg_3 GROUP BY 1, 2),
+             |top_3 AS (SELECT l, r, cnt FROM pc_3 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+             |SELECT 1 AS merge_rank, l AS lhs, r AS rhs, cnt FROM top_1
+             |UNION ALL SELECT 2, l, r, cnt FROM top_2
+             |UNION ALL SELECT 3, l, r, cnt FROM top_3""".stripMargin)),
+
+    // stream-stream interval join: purchases attribute to the views that
+    // preceded them within 30 minutes, per user — watermarked state-bounded
+    // event-time join (both sides streaming), emitted through the append sink
+    ("q_stream_join", ((s: SparkSession, dir: String) => {
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      def src = s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts2", tsStamp(sch("ts").dataType))
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts2").as("view_ts"), col("event_id").as("view_id"))
+        .withWatermark("view_ts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts2").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = purchases.join(views,
+        col("p_user") === col("user_id") &&
+          col("view_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("view_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("view_id"))
+      val qn = "qsj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+    }): Q,
+      Some("""SELECT p.event_id AS purchase_id, v.event_id AS view_id
+             |FROM events p JOIN events v ON v.user_id = p.user_id
+             | AND p.event_type = 'purchase' AND v.event_type = 'view'
+             | AND v.ts >= p.ts - INTERVAL '30 minutes' AND v.ts <= p.ts""".stripMargin)),
+
     // Structured Streaming session windows: gap-based event-time sessions per
     // user (session_window + stateful merge), flushed via the memory sink; the
     // oracle derives identical sessions with the lag/cumulative-sum law

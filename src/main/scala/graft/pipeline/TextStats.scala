@@ -181,6 +181,59 @@ object TextStats {
     * aggregate over the exploded corpus; the per-document stats re-join tokens
     * against it on the token key — both linear, no all-pairs anything.
     */
+  /** Distributed BPE-merge learning — the tokenizer-training primitive: learn
+    * the top `merges` byte-pair merges over the corpus, greedy-left-to-right
+    * merge semantics (the standard BPE tokenizer-training rule). Returns the
+    * merge table (merge_rank, lhs, rhs, cnt) with deterministic tie-breaking
+    * (count desc, then lexicographic).
+    *
+    * Scale shape: sequences live per DISTINCT word with a frequency — the
+    * corpus collapses to its vocabulary before any per-character work, so each
+    * round is one map-side-combined bigram count over vocab-sized data plus a
+    * columnar re-merge fold; only the single argmax row hits the driver per
+    * round. 100 TB of text with a 10M-word vocabulary iterates over 10M rows,
+    * not the corpus.
+    */
+  def bpeTrainMerges(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = graft.engine.DfOps.spread(docs)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("seq"), col("freq"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to merges) {
+      val top = words
+        .select(col("freq"), explode(zip_with(
+          slice(col("seq"), lit(1), size(col("seq")) - 1),
+          slice(col("seq"), lit(2), size(col("seq")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p")("l").as("l"), col("p")("r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r, a, b, c))
+        // greedy left-to-right merge: a pair merges only when its left member
+        // was NOT itself consumed by the preceding merge — the fold's last
+        // element can never equal `a` right after a merge (merged = a+b ≠ a)
+        words = words.select(aggregate(col("seq"),
+          array().cast("array<string>"),
+          (acc, t) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && t === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(t)))).as("seq"),
+          col("freq"))
+          .localCheckpoint()
+      }
+    }
+    out.toSeq.toDF("merge_rank", "lhs", "rhs", "cnt")
+  }
+
   def unigramFreqStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = graft.engine.DfOps.spread(docs)
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))

@@ -387,6 +387,21 @@ class PipelineSpec extends GraftSuite {
       s"expected candidates broadcast into the rerank join:\n$plan")
   }
 
+  test("bpeTrainMerges learns frequency-ranked merges with greedy run semantics") {
+    val d = Seq((1L, "ban ban banana")).toDF("doc_id", "text")
+    val m = TextStats.bpeTrainMerges(d, "doc_id", "text", merges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // (a,n) wins 4; then (b,an) 3; then the count-1 tie breaks lexicographically
+    assert(m.toSeq == Seq((1, "a", "n", 4L), (2, "b", "an", 3L), (3, "an", "a", 1L)), m.mkString(","))
+    // odd run: "aaaa" merges greedily left-to-right into [aa, aa]
+    val d2 = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val m2 = TextStats.bpeTrainMerges(d2, "doc_id", "text", merges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(m2.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)), m2.mkString(","))
+  }
+
   test("chunkTokens: stride-spaced overlapping windows, short tail, no shuffle") {
     val d = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
     val out = graft.pipeline.Curate.chunkTokens(d, "doc_id", "text",
