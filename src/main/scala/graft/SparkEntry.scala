@@ -1782,9 +1782,17 @@ object SparkEntry {
         .select(col("w")("start").as("session_start"), col("user_id"),
           col("n_events"), col("cents"))
       val qn = "pss_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // partial-merge sessions map-side before the keyed exchange (the session
+      // analog of partial aggregation — the shape that scales)
+      val mergeKey = "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition"
+      val prev = s.conf.getOption(mergeKey)
+      s.conf.set(mergeKey, "true")
       val q = agg.writeStream.format("memory").queryName(qn)
         .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        prev match { case Some(v) => s.conf.set(mergeKey, v); case None => s.conf.unset(mergeKey) }
+      }
       s.table(qn)
     }): Q,
       Some("""WITH p AS (SELECT user_id, ts, value,
