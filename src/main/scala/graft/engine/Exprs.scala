@@ -201,7 +201,11 @@ object Exprs {
       .when(isStringy(t), 2).otherwise(3).as("r1"),
     coalesce(fNum(t), fTs(t).cast(DoubleType)).as("v"),
     fStr(t).as("s"),
-    fDt(t).as("d"))
+    fDt(t).as("d"),
+    // language tag completes the total order: "a" vs "a"@en must not tie —
+    // a tie would leave ORDER BY free to interleave them differently across
+    // runs (IVComparator separates plain/lang literals the same way)
+    fLang(t).as("l"))
 
   // ======== expression compilation ========
   final case class Env(columns: Set[String], overrides: Map[String, Column] = Map.empty) {
