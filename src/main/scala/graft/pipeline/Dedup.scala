@@ -250,13 +250,16 @@ object Dedup {
     */
   def dupRate(docs: DataFrame, idCol: String, textCol: String,
               groupCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__th").orderBy(col(idCol).asc)
-    docs.select(col(groupCol), col(idCol), xxhash64(col(textCol)).as("__th"))
-      .withColumn("__rn", row_number().over(w))
+    // "is a dup" = id ≠ min(id) of its content-hash group. A min aggregate +
+    // co-partitioned join keeps mega-duplicate groups (boilerplate pages with
+    // millions of copies) in map-side partial aggregation — a row_number window
+    // over the hash partition would sort every copy through ONE reducer.
+    val h = docs.select(col(groupCol), col(idCol), xxhash64(col(textCol)).as("__th"))
+    val first = h.groupBy("__th").agg(min(col(idCol)).as("__keep"))
+    h.join(first, "__th")
       .groupBy(groupCol).agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dups"))
+        sum(when(col(idCol) =!= col("__keep"), 1L).otherwise(0L)).as("n_dups"))
       .withColumn("dup_frac", round(col("n_dups") / col("n_docs"), 6))
   }
 
