@@ -606,6 +606,41 @@ object SparkEntry {
       Some("""SELECT n_name AS nname, r_name AS rname FROM nation
              | JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
 
+    ("q_result_json", ((s: SparkSession, dir: String) => {
+      // result-sink round trip under the oracle gate (§2.1 sinks): evaluate →
+      // SPARQL-results-JSON serializer → protocol JSON parser → plain columns
+      val st = Tpch.store(s, dir)
+      val df = Engine.query(st,
+        """SELECT ?nname ?nk WHERE { ?n <urn:p:n_name> ?nname ;
+          |  <urn:p:n_nationkey> ?nk }""".stripMargin)
+      val json = graft.engine.SparqlResults.toJson(df)
+      graft.engine.RemoteService.parseResults(s, json)
+        .select(oStr("nname"), oLng("nk"))
+    }): Q,
+      Some("SELECT n_name AS nname, n_nationkey AS nk FROM nation")),
+
+    ("q_http_select", ((s: SparkSession, dir: String) => {
+      // SPARQL 1.1 Protocol endpoint end-to-end under the oracle gate: HTTP
+      // POST (urlencoded form) → server evaluates → JSON body → parser
+      val st = Tpch.store(s, dir)
+      val srv = new graft.server.SparqlServer(st).start()
+      try {
+        val q = "SELECT ?rname WHERE { ?r <urn:p:r_name> ?rname }"
+        val form = "query=" + java.net.URLEncoder.encode(q,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val req = java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}/sparql"))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .header("Accept", "application/sparql-results+json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(form)).build()
+        val resp = java.net.http.HttpClient.newHttpClient()
+          .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200, s"endpoint HTTP ${resp.statusCode()}")
+        graft.engine.RemoteService.parseResults(s, resp.body()).select(oStr("rname"))
+      } finally srv.stop()
+    }): Q,
+      Some("SELECT r_name AS rname FROM region")),
+
     ("q_stream_window", ((s: SparkSession, dir: String) => {
       // Structured Streaming end-to-end: file-source micro-batches through the
       // windowed aggregation into a memory sink (complete mode), then the sink table
