@@ -131,6 +131,7 @@ object Gas {
     var labels = adj.select(col("src").as("vertex"))
       .unionByName(adj.select(col("dst").as("vertex")))
       .dropDuplicates("vertex").withColumn("label", col("vertex")).localCheckpoint()
+    val nV = labels.count()
     var delta = labels // every vertex is "changed" at initialization
     var changed = 1L
     var prevChanged = Long.MaxValue
@@ -144,8 +145,13 @@ object Gas {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label2"),
           col("label"))
         .localCheckpoint() // materialize once; changed-count, delta and next labels reuse it
-      // jump only on slow convergence: frontier not halving round-over-round
-      val updated = if (iter < jumpAfter || changed * 2 < prevChanged) prop else {
+      // jump only on slow convergence of a LARGE frontier: not-halving signals
+      // high diameter, but a small hovering tail frontier makes propagation
+      // cheap while the jump still costs a full |V| self-join — there the jump
+      // is a pure tax (measured 5× on an amplified low-diameter graph). ≥5% of
+      // |V| keeps the jump for wavefronts that actually dominate the runtime.
+      val updated = if (iter < jumpAfter || changed * 2 < prevChanged ||
+          changed * 20 < nV) prop else {
         val m = prop.select(col("vertex").as("__mv"), col("label2").as("__ml"))
         prop.join(m, col("label2") === col("__mv"), "left_outer")
           .select(col("vertex"),
