@@ -1101,8 +1101,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     case other =>
       val (df1, e1, exTemps) = stageExists(df, other)
       val st = Exprs.stageSubexprs(df1, e1, env(df1))
-      st.df.filter(Exprs.filterPred(st.expr, st.env))
-        .drop(st.temps: _*).drop(exTemps: _*)
+      Exprs.filterStaged(st).drop(st.temps: _*).drop(exTemps: _*)
   }
 
   private val existsIds = new java.util.concurrent.atomic.AtomicLong()
@@ -1313,8 +1312,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       havingE.foreach { h =>
         val (df1, h1, exTemps) = stageExists(df, Algebra.replaceAggs(h, aggMap))
         val st = Exprs.stageSubexprs(df1, h1, env(df1))
-        df = st.df.filter(Exprs.filterPred(st.expr, st.env))
-          .drop(st.temps: _*).drop(exTemps: _*)
+        df = Exprs.filterStaged(st).drop(st.temps: _*).drop(exTemps: _*)
       }
     }
 

@@ -325,6 +325,33 @@ object Exprs {
     Staged(df, e2, env, temps.reverse)
   }
 
+  /** Filter a staged predicate WITHOUT letting the optimizer re-inline the
+    * staged temps into the condition. `PushPredicateThroughProject` substitutes
+    * a Project alias into EVERY reference the pushed condition makes to it, and
+    * a term predicate references each operand ~10–25× (cmp/arith promotion
+    * branches) — so pushing a staged HAVING/FILTER through its own staging
+    * Projects re-expands the tree multiplicatively, and the fused filter method
+    * blows past the JVM's 64 KB bytecode ceiling (observed: a HashAggregate
+    * output + staged HAVING compiled 191 decimal temps into one method and the
+    * whole stage silently fell back to interpreted eval). A non-deterministic
+    * guard column (a plain partition counter, no RNG) makes the staging Project
+    * a pushdown fence; guard and temps are dropped right after the filter.
+    * Fencing costs nothing here: the predicate already sits directly above the
+    * projection that feeds it, and a multi-temp predicate is never sargable.
+    */
+  def filterStaged(st: Staged): org.apache.spark.sql.DataFrame =
+    if (st.temps.isEmpty) st.df.filter(filterPred(st.expr, st.env))
+    else {
+      val g = s"__fence${stageIds.incrementAndGet()}"
+      // the guard must be REFERENCED by the condition (ColumnPruning removes an
+      // unused column and dissolves the fence) and joined with OR, never AND
+      // (PushDownPredicates splits conjuncts and would push the real predicate
+      // alone). mono_id is always >= 0, so the disjunct never fires.
+      st.df.withColumn(g, monotonically_increasing_id())
+        .filter(filterPred(st.expr, st.env) || col(g) < 0L)
+        .drop(g)
+    }
+
   // ---- function library (registry analog of rdf/sparql/ast/FunctionRegistry.java) ----
   private def str1(args: Seq[Column]): Column = fStr(args.head)
 

@@ -55,21 +55,32 @@ object GeoDatatypes {
       */
     def canonLex(lex: Column): Column = {
       val parts = split(lex, "#")
-      val fieldCols = fields.zipWithIndex.map { case (f, i) =>
-        val raw = try_element_at(parts, lit(i + 1))
-        if (f.valueType == "DOUBLE")
-          ((raw.try_cast(DecimalType(38, 18)) * lit(f.multiplier)).cast(LongType)
-            .cast(DoubleType) / lit(f.multiplier.toDouble)).cast("string")
-        else raw.try_cast(LongType).cast("string")
-      }
-      val base = concat_ws("#", fieldCols: _*)
-      val withExtras = when(size(parts) > fields.size,
-        concat(base, lit("#"),
-          // length = size(parts): clamps to the remaining slots (a literal Int
-          // length this large would overflow slice's start+length arithmetic)
-          array_join(slice(parts, lit(fields.size + 1), size(parts)), "#")))
-        .otherwise(base)
-      when(fieldCols.map(_.isNotNull).reduce(_ && _), withExtras).otherwise(lex)
+      val n = fields.size
+      // One HOF pass dispatching on the slot index. Higher-order functions
+      // reach the generated row code as a single call (no inlining), so the
+      // per-field arithmetic never bloats the literal-minting CaseWhen it is
+      // embedded in — the previous flat per-field column trees (inlined once
+      // for the value and once for the validity guard) pushed RIO-load
+      // projections past the JVM's 64 KB method ceiling and dropped the whole
+      // load stage out of codegen. Interpreted eval here is fine: only
+      // literals OF this datatype ever evaluate the lambda.
+      val canon = transform(parts, (x, i) => {
+        val perSlot = fields.zipWithIndex.foldLeft(lit(null).cast("string")) {
+          case (acc, (f, j)) =>
+            val enc =
+              if (f.valueType == "DOUBLE")
+                ((x.try_cast(DecimalType(38, 18)) * lit(f.multiplier)).cast(LongType)
+                  .cast(DoubleType) / lit(f.multiplier.toDouble)).cast("string")
+              else x.try_cast(LongType).cast("string")
+            when(i === lit(j), enc).otherwise(acc)
+        }
+        // slots beyond the configured fields (custom dimensions) pass verbatim
+        when(i < lit(n), perSlot).otherwise(x)
+      })
+      // valid = enough slots and every configured slot parsed; otherwise the
+      // literal keeps its authored lexical (and never matches a spatial filter)
+      when(size(parts) >= n && forall(slice(canon, 1, n), c => c.isNotNull),
+        array_join(canon, "#")).otherwise(lex)
     }
   }
 
