@@ -662,6 +662,24 @@ object SparkEntry {
              | COUNT(*) AS cnt, CAST(SUM(ROUND(value*100, 0)) AS BIGINT) AS cents
              | FROM events GROUP BY 1, 2""".stripMargin)),
 
+    ("q_stream_dedup", ((s: SparkSession, dir: String) => {
+      // Structured Streaming exact dedup: dropDuplicates keyed on the content
+      // hash holds first-seen state across micro-batches (the streaming shape of
+      // the exact-dedup pipeline op — at scale the same query runs with a
+      // watermark bounding the state store); append-mode memory sink accumulates
+      // one row per first-seen hash
+      val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(sch)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val dedup = stream.select(md5(col("text")).as("h")).dropDuplicates("h")
+      val qn = "qsd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = dedup.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).agg(count(lit(1)).as("uniq"))
+    }): Q,
+      Some("SELECT COUNT(DISTINCT md5(text)) AS uniq FROM documents")),
+
     ("q_rio_rdfxml", ((s: SparkSession, dir: String) => {
       // RDF/XML ingestion: serialize nation as RDF/XML, parse it back, query it
       val rows = read(s, dir, "nation")
@@ -1185,6 +1203,42 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextStats.tokenCount(col("text")).as("tokens"))): Q,
       Some("SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tokens FROM documents")),
+
+    // bigram PMI collocations: corpus-level phrase mining (top-20, min pair count 5)
+    ("p_cooccur", ((s: SparkSession, dir: String) =>
+      TextStats.collocations(docs(s, dir), "text", minCount = 5L, topK = 20)): Q,
+      Some("""WITH d AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS a FROM documents),
+             |pr AS (SELECT u.l AS l, u.r AS r FROM d,
+             |  unnest(list_transform(generate_series(1, greatest(len(a)-1, 0)),
+             |    i -> {'l': a[i], 'r': a[i+1]})) AS t(u)
+             |  WHERE length(u.l) > 0 AND length(u.r) > 0),
+             |bg AS (SELECT l, r, COUNT(*) AS cnt FROM pr GROUP BY l, r),
+             |uni AS (SELECT tok, COUNT(*) AS c
+             |  FROM (SELECT unnest(a) AS tok FROM d) WHERE length(tok) > 0 GROUP BY tok),
+             |n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni)
+             |SELECT bg.l, bg.r, bg.cnt,
+             |  round(ln(CAST(bg.cnt AS DOUBLE) * n.n / (CAST(ul.c AS DOUBLE) * CAST(ur.c AS DOUBLE))), 6) AS pmi
+             |FROM bg JOIN uni ul ON ul.tok = bg.l JOIN uni ur ON ur.tok = bg.r, n
+             |WHERE bg.cnt >= 5
+             |ORDER BY pmi DESC, l, r LIMIT 20""".stripMargin)),
+
+    // per-document top-3 TF-IDF keywords (rank column makes the k-cut explicit)
+    ("p_keywords", ((s: SparkSession, dir: String) =>
+      TextStats.tfidfKeywords(docs(s, dir), "doc_id", "text", k = 3)): Q,
+      Some("""WITH toks AS (SELECT doc_id, t.tok FROM documents,
+             |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(tok)
+             |  WHERE length(t.tok) > 0),
+             |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+             |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+             |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.tok,
+             |  round(CAST(tf.tf AS DOUBLE) * ln(nd.nd / CAST(dfq.df AS DOUBLE)), 6) AS score
+             |  FROM tf JOIN dfq USING (tok), nd)
+             |SELECT doc_id, tok, score, rank FROM (
+             |  SELECT doc_id, tok, score,
+             |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rank
+             |  FROM sc)
+             |WHERE rank <= 3""".stripMargin)),
 
     ("p_token_bpe", ((s: SparkSession, dir: String) =>
       docs(s, dir).select(col("doc_id"),

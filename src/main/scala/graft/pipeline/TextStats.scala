@@ -234,6 +234,71 @@ object TextStats {
     out.toSeq.toDF("merge_rank", "lhs", "rhs", "cnt")
   }
 
+  /** Bigram collocation extraction by pointwise mutual information —
+    * PMI(l,r) = ln( c(l,r)·N / (c(l)·c(r)) ) over adjacent token pairs: the
+    * standard corpus-statistics pass for phrase mining / tokenizer-vocabulary
+    * seeding over a training corpus. `minCount` drops one-off pairs (PMI is
+    * noise-dominated at low counts); output is the global top-k by PMI.
+    *
+    * Scale shape: bigram and unigram counts are map-side-combined aggregates of
+    * the token explode; the PMI joins are keyed on token over VOCABULARY-sized
+    * relations (never the corpus); N is a broadcast 1-row aggregate; the top-k
+    * is TakeOrderedAndProject. No all-pairs work anywhere.
+    */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    val base = graft.engine.DfOps.spread(docs).select(tokens(col(textCol)).as("a"))
+    val pairs = base.select(explode(zip_with(
+        slice(col("a"), lit(1), greatest(size(col("a")) - 1, lit(0))),
+        slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+        (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+      .filter(length(col("p")("l")) > 0 && length(col("p")("r")) > 0)
+      .groupBy(col("p")("l").as("l"), col("p")("r").as("r"))
+      .agg(count(lit(1)).as("cnt"))
+    val uni = base.select(explode(col("a")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").cast("double").as("n"))
+    pairs.filter(col("cnt") >= minCount)
+      .join(uni.select(col("tok").as("l"), col("c").as("cl")), "l")
+      .join(uni.select(col("tok").as("r"), col("c").as("cr")), "r")
+      .crossJoin(broadcast(n))
+      .select(col("l"), col("r"), col("cnt"),
+        round(log(col("cnt").cast("double") * col("n") /
+          (col("cl").cast("double") * col("cr").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("l").asc, col("r").asc)
+      .limit(topK)
+  }
+
+  /** Per-document top-k TF-IDF keywords — keyword extraction / document
+    * labeling. score = tf · ln(N/df), ties broken on the token so the cut is
+    * deterministic. The rank column makes the k-cut explicit for consumers.
+    *
+    * Scale shape: one token explode → per-(doc,token) counts (map-side
+    * combined); document frequency is a vocabulary-sized aggregate OF that
+    * count table (no second corpus pass); N is a broadcast 1-row aggregate; the
+    * top-k is a window over doc-partitioned data — no global sort, no skew
+    * (a document's distinct-token set bounds its partition's row count).
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.engine.DfOps.spread(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).cast("double").as("nd"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("tok"),
+        round(col("tf").cast("double") * log(col("nd") / col("df").cast("double")), 6)
+          .as("score"))
+    // rank over the ROUNDED score: the oracle recomputes the same 6-dp value, so
+    // near-ties cut identically on both sides
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   def unigramFreqStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = graft.engine.DfOps.spread(docs)
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))

@@ -454,4 +454,29 @@ class PipelineSpec extends GraftSuite {
     assert(out(0) == 4L) // the anti-parallel vector is label 0's worst member
     assert(Set(5L, 6L).contains(out(1)))
   }
+
+  test("collocations rank a repeated adjacent pair above independent pairs") {
+    // "quick brown" co-occurs in 4/5 docs; "the quick" too, but "the" is far
+    // more frequent alone, so PMI(quick,brown) > PMI(the,quick)
+    val out = TextStats.collocations(docs, "text", minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out.contains(("quick", "brown")) && out.contains(("the", "quick")))
+    assert(out(("quick", "brown")) > out(("the", "quick")))
+    // counts below minCount are dropped entirely
+    assert(!out.keys.exists(_ == ("der", "schnelle")))
+  }
+
+  test("tfidf keywords: corpus-wide tokens score zero, rare tokens rank first") {
+    val kw = TextStats.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    val byDoc = kw.groupBy(_._1)
+    assert(byDoc.forall(_._2.length == 2)) // exactly k rows per doc
+    assert(byDoc.forall(_._2.exists(_._4 == 1)))
+    // doc 2's distinguishing token is "cat" (df=1): tf·ln(5/1) beats every
+    // shared-vocabulary token, so it must rank first
+    assert(byDoc(2L).find(_._4 == 1).get._2 == "cat")
+    // doc-unique "cat" (ln 5) outscores "the" (df=3 -> 2·ln(5/3)) in doc 2
+    val d2 = byDoc(2L).map(r => r._2 -> r._3).toMap
+    assert(d2("cat") > d2.getOrElse("the", 0.0))
+  }
 }
