@@ -1,9 +1,11 @@
 #!/usr/bin/env python3
-"""Assemble STRESS_x10.json from ScaleStress run logs.
+"""Assemble STRESS_x{Kmax}.json from ScaleStress run logs (any set of Ks).
 
-Usage: tools/stress_report.py /tmp/stress_x1.log /tmp/stress_x2.log /tmp/stress_x10.log
-Reads the one-line-JSON phases each log prints, computes per-query scaling
-exponents (log10 of the x10/x1 ratio), writes STRESS_x10.json.
+Usage: tools/stress_report.py /tmp/stress_x1.log /tmp/stress_x10.log [more...]
+Each log is one `runMain graft.tools.ScaleStress K` capture; K is read from
+the JSON phase lines themselves. Per-query scaling exponents compare the
+smallest K to the largest: exponent = log(t_max/t_min) / log(Kmax/Kmin),
+so 1.0 = linear in |data| regardless of the K range.
 """
 import json, math, re, sys
 
@@ -15,6 +17,8 @@ def parse(path):
         if not m:
             continue
         d = json.loads(m.group(0))
+        if "k" in d:
+            out["k"] = d["k"]
         if "stress_statements" in d:
             out["statements"] = d["stress_statements"]
         elif d.get("stress_phase") == "cold_load":
@@ -25,32 +29,41 @@ def parse(path):
 
 
 def main():
-    logs = {1: parse(sys.argv[1]), 2: parse(sys.argv[2]), 10: parse(sys.argv[3])}
+    runs = sorted((parse(p) for p in sys.argv[1:]), key=lambda r: r["k"])
+    ks = [r["k"] for r in runs]
+    lo, hi = runs[0], runs[-1]
+    span = math.log10(hi["k"] / lo["k"])
+    exp_name = f'exponent_{lo["k"]}_to_{hi["k"]}'
+
+    def expo(t_lo, t_hi):
+        return round(math.log10(max(t_hi, 0.01) / max(t_lo, 0.01)) / span, 2)
+
     res = {
         "harness": ("graft.tools.ScaleStress: sf0.1 amplified Kx with FK-consistent key "
                     "offsets, COLD store build per K, query battery via SparkEntry.queries, "
                     "local[32], 64g driver heap"),
-        "note": ("x1 re-run through the same harness/config so exponents are "
-                 "apples-to-apples; exponent = log10(t_x10 / t_x1), 1.0 = linear in |data|"),
-        "statements": {f"x{k}": logs[k].get("statements") for k in (1, 2, 10)},
-        "load_sec": {f"x{k}": logs[k].get("load_sec") for k in (1, 2, 10)},
-        "load_exponent_1_to_10": round(
-            math.log10(logs[10]["load_sec"] / logs[1]["load_sec"]), 2),
+        "note": (f"x{lo['k']} re-run through the same harness/config on the same machine "
+                 f"so exponents are apples-to-apples; exponent = "
+                 f"log(t_x{hi['k']}/t_x{lo['k']}) / log({hi['k']}/{lo['k']}), "
+                 "1.0 = linear in |data|"),
+        "statements": {f"x{r['k']}": r.get("statements") for r in runs},
+        "load_sec": {f"x{r['k']}": r.get("load_sec") for r in runs},
+        f"load_{exp_name}": expo(lo["load_sec"], hi["load_sec"]),
         "queries": {},
     }
-    for q, t1 in logs[1]["queries"].items():
-        t2, t10 = logs[2]["queries"].get(q), logs[10]["queries"].get(q)
-        if t2 is None or t10 is None:
+    for q, t_lo in lo["queries"].items():
+        if any(q not in r["queries"] for r in runs):
             continue
-        res["queries"][q] = {
-            "x1": t1, "x2": t2, "x10": t10,
-            "exponent_1_to_10": round(math.log10(max(t10, 0.01) / max(t1, 0.01)), 2),
-        }
-    with open("STRESS_x10.json", "w") as f:
+        entry = {f"x{r['k']}": r["queries"][q] for r in runs}
+        entry[exp_name] = expo(t_lo, hi["queries"][q])
+        res["queries"][q] = entry
+    out_path = f"STRESS_x{hi['k']}.json"
+    with open(out_path, "w") as f:
         json.dump(res, f, indent=1)
-    print(json.dumps(res["load_sec"]), res["load_exponent_1_to_10"])
-    for q, d in sorted(res["queries"].items(), key=lambda kv: -kv[1]["exponent_1_to_10"]):
-        print(f'{q:22s} x1={d["x1"]:6.2f} x2={d["x2"]:6.2f} x10={d["x10"]:6.2f} exp={d["exponent_1_to_10"]}')
+    print(out_path, json.dumps(res["load_sec"]), res[f"load_{exp_name}"])
+    for q, d in sorted(res["queries"].items(), key=lambda kv: -kv[1][exp_name]):
+        cols = " ".join(f'x{k}={d[f"x{k}"]:6.2f}' for k in ks)
+        print(f"{q:22s} {cols} exp={d[exp_name]}")
 
 
 if __name__ == "__main__":
