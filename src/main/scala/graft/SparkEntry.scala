@@ -1615,6 +1615,23 @@ object SparkEntry {
              |  MIN(tsu) AS start_us, MAX(tsu) AS end_us
              |FROM sess GROUP BY user_id, session_idx""".stripMargin)),
 
+    // semi-structured metadata promotion: a JSON props column is parsed into
+    // typed columns ONCE (codegen'd JsonPath, no UDF) and aggregated — the
+    // "metadata sidecar" shape every training-data pipeline carries. At scale
+    // the parse is map-side; the aggregate is one keyed exchange.
+    ("p_props_json", ((s: SparkSession, dir: String) =>
+      read(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("cnt"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))): Q,
+      Some("""SELECT event_type, COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS cnt,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // group-wise top-k: 3 highest-value events per user, deterministic tie-break
     ("p_topk_user", ((s: SparkSession, dir: String) =>
       Events.topKPerKey(read(s, dir, "events"), "user_id", "value", "event_id", k = 3)
