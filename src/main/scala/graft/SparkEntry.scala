@@ -895,6 +895,22 @@ object SparkEntry {
              |    (a, b) -> a * 16 + b) / POW(2.0, 60) AS u FROM documents)
              |SELECT u.doc_id, u.source FROM u JOIN r USING (source) WHERE u.u < r.rate""".stripMargin)),
 
+    // deterministic train/val/test fold assignment (5% val, 5% test): a pure
+    // per-row md5-uniform function of doc_id — stable under re-runs and corpus
+    // growth, no shuffle
+    ("p_split", ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curate.trainValTestSplit(docs(s, dir), "doc_id",
+        valFrac = 0.05, testFrac = 0.05)
+        .select(col("doc_id"), col("source"), col("fold"))): Q,
+      Some("""WITH u AS (SELECT doc_id, source,
+             |  list_reduce(list_transform(generate_series(1, 15),
+             |    i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+             |    (a, b) -> a * 16 + b) / POW(2.0, 60) AS u FROM documents)
+             |SELECT doc_id, source,
+             |  CASE WHEN u < 0.05 THEN 'val' WHEN u < 0.10 THEN 'test'
+             |       ELSE 'train' END AS fold
+             |FROM u""".stripMargin)),
+
     ("p_pack_sequences", ((s: SparkSession, dir: String) =>
       graft.pipeline.Curate.packSequences(docs(s, dir), "source", "doc_id",
         "text", window = 2048)): Q,

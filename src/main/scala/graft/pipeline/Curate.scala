@@ -120,4 +120,25 @@ object Curate {
       .select(col(idCol))
     keepers.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Deterministic train/val/test fold assignment — the last step before a
+    * training corpus ships. A document's fold is a pure function of its id
+    * (the engine-portable md5 uniform), so the split is stable under re-runs,
+    * engine changes, repartitioning, and incremental corpus growth: adding
+    * documents never migrates an existing one between folds (the leakage-free
+    * property random splits lose). val and test are carved off the bottom of
+    * the uniform range; everything else is train.
+    *
+    * Scale shape: one map-side expression per row — no shuffle, no join, no
+    * state. The fold column composes directly with partitioned writes
+    * (`partitionBy("fold")`).
+    */
+  def trainValTestSplit(df: DataFrame, idCol: String,
+                        valFrac: Double, testFrac: Double): DataFrame = {
+    val u = uniformOf(col(idCol))
+    df.withColumn("fold",
+      when(u < valFrac, "val")
+        .when(u < valFrac + testFrac, "test")
+        .otherwise("train"))
+  }
 }

@@ -455,6 +455,18 @@ class PipelineSpec extends GraftSuite {
     assert(Set(5L, 6L).contains(out(1)))
   }
 
+  test("trainValTestSplit folds are a stable pure function of the id") {
+    def folds(d: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Curate.trainValTestSplit(d, "doc_id", 0.3, 0.3)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val base = folds(docs)
+    assert(base.values.toSet.subsetOf(Set("train", "val", "test")))
+    // corpus growth never migrates an existing document between folds
+    val grown = folds(docs.unionByName(
+      Seq((6L, "new doc one"), (7L, "new doc two")).toDF("doc_id", "text")))
+    assert(base.forall { case (id, f) => grown(id) == f })
+  }
+
   test("collocations rank a repeated adjacent pair above independent pairs") {
     // "quick brown" co-occurs in 4/5 docs; "the quick" too, but "the" is far
     // more frequent alone, so PMI(quick,brown) > PMI(the,quick)
