@@ -1030,6 +1030,37 @@ object SparkEntry {
              |SELECT neighbor, round(score, 6) AS score FROM sc
              |ORDER BY score DESC, neighbor ASC LIMIT 10""".stripMargin)),
 
+    // product-quantization ANN (ADC): 8 subspaces × 16 codes, deterministic
+    // first-16 codebooks; candidates scanned as codes, distances as m lookups
+    ("p_ann_pq", ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val firstId = e.agg(min("vec_id")).first().getLong(0)
+      Similarity.pqTopK(e, "vec_id", "embedding", firstId, 10)
+        .select(col("neighbor"), round(col("dist"), 6).as("dist"))
+    }): Q,
+      Some("""WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |c16 AS (SELECT vec_id, v FROM d ORDER BY vec_id LIMIT 16),
+             |cb AS (SELECT g.ms, row_number() OVER (PARTITION BY g.ms ORDER BY c.vec_id) - 1 AS code,
+             |    c.v[g.ms*8+1 : g.ms*8+8] AS cv
+             |  FROM c16 c, generate_series(0, 7) AS g(ms)),
+             |sub AS (SELECT d.vec_id AS id, g.ms, d.v[g.ms*8+1 : g.ms*8+8] AS sv
+             |  FROM d, generate_series(0, 7) AS g(ms)),
+             |dist AS (SELECT s.id, s.ms, cb.code,
+             |    list_reduce(list_transform(generate_series(1, 8),
+             |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])), (x, y) -> x + y) AS d2
+             |  FROM sub s JOIN cb USING (ms)),
+             |enc AS (SELECT id, ms, code FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY id, ms ORDER BY d2 ASC, code ASC) AS rn
+             |    FROM dist) WHERE rn = 1),
+             |qid AS (SELECT min(vec_id) AS q FROM embeddings),
+             |qtab AS (SELECT dd.ms, dd.code, dd.d2 AS qd FROM dist dd, qid WHERE dd.id = qid.q),
+             |adc AS (SELECT e.id,
+             |    list_reduce(list(q.qd ORDER BY e.ms), (x, y) -> x + y) AS dist
+             |  FROM enc e JOIN qtab q USING (ms, code), qid WHERE e.id != qid.q GROUP BY e.id)
+             |SELECT id AS neighbor, round(dist, 6) AS dist FROM adc
+             |ORDER BY dist ASC, neighbor ASC LIMIT 10""".stripMargin)),
+
     ("p_ann_ivf", ((s: SparkSession, dir: String) => {
       val e = emb(s, dir)
       val firstId = e.agg(min("vec_id")).first().getLong(0)

@@ -178,4 +178,62 @@ object Similarity {
       .orderBy(col("score").desc, col("neighbor").asc)
       .limit(k)
   }
+
+  /** Product-quantization ANN (ADC): the memory-bound 100 TB scale path. The
+    * vector space splits into `m` subspaces; each subspace gets a `codes`-entry
+    * codebook (deterministic: the first `codes` vectors' subvectors, the same
+    * oracle-reproducible seeding `ivfTopK` uses — swap in `kmeansCentroids` per
+    * subspace to train); every corpus vector encodes to `m` small codes. A
+    * query computes one m×codes distance table, and every candidate's
+    * approximate L2² is m table lookups — the corpus is scanned as codes
+    * (m bytes/vector vs 4·dim), never as floats.
+    *
+    * Scale shape: encoding is one corpus pass against a BROADCAST codebook
+    * (argmin per subspace — no shuffle of the vectors); the per-query distance
+    * table is broadcast; ADC is a broadcast join + one keyed aggregate over
+    * the code table. Per-id sums fold in subspace order (sort_array +
+    * sequential aggregate), so distances are bit-stable across engines.
+    */
+  def pqTopK(emb0: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int, m: Int = 8, codes: Int = 16): DataFrame = {
+    val emb = graft.engine.DfOps.spread(emb0)
+    val docs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val dim = docs.select(size(col("v"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val subLen = dim / m
+    def subVecs(df: DataFrame): DataFrame = df
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("ms"), col("v"))
+      .select(col("id"), col("ms"),
+        slice(col("v"), col("ms") * subLen + 1, lit(subLen)).as("sv"))
+    // codebook: subspace slices of the first `codes` vectors by id, code = their rank
+    val cbBase = docs.orderBy("id").limit(codes)
+    val cb = subVecs(cbBase)
+      .withColumn("code", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ms").orderBy("id")) - 1)
+      .select(col("ms"), col("code"), col("sv").as("cv"))
+      .localCheckpoint()
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+    // encode: per (vector, subspace) argmin over the broadcast codebook
+    val enc = subVecs(docs).join(broadcast(cb), "ms")
+      .withColumn("d2", l2(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id", "ms")
+          .orderBy(col("d2").asc, col("code").asc)))
+      .filter(col("rn") === 1).select(col("id"), col("ms"), col("code"))
+    // query distance table: m×codes entries, broadcast
+    val qTab = subVecs(docs.filter(col("id") === queryId))
+      .join(cb, "ms").withColumn("qd", l2(col("sv"), col("cv")))
+      .select(col("ms"), col("code"), col("qd"))
+    // ADC: sum the m looked-up entries per candidate in subspace order
+    enc.filter(col("id") =!= queryId)
+      .join(broadcast(qTab), Seq("ms", "code"))
+      .groupBy("id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("ms"), col("qd")))), p => p("qd")),
+        lit(0.0d), (acc, v) => acc + v).as("dist"))
+      .select(col("id").as("neighbor"), col("dist"))
+      .orderBy(col("dist").asc, col("neighbor").asc)
+      .limit(k)
+  }
 }
