@@ -653,10 +653,17 @@ object SparkEntry {
         .select(col("w")("start").as("window_start"), col("event_type"),
           col("cnt"), col("cents").cast("long").as("cents"))
       val qn = "qsw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // AvailableNow: drain everything in bounded micro-batches then self-stop —
+      // the battery measures the operator, not open-ended trigger polling
       val q = agg.writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(qn)
+      try q.awaitTermination() finally q.stop()
+      // detach the result from the memory sink so the sink table (one per
+      // invocation) is dropped instead of accumulating across battery runs
+      val out = s.table(qn).localCheckpoint()
+      s.catalog.dropTempView(qn)
+      out
     }): Q,
       Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
              | COUNT(*) AS cnt, CAST(SUM(ROUND(value*100, 0)) AS BIGINT) AS cents
@@ -674,9 +681,15 @@ object SparkEntry {
       val dedup = stream.select(md5(col("text")).as("h")).dropDuplicates("h")
       val qn = "qsd_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = dedup.writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(qn).agg(count(lit(1)).as("uniq"))
+      try q.awaitTermination() finally q.stop()
+      // evaluate eagerly and drop the sink table: the memory sink holds every
+      // unique hash row in driver memory, one table per invocation otherwise
+      val uniq = s.table(qn).count()
+      s.catalog.dropTempView(qn)
+      import s.implicits._
+      Seq(uniq).toDF("uniq")
     }): Q,
       Some("SELECT COUNT(DISTINCT md5(text)) AS uniq FROM documents")),
 
@@ -1910,10 +1923,15 @@ object SparkEntry {
           col("view_ts") <= col("p_ts"))
         .select(col("purchase_id"), col("view_id"))
       val qn = "qsj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // AvailableNow drains the (single-file) source in bounded micro-batches
+      // and self-stops — wall time reflects the join, not trigger spin-up
       val q = joined.writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(qn)
+      try q.awaitTermination() finally q.stop()
+      val out = s.table(qn).localCheckpoint()
+      s.catalog.dropTempView(qn)
+      out
     }): Q,
       Some("""SELECT p.event_id AS purchase_id, v.event_id AS view_id
              |FROM events p JOIN events v ON v.user_id = p.user_id
@@ -1941,12 +1959,15 @@ object SparkEntry {
       val prev = s.conf.getOption(mergeKey)
       s.conf.set(mergeKey, "true")
       val q = agg.writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .outputMode("complete").start()
-      try q.processAllAvailable() finally {
+      try q.awaitTermination() finally {
         q.stop()
         prev match { case Some(v) => s.conf.set(mergeKey, v); case None => s.conf.unset(mergeKey) }
       }
-      s.table(qn)
+      val out = s.table(qn).localCheckpoint()
+      s.catalog.dropTempView(qn)
+      out
     }): Q,
       Some("""WITH p AS (SELECT user_id, ts, value,
              |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),

@@ -1284,6 +1284,11 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
             keyCols :+= name
         }
       }
+      // NOTE: the 64KB-codegen fence (Exprs.stageFiltered) guards the two Filter
+      // sites only. These Project staging sites (group keys above, agg args
+      // below) still rely on CollapseProject inlining staying sub-64KB — the
+      // expression sweep currently shows no blow-up, but if a projection-side
+      // codegen failure appears, fence these the same way (or checkpoint).
       aggMap = aggsNeeded.zipWithIndex.map { case (a, i) => a -> s"__ag$i" }.toMap
       // COUNT(DISTINCT *) counts over the solution columns as they stood here
       // (staged agg-arg temps below are functions of them — excluded)

@@ -181,21 +181,31 @@ object Similarity {
 
   /** Product-quantization ANN (ADC): the memory-bound 100 TB scale path. The
     * vector space splits into `m` subspaces; each subspace gets a `codes`-entry
-    * codebook (deterministic: the first `codes` vectors' subvectors, the same
-    * oracle-reproducible seeding `ivfTopK` uses — swap in `kmeansCentroids` per
-    * subspace to train); every corpus vector encodes to `m` small codes. A
+    * codebook (`trainIters`=0: the first `codes` vectors' subvectors, the same
+    * oracle-reproducible seeding `ivfTopK` uses; >0: per-subspace
+    * `kmeansCentroids`); every corpus vector encodes to `m` small codes. A
     * query computes one m×codes distance table, and every candidate's
     * approximate L2² is m table lookups — the corpus is scanned as codes
     * (m bytes/vector vs 4·dim), never as floats.
     *
-    * Scale shape: encoding is one corpus pass against a BROADCAST codebook
-    * (argmin per subspace — no shuffle of the vectors); the per-query distance
-    * table is broadcast; ADC is a broadcast join + one keyed aggregate over
-    * the code table. Per-id sums fold in subspace order (sort_array +
-    * sequential aggregate), so distances are bit-stable across engines.
+    * Scale shape: the m×codes codebook driver-materializes ONCE (it is tiny by
+    * construction) and ships into the encode pass as expression literals, so
+    * encoding is a pure map over the corpus — per-row, per-subspace argmin, no
+    * join, no window, zero exchanges between the vector scan and the code
+    * output (the encode pass is the 100 TB-dominant stage of PQ). The
+    * per-query distance table is broadcast; ADC is a broadcast join + one
+    * keyed aggregate over the code table. Per-id sums fold in subspace order
+    * (sort_array + sequential aggregate), so distances are bit-stable across
+    * engines.
+    *
+    * `trainIters` = 0 (the oracle mode) seeds each subspace codebook from the
+    * first `codes` vectors' slices — deterministic and reproducible by an
+    * external SQL oracle; > 0 trains a per-subspace k-means codebook (Lloyd
+    * iterations over the subvectors), the quality path for real corpora.
     */
   def pqTopK(emb0: DataFrame, idCol: String, vecCol: String,
-             queryId: Long, k: Int, m: Int = 8, codes: Int = 16): DataFrame = {
+             queryId: Long, k: Int, m: Int = 8, codes: Int = 16,
+             trainIters: Int = 0): DataFrame = {
     val emb = graft.engine.DfOps.spread(emb0)
     val docs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val dim = docs.select(size(col("v"))).first().getInt(0)
@@ -205,26 +215,49 @@ object Similarity {
       .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("ms"), col("v"))
       .select(col("id"), col("ms"),
         slice(col("v"), col("ms") * subLen + 1, lit(subLen)).as("sv"))
-    // codebook: subspace slices of the first `codes` vectors by id, code = their rank
-    val cbBase = docs.orderBy("id").limit(codes)
-    val cb = subVecs(cbBase)
-      .withColumn("code", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("ms").orderBy("id")) - 1)
-      .select(col("ms"), col("code"), col("sv").as("cv"))
-      .localCheckpoint()
+    val cbDf =
+      if (trainIters > 0) {
+        // trained path: an independent k-means codebook per subspace
+        val subs = subVecs(docs).localCheckpoint()
+        (0 until m).map { i =>
+          kmeansCentroids(subs.filter(col("ms") === i)
+              .select(col("id"), col("sv").as("v")), codes, trainIters)
+            .withColumn("ms", lit(i))
+            .withColumn("code", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("ms")
+                .orderBy("cid")) - 1)
+            .select(col("ms"), col("code"), col("cv"))
+        }.reduce(_ unionAll _)
+      } else
+        // oracle mode: subspace slices of the first `codes` vectors by id
+        subVecs(docs.orderBy("id").limit(codes))
+          .withColumn("code", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("ms").orderBy("id")) - 1)
+          .select(col("ms"), col("code"), col("sv").as("cv"))
+    // driver-materialize the m×codes codebook (bounded by construction) so the
+    // encode pass needs no join at all — the codebook rides along as literals
+    val cbMap: Map[Int, IndexedSeq[Seq[Double]]] = cbDf.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).map { case (ms, rows) =>
+        ms -> rows.sortBy(_._2).map(_._3.toSeq).toIndexedSeq }
     def l2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
-    // encode: per (vector, subspace) argmin over the broadcast codebook
-    val enc = subVecs(docs).join(broadcast(cb), "ms")
-      .withColumn("d2", l2(col("sv"), col("cv")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id", "ms")
-          .orderBy(col("d2").asc, col("code").asc)))
-      .filter(col("rn") === 1).select(col("id"), col("ms"), col("code"))
+    // encode: pure map — argmin over the literal codebook of this row's subspace
+    // (array_min over (d2, code) structs: least d2, ties to the lowest code)
+    val cbAll = array((0 until m).map(ms =>
+      array(cbMap(ms).map(cv => array(cv.map(lit): _*)): _*)): _*)
+    val enc = subVecs(docs)
+      .withColumn("code", array_min(zip_with(
+        element_at(cbAll, col("ms") + 1), sequence(lit(0), lit(codes - 1)),
+        (cv, c) => struct(l2(col("sv"), cv).as("d2"), c.as("code"))))("code"))
+      .select(col("id"), col("ms"), col("code"))
     // query distance table: m×codes entries, broadcast
     val qTab = subVecs(docs.filter(col("id") === queryId))
-      .join(cb, "ms").withColumn("qd", l2(col("sv"), col("cv")))
-      .select(col("ms"), col("code"), col("qd"))
+      .withColumn("qds", zip_with(
+        element_at(cbAll, col("ms") + 1), sequence(lit(0), lit(codes - 1)),
+        (cv, c) => struct(l2(col("sv"), cv).as("qd"), c.as("code"))))
+      .select(col("ms"), explode(col("qds")).as("p"))
+      .select(col("ms"), col("p")("code").as("code"), col("p")("qd").as("qd"))
     // ADC: sum the m looked-up entries per candidate in subspace order
     enc.filter(col("id") =!= queryId)
       .join(broadcast(qTab), Seq("ms", "code"))

@@ -202,7 +202,9 @@ object TextStats {
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(split(col("w"), "").as("seq"), col("freq"))
+      // Java split("", -1) keeps a trailing "" element; drop it or every word
+      // contributes a phantom (lastChar, "") bigram to the merge counts.
+      .select(array_remove(split(col("w"), ""), "").as("seq"), col("freq"))
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (r <- 1 to merges) {

@@ -43,7 +43,7 @@ final class TextIndex(val postings: DataFrame, val lits: DataFrame, val nDocs: L
         .withColumn("relevance", lit(0.0d))
       val limited = if (maxRank != Int.MaxValue) m.orderBy(ord: _*).limit(maxRank) else m
       val ranked =
-        if (needRank) TextIndex.rankBounded(limited, ord)
+        if (needRank) TextIndex.rankBounded(limited, ord, bounded = maxRank != Int.MaxValue)
         else limited.withColumn("rank", lit(null).cast("int"))
       return ranked.select(Term.strLit(col("lit_str"), col("lit_lang")).as("lit"),
         col("relevance"), col("rank"))
@@ -88,7 +88,7 @@ final class TextIndex(val postings: DataFrame, val lits: DataFrame, val nDocs: L
     val limited =
       if (maxRank != Int.MaxValue) scored.orderBy(ord: _*).limit(maxRank) else scored
     val ranked =
-      if (needRank) TextIndex.rankBounded(limited, ord)
+      if (needRank) TextIndex.rankBounded(limited, ord, bounded = maxRank != Int.MaxValue)
       else limited.withColumn("rank", lit(null).cast("int"))
     // terms are self-describing: the plain-string literal struct reconstructs
     // canonically from its lexical form — no struct dictionary needed
@@ -99,16 +99,24 @@ final class TextIndex(val postings: DataFrame, val lits: DataFrame, val nDocs: L
 
 object TextIndex {
 
-  /** Attach the rank column via partition-offset global row_number — no
-    * single-partition window anywhere in a ranked search plan (the unbounded-rank
-    * request used to funnel the full hit set through one task; a 100 TB corpus
-    * with a broad query made that the plan's only non-scalable edge).
+  /** Attach the rank column. A `bounded` input (already orderBy+limit'ed to
+    * ≤ maxRank rows — TakeOrderedAndProject) ranks via a plain window: the input
+    * is k-row by construction, so one task over k rows is trivially scale-safe
+    * and avoids globalRowNumber's three extra jobs (range repartition +
+    * localCheckpoint + per-partition counts collect). Only the UNBOUNDED rank
+    * request pays the partition-offset global row_number — the shape that never
+    * funnels a 100 TB corpus's full hit set through one task.
     */
   private[search] def rankBounded(df: org.apache.spark.sql.DataFrame,
-                                  ord: Seq[org.apache.spark.sql.Column])
+                                  ord: Seq[org.apache.spark.sql.Column],
+                                  bounded: Boolean)
       : org.apache.spark.sql.DataFrame =
-    graft.engine.DfOps.globalRowNumber(df, ord, "rank")
-      .withColumn("rank", col("rank").cast("int"))
+    if (bounded) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+      df.withColumn("rank", row_number().over(w))
+    } else
+      graft.engine.DfOps.globalRowNumber(df, ord, "rank")
+        .withColumn("rank", col("rank").cast("int"))
 
   def tokenize(s: String): Seq[String] =
     s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq

@@ -94,6 +94,42 @@ class PipelineSpec extends GraftSuite {
     assert(recall >= 0.9, s"recall@10 = $recall")
   }
 
+  test("trained PQ reaches useful recall@10 vs exact L2, shuffle-free encode") {
+    val e = ss.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val qid = e.agg(min("vec_id")).first().getLong(0)
+    // exact-L2 baseline (PQ/ADC approximates L2², not cosine)
+    val dv = e.select(col("vec_id"), transform(col("embedding"),
+      x => x.cast("double")).as("v"))
+    val qv = dv.filter(col("vec_id") === qid).select(col("v").as("qv"))
+    val exact = dv.filter(col("vec_id") =!= qid).crossJoin(broadcast(qv))
+      .select(col("vec_id"), aggregate(zip_with(col("v"), col("qv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0d), (a, b) => a + b).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    // PQ is a lossy code per vector — its role at memory-bound scale is
+    // CANDIDATE GENERATION (ADC shortlist → exact rerank), so the bar is
+    // candidate recall: the ADC top-50 must capture the exact top-10
+    val cand = Similarity.pqTopK(e, "vec_id", "embedding", qid, 50,
+      m = 16, codes = 32, trainIters = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & cand).size / 10.0
+    assert(recall >= 0.8, s"PQ candidate recall@50 vs exact-L2 top-10 = $recall")
+    // encode is a pure map: no window over corpus-derived rows anywhere in the
+    // oracle-mode plan — every Window sits above a limit (the codes-sized
+    // codebook rank) — asserted on the logical plan (the AQE root hides the
+    // physical tree from collect)
+    val plan = Similarity.pqTopK(e, "vec_id", "embedding", qid, 10)
+      .queryExecution.optimizedPlan
+    val windowsOnCorpus = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.collectFirst {
+          case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+        }.isEmpty => w
+    }
+    assert(windowsOnCorpus.isEmpty,
+      s"PQ encode must not window over corpus-derived rows:\n$plan")
+  }
+
   test("token count and quality features") {
     val tc = docs.select(col("doc_id"), TextStats.tokenCount(col("text")).as("t"))
       .filter(col("doc_id") === 1L).first().getLong(1)

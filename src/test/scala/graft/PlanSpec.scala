@@ -49,22 +49,37 @@ class PlanSpec extends GraftSuite {
       s"expected no window when rank is not requested:\n$plan")
   }
 
-  test("ranked search plans carry no unpartitioned window (bounded or not)") {
+  test("ranked search plans carry no unpartitioned window on unbounded inputs") {
     // rank requested WITHOUT maxRank: the old shape funneled every hit through a
     // single-partition window; now rank is partition-offset (range repartition +
-    // per-partition row_number) — assert no WindowExec with an empty partitionSpec
+    // per-partition row_number) — assert no WindowExec with an empty partitionSpec.
+    // WITH maxRank the input is ≤ k rows by construction (orderBy+limit →
+    // TakeOrderedAndProject), so a single-partition window over the limited set
+    // is the cheap, scale-safe choice — assert that window sits above a limit.
     for (extra <- Seq("", "; bds:maxRank 10")) {
       val df = Engine.query(store,
         s"""PREFIX bds: <http://www.bigdata.com/rdf/search#>
            |SELECT ?lit ?r WHERE {
            |  ?lit bds:search "customer" ; bds:rank ?r $extra }""".stripMargin)
-      val global = df.queryExecution.executedPlan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec
+      // the AQE root (AdaptiveSparkPlanExec) is a leaf to TreeNode.collect, so
+      // assert on the logical optimized plan, which exposes the full tree
+      val global = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
           if w.partitionSpec.isEmpty => w
       }
-      assert(global.isEmpty,
-        s"unpartitioned window in ranked search plan (extra='$extra'):\n" +
-          df.queryExecution.executedPlan)
+      if (extra.isEmpty)
+        assert(global.isEmpty,
+          s"unpartitioned window on unbounded ranked search input:\n" +
+            df.queryExecution.optimizedPlan)
+      else {
+        assert(global.nonEmpty, "bounded rank should use the plain-window path")
+        // the window's input must be provably bounded: a limit directly below it
+        val boundedBelow = global.forall(_.child.collectFirst {
+          case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+        }.nonEmpty)
+        assert(boundedBelow,
+          s"bounded-rank window not above a limit:\n${df.queryExecution.optimizedPlan}")
+      }
       // ranks must still be the dense global sequence
       val ranks = df.collect().map(_.getStruct(1).getLong(6)).sorted
       assert(ranks.toSeq == (1L to ranks.length).toSeq, s"ranks not dense: ${ranks.toSeq.take(20)}")

@@ -29,8 +29,16 @@ def parse(path):
 
 
 def main():
-    runs = sorted((parse(p) for p in sys.argv[1:]), key=lambda r: r["k"])
+    if len(sys.argv) < 3:
+        sys.exit("usage: stress_report.py <log_k1> <log_k2> [more...] (need >= 2 runs)")
+    runs = [parse(p) for p in sys.argv[1:]]
+    for p, r in zip(sys.argv[1:], runs):
+        if "k" not in r:
+            sys.exit(f"{p}: no stress phase line with a 'k' field — not a ScaleStress log?")
+    runs.sort(key=lambda r: r["k"])
     ks = [r["k"] for r in runs]
+    if len(set(ks)) < 2:
+        sys.exit(f"all logs share K={ks[0]} — need at least two distinct Ks for an exponent")
     lo, hi = runs[0], runs[-1]
     span = math.log10(hi["k"] / lo["k"])
     exp_name = f'exponent_{lo["k"]}_to_{hi["k"]}'
