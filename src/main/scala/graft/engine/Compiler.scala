@@ -901,13 +901,21 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     // the rest apply as residual compat FILTERS inside each branch: still a
     // hash join, never a nested loop. For left-outer, unmatched left rows
     // (tracked by a row id on the materialized left) are re-appended null-padded.
-    if ((how == "inner" || how == "left_outer") && risky.nonEmpty &&
-        risky.forall(shared.contains)) {
+    // Semi/anti decompose through the same branch space: matched left-row ids
+    // from the branches, then one rid-keyed semi/anti join back — for anti
+    // (MINUS), branch pairs with no both-bound var are SKIPPED outright
+    // (disjoint domains remove nothing), so the anti path never crosses at all
+    // when ≤ 2 risky vars decompose exactly.
+    if (Seq("inner", "left_outer", "left_semi", "left_anti", "exists_anti")
+          .contains(how) && risky.nonEmpty && risky.forall(shared.contains)) {
       val all = risky.toSeq.sorted
       // multi-var: each side is re-scanned once per null-class (and, for k ≥ 3,
-      // once more by the selectivity probe) — materialize both sides first
+      // once more by the selectivity probe) — materialize both sides first.
+      // Semi/anti also probe right-class nonemptiness at planning time, so the
+      // right side materializes even for k = 1.
+      val isSemiAnti = Seq("left_semi", "left_anti", "exists_anti").contains(how)
       val lM = if (all.length > 1) l.localCheckpoint() else l
-      val rM = if (all.length > 1) r.localCheckpoint() else r
+      val rM = if (all.length > 1 || isSemiAnti) r.localCheckpoint() else r
       def compatCond(v: String): Column =
         col(v).isNull || col("__c_" + v).isNull || col(v)("id") === col("__c_" + v)("id")
       val (vs, residual) =
@@ -931,20 +939,60 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         vs.zipWithIndex.foldLeft(d) { case (acc, (v, i)) =>
           acc.filter(if (((mask >> i) & 1) == 1) name(v).isNotNull else name(v).isNull)
         }
+      def branchKeys(lm: Int, rm: Int): Seq[String] =
+        sure ++ vs.zipWithIndex.collect {
+          case (v, i) if ((lm >> i) & 1) == 1 && ((rm >> i) & 1) == 1 => v
+        }
       def branches(lhs: DataFrame): DataFrame = {
         val outs = for { lm <- masks; rm <- masks } yield {
-          val keys = sure ++ vs.zipWithIndex.collect {
-            case (v, i) if ((lm >> i) & 1) == 1 && ((rm >> i) & 1) == 1 => v
-          }
-          val joined = equiOn(cls(lhs, lm, col), cls(rM, rm, v => col("__c_" + v)), keys)
+          val joined = equiOn(cls(lhs, lm, col), cls(rM, rm, v => col("__c_" + v)),
+            branchKeys(lm, rm))
           residual.map(compatCond).reduceOption(_ && _)
             .map(joined.filter).getOrElse(joined)
         }
         outs.map(graft.engine.DfOps.reid).reduce(_.unionByName(_))
       }
       if (how == "inner") return merge(branches(lM))
-      // left_outer: inner matches + null-padded unmatched left rows
       val lk = lM.withColumn("__rid", monotonically_increasing_id()).localCheckpoint()
+      if (how == "left_semi" || how == "left_anti" || how == "exists_anti") {
+        // Semi/anti only need the MATCHED left-row ids, so even the null-class
+        // pairs avoid a cross join: a keys-empty pair is compatible wholesale,
+        // so its left class matches iff the right class is NON-EMPTY — a
+        // planning-time check against the (materialized) right side. MINUS-
+        // style left_anti additionally requires an overlapping bound var, so
+        // its keys-empty pairs are skipped outright (disjoint domains remove
+        // nothing); exists_anti (NOT EXISTS) removes on bare compatibility.
+        // The k ≥ 3 corner (keys empty but residual vars in play) keeps the
+        // filtered cross over the all-null classes, like the inner case.
+        val needOverlap = how == "left_anti"
+        val rNonEmpty = scala.collection.mutable.Map.empty[Int, Boolean]
+        def rightNonEmpty(rm: Int): Boolean = rNonEmpty.getOrElseUpdate(rm,
+          !cls(rM, rm, v => col("__c_" + v)).isEmpty)
+        val parts = for { lm <- masks; rm <- masks } yield {
+          val keys = branchKeys(lm, rm)
+          if (keys.isEmpty && residual.isEmpty) {
+            if (needOverlap || !rightNonEmpty(rm)) None
+            else Some(cls(lk, lm, col).select("__rid"))
+          } else {
+            val joined = equiOn(cls(lk, lm, col), cls(rM, rm, v => col("__c_" + v)), keys)
+            val fs = residual.map(compatCond) ++
+              (if (needOverlap && keys.isEmpty)
+                 Seq(residual.map(v => col(v).isNotNull && col("__c_" + v).isNotNull)
+                   .reduce(_ || _))
+               else Seq.empty)
+            Some(fs.reduceOption(_ && _).map(joined.filter).getOrElse(joined)
+              .select("__rid"))
+          }
+        }
+        val joinHow = if (how == "exists_anti") "left_anti" else how
+        val matched = parts.flatten.map(graft.engine.DfOps.reid)
+          .reduceOption(_.unionByName(_)).map(_.dropDuplicates("__rid"))
+        return (matched match {
+          case Some(m) => lk.join(m, Seq("__rid"), joinHow)
+          case None => if (joinHow == "left_anti") lk else lk.limit(0)
+        }).drop("__rid")
+      }
+      // left_outer: inner matches + null-padded unmatched left rows
       val inner = branches(lk)
       val unmatched = lk.join(inner.select("__rid").dropDuplicates("__rid"),
         Seq("__rid"), "left_anti")
@@ -957,6 +1005,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     }.reduce(_ && _)
     how match {
       case "left_semi" => l.join(r, cond, how)
+      case "exists_anti" => l.join(r, cond, "left_anti") // NOT EXISTS: no overlap needed
       case "left_anti" =>
         // MINUS-style anti: compatible AND at least one shared var bound on both
         // sides (disjoint domains remove nothing)
@@ -1022,12 +1071,13 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         if (shared.isEmpty) dl // disjoint domains: MINUS removes nothing
         else {
           val risky = (unboundOf(l) ++ unboundOf(r)) & shared.toSet
-          if (risky.nonEmpty) compatJoin(dl, dr.select(shared.map(col): _*), "left_anti")
+          if (risky.nonEmpty)
+            compatJoin(dl, dr.select(shared.map(col): _*), "left_anti", risky)
           else joinDf(dl, dr.select(shared.map(col): _*), "left_anti")
         }
       }
     case OpFilter(exprs, child) =>
-      exprs.foldLeft(compile(child))((df, e) => applyFilter(df, e))
+      exprs.foldLeft(compile(child))((df, e) => applyFilter(df, e, unboundOf(child)))
     case OpExtend(child, name, expr) =>
       val df = compile(child)
       val (df1, e1, exTemps) = stageExists(df, expr)
@@ -1071,7 +1121,8 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       }
   }
 
-  private def applyFilter(df: DataFrame, e: Expr): DataFrame = e match {
+  private def applyFilter(df: DataFrame, e: Expr,
+                          outerUnbound: Set[String] = Set.empty): DataFrame = e match {
     case EExists(gp, not) =>
       val op = Algebra.lower(gp)
       // CORRELATED filters — inner FILTERs referencing outer-solution vars the
@@ -1097,7 +1148,19 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         df.join(ren, (eqs ++ preds).reduce(_ && _), how)
       }
       else if (shared.isEmpty) df.join(sub.limit(1), lit(true), how)
-      else joinDf(df, sub, how)
+      else {
+        // substitution semantics: a shared var UNBOUND in the outer solution
+        // constrains nothing — the row matches iff the sub-pattern has any
+        // solution. The equi semi/anti join gets that wrong when a shared var
+        // is maybe-unbound on either side → route through the compatibility
+        // join (which decomposes into null-class hash joins, never a BNLJ).
+        val risky = (outerUnbound ++ unboundOf(innerOp)) & shared.toSet
+        // NOT EXISTS anti is overlap-free (unlike MINUS: a row whose shared
+        // vars are all unbound IS removed when the sub-pattern is non-empty)
+        val compatHow = if (not) "exists_anti" else how
+        if (risky.nonEmpty) compatJoin(df, sub.select(shared.map(col): _*), compatHow, risky)
+        else joinDf(df, sub, how)
+      }
     case other =>
       val (df1, e1, exTemps) = stageExists(df, other)
       val st = Exprs.stageSubexprs(df1, e1, env(df1))

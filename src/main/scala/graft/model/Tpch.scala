@@ -184,14 +184,45 @@ object Tpch {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         stmts.count() // materialize before the fan-out so the jobs share blocks
         val staged = new GraftStore(spark, stmts, lexiconPath = Some(path + "-lexicon"))
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val jobs = Seq(
-          Future(GraftStore.save(stmts, path)),
-          Future { staged.nodeTerms; () },
-          Future { graft.search.TextIndex.forStore(staged); () })
-        jobs.foreach(Await.result(_, Duration.Inf))
+        // Concurrent fan-out triples the PEAK scratch spill (three jobs'
+        // shuffles + the staging blocks in flight at once) — the x30 stress
+        // build died on exactly that (transient `No space left on device`,
+        // freed on JVM exit). When free scratch is tight relative to the
+        // source size, serialize the fan-out: same total work, bounded
+        // concurrent spill — also the right behavior on spill-constrained
+        // executors. Override with SPARK_GRAFT_LOAD_FANOUT or
+        // spark.graft.load.fanout = concurrent | sequential | auto.
+        def treeBytes(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).map(_.map(treeBytes).sum).getOrElse(0L)
+          else f.length()
+        val srcBytes = math.max(treeBytes(new java.io.File(dir)), 1L)
+        val usable = new java.io.File("/tmp").getUsableSpace
+        val mode = sys.env.getOrElse("SPARK_GRAFT_LOAD_FANOUT",
+          try spark.conf.get("spark.graft.load.fanout") catch { case _: Exception => "auto" })
+        val concurrent = mode match {
+          case "concurrent" => true
+          case "sequential" => false
+          // measured at x30: concurrent spill blew a ~75 GB disk from a 461 MB
+          // source (~160× source); 200× headroom keeps the concurrent path for
+          // comfortable builds only
+          case _ => usable > 200L * srcBytes
+        }
+        System.err.println(f"[graft-load] fanout=${if (concurrent) "concurrent" else "sequential"} " +
+          f"(mode=$mode, src=${srcBytes / 1e6}%.0f MB, scratch_free=${usable / 1e9}%.1f GB)")
+        if (concurrent) {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val jobs = Seq(
+            Future(GraftStore.save(stmts, path)),
+            Future { staged.nodeTerms; () },
+            Future { graft.search.TextIndex.forStore(staged); () })
+          jobs.foreach(Await.result(_, Duration.Inf))
+        } else {
+          GraftStore.save(stmts, path)
+          staged.nodeTerms
+          graft.search.TextIndex.forStore(staged)
+        }
         stmts.unpersist(false) // staging blocks are dead once the store is at rest
       }
       val st = new GraftStore(spark, GraftStore.load(spark, path).statements,

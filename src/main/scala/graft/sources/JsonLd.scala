@@ -22,11 +22,15 @@ import scala.collection.mutable.ArrayBuffer
   *   - 1.1: `@included` (secondary node objects carried alongside a node, same
   *     graph, no connecting edge), `@nest` (property grouping — nested map's
   *     properties belong to the enclosing node; context terms may alias `@nest`),
-  *     and `@json` literals (`@type: @json` on a value object or via context
-  *     coercion → an rdf:JSON literal with a canonical key-sorted serialization).
+  *     `@json` literals (`@type: @json` on a value object or via context
+  *     coercion → an rdf:JSON literal with a canonical key-sorted serialization),
+  *     and `@direction` (value-object member or context default): direction-
+  *     tagged strings serialize as i18n-datatype literals
+  *     (`"text"^^<https://www.w3.org/ns/i18n#lang_dir>` — the rdfDirection=
+  *     i18n-datatype mode, the round-trippable RDF representation).
   *
-  * Unsupported 1.1 features (`@reverse`, `@container` indexing, scoped contexts,
-  * remote contexts) fail loudly rather than silently mis-parse.
+  * Unsupported 1.1 features (scoped contexts, `@propagate`, remote contexts)
+  * fail loudly rather than silently mis-parse.
   */
 object JsonLd {
 
@@ -41,6 +45,7 @@ object JsonLd {
     var reverseTerms = Set.empty[String] // context terms defined via "@reverse"
     var containers = Map.empty[String, Seq[String]] // term → @container keywords
     var vocab: Option[String] = None
+    var defaultDirection: Option[String] = None // context @direction ("ltr"/"rtl")
     def freshBnode(): String = { bn += 1; s"jb$bn" }
     def bnode(label: String): String =
       labeled.getOrElseUpdate(label, { bn += 1; s"jbl$bn-${label.stripPrefix("_:")}" })
@@ -77,11 +82,15 @@ object JsonLd {
   }
 
   private def readContext(c: JsonNode, ctx: Ctx): Unit = {
-    if (c.isTextual) unsupported("remote @context")
+    if (c.isTextual)
+      unsupported(s"remote @context <${c.asText()}> (no dereferencing; inline the context)")
     if (c.isArray) { c.elements().asScala.foreach(readContext(_, ctx)); return }
     c.properties().asScala.foreach { e =>
       val (k, v) = (e.getKey, e.getValue)
       if (k == "@vocab") ctx.vocab = Some(v.asText())
+      else if (k == "@direction")
+        ctx.defaultDirection = if (v.isNull) None else Some(dirOf(v.asText()))
+      else if (k == "@propagate") unsupported("@propagate (scoped-context propagation)")
       else if (k.startsWith("@")) () // @base/@language: accepted, not modeled
       else if (v.isTextual && v.asText() == "@nest") ctx.nestAliases += k
       else if (v.isTextual) ctx.terms += k -> (v.asText(), None)
@@ -246,6 +255,11 @@ object JsonLd {
     else n.toString // strings print quoted+escaped; numbers/bools/null as-is
 
   private val RDF_JSON = RDF + "JSON"
+  private val I18N = "https://www.w3.org/ns/i18n#"
+
+  private def dirOf(d: String): String =
+    if (d == "ltr" || d == "rtl") d
+    else unsupported(s"@direction '$d' (must be \"ltr\" or \"rtl\")")
 
   private def emitJson(ctx: Ctx, subj: (Byte, String), prop: String,
                        v: JsonNode, g: Option[String]): Unit =
@@ -284,8 +298,18 @@ object JsonLd {
         .orElse(if (v.get("@value").isIntegralNumber) Some(Term.XSD_INTEGER) else None)
         .orElse(if (v.get("@value").isNumber) Some(Term.XSD_DOUBLE) else None)
       val lang = Option(v.get("@language")).map(_.asText().toLowerCase)
-      emit(ctx, subj, prop, Term.KIND_LITERAL, lex, dt.orNull,
-        if (dt.isEmpty) lang.orNull else null, g)
+      // @direction (explicit, else the context default for plain strings):
+      // i18n-datatype serialization — direction rides in the datatype IRI
+      val dir = Option(v.get("@direction")).map(d => dirOf(d.asText()))
+        .orElse(if (dt.isEmpty && v.get("@value").isTextual) ctx.defaultDirection else None)
+      dir match {
+        case Some(d) if dt.isEmpty =>
+          emit(ctx, subj, prop, Term.KIND_LITERAL, lex,
+            I18N + lang.getOrElse("") + "_" + d, null, g)
+        case _ =>
+          emit(ctx, subj, prop, Term.KIND_LITERAL, lex, dt.orNull,
+            if (dt.isEmpty) lang.orNull else null, g)
+      }
     } else if (v.isObject) {
       // node reference or nested node object
       val o = nodeObject(v, ctx, g)
@@ -297,7 +321,12 @@ object JsonLd {
           if (t.startsWith("_:")) emit(ctx, subj, prop, Term.KIND_BNODE, ctx.bnode(t), null, null, g)
           else emit(ctx, subj, prop, Term.KIND_IRI, expandIri(t, ctx), null, null, g)
         case Some(dt) => emit(ctx, subj, prop, Term.KIND_LITERAL, v.asText(), expandIri(dt, ctx), null, g)
-        case None => emit(ctx, subj, prop, Term.KIND_LITERAL, v.asText(), null, null, g)
+        case None => ctx.defaultDirection match {
+          // context default direction applies to plain (uncoerced) strings
+          case Some(d) =>
+            emit(ctx, subj, prop, Term.KIND_LITERAL, v.asText(), I18N + "_" + d, null, g)
+          case None => emit(ctx, subj, prop, Term.KIND_LITERAL, v.asText(), null, null, g)
+        }
       }
     } else if (v.isBoolean)
       emit(ctx, subj, prop, Term.KIND_LITERAL, v.asBoolean().toString, Term.XSD_BOOLEAN, null, g)

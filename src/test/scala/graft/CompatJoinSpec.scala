@@ -148,6 +148,58 @@ class CompatJoinSpec extends GraftSuite {
       s"expected null-class decomposition with equi branches:\n$plan")
   }
 
+  test("MINUS with maybe-unbound shared var decomposes (no nested loop), keeps MINUS overlap rule") {
+    val q = """SELECT ?k ?x WHERE {
+              |  { VALUES ?k { 1 2 3 } OPTIONAL { VALUES (?k ?x) { (1 10) (2 20) } } }
+              |  MINUS { VALUES (?k ?x) { (1 10) (3 UNDEF) } }
+              |}""".stripMargin
+    val df = Engine.query(store, q)
+    val rows = df.collect().map { r =>
+      (r.getStruct(0).getAs[Long]("lng"),
+        if (r.isNullAt(1)) -1L else r.getStruct(1).getAs[Long]("lng"))
+    }.toSet
+    // (1,10) removed by exact match; (3,unbound) removed by (3,UNDEF) — k
+    // overlaps and x is compatible-unbound; (2,20) matches nothing
+    assert(rows == Set((2L, 20L)), rows.toString)
+    val plan = Engine.explain(store, q)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"risky MINUS must decompose, not fall back to a nested loop:\n$plan")
+  }
+
+  test("EXISTS with maybe-unbound outer var: unbound row matches freely (substitution), no nested loop") {
+    val q = """SELECT ?x ?tag WHERE {
+              |  { VALUES ?x { 1 } BIND("bound" AS ?tag) } UNION { BIND("bare" AS ?tag) }
+              |  FILTER EXISTS { VALUES (?x ?z) { (1 10) } }
+              |}""".stripMargin
+    val df = Engine.query(store, q)
+    val rows = df.collect().map { r =>
+      (if (r.isNullAt(0)) -1L else r.getStruct(0).getAs[Long]("lng"),
+        r.getStruct(1).getAs[String]("str"))
+    }.toSet
+    // bound row matches x=1; the bare row leaves ?x free, so the sub-pattern
+    // evaluates unconstrained (non-empty) — substitution semantics keep it
+    assert(rows == Set((1L, "bound"), (-1L, "bare")), rows.toString)
+    val plan = Engine.explain(store, q)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"risky EXISTS semi must decompose, not fall back to a nested loop:\n$plan")
+  }
+
+  test("NOT EXISTS with maybe-unbound outer var removes on bare compatibility (no MINUS overlap rule)") {
+    val df = Engine.query(store,
+      """SELECT ?x ?tag WHERE {
+        |  { VALUES ?x { 1 } BIND("bound" AS ?tag) } UNION { BIND("bare" AS ?tag) }
+        |  FILTER NOT EXISTS { VALUES (?x ?z) { (7 70) } }
+        |}""".stripMargin)
+    val rows = df.collect().map { r =>
+      (if (r.isNullAt(0)) -1L else r.getStruct(0).getAs[Long]("lng"),
+        r.getStruct(1).getAs[String]("str"))
+    }.toSet
+    // bound row: substituted pattern (x=7 vs x=1) is empty → kept. Bare row:
+    // ?x free → pattern non-empty → REMOVED (unlike MINUS, where a row with
+    // no overlapping bound var survives)
+    assert(rows == Set((1L, "bound")), rows.toString)
+  }
+
   test("OPTIONAL after a union with maybe-unbound var: decomposed left join is exact") {
     val df = Engine.query(store,
       """SELECT ?x ?tag ?z WHERE {

@@ -125,10 +125,45 @@ class JsonLdSpec extends GraftSuite {
     assert(lex("arr") == "[3,null]")
   }
 
+  test("@direction: value-object member and context default emit i18n-datatype literals") {
+    val quads = JsonLd.parse(
+      """{
+        |  "@context": {"ex": "http://example.org/"},
+        |  "@id": "ex:x",
+        |  "ex:title": {"@value": "مرحبا", "@language": "ar", "@direction": "rtl"},
+        |  "ex:note": {"@value": "plain", "@direction": "ltr"}
+        |}""".stripMargin)
+    val byDt = quads.map(q => q.oStr -> q.oDt).toMap
+    assert(byDt("مرحبا") == "https://www.w3.org/ns/i18n#ar_rtl")
+    assert(byDt("plain") == "https://www.w3.org/ns/i18n#_ltr")
+    // context default applies to uncoerced plain strings and direction-less
+    // string value objects; an explicit @type wins over the default
+    val q2 = JsonLd.parse(
+      """{
+        |  "@context": {"ex": "http://example.org/", "@direction": "rtl",
+        |               "when": {"@id": "ex:when", "@type": "ex:dt"}},
+        |  "@id": "ex:y",
+        |  "ex:a": "shalom",
+        |  "ex:b": {"@value": "b", "@language": "he"},
+        |  "when": "now"
+        |}""".stripMargin)
+    val m2 = q2.map(q => q.oStr -> q.oDt).toMap
+    assert(m2("shalom") == "https://www.w3.org/ns/i18n#_rtl")
+    assert(m2("b") == "https://www.w3.org/ns/i18n#he_rtl")
+    assert(m2("now") == "http://example.org/dt")
+    // invalid direction token rejected with a diagnostic
+    val e = intercept[IllegalArgumentException](JsonLd.parse(
+      """{"@id": "urn:x", "urn:p": {"@value": "v", "@direction": "up"}}"""))
+    assert(e.getMessage.contains("@direction"))
+  }
+
   test("unsupported 1.1 features fail loudly") {
     val e = intercept[IllegalArgumentException](
       JsonLd.parse("""{"@context": "http://remote/ctx", "@id": "ex:x"}"""))
-    assert(e.getMessage.contains("unsupported"))
+    assert(e.getMessage.contains("unsupported") && e.getMessage.contains("http://remote/ctx"))
+    val ep = intercept[IllegalArgumentException](
+      JsonLd.parse("""{"@context": {"@propagate": true}, "@id": "ex:x"}"""))
+    assert(ep.getMessage.contains("@propagate"))
     val e2 = intercept[IllegalArgumentException](
       JsonLd.parse("""{"@context": {"t": {"@id": "urn:p", "@container": "@graph"}},
                      | "@id": "urn:x", "t": {"@id": "urn:y"}}""".stripMargin))
