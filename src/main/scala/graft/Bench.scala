@@ -53,13 +53,21 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t) / 1e9
-      // between queries (outside the timed region): GC so the ContextCleaner frees
-      // dead localCheckpoint blocks — one query's committed deltas must not cost the
-      // next query memory (the per-query-latency contract of the reference's reports)
-      System.gc()
+      // SPARK_GRAFT_BENCH_ITERS=N (default 1, the driver's single-pass mode):
+      // report min-of-N per query — the noise-controlled mode for local A/Bs
+      // (battery order injects JIT/GC state into single-pass numbers; see
+      // QBENCH_AB_r9.json for the measured band)
+      val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "1").toInt
+      val sec = (1 to iters).map { _ =>
+        val t = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val s = (System.nanoTime() - t) / 1e9
+        // between queries (outside the timed region): GC so the ContextCleaner
+        // frees dead localCheckpoint blocks — one query's committed deltas must
+        // not cost the next query memory
+        System.gc()
+        s
+      }.min
       name -> sec
     }
     // The driver captures only the LAST 2000 output chars; at 100 entries the key
