@@ -1074,6 +1074,60 @@ object SparkEntry {
              |SELECT id AS neighbor, round(dist, 6) AS dist FROM adc
              |ORDER BY dist ASC, neighbor ASC LIMIT 10""".stripMargin)),
 
+    // IVF-PQ: coarse cells + PQ-encoded residuals + probed-cell ADC — the
+    // composed memory-bound ANN shape (oracle replays the full pipeline with
+    // the same deterministic first-k seeding and sequential L2 folds)
+    ("p_ann_ivfpq", ((s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val firstId = e.agg(min("vec_id")).first().getLong(0)
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", firstId, 10)
+        .select(col("neighbor"), round(col("dist"), 6).as("dist"))
+    }): Q,
+      Some("""WITH d AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |c AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+             |  FROM (SELECT id, v FROM d ORDER BY id LIMIT 8)),
+             |asg0 AS (SELECT d.id, d.v, c.cell,
+             |    list_reduce(list_transform(generate_series(1, len(d.v)),
+             |      i -> (d.v[i] - c.cv[i]) * (d.v[i] - c.cv[i])), (x, y) -> x + y) AS d2
+             |  FROM d, c),
+             |asg AS (SELECT id, v, cell FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cell ASC) AS rn
+             |    FROM asg0) WHERE rn = 1),
+             |res AS (SELECT a.id, a.cell,
+             |    list_transform(generate_series(1, len(a.v)), i -> a.v[i] - c.cv[i]) AS r
+             |  FROM asg a JOIN c USING (cell)),
+             |cb AS (SELECT g.ms, row_number() OVER (PARTITION BY g.ms ORDER BY r16.id) - 1 AS code,
+             |    r16.r[g.ms*8+1 : g.ms*8+8] AS cv
+             |  FROM (SELECT id, r FROM res ORDER BY id LIMIT 16) r16,
+             |       generate_series(0, 7) AS g(ms)),
+             |sub AS (SELECT res.id, res.cell, g.ms, res.r[g.ms*8+1 : g.ms*8+8] AS sv
+             |  FROM res, generate_series(0, 7) AS g(ms)),
+             |dist AS (SELECT s.id, s.cell, s.ms, cb.code,
+             |    list_reduce(list_transform(generate_series(1, 8),
+             |      i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])), (x, y) -> x + y) AS d2
+             |  FROM sub s JOIN cb USING (ms)),
+             |enc AS (SELECT id, cell, ms, code FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY id, ms ORDER BY d2 ASC, code ASC) AS rn
+             |    FROM dist) WHERE rn = 1),
+             |qid AS (SELECT min(vec_id) AS q FROM embeddings),
+             |qcells AS (SELECT c.cell, c.cv FROM c, d, qid WHERE d.id = qid.q
+             |  ORDER BY list_reduce(list_transform(generate_series(1, len(d.v)),
+             |    i -> (d.v[i] - c.cv[i]) * (d.v[i] - c.cv[i])), (x, y) -> x + y) ASC, c.cell ASC
+             |  LIMIT 3),
+             |qres AS (SELECT qc.cell,
+             |    list_transform(generate_series(1, len(d.v)), i -> d.v[i] - qc.cv[i]) AS qr
+             |  FROM qcells qc, d, qid WHERE d.id = qid.q),
+             |qtab AS (SELECT qres.cell, cb.ms, cb.code,
+             |    list_reduce(list_transform(generate_series(1, 8),
+             |      i -> (qres.qr[cb.ms*8 + i] - cb.cv[i]) * (qres.qr[cb.ms*8 + i] - cb.cv[i])),
+             |      (x, y) -> x + y) AS qd
+             |  FROM qres, cb),
+             |adc AS (SELECT e.id, list_reduce(list(q.qd ORDER BY e.ms), (x, y) -> x + y) AS dist
+             |  FROM enc e JOIN qtab q USING (cell, ms, code), qid WHERE e.id != qid.q GROUP BY e.id)
+             |SELECT id AS neighbor, round(dist, 6) AS dist FROM adc
+             |ORDER BY dist ASC, neighbor ASC LIMIT 10""".stripMargin)),
+
     ("p_ann_ivf", ((s: SparkSession, dir: String) => {
       val e = emb(s, dir)
       val firstId = e.agg(min("vec_id")).first().getLong(0)

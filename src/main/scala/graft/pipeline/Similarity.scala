@@ -269,4 +269,86 @@ object Similarity {
       .orderBy(col("dist").asc, col("neighbor").asc)
       .limit(k)
   }
+
+  /** IVF-PQ (the classic memory-bound composition, L2 throughout): coarse-
+    * quantize every vector to its nearest of `cells` centroids, PQ-encode the
+    * RESIDUAL (v − centroid) per subspace, and answer a query by probing the
+    * `probes` nearest cells with one per-cell ADC table over the residual
+    * codebook. Candidates outside the probed cells are never touched, and the
+    * corpus is scanned as m-byte codes — the two prunings that make ANN
+    * tractable when 100 TB of embeddings cannot be rescanned as floats.
+    *
+    * Scale shape: centroids (cells×dim) and the residual codebook
+    * (m×codes×subLen) driver-materialize once — both bounded by construction —
+    * and ride into the single encode pass as expression literals: assignment,
+    * residual, and code argmin are all per-row map work, ZERO exchanges
+    * between the vector scan and the (id, cell, codes) table. The per-query
+    * ADC tables (probes×m×codes rows) compute on the driver from the one
+    * query row and broadcast; ADC itself is a broadcast join + one keyed
+    * aggregate. Deterministic first-k seeding keeps it oracle-reproducible.
+    */
+  def ivfPqTopK(emb0: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int, cells: Int = 8, probes: Int = 3,
+                m: Int = 8, codes: Int = 16): DataFrame = {
+    val spark = emb0.sparkSession
+    val emb = graft.engine.DfOps.spread(emb0)
+    val docs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val dim = docs.select(size(col("v"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val subLen = dim / m
+    def l2Fold(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+    // coarse centroids: first `cells` vectors by id (bounded, deterministic)
+    val cent: IndexedSeq[Seq[Double]] = docs.orderBy("id").limit(cells)
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toSeq).toIndexedSeq
+    val centLit = array(cent.map(cv => array(cv.map(lit): _*)): _*)
+    // assignment + residual: pure map against the centroid literals
+    val assigned = docs
+      .withColumn("cell", array_min(zip_with(centLit, sequence(lit(0), lit(cells - 1)),
+        (cv, c) => struct(l2Fold(col("v"), cv).as("d2"), c.as("cell"))))("cell"))
+      .withColumn("r", zip_with(col("v"), element_at(centLit, col("cell") + 1),
+        (x, y) => x - y))
+    // residual codebook: subspace slices of the first `codes` vectors' residuals
+    val cbMap: Map[Int, IndexedSeq[Seq[Double]]] = {
+      val rows = assigned.orderBy("id").limit(codes).select(col("id"), col("r"))
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toSeq)
+      (0 until m).map(ms =>
+        ms -> rows.map(_.slice(ms * subLen, (ms + 1) * subLen)).toIndexedSeq).toMap
+    }
+    val cbAll = array((0 until m).map(ms =>
+      array(cbMap(ms).map(cv => array(cv.map(lit): _*)): _*)): _*)
+    // encode: one explode to (id, cell, ms) — narrow — then literal argmin
+    val enc = assigned
+      .select(col("id"), col("cell"),
+        explode(sequence(lit(0), lit(m - 1))).as("ms"), col("r"))
+      .select(col("id"), col("cell"), col("ms"),
+        slice(col("r"), col("ms") * subLen + 1, lit(subLen)).as("sv"))
+      .withColumn("code", array_min(zip_with(
+        element_at(cbAll, col("ms") + 1), sequence(lit(0), lit(codes - 1)),
+        (cv, c) => struct(l2Fold(col("sv"), cv).as("d2"), c.as("code"))))("code"))
+      .select(col("id"), col("cell"), col("ms"), col("code"))
+    // per-query ADC tables: one query row → driver math (bounded by design)
+    val qv = docs.filter(col("id") === queryId).first().getSeq[Double](1).toSeq
+    def l2s(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).foldLeft(0.0d) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val probed = cent.indices.map(c => (l2s(qv, cent(c)), c)).sorted.take(probes).map(_._2)
+    val qtabRows = for {
+      c <- probed
+      qr = qv.lazyZip(cent(c)).map(_ - _)
+      ms <- 0 until m
+      code <- 0 until codes
+    } yield (c, ms, code, l2s(qr.slice(ms * subLen, (ms + 1) * subLen), cbMap(ms)(code)))
+    import spark.implicits._
+    val qTab = qtabRows.toDF("cell", "ms", "code", "qd")
+    // ADC over probed cells only: broadcast join + keyed agg, ms-ordered fold
+    enc.filter(col("id") =!= queryId)
+      .join(broadcast(qTab), Seq("cell", "ms", "code"))
+      .groupBy("id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("ms"), col("qd")))), p => p("qd")),
+        lit(0.0d), (acc, v) => acc + v).as("dist"))
+      .select(col("id").as("neighbor"), col("dist"))
+      .orderBy(col("dist").asc, col("neighbor").asc)
+      .limit(k)
+  }
 }
