@@ -924,6 +924,34 @@ object SparkEntry {
              |       ELSE 'train' END AS fold
              |FROM u""".stripMargin)),
 
+    // deterministic shard manifest: md5-routed shards + per-shard doc count,
+    // char mass, and an order-independent 31-bit-fold checksum — the
+    // reproducible-export primitive (consumers re-derive and validate shards)
+    ("p_shard_manifest", ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curate.shardManifest(docs(s, dir), "doc_id", "text", 16)): Q,
+      Some("""WITH h AS (SELECT
+             |  list_reduce(list_transform(generate_series(1, 15),
+             |    i -> CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+             |    (a, b) -> a * 16 + b) % 16 AS shard,
+             |  CAST(length(text) AS BIGINT) AS len,
+             |  list_reduce(list_transform(generate_series(1, 15),
+             |    i -> CAST(instr('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT)),
+             |    (a, b) -> a * 16 + b) % 2147483648 AS h31
+             | FROM documents)
+             |SELECT shard, COUNT(*) AS n_docs, SUM(len) AS n_chars, SUM(h31) AS checksum
+             |FROM h GROUP BY shard""".stripMargin)),
+
+    // one-pass per-column dataset profile (rows/nulls/distinct/min/max) — the
+    // pre-training QA audit, a single scan with map-side partials
+    ("p_profile", ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curate.profile(docs(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars"))): Q,
+      Some(Seq("doc_id", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           | COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct,
+           | CAST(MIN($c) AS VARCHAR) AS min_value, CAST(MAX($c) AS VARCHAR) AS max_value
+           | FROM documents""".stripMargin).mkString("\nUNION ALL\n"))),
+
     ("p_pack_sequences", ((s: SparkSession, dir: String) =>
       graft.pipeline.Curate.packSequences(docs(s, dir), "source", "doc_id",
         "text", window = 2048)): Q,

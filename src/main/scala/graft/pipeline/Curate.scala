@@ -141,4 +141,50 @@ object Curate {
         .when(u < valFrac + testFrac, "test")
         .otherwise("train"))
   }
+
+  /** Deterministic shard manifest for reproducible corpus exports: every doc
+    * routes to `pmod(md5(id), shards)` — stable under re-runs, engines, and
+    * input partitioning (unlike `repartition`'s round-robin) — and the
+    * manifest row per shard carries (doc count, char mass, order-independent
+    * content checksum). A consumer re-derives the same shards from the same
+    * corpus and validates them against the manifest; at 100 TB this is one
+    * map-side-combined keyed aggregate over `shards` groups. The checksum
+    * sums per-doc 31-bit md5 folds (bounded far below long overflow), so it
+    * is commutative across partitions and exact in any engine.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+                    shards: Int): DataFrame =
+    df.select(
+        pmod(Dedup.md5TokenHash(col(idCol).cast("string")), lit(shards.toLong)).as("shard"),
+        length(col(textCol)).cast("long").as("len"),
+        pmod(Dedup.md5TokenHash(col(textCol)), lit(1L << 31)).as("h31"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("n_chars"),
+        sum("h31").as("checksum"))
+
+  /** One-pass dataset profile — the audit a corpus runs before training: per
+    * column, row count, null count, distinct count, and min/max (as strings).
+    * Compiles to ONE aggregate over the table (multiple COUNT DISTINCTs plan
+    * through Expand — still a single scan) and a driver-free unpivot of the
+    * one result row; at 100 TB it is the cheapest complete QA sweep there is.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__cnt_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val all = count(lit(1)).as("__n") +: aggs
+    val row = df.agg(all.head, all.tail: _*)
+    row.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))): _*)).as("p"))
+      .select(col("p")("col_name").as("col_name"), col("p")("n_rows").as("n_rows"),
+        col("p")("n_nulls").as("n_nulls"), col("p")("n_distinct").as("n_distinct"),
+        col("p")("min_value").as("min_value"), col("p")("max_value").as("max_value"))
+  }
 }
