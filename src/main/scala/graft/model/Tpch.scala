@@ -180,18 +180,16 @@ object Tpch {
         // sf0.1. Same shape a cluster bulk load takes: land the normalized table
         // and fan out index builds over it (the reference's DataLoader maintains
         // its lexicon and text index inside the load pass).
-        val stmts = statements(spark, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        stmts.count() // materialize before the fan-out so the jobs share blocks
-        val staged = new GraftStore(spark, stmts, lexiconPath = Some(path + "-lexicon"))
-        // Concurrent fan-out triples the PEAK scratch spill (three jobs'
-        // shuffles + the staging blocks in flight at once) — the x30 stress
-        // build died on exactly that (transient `No space left on device`,
-        // freed on JVM exit). When free scratch is tight relative to the
-        // source size, serialize the fan-out: same total work, bounded
-        // concurrent spill — also the right behavior on spill-constrained
-        // executors. Override with SPARK_GRAFT_LOAD_FANOUT or
-        // spark.graft.load.fanout = concurrent | sequential | auto.
+        // Scratch-space pressure governs two choices here (override with
+        // SPARK_GRAFT_LOAD_FANOUT / spark.graft.load.fanout =
+        // concurrent | sequential | auto):
+        //  1. staging storage level — the deserialized MEMORY_AND_DISK blocks
+        //     spill at ~200+ B/statement (a 76 GB block store at x30, measured);
+        //     when tight, stage SERIALIZED (MEMORY_AND_DISK_SER, several× less
+        //     disk for CPU on re-read — the classic constrained-executor trade);
+        //  2. fan-out concurrency — three concurrent index jobs triple the peak
+        //     shuffle spill on top of the staging blocks; when tight, run them
+        //     sequentially (same total work, bounded peak).
         def treeBytes(f: java.io.File): Long =
           if (f.isDirectory) Option(f.listFiles()).map(_.map(treeBytes).sum).getOrElse(0L)
           else f.length()
@@ -202,13 +200,19 @@ object Tpch {
         val concurrent = mode match {
           case "concurrent" => true
           case "sequential" => false
-          // measured at x30: concurrent spill blew a ~75 GB disk from a 461 MB
-          // source (~160× source); 200× headroom keeps the concurrent path for
-          // comfortable builds only
+          // measured at x30: concurrent deserialized spill blew a ~75 GB disk
+          // from a 461 MB source (~160× source); 200× headroom keeps the
+          // comfortable path for comfortable builds only
           case _ => usable > 200L * srcBytes
         }
         System.err.println(f"[graft-load] fanout=${if (concurrent) "concurrent" else "sequential"} " +
           f"(mode=$mode, src=${srcBytes / 1e6}%.0f MB, scratch_free=${usable / 1e9}%.1f GB)")
+        val stagingLevel =
+          if (concurrent) org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+          else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        val stmts = statements(spark, dir).persist(stagingLevel)
+        stmts.count() // materialize before the fan-out so the jobs share blocks
+        val staged = new GraftStore(spark, stmts, lexiconPath = Some(path + "-lexicon"))
         if (concurrent) {
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global

@@ -27,6 +27,9 @@ object ScaleStress {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+      // amplified builds stage SERIALIZED when scratch is tight (Tpch.store);
+      // compress those blocks too — term-struct rows compress several-fold
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
