@@ -1478,6 +1478,34 @@ object SparkEntry {
              |SELECT CAST(vertex AS BIGINT) AS vertex, CAST(min(label) AS BIGINT) AS component
              |FROM prop GROUP BY vertex""".stripMargin)),
 
+    // exact triangle census over the part co-purchase graph (parts sharing an
+    // order) — degree-ordered compact-forward, one triangle per lowest-degree
+    // corner; the m^1.5-bounded exact method that scales to big sparse graphs
+    ("p_gas_triangles", ((s: SparkSession, dir: String) => {
+      val li = read(s, dir, "lineitem")
+      val op = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .dropDuplicates("o", "p")
+      val edges = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.gas.Gas.triangleStats(edges)
+    }): Q,
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+             |e AS (SELECT DISTINCT a.p a, b.p b FROM op a JOIN op b ON a.o=b.o AND a.p<b.p),
+             |deg AS (SELECT v, COUNT(*) AS deg FROM
+             |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+             |o AS (SELECT
+             |    CASE WHEN da.deg<db.deg OR (da.deg=db.deg AND e.a<e.b) THEN e.a ELSE e.b END AS src,
+             |    CASE WHEN da.deg<db.deg OR (da.deg=db.deg AND e.a<e.b) THEN e.b ELSE e.a END AS dst,
+             |    CASE WHEN da.deg<db.deg OR (da.deg=db.deg AND e.a<e.b) THEN db.deg ELSE da.deg END AS ddeg
+             |  FROM e JOIN deg da ON da.v=e.a JOIN deg db ON db.v=e.b),
+             |wed AS (SELECT x.dst AS v, y.dst AS w FROM o x JOIN o y
+             |  ON x.src=y.src AND (x.ddeg<y.ddeg OR (x.ddeg=y.ddeg AND x.dst<y.dst))),
+             |tri AS (SELECT COUNT(*) AS t FROM wed JOIN o ON o.src=wed.v AND o.dst=wed.w),
+             |wtot AS (SELECT CAST(SUM(deg*(deg-1)/2) AS BIGINT) AS w FROM deg)
+             |SELECT CAST(t AS BIGINT) AS triangles, w AS wedges,
+             |  3.0*t/w AS clustering FROM tri, wtot""".stripMargin)),
+
     ("p_gas_pagerank", ((s: SparkSession, dir: String) => {
       val o = read(s, dir, "orders")
       val edges = o.select(col("o_custkey").as("src"), col("o_orderkey").as("dst"))
