@@ -2034,10 +2034,18 @@ object SparkEntry {
         .select(col("purchase_id"), col("view_id"))
       val qn = "qsj_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // AvailableNow drains the (single-file) source in bounded micro-batches
-      // and self-stops — wall time reflects the join, not trigger spin-up
-      val q = joined.writeStream.format("memory").queryName(qn)
+      // and self-stops — wall time reflects the join, not trigger spin-up.
+      // Stateful partition count sizes to the STATE, not the batch CPUs: a
+      // stream-stream join instantiates 4 state stores per shuffle partition,
+      // so 32 partitions of kilobyte state is pure store-init overhead (at
+      // real scale this knob rises with state volume, per query)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, "8")
+      val q = try joined.writeStream.format("memory").queryName(qn)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .outputMode("append").start()
+      finally s.conf.set(spKey, spPrev)
       try q.awaitTermination() finally q.stop()
       val out = s.table(qn).localCheckpoint()
       s.catalog.dropTempView(qn)
@@ -2068,9 +2076,15 @@ object SparkEntry {
       val mergeKey = "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition"
       val prev = s.conf.getOption(mergeKey)
       s.conf.set(mergeKey, "true")
-      val q = agg.writeStream.format("memory").queryName(qn)
+      // state-sized partitioning (see q_stream_join): session state here is
+      // tiny, so fewer state-store instances beat batch parallelism
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, "8")
+      val q = try agg.writeStream.format("memory").queryName(qn)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .outputMode("complete").start()
+      finally s.conf.set(spKey, spPrev)
       try q.awaitTermination() finally {
         q.stop()
         prev match { case Some(v) => s.conf.set(mergeKey, v); case None => s.conf.unset(mergeKey) }
