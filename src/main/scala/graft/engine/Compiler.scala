@@ -339,13 +339,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       case PAlt(q, r) => containsClosure(q) || containsClosure(r)
       case _ => false
     }
-    // seeding pays off when it turns an all-pairs fixpoint into a BFS; plain
-    // seq/alt/inv relations join fine as-is. A dataset clause (FROM defaults) scopes
-    // the zero-length node domain like an explicit graph, so those paths are not
-    // seedable against the store-global domain.
-    def deferrable(t: Triple): Boolean = containsClosure(t.p) &&
-      t.s.isInstanceOf[VarNode] && t.o.isInstanceOf[VarNode] &&
-      ((t.g.isEmpty && ds.defaults.isEmpty) || !containsZero(t.p))
+    def deferrable(t: Triple): Boolean = deferrablePath(t)
     if (keepOrder) {
       // hint:optimizer "None": the author's join order verbatim — closure paths are
       // NOT hoisted behind the plain triples; they still evaluate seeded when an
@@ -842,11 +836,16 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     // seeded evaluation from a constant endpoint; global-domain zero approximation is
     // wrong for GRAPH-scoped (or FROM-scoped) zero paths → full relation fallback
     val seedable = (t.g.isEmpty && ds.defaults.isEmpty) || !containsZero(t.p)
+    // a CONSTANT endpoint's zero-length self-pair holds by TERM EQUALITY, not
+    // graph membership (`<a> <p>* <a>` matches over the empty graph;
+    // property-path-734-C) — constant seeds are in-domain by definition
     val pairs = (t.s, t.o) match {
       case (sN, _) if !sN.isInstanceOf[VarNode] && seedable =>
-        seededPathIds(t.p, t.g, singleSeed(TermIds.nodeId(sN)), fromSubject = true)
+        seededPathIds(t.p, t.g, singleSeed(TermIds.nodeId(sN)), fromSubject = true,
+          seedsInDomain = true)
       case (_, oN) if !oN.isInstanceOf[VarNode] && seedable =>
-        seededPathIds(t.p, t.g, singleSeed(TermIds.nodeId(oN)), fromSubject = false)
+        seededPathIds(t.p, t.g, singleSeed(TermIds.nodeId(oN)), fromSubject = false,
+          seedsInDomain = true)
       case _ => pathPairIds(t.p, t.g)
     }
     // reserved endpoint-id names: user vars may themselves be called ?a / ?b
@@ -1022,9 +1021,13 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     */
   private def pushValues(v: Algebra.OpValues, op: Op): Op = op match {
     case OpLeftJoin(l, r, c) => OpLeftJoin(pushValues(v, l), r, c)
-    case OpFilter(fs, c) => OpFilter(fs, pushValues(v, c))
+    // STOP at FILTER and BIND: the initial bindings join before OPTIONAL (the
+    // reference's BINDINGS evaluation order) but are NOT in scope for filters
+    // or assignments inside the WHERE group — bottom-up, FILTER(!bound(?s))
+    // with a trailing VALUES ?s evaluates with ?s unbound, and BIND(?obj AS
+    // ?obj2) with BINDINGS ?obj assigns unbound (TestBindings
+    // bindingsAndBottomUp03*, ticket_bg1141, ticket_bg1463)
     case OpJoin(l, r) => OpJoin(pushValues(v, l), r)
-    case OpExtend(c, n, e) => OpExtend(pushValues(v, c), n, e)
     case other => OpJoin(v, other)
   }
 
@@ -1050,7 +1053,52 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       val dr = compile(r)
       val dl = RemoteService.evaluateWith(spark, i, inner, silent, dr)
       joinOp(r, svc, dr, dl, "inner")
-    case OpJoin(l, r) => joinOp(l, r, compile(l), compile(r), "inner")
+    case j @ OpJoin(_, _) =>
+      // BIND/VALUES split a group's triples into separate OpBgp conjuncts, but
+      // the reference's pipelined ALP still seeds a closure path from solutions
+      // produced by its JOIN SIBLINGS (TestTickets 739B/E: `?X <part>? ?part`
+      // must self-pair the ?part values bound by a later conjunct, not its own
+      // edge-vertex zero domain). Flatten the conjunct tree, compile the
+      // non-path conjuncts first, and seed deferred path BGPs from the
+      // accumulated frame — the cross-conjunct analog of compileBgp's deferral.
+      def conjuncts(op: Op): Seq[Op] = op match {
+        case OpJoin(a, b) => conjuncts(a) ++ conjuncts(b)
+        case o => Seq(o)
+      }
+      val parts = conjuncts(j)
+      val isRemoteSvc: Op => Boolean = {
+        case OpService(IriNode(i), _, _) => RemoteService.isRemoteIri(i) && !Services.has(i)
+        case _ => false
+      }
+      def pathOf(op: Op): Option[Triple] = op match {
+        case OpBgp(Seq(t)) if deferrablePath(t) => Some(t)
+        case _ => None
+      }
+      val (pathParts, rest) = parts.partition(p => pathOf(p).isDefined)
+      if (pathParts.isEmpty || rest.isEmpty || parts.exists(isRemoteSvc)) {
+        val (lo, ro) = (j.l, j.r)
+        joinOp(lo, ro, compile(lo), compile(ro), "inner")
+      } else {
+        var accOp = rest.head
+        var accDf = compile(accOp)
+        rest.tail.foreach { o =>
+          accDf = joinOp(accOp, o, accDf, compile(o), "inner")
+          accOp = OpJoin(accOp, o)
+        }
+        val deferred = scala.collection.mutable.ArrayBuffer(pathParts: _*)
+        while (deferred.nonEmpty) {
+          val bound = accDf.columns.toSet
+          val idx = deferred.indexWhere(p => pathOf(p).exists(t =>
+            bound(t.s.asInstanceOf[VarNode].name) || bound(t.o.asInstanceOf[VarNode].name)))
+          val op2 = deferred.remove(if (idx >= 0) idx else 0)
+          val t = pathOf(op2).get
+          accDf =
+            if (idx >= 0) joinSeededPath(accDf, t, bound)
+            else joinOp(accOp, op2, accDf, compile(op2), "inner")
+          accOp = OpJoin(accOp, op2)
+        }
+        accDf
+      }
     case OpLeftJoin(l, r, cond) =>
       val (dl, dr) = (compile(l), compile(r))
       val shared = dl.columns.intersect(dr.columns).toSet

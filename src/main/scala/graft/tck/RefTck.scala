@@ -45,9 +45,54 @@ object RefTck {
       .filter(_.endsWith(".srx")).map(_.stripSuffix(".srx"))
       .filter(n => new File(dir, n + ".rq").exists())
       .filter(n => dataFile(dir, n).isDefined)
-      .filter(_.contains(filter))
       .sorted
-    names.map(n => runOne(spark, dir, n))
+    val sameName = names.map(n =>
+      (n, n + ".rq", dataFile(dir, n).toSeq.map(_.getName), n + ".srx"))
+    // explicitly-wired cases: the Java tests pass (uri, rq, data, srx) to
+    // TestHelper directly where the same-name convention doesn't hold — parse
+    // those wirings out of the test sources so the whole corpus runs
+    val covered = sameName.map(c => (c._2, c._3, c._4)).toSet
+    val seen = scala.collection.mutable.Set.empty[String] ++ names
+    val wired = wiredCases(dir)
+      .filterNot(w => covered.contains((w.rq, w.data, w.srx)))
+      .map { w =>
+        // testURIs repeat across classes/variants — uniquify by rq basename
+        val base = if (seen.contains(w.name)) w.name + ":" + w.rq.stripSuffix(".rq") else w.name
+        var nm = base; var i = 1
+        while (seen.contains(nm)) { i += 1; nm = s"$base#$i" }
+        seen += nm
+        (nm, w.rq, w.data, w.srx)
+      }
+    (sameName ++ wired)
+      .filter(_._1.contains(filter))
+      .map { case (nm, rq, data, srx) => runCase(spark, dir, nm, rq, data, srx) }
+  }
+
+  final case class WiredCase(name: String, rq: String, data: Seq[String], srx: String)
+
+  /** Parse `new TestHelper("uri", "x.rq", "data" | new String[]{…}, "x.srx")`
+    * wirings out of the corpus's own Test*.java sources (comments stripped, so
+    * disabled-by-commenting calls are ignored). Only cases whose files all
+    * exist in the eval dir are returned.
+    */
+  def wiredCases(dir: File): Seq[WiredCase] = {
+    val helper = ("""new\s+TestHelper\s*\(\s*"([^"]+)"\s*,\s*"([^"]+\.rq)"\s*,""" +
+      """\s*("([^"]+)"|new\s+String\[\]\s*\{([^}]*)\})\s*,\s*"([^"]+\.srx)"""").r
+    val quoted = "\"([^\"]+)\"".r
+    dir.listFiles().toSeq
+      .filter(f => f.getName.startsWith("Test") && f.getName.endsWith(".java"))
+      .sortBy(_.getName)
+      .flatMap { f =>
+        val src = Files.readString(f.toPath)
+          .replaceAll("(?s)/\\*.*?\\*/", "").replaceAll("//[^\n]*", "")
+        helper.findAllMatchIn(src).map { m =>
+          val datas = Option(m.group(4)).map(Seq(_)).getOrElse(
+            quoted.findAllMatchIn(m.group(5)).map(_.group(1)).toSeq)
+          WiredCase(m.group(1), m.group(2), datas, m.group(6))
+        }
+      }
+      .filter(w => (w.data :+ w.rq :+ w.srx).forall(n => new File(dir, n).exists()))
+      .distinct
   }
 
   /** The TestHelper convention pairs name.rq with name.{ttl,trig,nt} — except
@@ -62,8 +107,13 @@ object RefTck {
     dataOverride.get(name).map(new File(dir, _)).filter(_.exists())
       .orElse(Seq(".ttl", ".trig", ".nt").map(e => new File(dir, name + e)).find(_.exists()))
 
-  def runOne(spark: SparkSession, dir: File, name: String): Outcome = {
-    val rq = Files.readString(new File(dir, name + ".rq").toPath)
+  def runOne(spark: SparkSession, dir: File, name: String): Outcome =
+    runCase(spark, dir, name, name + ".rq",
+      dataFile(dir, name).toSeq.map(_.getName), name + ".srx")
+
+  def runCase(spark: SparkSession, dir: File, name: String, rqName: String,
+              dataNames: Seq[String], srxName: String): Outcome = {
+    val rq = Files.readString(new File(dir, rqName).toPath)
     // skip-detection must ignore comment lines — ticket-618f's prose mentions
     // "SELECT" while the query itself is a CONSTRUCT, and
     // join_with_no_shared_variables carries its original SERVICE clauses only
@@ -114,16 +164,21 @@ object RefTck {
     // the 03b (constraint) behavior uniformly.
     if (name == "bindingsWithSubquery03a")
       return Outcome(name, "SKIP-ORDERDEP")
-    val data = dataFile(dir, name).get
     val store =
       try {
-        val text = Files.readString(data.toPath)
-        val df =
-          if (data.getName.endsWith(".nt")) {
+        val dfs = dataNames.map { dn =>
+          val data = new File(dir, dn)
+          val text = Files.readString(data.toPath)
+          if (dn.endsWith(".nt")) {
             import spark.implicits._
             Rio.statementsFromLines(text.linesIterator.toSeq.toDS())
-          } else if (data.getName.endsWith(".trig")) Rio.readTrig(spark, text)
-          else Rio.readTurtle(spark, text)
+          } else if (dn.endsWith(".trig")) Rio.readTrig(spark, text)
+          else if (dn.endsWith(".rdf") || dn.endsWith(".xml")) Rio.readRdfXml(spark, text)
+          else if (dn.endsWith(".ttl") || dn.endsWith(".n3")) Rio.readTurtle(spark, text)
+          else throw new IllegalArgumentException(s"unsupported data format: $dn")
+        }
+        val df = dfs.reduceOption(_.unionByName(_))
+          .getOrElse(throw new IllegalArgumentException("no data file"))
         new GraftStore(spark, df.localCheckpoint())
       } catch {
         case e: Exception => return Outcome(name, "SKIP-DATA", msg(e))
@@ -139,7 +194,7 @@ object RefTck {
       graft.engine.SolutionSets.put(store, "solutionSet1",
         "SELECT * WHERE { VALUES (?x ?y ?z) { (1 2 UNDEF) (UNDEF UNDEF UNDEF) (3 4 5) } }")
     val expected =
-      try Srx.parse(new File(dir, name + ".srx"))
+      try Srx.parse(new File(dir, srxName))
       catch { case e: Exception => return Outcome(name, "SKIP-SRX", msg(e)) }
     val cleanup = testSetup(spark, store, name)
     val actual =
