@@ -58,17 +58,19 @@ object Bench {
       // (battery order injects JIT/GC state into single-pass numbers; see
       // QBENCH_AB_r9.json for the measured band)
       val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "1").toInt
-      val sec = (1 to iters).map { _ =>
+      // min over SUCCESSFUL iterations only — a fast-failing run must not mask
+      // honest slow successes; all-fail reports the -1.0 sentinel
+      val secs = (1 to iters).flatMap { _ =>
         val t = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val s = (System.nanoTime() - t) / 1e9
         // between queries (outside the timed region): GC so the ContextCleaner
         // frees dead localCheckpoint blocks — one query's committed deltas must
         // not cost the next query memory
         System.gc()
-        s
-      }.min
-      name -> sec
+        if (ok) Some(s) else None
+      }
+      name -> (if (secs.isEmpty) -1.0 else secs.min)
     }
     // The driver captures only the LAST 2000 output chars; at 100 entries the key
     // names alone exceed that, so (a) keep values at 2 decimals and the sf short,

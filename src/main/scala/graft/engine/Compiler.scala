@@ -309,6 +309,35 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     df.select(sels: _*)
   }
 
+  /** Does the path contain a closure (fixpoint) component that benefits from
+    * seeded (restricted-frontier) evaluation rather than the all-pairs relation?
+    * Zero-or-one counts: seeded evaluation emits the reference's (seed, seed)
+    * self-pair for ANY bound endpoint (ArbitraryLengthPathTask.java:384), which
+    * the unseeded relation — whose zero domain is the edge-vertex set — cannot
+    * (TestTicket739 optpp).
+    */
+  private def containsClosure(p: Path): Boolean = p match {
+    case PZeroOrMore(_) | POneOrMore(_) => true
+    case PInv(q) => containsClosure(q)
+    case PZeroOrOne(_) => true
+    case PSeq(q, r) => containsClosure(q) || containsClosure(r)
+    case PAlt(q, r) => containsClosure(q) || containsClosure(r)
+    case _ => false
+  }
+
+  /** Defer var–var path triples: once the plain part of a group has bound one
+    * endpoint, the path evaluates seeded from those values (BFS from the
+    * restricted frontier) instead of as the all-pairs relation — the
+    * ASTRangeOptimizer-style restriction pushdown the reference applies to ALP
+    * nodes. Seeding pays off when it turns an all-pairs fixpoint into a BFS;
+    * plain seq/alt/inv relations join fine as-is. A dataset clause (FROM
+    * defaults) scopes the zero-length node domain like an explicit graph, so
+    * those paths are not seedable against the store-global domain.
+    */
+  private def deferrablePath(t: Triple): Boolean = containsClosure(t.p) &&
+    t.s.isInstanceOf[VarNode] && t.o.isInstanceOf[VarNode] &&
+    ((t.g.isEmpty && ds.defaults.isEmpty) || !containsZero(t.p))
+
   def compileBgp(triples1: Seq[Triple]): DataFrame = {
     val (hintT, triples0) = triples1.partition(isHint)
     val keepOrder = optimizerOff(hintT)
@@ -323,22 +352,6 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     }
     if (triples.isEmpty && searchDfs.isEmpty) return unitDf
     if (triples.isEmpty) return searchDfs.reduce(joinDf(_, _, "inner"))
-    // defer var–var path triples: once the plain part of the BGP has bound one
-    // endpoint, the path evaluates seeded from those values (BFS from the restricted
-    // frontier) instead of as the all-pairs relation — the ASTRangeOptimizer-style
-    // restriction pushdown the reference applies to ALP nodes
-    def containsClosure(p: Path): Boolean = p match {
-      case PZeroOrMore(_) | POneOrMore(_) => true
-      case PInv(q) => containsClosure(q)
-      // zero-or-one carries a zero-length component: seeded evaluation emits the
-      // reference's (seed, seed) self-pair for ANY bound endpoint
-      // (ArbitraryLengthPathTask.java:384), which the unseeded relation — whose
-      // zero domain is the edge-vertex set — cannot (TestTicket739 optpp)
-      case PZeroOrOne(_) => true
-      case PSeq(q, r) => containsClosure(q) || containsClosure(r)
-      case PAlt(q, r) => containsClosure(q) || containsClosure(r)
-      case _ => false
-    }
     def deferrable(t: Triple): Boolean = deferrablePath(t)
     if (keepOrder) {
       // hint:optimizer "None": the author's join order verbatim — closure paths are

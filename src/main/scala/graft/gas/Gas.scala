@@ -301,12 +301,15 @@ object Gas {
       .select("v", "w")
     val t = wedges.join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
       .count()
-    val wTot = deg.agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long")).first().getLong(0)
+    // coalesce: sum() over an empty edge set is null, and W=0 must yield
+    // clustering 0.0 (not NaN) for a graph with no wedges
+    val wTot = deg.agg(coalesce(sum(col("deg") * (col("deg") - 1) / 2), lit(0)).cast("long"))
+      .first().getLong(0)
     val spark = edges0.sparkSession
     import spark.implicits._
     // clustering = 3T/W from exact integers — the same IEEE ops in any engine,
     // so the double is bit-identical without rounding
-    Seq((t, wTot, 3.0 * t / wTot)).toDF("triangles", "wedges", "clustering")
+    Seq((t, wTot, if (wTot == 0L) 0.0 else 3.0 * t / wTot)).toDF("triangles", "wedges", "clustering")
   }
 
 }

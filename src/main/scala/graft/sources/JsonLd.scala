@@ -300,6 +300,10 @@ object JsonLd {
       val lang = Option(v.get("@language")).map(_.asText().toLowerCase)
       // @direction (explicit, else the context default for plain strings):
       // i18n-datatype serialization — direction rides in the datatype IRI
+      // a value object with both @type and @direction is invalid (JSON-LD 1.1
+      // §invalid value object) — fail loudly rather than drop the direction
+      if (v.has("@direction") && v.has("@type"))
+        unsupported("value object with both @type and @direction (invalid per JSON-LD 1.1)")
       val dir = Option(v.get("@direction")).map(d => dirOf(d.asText()))
         .orElse(if (dt.isEmpty && v.get("@value").isTextual) ctx.defaultDirection else None)
       dir match {
