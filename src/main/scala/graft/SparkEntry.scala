@@ -1346,6 +1346,27 @@ object SparkEntry {
         TextStats.tokenCount(col("text")).as("tokens"))): Q,
       Some("SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tokens FROM documents")),
 
+    // Gopher-style token-concentration quality signals (shuffle-free per doc)
+    ("p_token_concentration", ((s: SparkSession, dir: String) =>
+      TextStats.tokenConcentration(docs(s, dir), "doc_id", "text")): Q,
+      Some("""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS a FROM documents),
+             |t AS (SELECT doc_id, unnest(a) AS tok FROM d),
+             |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS dis FROM tc GROUP BY 1)
+             |SELECT d.doc_id,
+             |  COALESCE(CAST(agg.mx AS DOUBLE) / agg.tot, 0.0) AS top_tok_frac,
+             |  COALESCE(CAST(agg.dis AS DOUBLE) / agg.tot, 0.0) AS distinct_frac
+             |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
+    // per-source document cap (deterministic keeper: K smallest doc_ids)
+    ("p_domain_cap", ((s: SparkSession, dir: String) =>
+      graft.pipeline.Curate.capPerKey(docs(s, dir), "source", "doc_id", 50)
+        .select(col("doc_id"), col("source"))): Q,
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             |  FROM documents) WHERE rn <= 50""".stripMargin)),
+
     // bigram PMI collocations: corpus-level phrase mining (top-20, min pair count 5)
     ("p_cooccur", ((s: SparkSession, dir: String) =>
       TextStats.collocations(docs(s, dir), "text", minCount = 5L, topK = 20)): Q,

@@ -28,6 +28,20 @@ object TermIds {
   }
 }
 
+object Compiler {
+  /** The openrdf nullGraph IRI addressing context-less statements in a quads
+    * store (`rdf/store/BD.java:158`).
+    */
+  val NULL_GRAPH = "http://www.bigdata.com/rdf#nullGraph"
+
+  /** `hint:Query hint:defaultGraphDistinctFilter "false"` disables the
+    * distinct-SPO filter on union-default-graph access paths
+    * (QueryHints.DEFAULT_GRAPH_DISTINCT_FILTER; TestDefaultGraphs 01k expects
+    * the duplicate to come back when disabled).
+    */
+  val defaultGraphDistinct = new scala.util.DynamicVariable[Boolean](true)
+}
+
 final case class DatasetSpec(defaults: Option[Seq[String]], named: Option[Seq[String]])
 object DatasetSpec {
   val all: DatasetSpec = DatasetSpec(None, None)
@@ -39,7 +53,9 @@ object DatasetSpec {
     if (ds.isEmpty) all
     else DatasetSpec(
       Some(ds.collect { case (g, false) => g }),
-      Some(ds.collect { case (g, true) => g }).filter(_.nonEmpty))
+      // a FROM-only clause list leaves the NAMED section exactly empty (GRAPH
+      // matches nothing — TestNamedGraphs 01b), not unrestricted
+      Some(ds.collect { case (g, true) => g }))
 }
 
 /** SPARQL algebra → DataFrame compiler.
@@ -186,7 +202,18 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     * haversine for circles) — the columnar replacement for the index trick, with
     * Geo.zorder available as a clustering key at scale.
     */
-  private[engine] def geoScan(subjVar: String, ts: Seq[Triple]): DataFrame = {
+  /** INPUT parameters of a geo:search group (GeoSpatial.java magic predicates);
+    * vars in their object position make the service correlated. Output-binding
+    * predicates (locationValue, latValue, …) are excluded.
+    */
+  private[engine] val geoInputParams: Set[String] = Set(
+    "search", "predicate", "searchDatatype", "context", "spatialCircleCenter",
+    "spatialCircleRadius", "spatialRectangleSouthWest", "spatialRectangleNorthEast",
+    "spatialUnit", "timeStart", "timeEnd",
+    "customFields", "customFieldsLowerBounds", "customFieldsUpperBounds")
+
+  private[engine] def geoScan(subjVar: String, ts: Seq[Triple],
+                              frame: Option[DataFrame] = None): DataFrame = {
     def constStr(p: String): Option[String] = ts.collectFirst {
       case Triple(_, PLink(pp), LitNode(lex, _, _), _) if pp == GEO_NS + p => lex
     }
@@ -242,16 +269,41 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       .withColumn("__lon", try_element_at(parts, lit(lonIdx + 1)).cast("double"))
       .withColumn("__gt", try_element_at(parts, lit(timeIdx + 1)).cast("long"))
     val func = constStr("search").getOrElse("inCircle") // default GeoFunction.IN_CIRCLE
-    var center: Option[(Double, Double)] = None
+    // (lat, lon) of the circle center as COLUMNS — literals for a constant
+    // center, frame-joined parse for a variable one (feeds distanceValue too)
+    var centerCols: Option[(Column, Column)] = None
+    // a var in object position of an input param makes the service CORRELATED:
+    // the reference evaluates geo search per incoming binding (pipelined
+    // "search with incoming bindings", GeoSpatialServiceFactory's
+    // GeoSpatialServiceCall accepts them via the IBindingSet); here the small
+    // distinct set of incoming center values broadcast-joins the candidate
+    // scan, and the bound var column rides in the output for the outer
+    // equi-join to correlate on
+    val centerVar = varOf("spatialCircleCenter")
     func match {
       case "inCircle" =>
-        val c = latLon("spatialCircleCenter").getOrElse(
-          throw new IllegalArgumentException("inCircle without geo:spatialCircleCenter"))
-        center = Some(c)
         val r = constStr("spatialCircleRadius").getOrElse(
           throw new IllegalArgumentException("inCircle without geo:spatialCircleRadius"))
           .toDouble * unitMeters
-        df = df.filter(graft.search.Geo.inCircle(col("__lat"), col("__lon"), c._1, c._2, r))
+        centerVar match {
+          case Some(cv) =>
+            val fr = frame.filter(_.columns.contains(cv)).getOrElse(
+              throw new IllegalArgumentException(
+                s"inCircle with variable geo:spatialCircleCenter ?$cv requires it bound by a sibling pattern"))
+            val centers = fr.select(col(cv)).dropDuplicates(cv)
+            val cparts = split(col(cv)("str"), "#")
+            val clat = try_element_at(cparts, lit(latIdx + 1)).cast("double")
+            val clon = try_element_at(cparts, lit(lonIdx + 1)).cast("double")
+            df = df.crossJoin(broadcast(centers))
+              .filter(graft.search.Geo.haversineMeters(
+                col("__lat"), col("__lon"), clat, clon) <= lit(r))
+            centerCols = Some((clat, clon))
+          case None =>
+            val c = latLon("spatialCircleCenter").getOrElse(
+              throw new IllegalArgumentException("inCircle without geo:spatialCircleCenter"))
+            centerCols = Some((lit(c._1), lit(c._2)))
+            df = df.filter(graft.search.Geo.inCircle(col("__lat"), col("__lon"), c._1, c._2, r))
+        }
       case "inRectangle" =>
         val sw = latLon("spatialRectangleSouthWest").getOrElse(
           throw new IllegalArgumentException("inRectangle without geo:spatialRectangleSouthWest"))
@@ -287,6 +339,8 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       })
     }
     var sels = Seq(col("__gs").as(subjVar))
+    // a variable center rides in the output so the enclosing join correlates on it
+    centerVar.foreach(cv => sels :+= col(cv))
     varOf("locationValue").foreach(v => sels :+= col("__gv").as(v))
     varOf("latValue").foreach(v => sels :+= Term.doubleLit(col("__lat")).as(v))
     varOf("lonValue").foreach(v => sels :+= Term.doubleLit(col("__lon")).as(v))
@@ -301,10 +355,10 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         (0 until customN).map(i => try_element_at(parts, lit(customBase + i))): _*)).as(v)
     }
     varOf("distanceValue").foreach { v =>
-      val c = center.getOrElse(throw new IllegalArgumentException(
+      val (clat, clon) = centerCols.getOrElse(throw new IllegalArgumentException(
         "geo:distanceValue requires an inCircle search"))
       sels :+= Term.doubleLit(graft.search.Geo.haversineMeters(
-        col("__lat"), col("__lon"), lit(c._1), lit(c._2)) / unitMeters).as(v)
+        col("__lat"), col("__lon"), clat, clon) / unitMeters).as(v)
     }
     df.select(sels: _*)
   }
@@ -346,12 +400,21 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       case Triple(_, PLink(i), _, _) => i.startsWith(GEO_NS)
       case _ => false
     }
-    val searchDfs = magicT.groupBy(_.s).toSeq.map {
-      case (VarNode(v), ts) => if (isGeo(ts)) geoScan(v, ts) else searchScan(v, ts)
+    // magic groups compile LAZILY against the frame the plain triples build —
+    // a geo group with a variable input param (e.g. spatialCircleCenter bound
+    // by a sibling triple) evaluates correlated against those bindings
+    val searchFns: Seq[Option[DataFrame] => DataFrame] = magicT.groupBy(_.s).toSeq.map {
+      case (VarNode(v), ts) =>
+        if (isGeo(ts)) (fr: Option[DataFrame]) => geoScan(v, ts, fr)
+        else (_: Option[DataFrame]) => searchScan(v, ts)
       case (other, _) => throw new IllegalArgumentException(s"bds: subject must be a var, got $other")
     }
-    if (triples.isEmpty && searchDfs.isEmpty) return unitDf
-    if (triples.isEmpty) return searchDfs.reduce(joinDf(_, _, "inner"))
+    def foldSearch(df0: DataFrame): DataFrame =
+      searchFns.foldLeft(df0)((d, fn) =>
+        joinDf(d, fn(Option(d)), "inner"))
+    if (triples.isEmpty && searchFns.isEmpty) return unitDf
+    if (triples.isEmpty) return searchFns.foldLeft(null: DataFrame)((d, fn) =>
+      if (d == null) fn(None) else joinDf(d, fn(Some(d)), "inner"))
     def deferrable(t: Triple): Boolean = deferrablePath(t)
     if (keepOrder) {
       // hint:optimizer "None": the author's join order verbatim — closure paths are
@@ -369,7 +432,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         }
         bound ++= Algebra.tripleVars(t)
       }
-      return searchDfs.foldLeft(df)(joinDf(_, _, "inner"))
+      return foldSearch(df)
     }
     val (deferred0, plain) = triples.partition(deferrable)
     val deferred = scala.collection.mutable.ArrayBuffer(deferred0: _*)
@@ -405,7 +468,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         bound ++= Algebra.tripleVars(t)
       }
     }
-    searchDfs.foldLeft(df)(joinDf(_, _, "inner"))
+    foldSearch(df)
   }
 
   /** MINUS whose right side is a BGP with a path triple sharing a definitely-bound
@@ -514,19 +577,39 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       case _ => ()
     }
     var df = store.statements
+    // default-graph scans over multi-graph stores need a distinct-SPO filter
+    // (RDF merge semantics); applied AFTER the constant filters below so the
+    // parquet scan still prunes, and only the pruned slice pays the shuffle
+    var dedupSpo = false
     t.g match {
       case None =>
-        ds.defaults.foreach(gs => df = df.filter(col("g").isNotNull &&
-          col("g")("str").isin(gs: _*)))
+        ds.defaults match {
+          case None =>
+            dedupSpo = Compiler.defaultGraphDistinct.value && store.defaultGraphNeedsDedup
+          case Some(gs) =>
+            df = df.filter(col("g").isNotNull && col("g")("str").isin(gs: _*))
+            // FROM merges graphs (RDF merge = distinct SPO) when several contribute
+            dedupSpo = gs.size > 1
+        }
+      case Some(IriNode(g)) if g == Compiler.NULL_GRAPH =>
+        // the openrdf nullGraph addresses context-less statements (BD.java:158)
+        df = df.filter(col("g").isNull)
       case Some(IriNode(g)) =>
         df = df.filter(col("g").isNotNull && col("g")("id") === TermIds.iriId(g))
       case Some(VarNode(_)) =>
-        df = df.filter(col("g").isNotNull)
+        // quads-mode GRAPH ?g: context-less statements belong to the openrdf
+        // nullGraph and bind ?g to it (BD.NULL_GRAPH — TestTickets bg1760a:
+        // `GRAPH ?g {?s ?p ?o}` over a triples-only load still matches)
+        df = df.withColumn("g",
+          when(col("g").isNull, Term.iri(Compiler.NULL_GRAPH)).otherwise(col("g")))
         ds.named.foreach(gs => df = df.filter(col("g")("str").isin(gs: _*)))
       case Some(other) => throw new IllegalArgumentException(s"bad graph term $other")
     }
     t.p match {
-      case PLink(iri) if !iri.startsWith("?") => df = df.filter(col("p_id") === TermIds.iriId(iri))
+      case PLink(iri) if !iri.startsWith("?") =>
+        df = df.filter(col("p_id") === TermIds.iriId(iri))
+        // a predicate living in a single graph cannot duplicate across graphs
+        dedupSpo &&= t.g.isEmpty && store.multiGraphPids(TermIds.iriId(iri))
       case PLink(_) => () // variable predicate
       case PNeg(set) =>
         val fwd = set.collect { case (i, false) => TermIds.iriId(i) }
@@ -543,6 +626,9 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       case VarNode(_) => ()
       case n => df = df.filter(col("o")("id") === TermIds.nodeId(n))
     }
+    if (dedupSpo)
+      df = df.withColumn("__sid", col("s")("id")).withColumn("__oid", col("o")("id"))
+        .dropDuplicates("__sid", "p_id", "__oid").drop("__sid", "__oid")
     // project variable positions; equal vars within the triple → equality filter
     val positions = Seq(
       "s" -> (t.s match { case VarNode(n) => Some(n); case _ => None }),
@@ -1087,8 +1173,21 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         case OpBgp(Seq(t)) if deferrablePath(t) => Some(t)
         case _ => None
       }
-      val (pathParts, rest) = parts.partition(p => pathOf(p).isDefined)
-      if (pathParts.isEmpty || rest.isEmpty || parts.exists(isRemoteSvc)) {
+      // a geo SERVICE with a VARIABLE input parameter (e.g. spatialCircleCenter
+      // bound by a sibling triple) is correlated: defer it until the frame binds
+      // its parameter vars, then evaluate frame-aware (the reference's pipelined
+      // "search with incoming bindings" through the service IBindingSet)
+      def svcOf(op: Op): Option[(String, Seq[Triple], Set[String])] = op match {
+        case OpService(IriNode(i), OpBgp(ts), _) if i == GEO_NS + "search" =>
+          val pv = ts.collect {
+            case Triple(_, PLink(pp), VarNode(v), _)
+              if pp.startsWith(GEO_NS) && geoInputParams(pp.stripPrefix(GEO_NS)) => v
+          }.toSet
+          if (pv.nonEmpty) Some((i, ts, pv)) else None
+        case _ => None
+      }
+      val (defParts, rest) = parts.partition(p => pathOf(p).isDefined || svcOf(p).isDefined)
+      if (defParts.isEmpty || rest.isEmpty || parts.exists(isRemoteSvc)) {
         val (lo, ro) = (j.l, j.r)
         joinOp(lo, ro, compile(lo), compile(ro), "inner")
       } else {
@@ -1098,16 +1197,34 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
           accDf = joinOp(accOp, o, accDf, compile(o), "inner")
           accOp = OpJoin(accOp, o)
         }
-        val deferred = scala.collection.mutable.ArrayBuffer(pathParts: _*)
+        val deferred = scala.collection.mutable.ArrayBuffer(defParts: _*)
         while (deferred.nonEmpty) {
-          val bound = accDf.columns.toSet
-          val idx = deferred.indexWhere(p => pathOf(p).exists(t =>
-            bound(t.s.asInstanceOf[VarNode].name) || bound(t.o.asInstanceOf[VarNode].name)))
+          // seed only from DEFINITELY-bound vars: a maybe-unbound endpoint (e.g.
+          // optional-produced ?type1 in property-paths-7) must fall through to
+          // the compat join, where its null class joins the FULL path relation
+          val cols = accDf.columns.toSet
+          val bound = cols -- unboundOf(accOp)
+          // an endpoint that is PRESENT but maybe-unbound blocks seeding outright
+          // (its null class must meet the full relation, and a seeded join would
+          // try to re-attach an existing column)
+          def seedable(t: Triple): Boolean = {
+            val (sv, ov) = (t.s.asInstanceOf[VarNode].name, t.o.asInstanceOf[VarNode].name)
+            (bound(sv) && (bound(ov) || !cols(ov))) ||
+            (bound(ov) && (bound(sv) || !cols(sv)))
+          }
+          val idx = deferred.indexWhere(p =>
+            pathOf(p).exists(seedable) || svcOf(p).exists(_._3.subsetOf(bound)))
           val op2 = deferred.remove(if (idx >= 0) idx else 0)
-          val t = pathOf(op2).get
-          accDf =
-            if (idx >= 0) joinSeededPath(accDf, t, bound)
-            else joinOp(accOp, op2, accDf, compile(op2), "inner")
+          accDf = (pathOf(op2), svcOf(op2)) match {
+            case (Some(t), _) if idx >= 0 => joinSeededPath(accDf, t, bound)
+            case (_, Some((_, ts, _))) if idx >= 0 =>
+              val subj = ts.head.s match {
+                case VarNode(v) => v
+                case other => throw new IllegalArgumentException(s"service subject must be a var: $other")
+              }
+              joinDf(accDf, geoScan(subj, ts, Some(accDf)), "inner")
+            case _ => joinOp(accOp, op2, accDf, compile(op2), "inner")
+          }
           accOp = OpJoin(accOp, op2)
         }
         accDf
@@ -1277,7 +1394,10 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
                        risky: Set[String] = Set.empty): DataFrame = {
     val shared = dl.columns.intersect(dr.columns).toSeq
     if (cond.isEmpty) {
-      if (dl.columns.isEmpty) return dr
+      // NO schema-empty shortcut to dr: LeftJoin(unit, R) over an EMPTY R is one
+      // all-null row, not zero rows (TestTickets 933a/c, explainHints
+      // joingrouporder01: a group whose OPTIONAL comes first and misses still
+      // yields the unit solution) — the lit(true) left join gives exactly that
       if (shared.isEmpty) dl.join(dr, lit(true), "left_outer")
       else joinDf(dl, dr, "left_outer")
     } else {
@@ -1355,7 +1475,16 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
   }
 
   // ======== SELECT pipeline (projection/modifiers) ========
-  def compileSelect(q: SelectQuery): DataFrame = {
+  def compileSelect(q: SelectQuery): DataFrame =
+    // hint:regexMatchNonString (QueryHints.REGEX_MATCH_NON_STRING): REGEX
+    // applies to ANY literal's lexical form instead of erroring on non-strings
+    Exprs.regexMatchNonString.withValue(
+      queryHintLit(Some(q.where), "regexMatchNonString").contains("true"))(
+      Compiler.defaultGraphDistinct.withValue(
+        !queryHintLit(Some(q.where), "defaultGraphDistinctFilter").contains("false"))(
+        compileSelect0(q)))
+
+  private def compileSelect0(q: SelectQuery): DataFrame = {
     // named subqueries: evaluate ONCE, materialize, then INCLUDE hash-joins the cached
     // set (HTreeNamedSubqueryOp / NamedSubqueryInclude semantics)
     pendingSets ++= q.withSubqueries
@@ -1615,14 +1744,20 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     * (ASTDescribeOptimizer reads QueryHints.DESCRIBE_MODE; modes:
     * DescribeModeEnum.{ForwardOneStep,SymmetricOneStep,CBD,SCBD}).
     */
-  private def describeModeHint(where: Option[GP]): Option[String] = {
+  /** Extract the literal object of `hint:Query hint:<local> "<value>"` from the
+    * WHERE group (ASTQueryHintOptimizer scope-Query hints).
+    */
+  private[engine] def queryHintLit(where: Option[GP], local: String): Option[String] = {
     def scan(gp: GP): Seq[String] = gp match {
-      case TripleGP(_, PLink(p), LitNode(m, _, _)) if p == HINT_NS + "describeMode" =>
-        Seq(m)
+      case TripleGP(_, PLink(p), LitNode(m, _, _)) if p == HINT_NS + local => Seq(m)
       case GroupGP(es) => es.flatMap(scan)
       case _ => Nil
     }
-    val found = where.toSeq.flatMap(scan)
+    where.toSeq.flatMap(scan).headOption
+  }
+
+  private def describeModeHint(where: Option[GP]): Option[String] = {
+    val found = queryHintLit(where, "describeMode").toSeq
     found.foreach { m =>
       require(Set("ForwardOneStep", "SymmetricOneStep", "CBD", "SCBD")(m),
         s"unknown describeMode '$m' (DescribeModeEnum: ForwardOneStep, SymmetricOneStep, CBD, SCBD)")
@@ -1682,7 +1817,8 @@ object BuiltinServices {
     // explicit SERVICE forms of the magic-predicate groups — the reference
     // registers both (ServiceRegistry.java:117-177): SERVICE geo:search { … } and
     // SERVICE bds:search { … } route to the same scans as the inline groups
-    Services.register("http://www.bigdata.com/rdf/geospatial#search", magicService(_.geoScan))
+    Services.register("http://www.bigdata.com/rdf/geospatial#search",
+      magicService(c => (v, ts) => c.geoScan(v, ts)))
     Services.register("http://www.bigdata.com/rdf/search#search", magicService(_.searchScan))
   }
 

@@ -55,7 +55,10 @@ object Exprs {
     isStringy(l) && isStringy(r) && (fLang(r).isNull || fLang(r) === fLang(l))
   private def isBool(t: Column): Column = fDt(t) === Term.XSD_BOOLEAN
   private def isDateTime(t: Column): Column = fTs(t).isNotNull
-  private def isInt(t: Column): Column = fDt(t) === Term.XSD_INTEGER
+  // lng is populated exactly for the integer family: xsd:integer literals and
+  // packed-long extension datatypes (compressedTimestamp), which join integer
+  // arithmetic/promotion through their delegate's number space
+  private def isInt(t: Column): Column = fLng(t).isNotNull
   private[engine] def isDec(t: Column): Column = fDt(t) === Term.XSD_DECIMAL
   /** Exact-arithmetic types (xsd:integer / xsd:decimal) — BigDecimal-promoted in the
     * reference's MathUtility; here they compute in DecimalType(38,18).
@@ -73,13 +76,31 @@ object Exprs {
   /** Constant node → term Column (canonical construction — see Term scaladoc). */
   def constTerm(n: Node): Column = n match {
     case IriNode(i) => Term.iri(i)
-    case LitNode(lex, Some(Term.XSD_INTEGER), _) => Term.intLit(lit(lex.toLong))
+    case LitNode(lex, Some(Term.XSD_INTEGER), _) if scala.util.Try(lex.toLong).isSuccess =>
+      Term.intLit(lit(lex.toLong))
+    case LitNode(lex, Some(Term.XSD_INTEGER), _) =>
+      // beyond-long xsd:integer (arbitrary precision per XSD): carries its exact
+      // lexical + a double approximation for compares; exact arithmetic re-derives
+      // a decimal from the lexical when it fits decimal(38)
+      Term.intLitAs(Term.XSD_INTEGER, lit(new java.math.BigDecimal(lex)))
     case LitNode(lex, Some(Term.XSD_DOUBLE), _) => Term.doubleLit(lit(lex.toDouble))
     case LitNode(lex, Some(Term.XSD_DECIMAL), _) =>
       Term.decimalLit(lit(new java.math.BigDecimal(lex)).cast(Term.DECIMAL_TYPE))
     case LitNode(lex, Some(Term.XSD_BOOLEAN), _) => Term.boolLit(lit(lex == "true"))
     case LitNode(lex, Some(Term.XSD_DATETIME), _) =>
       Term.tsLit(to_timestamp(regexp_replace(lit(lex), "Z$", "")))
+    case LitNode(lex, Some(Term.XSD_DATE), _) if lex.matches(Term.DATE_RE) =>
+      Term.dateTerm(lit(lex))
+    case LitNode(lex, Some(dt), _)
+        if dt.startsWith(Term.XSD) && Term.INT_RANGES.contains(dt.substring(Term.XSD.length)) &&
+           lex.matches("[+-]?[0-9]+") && {
+             val (lo, hi) = Term.INT_RANGES(dt.substring(Term.XSD.length))
+             val v = BigDecimal(lex)
+             lo.forall(v >= _) && hi.forall(v <= _)
+           } =>
+      // bounded integer-family constant keeps its authored datatype with
+      // inlined num/lng (out-of-range falls through to the opaque branch)
+      Term.intLitAs(dt, lit(new java.math.BigDecimal(lex)))
     case LitNode(lex, Some(dt), _) => Term.typedLit(lit(lex), dt)
     case LitNode(lex, None, Some(lang)) => Term.strLit(lit(lex), lit(lang))
     case LitNode(lex, None, None) => Term.strLit(lit(lex))
@@ -189,23 +210,45 @@ object Exprs {
       .otherwise(Term.nullTerm)
   }
 
-  // ---- the SPARQL total order (bop/solutions/IVComparator.java:68) ----
-  /** Sort-key struct: unbound < bnode < IRI < literal; literals: numeric/dateTime by
-    * value, strings by codepoint, then datatype. DataFrames take no custom comparator,
-    * so the order is materialized as a lexicographically-ordered struct column.
+  /** `hint:Query hint:regexMatchNonString "true"` (QueryHints.java
+    * REGEX_MATCH_NON_STRING): scoped per-query around plan construction.
     */
-  def sortKey(t: Column): Column = struct(
-    when(t.isNull, 0).when(fKind(t) === Term.KIND_BNODE, 1)
-      .when(fKind(t) === Term.KIND_IRI, 2).otherwise(3).as("r0"),
-    when(fNum(t).isNotNull, 0).when(fTs(t).isNotNull, 1)
-      .when(isStringy(t), 2).otherwise(3).as("r1"),
-    coalesce(fNum(t), fTs(t).cast(DoubleType)).as("v"),
-    fStr(t).as("s"),
-    fDt(t).as("d"),
-    // language tag completes the total order: "a" vs "a"@en must not tie —
-    // a tie would leave ORDER BY free to interleave them differently across
-    // runs (IVComparator separates plain/lang literals the same way)
-    fLang(t).as("l"))
+  val regexMatchNonString = new scala.util.DynamicVariable[Boolean](false)
+
+  // ---- the SPARQL total order (bop/solutions/IVComparator.java:68) ----
+  private val calendarDts: Seq[String] =
+    Seq("dateTime", "date", "time", "gYearMonth", "gMonthDay", "gYear", "gMonth", "gDay")
+      .map(Term.XSD + _)
+
+  /** Sort-key struct: unbound < bnode < IRI < literal. Literal sub-order follows
+    * the reference IVComparator (bop/solutions/IVComparator.java:207, the Sesame
+    * ValueComparator fallback): null-datatype literals (simple + lang-tagged,
+    * simple first, then by lang tag) < numerics by value < calendar types by
+    * instant < other datatyped literals by datatype IRI then label — so e.g.
+    * MAX over {"bigdata"@en, 3} is 3 (TestTickets aggregate-max2: plain/lang
+    * sort BEFORE datatyped, numerics before non-numeric datatypes). DataFrames
+    * take no custom comparator, so the order is materialized as a
+    * lexicographically-ordered struct column.
+    */
+  def sortKey(t: Column): Column = {
+    val isCal = fTs(t).isNotNull || fDt(t).isin(calendarDts: _*)
+    val r1 = when(isStringy(t), 0).when(fNum(t).isNotNull, 1)
+      .when(isCal, 2).otherwise(3)
+    struct(
+      when(t.isNull, 0).when(fKind(t) === Term.KIND_BNODE, 1)
+        .when(fKind(t) === Term.KIND_IRI, 2).otherwise(3).as("r0"),
+      r1.as("r1"),
+      // bucket-local primary key: lang tag for the plain/lang bucket (simple
+      // literals first), datatype IRI for the other-datatyped bucket
+      when(isStringy(t), coalesce(fLang(t), lit("")))
+        .when(r1 === 3, coalesce(fDt(t), lit(""))).otherwise("").as("k"),
+      coalesce(fNum(t), fTs(t).cast(DoubleType)).as("v"),
+      fStr(t).as("s"),
+      fDt(t).as("d"),
+      // language tag completes the total order: "a" vs "a"@en must not tie —
+      // a tie would leave ORDER BY free to interleave them differently across runs
+      fLang(t).as("l"))
+  }
 
   // ======== expression compilation ========
   final case class Env(columns: Set[String], overrides: Map[String, Column] = Map.empty) {
@@ -442,7 +485,10 @@ object Exprs {
       case "ENCODE_FOR_URI" => strFn(regexp_replace(url_encode(fStr(a0)), "\\+", "%20"))
       case "REGEX" =>
         val pat = withFlags(argEs, 1, 2)
-        boolTerm(when(a0.isNotNull && isStringy(a0), fStr(a0).rlike(pat)).otherwise(nullB))
+        // hint:regexMatchNonString widens the operand guard to any literal
+        // (REGEX over e.g. xsd:IPv4Address lexicals — TestTicket1200)
+        val operandOk = if (regexMatchNonString.value) isLiteral(a0) else isStringy(a0)
+        boolTerm(when(a0.isNotNull && operandOk, fStr(a0).rlike(pat)).otherwise(nullB))
       case "REPLACE" =>
         val pat = withFlags(argEs, 1, 3)
         strFn(regexp_replace(fStr(a0), lit(pat), fStr(args(2))))
@@ -567,11 +613,27 @@ object Exprs {
   def castFn(dt: String, t: Column): Column = {
     val local = if (dt.startsWith(Term.XSD)) dt.substring(Term.XSD.length) else dt
     local match {
-      case "integer" | "int" | "long" | "short" | "byte" =>
+      case "integer" =>
         val v = when(isNumericT(t), fNum(t).cast(LongType))
           .when(isBool(t), fLng(t))
           .otherwise(fStr(t).try_cast(LongType))
         when(t.isNotNull && v.isNotNull, Term.intLit(v)).otherwise(Term.nullTerm)
+      case bounded if Term.INT_RANGES.contains(bounded) =>
+        // bounded integer-family constructor (XsdLongBOp & friends): the minted
+        // literal KEEPS the target datatype (datatype(xsd:long("0")) = xsd:long)
+        // and an out-of-range value is a cast error → unbound
+        val (lo, hi) = Term.INT_RANGES(bounded)
+        val d36 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val d = when(isExact(t), fDec(t).cast(d36))
+          // integral lexical parses exactly (covers beyond-long xsd:integer,
+          // whose num double is only an approximation)
+          .when(fStr(t).rlike("^[+-]?[0-9]+$"), fStr(t).try_cast(d36))
+          .when(isNumericT(t), fNum(t).try_cast(LongType).cast(d36))
+          .when(isBool(t), fLng(t).cast(d36))
+        val ok = lo.map(b => d >= lit(b.underlying)).getOrElse(lit(true)) &&
+          hi.map(b => d <= lit(b.underlying)).getOrElse(lit(true))
+        when(t.isNotNull && d.isNotNull && ok, Term.intLitAs(Term.XSD + bounded, d))
+          .otherwise(Term.nullTerm)
       case "double" | "float" =>
         val v = when(isNumericT(t), fNum(t)).otherwise(fStr(t).try_cast(DoubleType))
         when(t.isNotNull && v.isNotNull, Term.doubleLit(v)).otherwise(Term.nullTerm)

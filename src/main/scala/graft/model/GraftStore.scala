@@ -25,6 +25,24 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
   /** Statements visible in the union default graph (all graphs merged). */
   def defaultGraph: DataFrame = statements
 
+  /** Predicates appearing in TWO OR MORE named graphs — only these can put the
+    * same triple in the union default graph twice (RDF merge semantics;
+    * TestDefaultGraphs 01j / the reference's DistinctFilter on default-graph
+    * access paths). A constant-predicate scan outside this set skips the
+    * distinct entirely, so a store whose graphs partition the predicate space
+    * (the common layout: one table/feed per graph) pays NO dedup shuffle
+    * anywhere. Driver-side but vocabulary-bounded (distinct predicates), like
+    * the inference schema collects.
+    */
+  @transient lazy val multiGraphPids: Set[Long] =
+    statements.filter(col("g").isNotNull)
+      .select(col("p_id"), col("g")("id").as("__gid")).distinct()
+      .groupBy("p_id").count().filter(col("count") > 1)
+      .select("p_id").collect().map(_.getLong(0)).toSet
+
+  /** Can ANY default-graph scan see a cross-graph duplicate? */
+  def defaultGraphNeedsDedup: Boolean = multiGraphPids.nonEmpty
+
   /** Named-graph view (g bound). */
   def namedGraphs: DataFrame = statements.filter(col("g").isNotNull)
 

@@ -42,6 +42,7 @@ object Term {
   val XSD_BOOLEAN = XSD + "boolean"
   val XSD_STRING = XSD + "string"
   val XSD_DATETIME = XSD + "dateTime"
+  val XSD_DATE = XSD + "date"
   val RDF_TYPE = RDF + "type"
   val RDF_FIRST = RDF + "first"
   val RDF_REST = RDF + "rest"
@@ -109,6 +110,33 @@ object Term {
       l.cast(DoubleType), l, nullTs)
   }
 
+  /** Bounded integer-family XSD types and their value ranges (None = unbounded).
+    * Constructor casts to these preserve the TARGET datatype on the minted
+    * literal (XsdLongBOp & friends: `datatype(xsd:long("0"))` is xsd:long), and
+    * out-of-range values are a cast error.
+    */
+  val INT_RANGES: Map[String, (Option[BigDecimal], Option[BigDecimal])] = Map(
+    "long" -> (Some(BigDecimal(Long.MinValue)), Some(BigDecimal(Long.MaxValue))),
+    "int" -> (Some(BigDecimal(Int.MinValue)), Some(BigDecimal(Int.MaxValue))),
+    "short" -> (Some(BigDecimal(-32768)), Some(BigDecimal(32767))),
+    "byte" -> (Some(BigDecimal(-128)), Some(BigDecimal(127))),
+    "unsignedLong" -> (Some(BigDecimal(0)), Some(BigDecimal("18446744073709551615"))),
+    "unsignedInt" -> (Some(BigDecimal(0)), Some(BigDecimal("4294967295"))),
+    "unsignedShort" -> (Some(BigDecimal(0)), Some(BigDecimal(65535))),
+    "unsignedByte" -> (Some(BigDecimal(0)), Some(BigDecimal(255))),
+    "nonNegativeInteger" -> (Some(BigDecimal(0)), None),
+    "positiveInteger" -> (Some(BigDecimal(1)), None),
+    "nonPositiveInteger" -> (None, Some(BigDecimal(0))),
+    "negativeInteger" -> (None, Some(BigDecimal(-1))))
+
+  /** Integer-family literal with an EXPLICIT datatype IRI from an exact
+    * decimal(38,0) column. `lng` carries the long value when it fits (unsigned
+    * longs past 2^63-1 keep lng null and still compare via `num`).
+    */
+  def intLitAs(dtIri: String, d: Column): Column =
+    mk(lit(KIND_LITERAL), d.cast(StringType), lit(dtIri), nullStr,
+      d.cast(DoubleType), d.try_cast(LongType), nullTs)
+
   /** Floating-family literal (canonical dt = xsd:double). */
   def doubleLit(v: Column): Column = {
     val d = v.cast(DoubleType)
@@ -158,6 +186,45 @@ object Term {
     mk(lit(KIND_LITERAL), tsLex(t), lit(XSD_DATETIME), nullStr, nullDbl, nullLng, t)
   }
 
+  /** xsd:date lexical shape: optional '-', year digits, -MM-DD, optional zone. */
+  val DATE_RE = "^(-?)([0-9]{1,9})-([0-9]{2})-([0-9]{2})(Z|[+-][0-9]{2}:[0-9]{2})?$"
+
+  /** xsd:date literal from its lexical, canonicalized the way the reference's
+    * DateTimeExtension does (date inlined as the start-of-day instant, then
+    * REMATERIALIZED as the UTC calendar date — `TestTicket_BG1748`:
+    * "-523-12-31+01:00" loads as "-0523-12-30": the +01:00 midnight falls on
+    * the previous UTC day, and the year pads to 4 digits). `ts` carries the
+    * canonical date's midnight so dates compare/sort in the value space.
+    * A lexical that does not match the shape yields null (caller falls back
+    * to an opaque literal).
+    */
+  def dateTerm(str: Column): Column = {
+    val sign = regexp_extract(str, DATE_RE, 1)
+    val y0 = regexp_extract(str, DATE_RE, 2).try_cast(IntegerType)
+    val y = when(sign === "-", -y0).otherwise(y0)
+    val m = regexp_extract(str, DATE_RE, 3).try_cast(IntegerType)
+    val dd = regexp_extract(str, DATE_RE, 4).try_cast(IntegerType)
+    val zone = regexp_extract(str, DATE_RE, 5)
+    // exact day-in-month guard: ANSI make_date raises on an invalid date, and a
+    // malformed literal must fall back to opaque, not kill the load
+    val leap = (y % 4 === 0 && y % 100 =!= 0) || y % 400 === 0
+    val maxDay = when(m.isin(1, 3, 5, 7, 8, 10, 12), 31)
+      .when(m.isin(4, 6, 9, 11), 30)
+      .otherwise(when(leap, 29).otherwise(28))
+    val d0 = when(m.between(1, 12) && dd.between(1, maxDay), make_date(y, m, dd))
+    // a POSITIVE zone offset puts the local midnight on the previous UTC day;
+    // negative/none stays on the same calendar date
+    val utc = when(zone.rlike("^\\+"), date_sub(d0, 1)).otherwise(d0)
+    val canon = concat(
+      when(year(utc) < 0, lit("-")).otherwise(lit("")),
+      lpad(abs(year(utc)).cast(StringType), 4, "0"), lit("-"),
+      lpad(month(utc).cast(StringType), 2, "0"), lit("-"),
+      lpad(dayofmonth(utc).cast(StringType), 2, "0"))
+    when(utc.isNotNull,
+      mk(lit(KIND_LITERAL), canon, lit(XSD_DATE), nullStr, nullDbl, nullLng,
+        utc.cast(TimestampType)))
+  }
+
   /** Custom-datatype inline-value extension point (the `IExtension` analog,
     * `rdf/internal/IExtension.java` + extension IVs): a registered handler maps a
     * datatype IRI's lexical Column to its inline numeric value, which lands in the
@@ -170,10 +237,33 @@ object Term {
     private[Term] val reg =
       scala.collection.concurrent.TrieMap.empty[String, Column => Column]
     def register(dtIri: String, lexToNum: Column => Column): Unit = reg(dtIri) = lexToNum
-    def unregister(dtIri: String): Unit = reg.remove(dtIri)
+    def unregister(dtIri: String): Unit = { reg.remove(dtIri); lngReg.remove(dtIri) }
     def isRegistered(dtIri: String): Boolean = reg.contains(dtIri)
     private[Term] def numFor(dtIri: String, lex: Column): Column =
       reg.get(dtIri).map(f => f(lex)).getOrElse(lit(null).cast(DoubleType))
+
+    /** Packed-long datatypes (the `PackedLongIV`-delegate extension shape,
+      * e.g. CompressedTimestampExtension): the lexical is a long, the literal
+      * participates in numeric compare/sort via `num` AND in integer-family
+      * arithmetic via `lng` (integer + compressedTimestamp = xsd:integer —
+      * `internal/constraints/MathUtility.java` routes extension numerics
+      * through the delegate's number space).
+      */
+    private[Term] val lngReg = scala.collection.concurrent.TrieMap.empty[String, Unit]
+    def registerPackedLong(dtIri: String): Unit = {
+      reg(dtIri) = (_.try_cast(DoubleType))
+      lngReg(dtIri) = ()
+    }
+    private[Term] def lngFor(dtIri: String, lex: Column): Column =
+      if (lngReg.contains(dtIri)) lex.try_cast(LongType) else lit(null).cast(LongType)
+    private[Term] def lngForCol(dt: Column, lex: Column): Column =
+      lngReg.keys.foldLeft(lit(null).cast(LongType))((acc, iri) =>
+        when(dt === iri, lex.try_cast(LongType)).otherwise(acc))
+
+    // Built-in: the reference's core vocabulary registers the compressed
+    // timestamp extension by default (vocab/core/BigdataCoreVocabulary_v20151106
+    // + CompressedTimestampExtensionFactory).
+    registerPackedLong("http://www.bigdata.com/rdf/datatype#compressedTimestamp")
 
     /** Lexical canonicalizers: a registered handler REWRITES the lexical of its
       * datatype's literals at mint time — the term's identity becomes the
@@ -193,7 +283,8 @@ object Term {
   def typedLit(s0: Column, dt: String): Column = {
     graft.search.GeoDatatypes.init // builtin geo configs register their canonicalizers
     val s = Datatypes.lexReg.get(dt).map(f => f(s0)).getOrElse(s0)
-    mk(lit(KIND_LITERAL), s, lit(dt), nullStr, Datatypes.numFor(dt, s), nullLng, nullTs)
+    mk(lit(KIND_LITERAL), s, lit(dt), nullStr, Datatypes.numFor(dt, s),
+      Datatypes.lngFor(dt, s), nullTs)
   }
 
   /** Typed literal whose datatype/lang are *columns* (loader path): inline-value
@@ -217,9 +308,32 @@ object Term {
         // (session TZ = UTC) directly; only a trailing Z needs stripping.
         mk(lit(KIND_LITERAL), str, lit(XSD_DATETIME), nullStr, nullDbl, nullLng,
           try_to_timestamp(regexp_replace(str, "Z$", ""))))
+      .when(dt === XSD_DATE && str.rlike(DATE_RE) && dateTerm(str).isNotNull, dateTerm(str))
+    // bounded integer-family types (xsd:long/int/short/byte + unsigned +
+    // non/positive variants) keep their authored datatype but inline num/lng so
+    // they compare, sort, and compute as numbers; out-of-range or ill-formed
+    // lexicals fall through to the opaque branch. ONE shared branch (bounds via
+    // compact per-type whens) — a per-type fold duplicated the mk() struct 12×
+    // and pushed load projections past janino's 64 KB method ceiling.
+    val intFam = {
+      val d36 = DecimalType(38, 0)
+      val nullDec = lit(null).cast(d36)
+      val d = when(str.rlike("^[+-]?[0-9]+$"), str.try_cast(d36))
+      def boundCol(pick: ((Option[BigDecimal], Option[BigDecimal])) => Option[BigDecimal]) =
+        INT_RANGES.foldLeft(nullDec) { case (acc, (local, r)) =>
+          pick(r).map(b => when(dt === (XSD + local), lit(b.underlying)).otherwise(acc))
+            .getOrElse(acc)
+        }
+      val lo = boundCol(_._1)
+      val hi = boundCol(_._2)
+      val ok = d.isNotNull && (lo.isNull || d >= lo) && (hi.isNull || d <= hi)
+      (dt.isin(INT_RANGES.keys.map(XSD + _).toSeq: _*) && ok,
+        mk(lit(KIND_LITERAL), str, dt, lang, d.cast(DoubleType), d.try_cast(LongType), nullTs))
+    }
+    val withIntFamily = base.when(intFam._1, intFam._2)
     // lexical canonicalizers dispatch first (the rewritten lexical also feeds any
     // registered inline-num handler for the same datatype), then num-only handlers
-    val withLex = Datatypes.lexReg.foldLeft(base) { case (acc, (iri, g)) =>
+    val withLex = Datatypes.lexReg.foldLeft(withIntFamily) { case (acc, (iri, g)) =>
       acc.when(dt === iri,
         mk(lit(KIND_LITERAL), g(str), dt, lang, Datatypes.numFor(iri, g(str)),
           nullLng, nullTs))
@@ -227,7 +341,7 @@ object Term {
     Datatypes.reg.filter { case (k, _) => !Datatypes.lexReg.contains(k) }.foldLeft(withLex) {
       case (acc, (iri, f)) =>
         acc.when(dt === iri,
-          mk(lit(KIND_LITERAL), str, dt, lang, f(str), nullLng, nullTs))
+          mk(lit(KIND_LITERAL), str, dt, lang, f(str), Datatypes.lngFor(iri, str), nullTs))
     }.otherwise(mk(lit(KIND_LITERAL), str, dt, lang, nullDbl, nullLng, nullTs))
   }
 

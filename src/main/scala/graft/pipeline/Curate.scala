@@ -142,6 +142,20 @@ object Curate {
         .otherwise("train"))
   }
 
+  /** Per-key document cap — the "at most K documents per domain/source"
+    * curation rule that stops a handful of giant crawl domains from dominating
+    * a corpus. Deterministic keeper: the K smallest `idCol` values per key.
+    * One keyed exchange (window over keyCol); a skewed mega-key costs a single
+    * partition's sort of ITS OWN rows only — at 100 TB, pre-aggregate counts
+    * tell you the skew before you pay for it (Dedup.dupRate does the same).
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Deterministic shard manifest for reproducible corpus exports: every doc
     * routes to `pmod(md5(id), shards)` — stable under re-runs, engines, and
     * input partitioning (unlike `repartition`'s round-robin) — and the

@@ -115,6 +115,33 @@ object TextStats {
     lit(1.0d) - size(array_distinct(all)).cast("double") / size(all).cast("double")
   }
 
+  /** Per-document token-concentration signals (the Gopher-style "most common
+    * word fraction" quality rule): `top_tok_frac` = occurrences of the most
+    * frequent token / total tokens, `distinct_frac` = distinct/total. Computed
+    * SHUFFLE-FREE per document: sort the token array and run-length scan it with
+    * one `aggregate` lambda (O(n log n) per doc inside the map task) — no
+    * explode, no (doc, token) exchange, so it holds at corpus scale where an
+    * explode would multiply the shuffle by average document length.
+    */
+  def tokenConcentration(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(tokens(col(textCol)), x => x =!= "")
+    val sorted = array_sort(toks)
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("mx"), lit(0L).as("dis"))
+    val acc = aggregate(sorted, zero, (a, x) => {
+      val run = when(a("prev") === x, a("run") + 1L).otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"), greatest(a("mx"), run).as("mx"),
+        (a("dis") + when(a("prev") === x, 0L).otherwise(1L)).as("dis"))
+    })
+    docs
+      .withColumn("__tc", acc).withColumn("__n", size(toks).cast("long"))
+      .select(col(idCol),
+        when(col("__n") > 0, col("__tc")("mx").cast("double") / col("__n"))
+          .otherwise(0.0).as("top_tok_frac"),
+        when(col("__n") > 0, col("__tc")("dis").cast("double") / col("__n"))
+          .otherwise(0.0).as("distinct_frac"))
+  }
+
   /** PII pattern counts (emails, phone-shaped numbers, IPv4) — the filter/redaction
     * pre-pass of a training-data pipeline. Pure regexp counts; RE2-safe patterns.
     */

@@ -107,6 +107,18 @@ object GeoDatatypes {
     Field("DOUBLE", 100000L, "LONGITUDE"),
     Field("LONG", 1L, "TIME"))))
 
+  // The v1 built-ins every store registers on startup
+  // (GeoSpatialConfigOptions.java:82-98: lat-lon at 5-decimal precision, and
+  // lat-lon-time adding a LONG time slot).
+  private val V1 = "http://www.bigdata.com/rdf/geospatial/literals/v1#"
+  register(Config(V1 + "lat-lon", Seq(
+    Field("DOUBLE", 100000L, "LATITUDE"),
+    Field("DOUBLE", 100000L, "LONGITUDE"))))
+  register(Config(V1 + "lat-lon-time", Seq(
+    Field("DOUBLE", 100000L, "LATITUDE"),
+    Field("DOUBLE", 100000L, "LONGITUDE"),
+    Field("LONG", 1L, "TIME"))))
+
   /** Force object construction (builtin registration) from load paths. */
   val init: Unit = ()
 }

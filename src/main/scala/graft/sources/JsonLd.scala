@@ -29,26 +29,54 @@ import scala.collection.mutable.ArrayBuffer
   *     (`"text"^^<https://www.w3.org/ns/i18n#lang_dir>` — the rdfDirection=
   *     i18n-datatype mode, the round-trippable RDF representation).
   *
-  * Unsupported 1.1 features (scoped contexts, `@propagate`, remote contexts)
+  *   - 1.1 scoped contexts: embedded `@context` on nested node objects,
+  *     property-scoped contexts (expanded term definition `@context`, default
+  *     propagation), and type-scoped contexts (applied to the node carrying the
+  *     `@type`, reverting for child node objects — §4.1.8). An explicit
+  *     `"@propagate": false` stays unsupported.
+  *
+  * Remaining unsupported 1.1 features (`@propagate: false`, remote contexts)
   * fail loudly rather than silently mis-parse.
   */
 object JsonLd {
 
   private val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
-  private final class Ctx {
+  /** Document-global generation state, shared across context branches. */
+  private final class Gen {
     val out = ArrayBuffer.empty[Rio.ParsedQuad]
     var bn = 0
     val labeled = scala.collection.mutable.Map.empty[String, String]
+  }
+
+  private final class Ctx(val gen: Gen = new Gen) {
+    def out: ArrayBuffer[Rio.ParsedQuad] = gen.out
     var terms = Map.empty[String, (String, Option[String])] // term -> (iri, coercion)
     var nestAliases = Set.empty[String] // context terms defined as "@nest"
     var reverseTerms = Set.empty[String] // context terms defined via "@reverse"
     var containers = Map.empty[String, Seq[String]] // term → @container keywords
+    var scopedCtx = Map.empty[String, JsonNode] // term → scoped @context node
     var vocab: Option[String] = None
     var defaultDirection: Option[String] = None // context @direction ("ltr"/"rtl")
-    def freshBnode(): String = { bn += 1; s"jb$bn" }
+    /** Set on a TYPE-scoped branch: child node objects revert to this context
+      * (type-scoped contexts do not propagate by default — JSON-LD 1.1 §4.1.8).
+      */
+    var revertTo: Option[Ctx] = None
+    def freshBnode(): String = { gen.bn += 1; s"jb${gen.bn}" }
     def bnode(label: String): String =
-      labeled.getOrElseUpdate(label, { bn += 1; s"jbl$bn-${label.stripPrefix("_:")}" })
+      gen.labeled.getOrElseUpdate(label, { gen.bn += 1; s"jbl${gen.bn}-${label.stripPrefix("_:")}" })
+
+    /** Copy of the ACTIVE CONTEXT sharing the document generation state —
+      * scoped/embedded contexts modify the copy so siblings are unaffected
+      * (JSON-LD 1.1 context-propagation model).
+      */
+    def branch: Ctx = {
+      val c = new Ctx(gen)
+      c.terms = terms; c.nestAliases = nestAliases; c.reverseTerms = reverseTerms
+      c.containers = containers; c.scopedCtx = scopedCtx
+      c.vocab = vocab; c.defaultDirection = defaultDirection
+      c
+    }
   }
 
   private def unsupported(what: String): Nothing =
@@ -90,7 +118,11 @@ object JsonLd {
       if (k == "@vocab") ctx.vocab = Some(v.asText())
       else if (k == "@direction")
         ctx.defaultDirection = if (v.isNull) None else Some(dirOf(v.asText()))
-      else if (k == "@propagate") unsupported("@propagate (scoped-context propagation)")
+      else if (k == "@propagate")
+        // the default (true for property-scoped application, which is how this
+        // subset applies scoped contexts) is supported; an explicit false would
+        // require reverting for child node objects — fail loudly, don't mis-parse
+        (if (!v.asBoolean(true)) unsupported("@propagate: false (context un-propagation)"))
       else if (k.startsWith("@")) () // @base/@language: accepted, not modeled
       else if (v.isTextual && v.asText() == "@nest") ctx.nestAliases += k
       else if (v.isTextual) ctx.terms += k -> (v.asText(), None)
@@ -112,6 +144,10 @@ object JsonLd {
           ctx.terms += k -> (id, coerce)
           if (rev.isDefined) ctx.reverseTerms += k
           if (containers.nonEmpty) ctx.containers += k -> containers
+          // scoped context (JSON-LD 1.1 expanded term definition @context):
+          // applied when the term is used as a property (or as a type), on a
+          // BRANCHED active context so siblings are unaffected
+          Option(v.get("@context")).foreach(sc => ctx.scopedCtx += k -> sc)
         }
       }
     }
@@ -148,8 +184,27 @@ object JsonLd {
   }
 
   /** Parse one node object; returns its subject term. */
-  private def nodeObject(n: JsonNode, ctx: Ctx, g: Option[String]): (Byte, String) = {
+  private def nodeObject(n: JsonNode, ctx0: Ctx, g: Option[String]): (Byte, String) = {
     if (!n.isObject) unsupported(s"node ${n.getNodeType}")
+    // a parent's TYPE-scoped context does not propagate into child node objects
+    var ctx = ctx0.revertTo.getOrElse(ctx0)
+    // embedded @context on a nested node object: branch so siblings are unaffected
+    if (n.has("@context")) {
+      val c2 = ctx.branch; readContext(n.get("@context"), c2); ctx = c2
+    }
+    // type-scoped contexts: a term with a scoped @context used in @type applies
+    // its context to THIS node (in type order), reverting for children
+    val typeTerms = Option(n.get("@type")).toSeq
+      .flatMap(t => if (t.isArray) t.elements().asScala.toSeq else Seq(t))
+      .filter(_.isTextual).map(_.asText())
+    val scopedTypes = typeTerms.filter(ctx.scopedCtx.contains).sorted
+    if (scopedTypes.nonEmpty) {
+      val pre = ctx
+      val c2 = ctx.branch
+      scopedTypes.foreach(t => readContext(pre.scopedCtx(t), c2))
+      c2.revertTo = Some(pre)
+      ctx = c2
+    }
     val subj = subjectOf(n, ctx)
     processProps(n, ctx, subj, g)
     subj
@@ -200,20 +255,26 @@ object JsonLd {
             .map { case (iri, c) => (expandIri(iri, ctx), c) }
             .getOrElse((expandIri(term, ctx), None))
           val cont = ctx.containers.getOrElse(term, Nil)
+          // property-scoped context: the term's scoped @context applies to this
+          // entry's values on a BRANCH of the active context (and, default
+          // @propagate, to everything beneath them)
+          val sctx = ctx.scopedCtx.get(term).map { sc =>
+            val c2 = ctx.branch; readContext(sc, c2); c2
+          }.getOrElse(ctx)
           def one(nv: JsonNode): Unit =
             if (ctx.reverseTerms(term)) {
-              val o = nodeRef(nv, ctx, g)
+              val o = nodeRef(nv, sctx, g)
               emit(ctx, o, prop, subj._1, subj._2, null, null, g)
-            } else value(nv, ctx, subj, prop, coerce, g)
+            } else value(nv, sctx, subj, prop, coerce, g)
           // an @json-coerced ARRAY is one literal, not one value per element
-          if (coerce.contains("@json")) value(v, ctx, subj, prop, coerce, g)
+          if (coerce.contains("@json")) value(v, sctx, subj, prop, coerce, g)
           else if (cont.contains("@list") && !(v.isObject && v.has("@list"))) {
             // array (or lone) value reads as a list under @container: @list
             val on = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.objectNode()
             on.set[JsonNode]("@list",
               if (v.isArray) v
               else com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.arrayNode().add(v))
-            value(on, ctx, subj, prop, coerce, g)
+            value(on, sctx, subj, prop, coerce, g)
           } else if (cont.contains("@language") && v.isObject && !v.has("@value")) {
             // language map: key = language tag ("@none" = no tag), value = string(s)
             v.properties().asScala.foreach { lm =>

@@ -91,7 +91,22 @@ object Algebra {
         }
       }
     }
+    // Deferral must NOT move a BIND past a sibling that binds its TARGET var —
+    // `BIND(?obj AS ?obj2) ?s <p> ?obj2` evaluates the bind in place (?obj
+    // unbound → error → ?obj2 stays unbound, the pattern then binds it freely:
+    // TestTickets bg1463b/d). Force-flush such binds before the sibling joins.
+    def flushTargets(el: GP): Unit = {
+      val elVars = vars(lower(el, ctx))
+      deferred.filter { case (_, v) => elVars(v) }.foreach { b =>
+        deferred = deferred.filterNot(_ eq b)
+        g = OpExtend(g, b._2, b._1)
+      }
+    }
     elems.foreach { el =>
+      if (deferred.nonEmpty) el match {
+        case _: BindGP | _: FilterGP => () // no pattern vars to race with
+        case _ => flushTargets(el)
+      }
       el match {
         case t: TripleGP => g = join(g, lower(t, ctx))
         case FilterGP(e) => filters += ctxExpr(e, ctx)

@@ -162,17 +162,22 @@ object Parser {
     dt match {
       case Some(d) if d.startsWith(graft.model.Term.XSD) =>
         val local = d.substring(graft.model.Term.XSD.length)
-        if (intDts(local)) LitNode(java.lang.Long.parseLong(lex.trim).toString,
-          Some(graft.model.Term.XSD_INTEGER))
+        // integer family: canonical digits (strip plus/leading zeros, arbitrary
+        // precision) but KEEP the authored datatype — the reference's inline
+        // XSDNumericIVs carry the DTE, so "10"^^xsd:int and "10"^^xsd:integer
+        // are DISTINCT terms (TestTicket1007 number1); inline num/lng still
+        // make them value-equal under `=`
+        if (intDts(local)) LitNode(new java.math.BigInteger(lex.trim).toString, Some(d))
         else if (local == "decimal")
           LitNode(canonicalDecimal(lex), Some(graft.model.Term.XSD_DECIMAL))
         else if (dblDts(local)) LitNode(java.lang.Double.toString(java.lang.Double.parseDouble(lex.trim)),
           Some(graft.model.Term.XSD_DOUBLE))
         else if (local == "boolean") LitNode(lex.trim.toLowerCase, Some(graft.model.Term.XSD_BOOLEAN))
-        else if (local == "dateTime" || local == "date") {
+        else if (local == "dateTime") {
           val inst = parseDateTime(lex.trim)
           LitNode(inst, Some(graft.model.Term.XSD_DATETIME))
-        } else if (local == "string") LitNode(lex, None)
+        } else if (local == "date") LitNode(lex.trim, Some(graft.model.Term.XSD_DATE))
+        else if (local == "string") LitNode(lex, None)
         else LitNode(lex, dt)
       case _ => LitNode(lex, dt, lang.map(_.toLowerCase))
     }
@@ -211,7 +216,8 @@ object Parser {
       LitNode(java.lang.Double.toString(text.toDouble), Some(graft.model.Term.XSD_DOUBLE))
     else if (text.contains('.'))
       LitNode(canonicalDecimal(text), Some(graft.model.Term.XSD_DECIMAL))
-    else LitNode(text.toLong.toString, Some(graft.model.Term.XSD_INTEGER))
+    else LitNode(new java.math.BigInteger(text).toString,
+      Some(graft.model.Term.XSD_INTEGER)) // beyond-long integers keep exact digits
 
   // ======== parser ========
   def parseQuery(q: String): Query = new P(tokenize(q)).parseQueryTop()

@@ -190,6 +190,10 @@ object RefTck {
       // TestInclude.java:423 test_include_03: {(x=Mike,y=2), (x=Bryan,y=4)}
       graft.engine.SolutionSets.put(store, "solutionSet1",
         "SELECT * WHERE { VALUES (?x ?y) { (<http://www.bigdata.com/Mike> 2) (<http://www.bigdata.com/Bryan> 4) } }")
+    else if (name == "include_03a")
+      // TestInclude.java:274-330 test_include_03a: {(x=Mike,y=2), (x=Bryan,y=4), (x=DC,y=1)}
+      graft.engine.SolutionSets.put(store, "solutionSet1",
+        "SELECT * WHERE { VALUES (?x ?y) { (<http://www.bigdata.com/Mike> 2) (<http://www.bigdata.com/Bryan> 4) (<http://www.bigdata.com/DC> 1) } }")
     else if (name.startsWith("include_"))
       graft.engine.SolutionSets.put(store, "solutionSet1",
         "SELECT * WHERE { VALUES (?x ?y ?z) { (1 2 UNDEF) (UNDEF UNDEF UNDEF) (3 4 5) } }")

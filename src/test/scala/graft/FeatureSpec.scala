@@ -42,9 +42,10 @@ class FeatureSpec extends GraftSuite {
       "# comment", "").toDS()
     val st = Rio.statementsFromLines(lines)
     assert(st.count() == 4)
-    // int normalized to canonical xsd:integer with inline value
+    // authored int-family datatype preserved (distinct term from xsd:integer —
+    // the reference's DTE-carrying inline IVs), numeric value still inlined
     val intRow = st.filter(col("p")("str") === "urn:p:b").select("o").first().getStruct(0)
-    assert(intRow.getAs[String]("dt") == Term.XSD_INTEGER && intRow.getAs[Long]("lng") == 5L)
+    assert(intRow.getAs[String]("dt") == Term.XSD + "int" && intRow.getAs[Long]("lng") == 5L)
     // dump → reparse → same id triples
     val dumped = Rio.toNQuadLines(st).as[String]
     val back = Rio.statementsFromLines(dumped)

@@ -161,8 +161,10 @@ class JsonLdSpec extends GraftSuite {
     val e = intercept[IllegalArgumentException](
       JsonLd.parse("""{"@context": "http://remote/ctx", "@id": "ex:x"}"""))
     assert(e.getMessage.contains("unsupported") && e.getMessage.contains("http://remote/ctx"))
+    // @propagate: true (the default) is accepted; only false is rejected
+    JsonLd.parse("""{"@context": {"@propagate": true}, "@id": "ex:x"}""")
     val ep = intercept[IllegalArgumentException](
-      JsonLd.parse("""{"@context": {"@propagate": true}, "@id": "ex:x"}"""))
+      JsonLd.parse("""{"@context": {"@propagate": false}, "@id": "ex:x"}"""))
     assert(ep.getMessage.contains("@propagate"))
     val e2 = intercept[IllegalArgumentException](
       JsonLd.parse("""{"@context": {"t": {"@id": "urn:p", "@container": "@graph"}},
@@ -212,6 +214,64 @@ class JsonLdSpec extends GraftSuite {
     assert(ask2("""ASK { <http://example.org/thing> <http://example.org/label> "Thing"@en, "Ding"@de, "thing" }"""))
     assert(ask2("""ASK { <http://example.org/thing> <http://example.org/post>
                   |  <http://example.org/p1>, <http://example.org/p2> }""".stripMargin))
+  }
+
+  test("property-scoped context remaps terms for that entry's values (and propagates)") {
+    val d =
+      """{
+        |  "@context": {
+        |    "ex": "http://example.org/",
+        |    "label": "http://example.org/label",
+        |    "detail": {"@id": "http://example.org/detail",
+        |               "@context": {"label": "http://other.org/label"}}
+        |  },
+        |  "@id": "ex:x",
+        |  "label": "outer",
+        |  "detail": {"@id": "ex:d", "label": "inner",
+        |             "ex:sub": {"@id": "ex:dd", "label": "deep"}}
+        |}""".stripMargin
+    val st = new GraftStore(ss, Rio.readJsonLd(ss, d))
+    def ask2(q: String) = Engine.query(st, q).first().getBoolean(0)
+    assert(ask2("""ASK { <http://example.org/x> <http://example.org/label> "outer" }"""))
+    assert(ask2("""ASK { <http://example.org/d> <http://other.org/label> "inner" }"""))
+    // default @propagate: the scoped mapping survives into nested node objects
+    assert(ask2("""ASK { <http://example.org/dd> <http://other.org/label> "deep" }"""))
+    // the sibling scope is untouched
+    assert(!ask2("""ASK { <http://example.org/x> <http://other.org/label> "outer" }"""))
+  }
+
+  test("type-scoped context applies to the typed node and reverts for children") {
+    val d =
+      """{
+        |  "@context": {
+        |    "ex": "http://example.org/",
+        |    "name": "http://example.org/name",
+        |    "Widget": {"@id": "http://example.org/Widget",
+        |               "@context": {"name": "http://widget.org/name"}}
+        |  },
+        |  "@id": "ex:w", "@type": "Widget", "name": "gizmo",
+        |  "ex:part": {"@id": "ex:p", "name": "cog"}
+        |}""".stripMargin
+    val st = new GraftStore(ss, Rio.readJsonLd(ss, d))
+    def ask2(q: String) = Engine.query(st, q).first().getBoolean(0)
+    assert(ask2("""ASK { <http://example.org/w> <http://widget.org/name> "gizmo" }"""))
+    // non-propagation: the child node reverts to the outer mapping (§4.1.8)
+    assert(ask2("""ASK { <http://example.org/p> <http://example.org/name> "cog" }"""))
+  }
+
+  test("embedded @context on a nested node object scopes to that subtree") {
+    val d =
+      """{
+        |  "@context": {"ex": "http://example.org/", "p": "http://example.org/p"},
+        |  "@id": "ex:a",
+        |  "ex:child": {"@context": {"p": "http://inner.org/p"},
+        |               "@id": "ex:b", "p": "iv"},
+        |  "p": "ov"
+        |}""".stripMargin
+    val st = new GraftStore(ss, Rio.readJsonLd(ss, d))
+    def ask2(q: String) = Engine.query(st, q).first().getBoolean(0)
+    assert(ask2("""ASK { <http://example.org/b> <http://inner.org/p> "iv" }"""))
+    assert(ask2("""ASK { <http://example.org/a> <http://example.org/p> "ov" }"""))
   }
 
   test("nested named @graph lands items in the graph the node's @id names") {

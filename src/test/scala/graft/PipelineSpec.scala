@@ -168,6 +168,28 @@ class PipelineSpec extends GraftSuite {
     assert(qf.getAs[Double]("stopword_ratio") > 0.2) // "the" x2, "over"
   }
 
+  test("token concentration: top-token and distinct fractions, shuffle-free") {
+    val out = TextStats.tokenConcentration(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // doc 1: 9 tokens, "the" ×2 → top 2/9, distinct 8/9
+    assert(math.abs(out(1L)._1 - 2.0 / 9) < 1e-12)
+    assert(math.abs(out(1L)._2 - 8.0 / 9) < 1e-12)
+    // doc 3: all distinct → top 1/6, distinct 1.0
+    assert(math.abs(out(3L)._2 - 1.0) < 1e-12)
+    // no exchange: per-doc lambda only, the plan must not aggregate or explode
+    val plan = TextStats.tokenConcentration(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("Aggregate"), plan)
+  }
+
+  test("capPerKey keeps the K smallest ids per key, drops the rest") {
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("doc_id", "source")
+    val kept = graft.pipeline.Curate.capPerKey(d, "source", "doc_id", 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L, 5L, 6L))
+  }
+
   test("repetition ratio flags degenerate text, PII counts find emails/IPs") {
     val d = Seq(
       (1L, "buy now buy now buy now buy now buy now buy now"),

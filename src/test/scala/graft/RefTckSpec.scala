@@ -23,39 +23,7 @@ class RefTckSpec extends GraftSuite {
     * (no regressions), and a list entry that now PASSES also breaks the build
     * (the list must shrink as cases are fixed — no stale credit).
     */
-  private val knownFailures = Set(
-    "aggregate-max2",
-    "blocking-buffer-740",
-    "compressed-timestamp-01b",
-    "compressed-timestamp-01c",
-    "compressed-timestamp-01d",
-    "compressed-timestamp-02a",
-    "compressed-timestamp-02b",
-    "default-graph-joins-01b",
-    "default-graph-joins-01c",
-    "default-graphs-01j",
-    "explainHints-joingrouporder01",
-    "include_03a",
-    "named-graphs-01b",
-    "property-paths-7",
-    "ticket-1007-number1",
-    "ticket-1200a",
-    "ticket_933a",
-    "ticket_933c",
-    "ticket_bg1463b",
-    "ticket_bg1463d",
-    "ticket_bg1748a",
-    "ticket_bg1748b",
-    "ticket_bg1760a",
-    "ticket_bg1899a",
-    "ticket_bg1899b",
-    "ticket_bg1899c",
-    "ticket_bg1899c:ticket_bg1899i",
-    "ticket_bg1899c:ticket_bg1899j",
-    "ticket_bg1899d",
-    "type_cast_long",
-    "type_cast_unsigned_long"
-  )
+  private val knownFailures = Set.empty[String]
 
   test("reference TCK corpus: zero FAIL / zero ERROR") {
     assume(new java.io.File(RefTck.EvalDir).isDirectory, "reference corpus not mounted")
