@@ -461,6 +461,39 @@ object SparkEntry {
              |  JOIN orders o2 ON o1.o_custkey=o2.o_custkey
              |  WHERE o1.o_orderkey=1 AND o2.o_orderkey<>1""".stripMargin)),
 
+    // statement-pattern utility services (ServiceRegistry.java:140-147):
+    // bd:values simulates VALUES, bd:sample samples an access path (DENSE over
+    // a dimension-bounded pattern here so the result is the deterministic full
+    // set), bd:slice.range binds a pattern's range count
+    ("q_service_values", ((s: SparkSession, dir: String) =>
+      sq("""SELECT ?seg (COUNT(*) AS ?cnt) WHERE {
+           |  SERVICE <http://www.bigdata.com/rdf#values> {
+           |    <http://www.bigdata.com/rdf#serviceParam> <http://www.bigdata.com/rdf#values.var> ?seg .
+           |    <http://www.bigdata.com/rdf#serviceParam> <http://www.bigdata.com/rdf#values.val> "AUTOMOBILE" .
+           |    <http://www.bigdata.com/rdf#serviceParam> <http://www.bigdata.com/rdf#values.val> "BUILDING" .
+           |  }
+           |  ?c <urn:p:c_mktsegment> ?seg .
+           |} GROUP BY ?seg""".stripMargin, oStr("seg"), oLng("cnt"))(s, dir)): Q,
+      Some("""SELECT c_mktsegment AS seg, COUNT(*) AS cnt FROM customer
+             |WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING') GROUP BY 1""".stripMargin)),
+
+    ("q_service_sample", ((s: SparkSession, dir: String) =>
+      sq("""SELECT ?n WHERE {
+           |  SERVICE <http://www.bigdata.com/rdf#sample> {
+           |    ?s <urn:p:n_name> ?n .
+           |    <http://www.bigdata.com/rdf#serviceParam> <http://www.bigdata.com/rdf#sample.limit> 100 .
+           |    <http://www.bigdata.com/rdf#serviceParam> <http://www.bigdata.com/rdf#sample.sampleType> "DENSE" .
+           |  } }""".stripMargin, oStr("n"))(s, dir)): Q,
+      Some("SELECT n_name AS n FROM nation")),
+
+    ("q_service_slice", ((s: SparkSession, dir: String) =>
+      sq("""SELECT ?cnt WHERE {
+           |  SERVICE <http://www.bigdata.com/rdf#slice> {
+           |    ?o <urn:p:o_orderstatus> ?st .
+           |    <http://www.bigdata.com/rdf#serviceParam> <http://www.bigdata.com/rdf#slice.range> ?cnt .
+           |  } }""".stripMargin, oLng("cnt"))(s, dir)): Q,
+      Some("SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM orders")),
+
     ("q_update_insert", ((s: SparkSession, dir: String) => {
       val updated = graft.engine.Update(Tpch.store(s, dir),
         """INSERT DATA { <urn:t:region:99> a <urn:c:Region> .
@@ -796,6 +829,46 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   }
   private def docs(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
+
+  /** DuckDB replica of `rounds` greedy BPE merge rounds, ending with the last
+    * merge APPLIED (so `seq_{rounds+1}` holds fully-encoded word pieces); the
+    * caller appends the final CTEs + SELECT via `tail`. Mirrors the unrolled
+    * p_bpe_train oracle: per round, count adjacent pairs weighted by word
+    * frequency, pick the (cnt desc, l, r) argmax, select odd-ranked positions
+    * of each match island (greedy left-to-right non-overlap), and rebuild.
+    */
+  private def bpeSql(rounds: Int, tail: String): String = {
+    val b = new StringBuilder
+    b ++= """WITH wf AS (SELECT t.w, COUNT(*) AS freq FROM documents,
+            |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(w)
+            |  WHERE length(t.w) > 0 GROUP BY t.w),
+            |seq_1 AS (SELECT w, freq,
+            |  list_transform(generate_series(1, length(w)), i -> w[i:i]) AS seq FROM wf),
+            |""".stripMargin
+    for (r <- 1 to rounds) {
+      val n = r + 1
+      b ++= s"""bg_$r AS (SELECT w, freq, seq, unnest(generate_series(1, len(seq)-1)) AS j FROM seq_$r),
+               |pc_$r AS (SELECT seq[j] AS l, seq[j+1] AS r, SUM(freq) AS cnt FROM bg_$r GROUP BY 1, 2),
+               |top_$r AS (SELECT l, r, cnt FROM pc_$r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+               |mm_$r AS (SELECT b.w, b.j FROM bg_$r b, top_$r t WHERE b.seq[b.j] = t.l AND b.seq[b.j+1] = t.r),
+               |isl_$r AS (SELECT w, j, j - ROW_NUMBER() OVER (PARTITION BY w ORDER BY j) AS grp FROM mm_$r),
+               |sel_$r AS (SELECT w, j FROM (SELECT w, j,
+               |    ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY j) AS k FROM isl_$r) t WHERE k % 2 = 1),
+               |pos_$r AS (SELECT w, freq, seq, unnest(generate_series(1, len(seq))) AS p FROM seq_$r),
+               |seq_$n AS (
+               |  SELECT p1.w, any_value(p1.freq) AS freq,
+               |    list(CASE WHEN s.j IS NOT NULL THEN p1.seq[p1.p] || p1.seq[p1.p+1]
+               |              ELSE p1.seq[p1.p] END ORDER BY p1.p) AS seq
+               |  FROM pos_$r p1
+               |  LEFT JOIN sel_$r s ON s.w = p1.w AND s.j = p1.p
+               |  LEFT JOIN sel_$r s2 ON s2.w = p1.w AND s2.j = p1.p - 1
+               |  WHERE s2.j IS NULL
+               |  GROUP BY p1.w),
+               |""".stripMargin
+    }
+    b ++= tail
+    b.toString
+  }
   private def emb(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
 
   // events.ts physical-type normalization — canonical copy lives in pipeline.Events
@@ -1985,6 +2058,22 @@ object SparkEntry {
 
     // tokenizer training: learn the top-3 BPE merges corpus-wide (greedy
     // left-to-right merge semantics; per-round work is vocabulary-sized)
+    // tokenizer application: train 3 merges, then encode the corpus with them
+    // (vocab-sized encode, broadcast word→pieces map; corpus never shuffles)
+    ("p_bpe_encode", ((s: SparkSession, dir: String) => {
+      val m = TextStats.bpeTrainMerges(docs(s, dir), "doc_id", "text", merges = 3)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextStats.bpeEncodeCounts(docs(s, dir), "doc_id", "text", m)
+    }): Q,
+      Some(bpeSql(rounds = 3,
+        """enc AS (SELECT w, CAST(len(seq) AS BIGINT) AS n FROM seq_4),
+          |dt AS (SELECT doc_id, t.w FROM documents,
+          |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(w)
+          |  WHERE length(t.w) > 0)
+          |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_pieces
+          |FROM dt JOIN enc USING (w) GROUP BY doc_id""".stripMargin))),
+
     ("p_bpe_train", ((s: SparkSession, dir: String) =>
       TextStats.bpeTrainMerges(docs(s, dir), "doc_id", "text", merges = 3)): Q,
       Some("""WITH wf AS (SELECT t.w, COUNT(*) AS freq FROM documents,

@@ -624,7 +624,18 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     }
     t.o match {
       case VarNode(_) => ()
-      case n => df = df.filter(col("o")("id") === TermIds.nodeId(n))
+      case n =>
+        df = df.filter(col("o")("id") === TermIds.nodeId(n))
+        // constant-object scan over a multi-graph predicate: only (p, o) pairs
+        // that actually span graphs can duplicate (`?s rdf:type <Class>` skips
+        // the distinct when the class lives in one graph)
+        if (dedupSpo) t.p match {
+          case PLink(iri) if !iri.startsWith("?") =>
+            dedupSpo &&= store.multiGraphPO
+              .map(_.contains((TermIds.iriId(iri), TermIds.nodeId(n))))
+              .getOrElse(true)
+          case _ => ()
+        }
     }
     if (dedupSpo)
       df = df.withColumn("__sid", col("s")("id")).withColumn("__oid", col("o")("id"))
@@ -1812,6 +1823,8 @@ object Services {
 object BuiltinServices {
   val GAS_NS = "http://www.bigdata.com/rdf/gas#"
 
+  val BD_NS = "http://www.bigdata.com/rdf#"
+
   lazy val init: Unit = {
     Services.register(GAS_NS + "service", gasService)
     // explicit SERVICE forms of the magic-predicate groups — the reference
@@ -1820,6 +1833,122 @@ object BuiltinServices {
     Services.register("http://www.bigdata.com/rdf/geospatial#search",
       magicService(c => (v, ts) => c.geoScan(v, ts)))
     Services.register("http://www.bigdata.com/rdf/search#search", magicService(_.searchScan))
+    // the statement-pattern utility services the registry also installs
+    // (ServiceRegistry.java:140-147: SampleServiceFactory, SliceServiceFactory,
+    // ValuesServiceFactory)
+    Services.register(BD_NS + "sample", sampleService)
+    Services.register(BD_NS + "slice", sliceService)
+    Services.register(BD_NS + "values", valuesService)
+  }
+
+  /** `bd:serviceParam <ns><key> value` triples of a service group, key → values
+    * in author order (ServiceParams.java convention).
+    */
+  private def svcParams(ts: Seq[Triple], ns: String): Map[String, Seq[Node]] =
+    ts.collect {
+      case Triple(IriNode(s), PLink(p), o, _)
+        if s == BD_NS + "serviceParam" && p.startsWith(ns) => (p.stripPrefix(ns), o)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  private def patternOf(ts: Seq[Triple], what: String): Triple = {
+    val pats = ts.filterNot {
+      case Triple(IriNode(s), _, _, _) => s == BD_NS + "serviceParam"
+      case _ => false
+    }
+    if (pats.size != 1)
+      throw new IllegalArgumentException(s"$what expects exactly one statement pattern, got ${pats.size}")
+    pats.head
+  }
+
+  private def lexOf(n: Node): String = n match {
+    case LitNode(lex, _, _) => lex
+    case IriNode(i) => i
+    case other => throw new IllegalArgumentException(s"expected a constant, got $other")
+  }
+
+  /** SERVICE bd:sample { <pattern> . bd:serviceParam bd:sample.limit N ;
+    * bd:sample.seed S ; bd:sample.sampleType "RANDOM"|"EVEN"|"DENSE" } —
+    * the SampleIndex service (SampleServiceFactory.java:74-96; defaults
+    * SampleIndex.java:128-150: limit 100, seed 0, RANDOM). RANDOM is a
+    * deterministic hash order keyed by the seed (engine-stable analog of the
+    * reference's seeded index sampling), EVEN strides the id-ordered scan,
+    * DENSE takes its head.
+    */
+  private def sampleService(c: Compiler, inner: Op, silent: Boolean): DataFrame = {
+    val ts = inner match {
+      case OpBgp(t) => t
+      case other => throw new IllegalArgumentException(s"bd:sample expects a BGP, got $other")
+    }
+    val p = svcParams(ts, BD_NS + "sample.")
+    val limit = p.get("limit").map(v => lexOf(v.head).toInt).getOrElse(100)
+    val seed = p.get("seed").map(v => lexOf(v.head).toLong).getOrElse(0L)
+    val typ = p.get("sampleType").map(v => lexOf(v.head)).getOrElse("RANDOM")
+    val df = c.scanTriple(patternOf(ts, "bd:sample"))
+    val idCols = df.columns.toSeq.map(cn => col(cn)("id"))
+    typ match {
+      case "RANDOM" =>
+        df.orderBy(xxhash64((idCols :+ lit(seed)): _*)).limit(limit)
+      case "DENSE" => df.orderBy(idCols: _*).limit(limit)
+      case "EVEN" =>
+        val total = df.count()
+        val stride = math.max(1L, total / math.max(1, limit))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(idCols: _*)
+        df.withColumn("__rn", row_number().over(w))
+          .filter((col("__rn") - 1) % stride === 0).drop("__rn").limit(limit)
+      case other => throw new IllegalArgumentException(s"unknown bd:sample.sampleType $other")
+    }
+  }
+
+  /** SERVICE bd:slice { <pattern> . bd:serviceParam bd:slice.offset O ;
+    * bd:slice.limit N } — a deterministic slice of the id-ordered access path;
+    * with `bd:slice.range ?var` instead, binds the pattern's range COUNT
+    * (SliceServiceFactory.java:81-103).
+    */
+  private def sliceService(c: Compiler, inner: Op, silent: Boolean): DataFrame = {
+    val ts = inner match {
+      case OpBgp(t) => t
+      case other => throw new IllegalArgumentException(s"bd:slice expects a BGP, got $other")
+    }
+    val p = svcParams(ts, BD_NS + "slice.")
+    val df = c.scanTriple(patternOf(ts, "bd:slice"))
+    p.get("range").map(_.head) match {
+      case Some(VarNode(v)) =>
+        df.agg(count(lit(1)).as("__n")).select(Term.intLit(col("__n")).as(v))
+      case Some(other) =>
+        throw new IllegalArgumentException(s"bd:slice.range expects a variable, got $other")
+      case None =>
+        val offset = p.get("offset").map(v => lexOf(v.head).toLong).getOrElse(0L)
+        val limit = p.get("limit").map(v => lexOf(v.head).toLong).getOrElse(
+          throw new IllegalArgumentException("bd:slice needs bd:slice.limit (or bd:slice.range)"))
+        val idCols = df.columns.toSeq.map(cn => col(cn)("id"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(idCols: _*)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") > offset && col("__rn") <= offset + limit).drop("__rn")
+    }
+  }
+
+  /** SERVICE bd:values { bd:serviceParam bd:values.var ?v . bd:serviceParam
+    * bd:values.val <v1> … } — the VALUES-simulation service
+    * (ValuesServiceFactory.java:74-83). Values chunk row-major across the
+    * declared vars.
+    */
+  private def valuesService(c: Compiler, inner: Op, silent: Boolean): DataFrame = {
+    val ts = inner match {
+      case OpBgp(t) => t
+      case other => throw new IllegalArgumentException(s"bd:values expects a BGP, got $other")
+    }
+    val p = svcParams(ts, BD_NS + "values.")
+    val vars = p.getOrElse("var", Nil).collect { case VarNode(v) => v }
+    if (vars.isEmpty) throw new IllegalArgumentException("bd:values needs bd:values.var")
+    val vals = p.getOrElse("val", Nil)
+    if (vals.isEmpty || vals.size % vars.size != 0)
+      throw new IllegalArgumentException(
+        s"bd:values needs a multiple of ${vars.size} bd:values.val entries, got ${vals.size}")
+    val spark = c.store.spark
+    vals.grouped(vars.size).map { row =>
+      spark.range(1).select(vars.zip(row).map { case (v, n) =>
+        graft.engine.Exprs.constTerm(n).as(v) }: _*)
+    }.reduce(_.unionByName(_))
   }
 
   private def magicService(scan: Compiler => (String, Seq[Algebra.Triple]) => DataFrame)

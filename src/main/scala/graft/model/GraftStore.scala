@@ -43,6 +43,30 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
   /** Can ANY default-graph scan see a cross-graph duplicate? */
   def defaultGraphNeedsDedup: Boolean = multiGraphPids.nonEmpty
 
+  /** Finer probe for CONSTANT-OBJECT scans over a multi-graph predicate: the
+    * (p_id, o_id) pairs appearing in ≥2 named graphs. The motivating shape is
+    * `?s rdf:type <Class>` — rdf:type spans every graph of a one-table-per-
+    * graph store, but each (type, Class) pair still lives in a single graph,
+    * so the class-membership scan skips the distinct. Bounded: the probe only
+    * runs when the multi-graph predicate set is small, and gives up (None =
+    * assume any pair may duplicate) past 100k pairs — correctness never
+    * depends on it, only the skip does.
+    */
+  @transient lazy val multiGraphPO: Option[Set[(Long, Long)]] =
+    if (multiGraphPids.isEmpty) Some(Set.empty)
+    else if (multiGraphPids.size > 1000) None
+    else {
+      val cap = 100000
+      val rows = statements
+        .filter(col("g").isNotNull && col("p_id").isin(multiGraphPids.toSeq: _*))
+        .select(col("p_id"), col("o")("id").as("__oid"), col("g")("id").as("__gid"))
+        .distinct()
+        .groupBy("p_id", "__oid").count().filter(col("count") > 1)
+        .select("p_id", "__oid").limit(cap + 1).collect()
+      if (rows.length > cap) None
+      else Some(rows.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+
   /** Named-graph view (g bound). */
   def namedGraphs: DataFrame = statements.filter(col("g").isNotNull)
 

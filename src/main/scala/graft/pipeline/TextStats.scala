@@ -221,6 +221,42 @@ object TextStats {
     * round. 100 TB of text with a 10M-word vocabulary iterates over 10M rows,
     * not the corpus.
     */
+  /** One greedy left-to-right BPE merge pass over a piece sequence: adjacent
+    * (a, b) becomes a+b, and a pair merges only when its left member was NOT
+    * itself consumed by the preceding merge — the fold's last element can never
+    * equal `a` right after a merge (merged = a+b ≠ a).
+    */
+  private def mergeFold(seq: Column, a: String, b: String): Column =
+    aggregate(seq, array().cast("array<string>"),
+      (acc, t) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && t === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(t))))
+
+  /** Apply TRAINED merges to a corpus and report the per-document BPE piece
+    * count — the tokenizer-application pass of a training pipeline. The encode
+    * runs on DISTINCT WORDS (vocabulary-sized, one `mergeFold` per merge rank
+    * in order), and the corpus only broadcast-joins the word→pieces map — at
+    * 100 TB the expensive part never touches the documents, mirroring
+    * bpeTrainMerges' vocab-sized iteration.
+    */
+  def bpeEncodeCounts(docs: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0).dropDuplicates("w")
+    var enc = vocab.select(col("w"), array_remove(split(col("w"), ""), "").as("seq"))
+    // one select per merge keeps each generated expression bounded (a single
+    // nested column tree across N merges would stack N aggregate lambdas)
+    merges.foreach { case (a, b) =>
+      enc = enc.select(col("w"), mergeFold(col("seq"), a, b).as("seq"))
+    }
+    val pieces = enc.select(col("w"), size(col("seq")).cast("long").as("n"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(pieces), "w")
+      .groupBy(idCol).agg(sum("n").as("n_pieces"))
+  }
+
   def bpeTrainMerges(docs: DataFrame, idCol: String, textCol: String,
                      merges: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -247,16 +283,7 @@ object TextStats {
       if (top.nonEmpty) {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((r, a, b, c))
-        // greedy left-to-right merge: a pair merges only when its left member
-        // was NOT itself consumed by the preceding merge — the fold's last
-        // element can never equal `a` right after a merge (merged = a+b ≠ a)
-        words = words.select(aggregate(col("seq"),
-          array().cast("array<string>"),
-          (acc, t) => when(size(acc) > 0 &&
-              element_at(acc, -1) === lit(a) && t === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(t)))).as("seq"),
-          col("freq"))
+        words = words.select(mergeFold(col("seq"), a, b).as("seq"), col("freq"))
           .localCheckpoint()
       }
     }

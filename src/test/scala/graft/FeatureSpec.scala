@@ -54,6 +54,55 @@ class FeatureSpec extends GraftSuite {
     assert(rt == orig)
   }
 
+  // ---- statement-pattern utility services (bd:sample / bd:slice / bd:values) ----
+  test("bd:sample (DENSE/EVEN/RANDOM), bd:slice (offset+limit / range), bd:values") {
+    val t = (1 to 6).map(i => (s"urn:s:$i", s"v$i")).toDF("si", "vv")
+      .select(Term.iri(col("si")).as("s"), Term.iri("urn:p:x").as("p"),
+        Term.strLit(col("vv")).as("o"), Term.nullTerm.as("g"),
+        lit(0).cast("byte").as("stype"))
+    val st = GraftStore.cached(spark, t)
+    val bd = "http://www.bigdata.com/rdf#"
+    def q(body: String) = Engine.query(st, body).collect()
+    def svc(params: String) =
+      s"""SELECT ?v WHERE { SERVICE <${bd}sample> {
+         |  ?s <urn:p:x> ?v . $params } }""".stripMargin
+    // DENSE with limit >= population = the full set; limit 3 = a 3-prefix
+    assert(q(svc(s"<${bd}serviceParam> <${bd}sample.limit> 100 . " +
+      s"""<${bd}serviceParam> <${bd}sample.sampleType> "DENSE" .""")).length == 6)
+    val dense3 = q(svc(s"<${bd}serviceParam> <${bd}sample.limit> 3 . " +
+      s"""<${bd}serviceParam> <${bd}sample.sampleType> "DENSE" ."""))
+    assert(dense3.length == 3)
+    // EVEN strides to the limit; RANDOM is deterministic under a fixed seed
+    assert(q(svc(s"<${bd}serviceParam> <${bd}sample.limit> 3 . " +
+      s"""<${bd}serviceParam> <${bd}sample.sampleType> "EVEN" .""")).length == 3)
+    val r1 = q(svc(s"<${bd}serviceParam> <${bd}sample.limit> 2 . " +
+      s"<${bd}serviceParam> <${bd}sample.seed> 7 ."))
+    val r2 = q(svc(s"<${bd}serviceParam> <${bd}sample.limit> 2 . " +
+      s"<${bd}serviceParam> <${bd}sample.seed> 7 ."))
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq && r1.length == 2)
+    // slice: two disjoint pages that cover a 4-row window; range binds the count
+    def slice(off: Int, lim: Int) = q(
+      s"""SELECT ?v WHERE { SERVICE <${bd}slice> { ?s <urn:p:x> ?v .
+         |  <${bd}serviceParam> <${bd}slice.offset> $off .
+         |  <${bd}serviceParam> <${bd}slice.limit> $lim . } }""".stripMargin)
+      .map(_.getStruct(0).getAs[String]("str")).toSet
+    val (p1, p2) = (slice(0, 2), slice(2, 2))
+    assert(p1.size == 2 && p2.size == 2 && (p1 & p2).isEmpty)
+    val rc = q(
+      s"""SELECT ?n WHERE { SERVICE <${bd}slice> { ?s <urn:p:x> ?v .
+         |  <${bd}serviceParam> <${bd}slice.range> ?n . } }""".stripMargin)
+    assert(rc.length == 1 && rc(0).getStruct(0).getAs[Long]("lng") == 6L)
+    // values: two rows binding ?v, joined against the pattern
+    val vj = q(
+      s"""SELECT ?s WHERE { SERVICE <${bd}values> {
+         |  <${bd}serviceParam> <${bd}values.var> ?v .
+         |  <${bd}serviceParam> <${bd}values.val> "v2" .
+         |  <${bd}serviceParam> <${bd}values.val> "v5" . }
+         |  ?s <urn:p:x> ?v . }""".stripMargin)
+    assert(vj.map(_.getStruct(0).getAs[String]("str")).toSet ==
+      Set("urn:s:2", "urn:s:5"))
+  }
+
   // ---- full-text search ----
   test("text index ranks multi-term matches and respects matchAllTerms") {
     val t = Seq(

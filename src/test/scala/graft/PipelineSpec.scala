@@ -182,6 +182,16 @@ class PipelineSpec extends GraftSuite {
     assert(!plan.contains("Generate") && !plan.contains("Aggregate"), plan)
   }
 
+  test("bpeEncodeCounts applies merges in rank order over a vocab-sized encode") {
+    val d = Seq((1L, "ab abc xx"), (2L, "abc abc")).toDF("doc_id", "text")
+    // merge 1: a+b -> ab; merge 2: ab+c -> abc
+    val out = TextStats.bpeEncodeCounts(d, "doc_id", "text",
+        Seq("a" -> "b", "ab" -> "c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: "ab"->1 piece, "abc"->1, "xx"->2 (no merge applies) = 4
+    assert(out == Map(1L -> 4L, 2L -> 2L))
+  }
+
   test("capPerKey keeps the K smallest ids per key, drops the rest") {
     val d = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
       .toDF("doc_id", "source")
