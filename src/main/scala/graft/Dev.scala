@@ -236,6 +236,20 @@ object Dev {
       println(s"PROBE-EVENTS sessions=$nSess coveredEvents=$nEv " +
         s"(expect coveredEvents = event count) topTokens=$hh")
     }
+    // probe 17 (r10): bds:searchInSearch keeps incoming bindings whose subject
+    // links to a full-text hit; oracle = Spark SQL over the raw parquet
+    locally {
+      val bds = "http://www.bigdata.com/rdf/search#"
+      val sisGot = engine.Engine.query(store,
+        s"""SELECT (COUNT(*) AS ?cnt) WHERE { ?c a <urn:c:Customer> .
+           |  SERVICE <${bds}searchInSearch> {
+           |    ?c <${bds}searchInSearch> "automobile" . } }""".stripMargin)
+        .first().getStruct(0).getAs[Long]("lng")
+      val sisExp = spark.sql(
+        "SELECT COUNT(*) FROM customer WHERE c_mktsegment = 'AUTOMOBILE'")
+        .first().getLong(0)
+      println(s"PROBE-SEARCH-IN-SEARCH: got=$sisGot exp=$sisExp ORACLE-MATCH: ${sisGot == sisExp}")
+    }
     // flagship smoke (driver contract)
     val flag = SparkEntry.entry(spark)
     println(s"ENTRY-ROWS: ${flag.count()}")

@@ -465,6 +465,16 @@ object SparkEntry {
     // bd:values simulates VALUES, bd:sample samples an access path (DENSE over
     // a dimension-bounded pattern here so the result is the deterministic full
     // set), bd:slice.range binds a pattern's range count
+    // the search-in-search service: keep incoming bindings whose subject links
+    // to a full-text hit (correlated, evaluated against the frame)
+    ("q_search_in_search", ((s: SparkSession, dir: String) =>
+      sq("""SELECT (COUNT(*) AS ?cnt) WHERE {
+           |  ?c a <urn:c:Customer> .
+           |  SERVICE <http://www.bigdata.com/rdf/search#searchInSearch> {
+           |    ?c <http://www.bigdata.com/rdf/search#searchInSearch> "automobile" .
+           |  } }""".stripMargin, oLng("cnt"))(s, dir)): Q,
+      Some("SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM customer WHERE c_mktsegment = 'AUTOMOBILE'")),
+
     ("q_service_values", ((s: SparkSession, dir: String) =>
       sq("""SELECT ?seg (COUNT(*) AS ?cnt) WHERE {
            |  SERVICE <http://www.bigdata.com/rdf#values> {

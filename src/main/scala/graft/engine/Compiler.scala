@@ -392,6 +392,30 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     t.s.isInstanceOf[VarNode] && t.o.isInstanceOf[VarNode] &&
     ((t.g.isEmpty && ds.defaults.isEmpty) || !containsZero(t.p))
 
+  /** SERVICE bds:searchInSearch { ?s bds:searchInSearch "query" } — keeps the
+    * INCOMING ?s bindings that link (as subject of any statement) to a literal
+    * the full-text index matches (SearchInSearchServiceFactory.java:78-90).
+    * Correlated by definition: with no incoming ?s bindings it produces
+    * nothing, so the OpJoin deferral evaluates it once the frame binds ?s.
+    */
+  private[engine] def searchInSearchScan(ts: Seq[Triple], frame: DataFrame): DataFrame = {
+    val (sv, query) = ts.collectFirst {
+      case Triple(VarNode(v), PLink(p), LitNode(q, _, _), _)
+        if p == BDS_NS + "searchInSearch" => (v, q)
+    }.getOrElse(throw new IllegalArgumentException(
+      "bds:searchInSearch needs `?s bds:searchInSearch \"query\"`"))
+    if (!frame.columns.contains(sv))
+      throw new IllegalArgumentException(
+        s"bds:searchInSearch requires incoming bindings for ?$sv")
+    val hits = graft.search.TextIndex.forStore(store).search(query)
+      .select(col("lit")("id").as("__lid"))
+    // hits are search-result-sized; the statement join prunes to rows whose
+    // OBJECT is a hit before touching the frame
+    store.statements
+      .join(hits, col("o")("id") === col("__lid"))
+      .select(col("s").as(sv)).dropDuplicates(sv)
+  }
+
   def compileBgp(triples1: Seq[Triple]): DataFrame = {
     val (hintT, triples0) = triples1.partition(isHint)
     val keepOrder = optimizerOff(hintT)
@@ -1184,9 +1208,10 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         case OpBgp(Seq(t)) if deferrablePath(t) => Some(t)
         case _ => None
       }
-      // a geo SERVICE with a VARIABLE input parameter (e.g. spatialCircleCenter
-      // bound by a sibling triple) is correlated: defer it until the frame binds
-      // its parameter vars, then evaluate frame-aware (the reference's pipelined
+      // a CORRELATED service — a geo SERVICE with a VARIABLE input parameter
+      // (spatialCircleCenter bound by a sibling triple), or bds:searchInSearch
+      // (defined over incoming ?s bindings) — defers until the frame binds its
+      // parameter vars, then evaluates frame-aware (the reference's pipelined
       // "search with incoming bindings" through the service IBindingSet)
       def svcOf(op: Op): Option[(String, Seq[Triple], Set[String])] = op match {
         case OpService(IriNode(i), OpBgp(ts), _) if i == GEO_NS + "search" =>
@@ -1195,6 +1220,11 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
               if pp.startsWith(GEO_NS) && geoInputParams(pp.stripPrefix(GEO_NS)) => v
           }.toSet
           if (pv.nonEmpty) Some((i, ts, pv)) else None
+        case OpService(IriNode(i), OpBgp(ts), _) if i == BDS_NS + "searchInSearch" =>
+          ts.collectFirst {
+            case Triple(VarNode(v), PLink(pp), _, _)
+              if pp == BDS_NS + "searchInSearch" => (i, ts, Set(v))
+          }
         case _ => None
       }
       val (defParts, rest) = parts.partition(p => pathOf(p).isDefined || svcOf(p).isDefined)
@@ -1228,6 +1258,8 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
           val op2 = deferred.remove(if (idx >= 0) idx else 0)
           accDf = (pathOf(op2), svcOf(op2)) match {
             case (Some(t), _) if idx >= 0 => joinSeededPath(accDf, t, bound)
+            case (_, Some((svcIri, ts, _))) if idx >= 0 && svcIri == BDS_NS + "searchInSearch" =>
+              joinDf(accDf, searchInSearchScan(ts, accDf), "inner")
             case (_, Some((_, ts, _))) if idx >= 0 =>
               val subj = ts.head.s match {
                 case VarNode(v) => v
@@ -1833,6 +1865,12 @@ object BuiltinServices {
     Services.register("http://www.bigdata.com/rdf/geospatial#search",
       magicService(c => (v, ts) => c.geoScan(v, ts)))
     Services.register("http://www.bigdata.com/rdf/search#search", magicService(_.searchScan))
+    // bds:searchInSearch is correlated-only (filters INCOMING bindings:
+    // SearchInSearchServiceFactory.java:85-90) — the OpJoin deferral routes it
+    // frame-aware; a standalone evaluation has no bindings to filter
+    Services.register("http://www.bigdata.com/rdf/search#searchInSearch", (_, _, _) =>
+      throw new IllegalArgumentException(
+        "bds:searchInSearch requires incoming bindings (join it with a pattern binding its subject)"))
     // the statement-pattern utility services the registry also installs
     // (ServiceRegistry.java:140-147: SampleServiceFactory, SliceServiceFactory,
     // ValuesServiceFactory)

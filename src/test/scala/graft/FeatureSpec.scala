@@ -103,6 +103,28 @@ class FeatureSpec extends GraftSuite {
       Set("urn:s:2", "urn:s:5"))
   }
 
+  test("bds:searchInSearch filters incoming bindings by linked-literal match") {
+    val bds = "http://www.bigdata.com/rdf/search#"
+    val t = Seq(
+      ("urn:d:1", "spark joins merge batches"),
+      ("urn:d:2", "spark only here"),
+      ("urn:d:3", "nothing relevant at all")
+    ).toDF("si", "txt").select(Term.iri(col("si")).as("s"),
+      Term.iri("urn:p:text").as("p"), Term.strLit(col("txt")).as("o"),
+      Term.nullTerm.as("g"), lit(0).cast("byte").as("stype"))
+    val st = GraftStore.cached(spark, t)
+    val out = Engine.query(st,
+      s"""SELECT ?s WHERE { ?s <urn:p:text> ?t .
+         |  SERVICE <${bds}searchInSearch> { ?s <${bds}searchInSearch> "spark" } }""".stripMargin)
+      .collect().map(_.getStruct(0).getAs[String]("str")).toSet
+    assert(out == Set("urn:d:1", "urn:d:2"))
+    // standalone (no incoming bindings) is rejected, not silently empty
+    val e = intercept[Exception](Engine.query(st,
+      s"""SELECT ?s WHERE { SERVICE <${bds}searchInSearch> {
+         |  ?s <${bds}searchInSearch> "spark" } }""".stripMargin).collect())
+    assert(e.getMessage.contains("incoming bindings"))
+  }
+
   // ---- full-text search ----
   test("text index ranks multi-term matches and respects matchAllTerms") {
     val t = Seq(
