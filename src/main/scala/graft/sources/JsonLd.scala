@@ -30,13 +30,14 @@ import scala.collection.mutable.ArrayBuffer
   *     i18n-datatype mode, the round-trippable RDF representation).
   *
   *   - 1.1 scoped contexts: embedded `@context` on nested node objects,
-  *     property-scoped contexts (expanded term definition `@context`, default
-  *     propagation), and type-scoped contexts (applied to the node carrying the
-  *     `@type`, reverting for child node objects — §4.1.8). An explicit
-  *     `"@propagate": false` stays unsupported.
+  *     property-scoped contexts (expanded term definition `@context`), and
+  *     type-scoped contexts (applied to the node carrying the `@type`,
+  *     reverting for child node objects — §4.1.8), with explicit `@propagate`
+  *     control (§4.1.9): `false` scopes any context to the node(s) it lands
+  *     on, `true` lets a type-scoped context propagate.
   *
-  * Remaining unsupported 1.1 features (`@propagate: false`, remote contexts)
-  * fail loudly rather than silently mis-parse.
+  * The remaining unsupported 1.1 feature (remote contexts — the sandbox has no
+  * egress) fails loudly rather than silently mis-parsing.
   */
 object JsonLd {
 
@@ -58,10 +59,16 @@ object JsonLd {
     var scopedCtx = Map.empty[String, JsonNode] // term → scoped @context node
     var vocab: Option[String] = None
     var defaultDirection: Option[String] = None // context @direction ("ltr"/"rtl")
-    /** Set on a TYPE-scoped branch: child node objects revert to this context
-      * (type-scoped contexts do not propagate by default — JSON-LD 1.1 §4.1.8).
+    /** Set on a non-propagating branch: node objects entered with this context
+      * revert to it once `revertDepth` reaches 0 (type-scoped contexts do not
+      * propagate by default — JSON-LD 1.1 §4.1.8 — and any context can opt out
+      * with `@propagate: false` — §4.1.9). Depth 0 reverts at the NEXT node-
+      * object entry (type-scoped / embedded); depth 1 survives the immediate
+      * value node and reverts beneath it (property-scoped `@propagate: false`,
+      * which still applies to the entry's own values).
       */
     var revertTo: Option[Ctx] = None
+    var revertDepth: Int = 0
     def freshBnode(): String = { gen.bn += 1; s"jb${gen.bn}" }
     def bnode(label: String): String =
       gen.labeled.getOrElseUpdate(label, { gen.bn += 1; s"jbl${gen.bn}-${label.stripPrefix("_:")}" })
@@ -109,20 +116,24 @@ object JsonLd {
     }
   }
 
-  private def readContext(c: JsonNode, ctx: Ctx): Unit = {
+  /** Load a context node into `ctx`; returns the explicit `@propagate` value
+    * if one appeared (JSON-LD 1.1 §4.1.9). Subset rule for context ARRAYS: the
+    * members share one propagation decision, last explicit value wins (full
+    * JSON-LD tracks it per member).
+    */
+  private def readContext(c: JsonNode, ctx: Ctx): Option[Boolean] = {
     if (c.isTextual)
       unsupported(s"remote @context <${c.asText()}> (no dereferencing; inline the context)")
-    if (c.isArray) { c.elements().asScala.foreach(readContext(_, ctx)); return }
+    if (c.isArray)
+      return c.elements().asScala.foldLeft(Option.empty[Boolean])(
+        (acc, m) => readContext(m, ctx).orElse(acc))
+    var propagate = Option.empty[Boolean]
     c.properties().asScala.foreach { e =>
       val (k, v) = (e.getKey, e.getValue)
       if (k == "@vocab") ctx.vocab = Some(v.asText())
       else if (k == "@direction")
         ctx.defaultDirection = if (v.isNull) None else Some(dirOf(v.asText()))
-      else if (k == "@propagate")
-        // the default (true for property-scoped application, which is how this
-        // subset applies scoped contexts) is supported; an explicit false would
-        // require reverting for child node objects — fail loudly, don't mis-parse
-        (if (!v.asBoolean(true)) unsupported("@propagate: false (context un-propagation)"))
+      else if (k == "@propagate") propagate = Some(v.asBoolean(true))
       else if (k.startsWith("@")) () // @base/@language: accepted, not modeled
       else if (v.isTextual && v.asText() == "@nest") ctx.nestAliases += k
       else if (v.isTextual) ctx.terms += k -> (v.asText(), None)
@@ -151,6 +162,7 @@ object JsonLd {
         }
       }
     }
+    propagate
   }
 
   /** Term/compact-IRI/absolute-IRI expansion for @id/@type positions. */
@@ -186,14 +198,28 @@ object JsonLd {
   /** Parse one node object; returns its subject term. */
   private def nodeObject(n: JsonNode, ctx0: Ctx, g: Option[String]): (Byte, String) = {
     if (!n.isObject) unsupported(s"node ${n.getNodeType}")
-    // a parent's TYPE-scoped context does not propagate into child node objects
-    var ctx = ctx0.revertTo.getOrElse(ctx0)
-    // embedded @context on a nested node object: branch so siblings are unaffected
+    // a parent's non-propagating context reverts here once its depth is spent
+    // (depth 1 = a property-scoped @propagate:false surviving its immediate
+    // value node: this entry keeps it, the NEXT node-object entry reverts)
+    var ctx = ctx0.revertTo match {
+      case Some(pre) if ctx0.revertDepth <= 0 => pre
+      case Some(pre) =>
+        val c = ctx0.branch; c.revertTo = Some(pre); c.revertDepth = ctx0.revertDepth - 1; c
+      case None => ctx0
+    }
+    // embedded @context on a nested node object: branch so siblings are
+    // unaffected; @propagate:false scopes it to THIS node (children revert)
     if (n.has("@context")) {
-      val c2 = ctx.branch; readContext(n.get("@context"), c2); ctx = c2
+      val pre = ctx
+      val c2 = ctx.branch
+      val prop = readContext(n.get("@context"), c2)
+      if (prop.contains(false)) c2.revertTo = Some(pre)
+      ctx = c2
     }
     // type-scoped contexts: a term with a scoped @context used in @type applies
-    // its context to THIS node (in type order), reverting for children
+    // its context to THIS node (in type order), reverting for children unless
+    // EVERY applied scoped context opts in with @propagate:true (subset rule;
+    // full JSON-LD tracks propagation per context)
     val typeTerms = Option(n.get("@type")).toSeq
       .flatMap(t => if (t.isArray) t.elements().asScala.toSeq else Seq(t))
       .filter(_.isTextual).map(_.asText())
@@ -201,8 +227,10 @@ object JsonLd {
     if (scopedTypes.nonEmpty) {
       val pre = ctx
       val c2 = ctx.branch
-      scopedTypes.foreach(t => readContext(pre.scopedCtx(t), c2))
-      c2.revertTo = Some(pre)
+      val allPropagate = scopedTypes
+        .map(t => readContext(pre.scopedCtx(t), c2))
+        .forall(_.contains(true))
+      if (!allPropagate) c2.revertTo = Some(pre)
       ctx = c2
     }
     val subj = subjectOf(n, ctx)
@@ -257,9 +285,14 @@ object JsonLd {
           val cont = ctx.containers.getOrElse(term, Nil)
           // property-scoped context: the term's scoped @context applies to this
           // entry's values on a BRANCH of the active context (and, default
-          // @propagate, to everything beneath them)
+          // @propagate, to everything beneath them); @propagate:false keeps it
+          // on the entry's immediate value nodes but reverts for node objects
+          // nested inside them (revertDepth 1 — consumed at entries)
           val sctx = ctx.scopedCtx.get(term).map { sc =>
-            val c2 = ctx.branch; readContext(sc, c2); c2
+            val c2 = ctx.branch
+            val prop = readContext(sc, c2)
+            if (prop.contains(false)) { c2.revertTo = Some(ctx); c2.revertDepth = 1 }
+            c2
           }.getOrElse(ctx)
           def one(nv: JsonNode): Unit =
             if (ctx.reverseTerms(term)) {

@@ -161,11 +161,9 @@ class JsonLdSpec extends GraftSuite {
     val e = intercept[IllegalArgumentException](
       JsonLd.parse("""{"@context": "http://remote/ctx", "@id": "ex:x"}"""))
     assert(e.getMessage.contains("unsupported") && e.getMessage.contains("http://remote/ctx"))
-    // @propagate: true (the default) is accepted; only false is rejected
+    // @propagate (both values) is supported — parses clean
     JsonLd.parse("""{"@context": {"@propagate": true}, "@id": "ex:x"}""")
-    val ep = intercept[IllegalArgumentException](
-      JsonLd.parse("""{"@context": {"@propagate": false}, "@id": "ex:x"}"""))
-    assert(ep.getMessage.contains("@propagate"))
+    JsonLd.parse("""{"@context": {"@propagate": false}, "@id": "ex:x"}""")
     val e2 = intercept[IllegalArgumentException](
       JsonLd.parse("""{"@context": {"t": {"@id": "urn:p", "@container": "@graph"}},
                      | "@id": "urn:x", "t": {"@id": "urn:y"}}""".stripMargin))
@@ -272,6 +270,58 @@ class JsonLdSpec extends GraftSuite {
     def ask2(q: String) = Engine.query(st, q).first().getBoolean(0)
     assert(ask2("""ASK { <http://example.org/b> <http://inner.org/p> "iv" }"""))
     assert(ask2("""ASK { <http://example.org/a> <http://example.org/p> "ov" }"""))
+  }
+
+  test("@propagate controls scoped-context propagation (§4.1.9)") {
+    // property-scoped with @propagate:false: applies to the entry's immediate
+    // value node, reverts for node objects nested inside it
+    val d =
+      """{
+        |  "@context": {
+        |    "ex": "http://example.org/",
+        |    "label": "http://example.org/label",
+        |    "detail": {"@id": "http://example.org/detail",
+        |               "@context": {"@propagate": false,
+        |                            "label": "http://other.org/label"}}
+        |  },
+        |  "@id": "ex:x",
+        |  "detail": {"@id": "ex:d", "label": "inner",
+        |             "ex:sub": {"@id": "ex:dd", "label": "deep"}}
+        |}""".stripMargin
+    val st = new GraftStore(ss, Rio.readJsonLd(ss, d))
+    def ask2(q: String) = Engine.query(st, q).first().getBoolean(0)
+    assert(ask2("""ASK { <http://example.org/d> <http://other.org/label> "inner" }"""))
+    assert(ask2("""ASK { <http://example.org/dd> <http://example.org/label> "deep" }"""))
+    // type-scoped with @propagate:true: survives into child node objects
+    val t =
+      """{
+        |  "@context": {
+        |    "ex": "http://example.org/",
+        |    "name": "http://example.org/name",
+        |    "Widget": {"@id": "http://example.org/Widget",
+        |               "@context": {"@propagate": true,
+        |                            "name": "http://widget.org/name"}}
+        |  },
+        |  "@id": "ex:w", "@type": "Widget", "name": "gizmo",
+        |  "ex:part": {"@id": "ex:p", "name": "cog"}
+        |}""".stripMargin
+    val st2 = new GraftStore(ss, Rio.readJsonLd(ss, t))
+    def ask3(q: String) = Engine.query(st2, q).first().getBoolean(0)
+    assert(ask3("""ASK { <http://example.org/w> <http://widget.org/name> "gizmo" }"""))
+    assert(ask3("""ASK { <http://example.org/p> <http://widget.org/name> "cog" }"""))
+    // embedded @context with @propagate:false: this node only, children revert
+    val e =
+      """{
+        |  "@context": {"ex": "http://example.org/", "p": "http://example.org/p"},
+        |  "@id": "ex:a",
+        |  "ex:child": {"@context": {"@propagate": false, "p": "http://inner.org/p"},
+        |               "@id": "ex:b", "p": "iv",
+        |               "ex:grand": {"@id": "ex:c", "p": "gv"}}
+        |}""".stripMargin
+    val st3 = new GraftStore(ss, Rio.readJsonLd(ss, e))
+    def ask4(q: String) = Engine.query(st3, q).first().getBoolean(0)
+    assert(ask4("""ASK { <http://example.org/b> <http://inner.org/p> "iv" }"""))
+    assert(ask4("""ASK { <http://example.org/c> <http://example.org/p> "gv" }"""))
   }
 
   test("nested named @graph lands items in the graph the node's @id names") {
