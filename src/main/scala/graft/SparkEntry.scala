@@ -1339,6 +1339,23 @@ object SparkEntry {
              |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
              |GROUP BY t.doc_id, t.n_seg""".stripMargin)),
 
+    // exact-substring span dedup: sliding k-token window hashes, a window in
+    // ≥2 distinct docs is a duplicated span (any offset — the complement of
+    // p_segment_dedup's fixed chunks)
+    ("p_dedup_spans", ((s: SparkSession, dir: String) =>
+      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", k = 8)): Q,
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |w AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS win
+             |  FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i) WHERE len(toks) >= 8),
+             |wd AS (SELECT win, doc_id, COUNT(*) AS n FROM w GROUP BY 1, 2),
+             |wdf AS (SELECT win, COUNT(*) AS docs FROM wd GROUP BY 1),
+             |dup AS (SELECT wd.doc_id, SUM(wd.n) AS n_dup FROM wd JOIN wdf USING (win)
+             |  WHERE wdf.docs >= 2 GROUP BY 1)
+             |SELECT t.doc_id, CAST(GREATEST(len(t.toks) - 7, 0) AS BIGINT) AS n_windows,
+             |  CAST(COALESCE(dup.n_dup, 0) AS BIGINT) AS n_dup
+             |FROM t LEFT JOIN dup ON dup.doc_id = t.doc_id""".stripMargin)),
+
     // data-mixture planning: pairwise Jensen-Shannon divergence between the
     // per-source unigram distributions
     ("p_source_divergence", ((s: SparkSession, dir: String) =>

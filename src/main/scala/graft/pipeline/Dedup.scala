@@ -263,6 +263,40 @@ object Dedup {
       .withColumn("dup_frac", round(col("n_dups") / col("n_docs"), 6))
   }
 
+  /** Exact-substring (span-level) dedup signal — the sliding-window complement
+    * of [[segmentDedup]]'s fixed chunks: a k-token window appearing verbatim in
+    * ≥2 DISTINCT documents marks a cross-document duplicated span at ANY
+    * offset (fixed chunks miss spans that straddle chunk boundaries; this is
+    * the window-hash approximation of suffix-array exact-substring dedup from
+    * the "Deduplicating Training Data Makes Language Models Better" line of
+    * work). Output per doc: (id, n_windows, n_dup) — total k-token windows and
+    * how many of its window occurrences are cross-document duplicated spans.
+    *
+    * Scale shape: window hashing is O(tokens·k) map-side; the doc-frequency
+    * count is a map-side-combined aggregate on the 8-byte window hash; the
+    * dup-marking join is co-partitioned on that same hash (exchange reuse);
+    * no all-pairs work anywhere. Exchanges carry (hash, id, count) rows only —
+    * the corpus text never shuffles.
+    */
+  def duplicatedSpans(docs0: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8): DataFrame = {
+    val toked = graft.engine.DfOps.spread(docs0)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+    val wins = toked
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__t")) - k),
+        i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(k)))))).as("__wh"))
+    val wd = wins.groupBy(col("__wh"), col(idCol)).agg(count(lit(1)).as("__n"))
+    val docFreq = wd.groupBy("__wh").agg(count(lit(1)).as("__docs"))
+    val dup = wd.join(docFreq, "__wh").filter(col("__docs") >= 2)
+      .groupBy(idCol).agg(sum("__n").as("n_dup"))
+    toked.select(col(idCol),
+        greatest(size(col("__t")) - (k - 1), lit(0)).cast("long").as("n_windows"))
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"), coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+  }
+
   /** 64-bit SimHash over tf-weighted tokens. */
   /** Engine-portable 60-bit token hash: exact integer fold of the first 15 md5 hex
     * digits — any SQL engine reproduces it (the oracle's list_reduce mirrors the

@@ -182,6 +182,24 @@ class PipelineSpec extends GraftSuite {
     assert(!plan.contains("Generate") && !plan.contains("Aggregate"), plan)
   }
 
+  test("duplicatedSpans marks cross-doc k-token windows at any offset") {
+    val d = Seq(
+      // docs 1 and 2 share the 4-token span "a b c d" at DIFFERENT offsets
+      (1L, "a b c d x y"),
+      (2L, "z a b c d"),
+      // doc 3 repeats its own span but shares nothing across docs
+      (3L, "p q r s p q r s"),
+      // doc 4 is too short for any window
+      (4L, "t u")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(d, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: windows = abcd, bcdx, cdxy → 3 total, 1 dup; doc 2: zabc, abcd → 1 dup
+    // doc 3: 5 windows, self-repetition only → 0 dup; doc 4: 0 windows
+    assert(out == Map(1L -> ((3L, 1L)), 2L -> ((2L, 1L)),
+      3L -> ((5L, 0L)), 4L -> ((0L, 0L))))
+  }
+
   test("bpeEncodeCounts applies merges in rank order over a vocab-sized encode") {
     val d = Seq((1L, "ab abc xx"), (2L, "abc abc")).toDF("doc_id", "text")
     // merge 1: a+b -> ab; merge 2: ab+c -> abc
