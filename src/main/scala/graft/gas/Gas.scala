@@ -294,6 +294,13 @@ object Gas {
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
         when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
       .localCheckpoint()
+    // Deliberately UNHINTED joins. localCheckpoint hides size stats, so the
+    // closure join defaults to a shuffle rather than broadcasting the edge set;
+    // a measured A/B (tools/TriProf + QBench, SCALE.md round-10 note) put an
+    // explicit broadcast(edges) hint at parity locally — and at cluster scale
+    // broadcast REPLICATES the edge set per executor (|edges|·N moved) while
+    // the shuffle moves each wedge once, so past ~|wedges|/|edges| executors
+    // the shuffle is strictly cheaper. The declarative form stays.
     val x = o.select(col("src"), col("dst").as("v"), col("ddeg").as("vd"))
     val y = o.select(col("src"), col("dst").as("w"), col("ddeg").as("wdg"))
     val wedges = x.join(y, Seq("src"))
