@@ -1021,7 +1021,8 @@ object SparkEntry {
              |    i -> CAST(instr('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT)),
              |    (a, b) -> a * 16 + b) % 2147483648 AS h31
              | FROM documents)
-             |SELECT shard, COUNT(*) AS n_docs, SUM(len) AS n_chars, SUM(h31) AS checksum
+             |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS n_chars,
+             |  CAST(SUM(h31) AS BIGINT) AS checksum
              |FROM h GROUP BY shard""".stripMargin)),
 
     // one-pass per-column dataset profile (rows/nulls/distinct/min/max) — the
@@ -2145,9 +2146,9 @@ object SparkEntry {
              |bg_3 AS (SELECT w, freq, seq, unnest(generate_series(1, len(seq)-1)) AS j FROM seq_3),
              |pc_3 AS (SELECT seq[j] AS l, seq[j+1] AS r, SUM(freq) AS cnt FROM bg_3 GROUP BY 1, 2),
              |top_3 AS (SELECT l, r, cnt FROM pc_3 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
-             |SELECT 1 AS merge_rank, l AS lhs, r AS rhs, cnt FROM top_1
-             |UNION ALL SELECT 2, l, r, cnt FROM top_2
-             |UNION ALL SELECT 3, l, r, cnt FROM top_3""".stripMargin)),
+             |SELECT 1 AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS cnt FROM top_1
+             |UNION ALL SELECT 2, l, r, CAST(cnt AS BIGINT) FROM top_2
+             |UNION ALL SELECT 3, l, r, CAST(cnt AS BIGINT) FROM top_3""".stripMargin)),
 
     // stream-stream interval join: purchases attribute to the views that
     // preceded them within 30 minutes, per user — watermarked state-bounded
