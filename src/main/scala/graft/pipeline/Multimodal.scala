@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side shape is real and tested — schemas, batch iteration (`mapPartitions`
   * over an explicit row iterator = the Scala analog of `mapInPandas` batch processing),
-  * partition sizing — while the codec itself is a clearly-marked DETERMINISTIC STUB
-  * (`decodeStub`): the container has no image/audio libraries, so the stub derives
-  * plausible metadata/features from the payload bytes reproducibly. Swapping in a real
-  * codec changes only the stub body; every schema and operator contract stays.
+  * partition sizing. IMAGES decode for real through the JDK's own ImageIO
+  * (PNG/JPEG/GIF/BMP — no added dependencies): header metadata, bilinear resize with
+  * PNG re-encode, and luminance-grid features. Payloads the JDK cannot decode
+  * (audio/video — no codec libs in this container) fall back to the clearly-marked
+  * DETERMINISTIC STUBs, which derive plausible metadata/features from the payload
+  * bytes reproducibly; swapping in a real A/V codec changes only the stub bodies.
   */
 object Multimodal {
 
@@ -23,8 +25,81 @@ object Multimodal {
     StructField("duration_ms", LongType),
     StructField("n_bytes", LongType)))
 
+  /** REAL image decode via the JDK's own ImageIO (PNG/JPEG/GIF/BMP — zero added
+    * dependencies): metadata comes from the image header without rendering
+    * pixels. Non-image payloads (and the audio/video formats the JDK has no
+    * reader for) return None and the caller falls back to the deterministic
+    * stub, so the operator contract covers every payload.
+    */
+  def decodeReal(bytes: Array[Byte]): Option[Row] = try {
+    if (bytes == null || bytes.length < 8) None
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some(Row(r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0),
+              0L, bytes.length.toLong))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    }
+  } catch { case _: Exception => None }
+
+  /** REAL resize: ImageIO decode → bilinear scale → PNG re-encode (the JDK PNG
+    * writer is deterministic for a given JDK). None for non-image payloads.
+    */
+  def resizeReal(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = try {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  } catch { case _: Exception => None }
+
+  /** REAL features: decode, scale to a luminance grid, row-major floats in
+    * [-1, 1] — the classic tiny-thumbnail embedding. None for non-images.
+    */
+  def featuresReal(bytes: Array[Byte], dim: Int): Option[Array[Float]] = try {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val side = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
+      val thumb = new java.awt.image.BufferedImage(side, side,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = thumb.createGraphics()
+      g.drawImage(img, 0, 0, side, side, null)
+      g.dispose()
+      val out = new Array[Float](dim)
+      var d = 0
+      while (d < dim) {
+        val rgb = thumb.getRGB(d % side, d / side)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        out(d) = lum.toFloat / 127.5f - 1.0f
+        d += 1
+      }
+      Some(out)
+    }
+  } catch { case _: Exception => None }
+
   /** ===== STUB ===== deterministic fake decode: metadata derived from payload bytes.
-    * A real implementation calls the codec here (and only here).
+    * The real-codec path (decodeReal) runs first; this is the fallback for
+    * payloads the JDK cannot decode (audio/video — no codec libs in the JDK).
     */
   def decodeStub(bytes: Array[Byte]): Row = {
     if (bytes == null || bytes.isEmpty) Row("empty", 0, 0, 0L, 0L)
@@ -67,7 +142,8 @@ object Multimodal {
         .createToScalaConverter(inSchema)
       it.map { ir =>
         val r = toRow(ir).asInstanceOf[Row]
-        Row.fromSeq(r.toSeq :+ decodeStub(r.getAs[Array[Byte]](idx)))
+        val b = r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+ decodeReal(b).getOrElse(decodeStub(b)))
       }
     }
     df.sparkSession.createDataFrame(rows, schema)
@@ -84,7 +160,9 @@ object Multimodal {
         .createToScalaConverter(inSchema)
       it.map { ir =>
         val r = toRow(ir).asInstanceOf[Row]
-        Row.fromSeq(r.toSeq :+ featureStub(r.getAs[Array[Byte]](idx), dim).toSeq)
+        val b = r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+
+          featuresReal(b, dim).getOrElse(featureStub(b, dim)).toSeq)
       }
     }
     df.sparkSession.createDataFrame(rows, schema)
@@ -125,7 +203,8 @@ object Multimodal {
         .createToScalaConverter(inSchema)
       it.map { ir =>
         val r = toRow(ir).asInstanceOf[Row]
-        val out = resizeStub(r.getAs[Array[Byte]](idx), w, h)
+        val b = r.getAs[Array[Byte]](idx)
+        val out = resizeReal(b, w, h).getOrElse(resizeStub(b, w, h))
         Row.fromSeq(r.toSeq :+ out :+ w :+ h)
       }
     }

@@ -251,6 +251,36 @@ class FeatureSpec extends GraftSuite {
     assert(rs.getInt(1) == 512)
   }
 
+  test("multimodal REAL image decode/resize/features via JDK ImageIO") {
+    // build a real 32×16 PNG in-test: red left half, blue right half
+    val src = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 32; y <- 0 until 16)
+      src.setRGB(x, y, if (x < 16) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val png = bos.toByteArray
+    val docs = Seq((1L, png), (2L, "not an image".getBytes)).toDF("doc_id", "payload")
+    // decode: real header metadata for the PNG, stub for the text payload
+    val meta = Multimodal.decodeMeta(docs, "payload")
+    val m1 = meta.filter(col("doc_id") === 1).select("meta").first().getStruct(0)
+    assert(m1.getAs[String]("format") == "png")
+    assert(m1.getAs[Int]("width") == 32 && m1.getAs[Int]("height") == 16)
+    // resize: output is a real PNG with the target dimensions
+    val rs = Multimodal.resize(docs, "payload", 8, 8)
+      .filter(col("doc_id") === 1).select("resized").first().getAs[Array[Byte]](0)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rs))
+    assert(back.getWidth == 8 && back.getHeight == 8)
+    // features: luminance grid — red half darker than pure white, deterministic
+    val f1 = Multimodal.extractFeatures(docs, "payload", 16)
+      .filter(col("doc_id") === 1).select("features").first().getSeq[Float](0)
+    val f2 = Multimodal.extractFeatures(docs, "payload", 16)
+      .filter(col("doc_id") === 1).select("features").first().getSeq[Float](0)
+    assert(f1 == f2 && f1.length == 16)
+    // red luminance (≈76) vs blue (≈29): left cells brighter than right cells
+    assert(f1.head > f1.last)
+  }
+
   // ---- streaming ----
   test("incremental triple ingest via structured streaming") {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
