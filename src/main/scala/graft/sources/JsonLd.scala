@@ -43,6 +43,21 @@ object JsonLd {
 
   private val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
+  /** Local CONTEXT RESOLVER registry (URI → context document JSON): remote
+    * contexts resolve from documents the caller preloaded — the zero-egress
+    * analog of a JSON-LD document loader (callers typically ship the handful
+    * of well-known contexts they use alongside the job). An unregistered URI
+    * keeps the loud rejection. The registered document may be either a bare
+    * context object or a full JSON-LD document with an `"@context"` member.
+    */
+  private val contextRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def registerContext(uri: String, doc: String): Unit = contextRegistry(uri) = doc
+  def unregisterContext(uri: String): Unit = contextRegistry.remove(uri)
+
+  // cycle guard for registry documents that reference each other
+  private val resolving = new scala.util.DynamicVariable(Set.empty[String])
+
   /** Document-global generation state, shared across context branches. */
   private final class Gen {
     val out = ArrayBuffer.empty[Rio.ParsedQuad]
@@ -122,8 +137,19 @@ object JsonLd {
     * JSON-LD tracks it per member).
     */
   private def readContext(c: JsonNode, ctx: Ctx): Option[Boolean] = {
-    if (c.isTextual)
-      unsupported(s"remote @context <${c.asText()}> (no dereferencing; inline the context)")
+    if (c.isTextual) {
+      val uri = c.asText()
+      if (resolving.value(uri)) unsupported(s"cyclic remote @context <$uri>")
+      contextRegistry.get(uri) match {
+        case Some(doc) =>
+          val parsed = new ObjectMapper().readTree(doc)
+          val node = Option(parsed.get("@context")).getOrElse(parsed)
+          return resolving.withValue(resolving.value + uri)(
+            readContext(node, ctx))
+        case None => unsupported(s"remote @context <$uri> " +
+          "(no dereferencing; register it via JsonLd.registerContext or inline it)")
+      }
+    }
     if (c.isArray)
       return c.elements().asScala.foldLeft(Option.empty[Boolean])(
         (acc, m) => readContext(m, ctx).orElse(acc))

@@ -170,6 +170,39 @@ class JsonLdSpec extends GraftSuite {
     assert(e2.getMessage.contains("unsupported"))
   }
 
+  test("registered remote contexts resolve locally; unregistered still reject") {
+    val uri = "http://example.org/contexts/person.jsonld"
+    // a full document with an @context member, itself chaining to a second
+    // registered context (exercises recursive resolution + the cycle guard)
+    JsonLd.registerContext(uri,
+      """{"@context": ["http://example.org/contexts/base.jsonld",
+        |              {"name": "http://example.org/name"}]}""".stripMargin)
+    JsonLd.registerContext("http://example.org/contexts/base.jsonld",
+      """{"knows": {"@id": "http://example.org/knows", "@type": "@id"}}""")
+    try {
+      val quads = JsonLd.parse(
+        s"""{"@context": "$uri", "@id": "urn:x:a",
+           | "name": "Ann", "knows": "urn:x:b"}""".stripMargin)
+      assert(quads.exists(q => q.pStr == "http://example.org/name"))
+      assert(quads.exists(q =>
+        q.pStr == "http://example.org/knows" && q.oStr == "urn:x:b"))
+      // a cycle between registered contexts fails loudly, not infinitely
+      JsonLd.registerContext("http://example.org/contexts/loop.jsonld",
+        """{"@context": "http://example.org/contexts/loop.jsonld"}""")
+      val ce = intercept[IllegalArgumentException](JsonLd.parse(
+        """{"@context": "http://example.org/contexts/loop.jsonld", "@id": "urn:x"}"""))
+      assert(ce.getMessage.contains("cyclic"))
+    } finally {
+      JsonLd.unregisterContext(uri)
+      JsonLd.unregisterContext("http://example.org/contexts/base.jsonld")
+      JsonLd.unregisterContext("http://example.org/contexts/loop.jsonld")
+    }
+    // after unregistration the loud rejection is back
+    val e = intercept[IllegalArgumentException](
+      JsonLd.parse(s"""{"@context": "$uri", "@id": "urn:x"}"""))
+    assert(e.getMessage.contains("registerContext"))
+  }
+
   test("@reverse: node-object form and context-term form invert the edge") {
     val d =
       """{
