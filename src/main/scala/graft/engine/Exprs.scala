@@ -45,7 +45,12 @@ object Exprs {
   def fTs(t: Column): Column = t.getField("ts")
 
   def isLiteral(t: Column): Column = fKind(t) === Term.KIND_LITERAL
-  def isNumericT(t: Column): Column = fNum(t).isNotNull
+  // num is populated for xsd:boolean too (the 0/1 value mirrors lng) — but
+  // booleans are NOT numeric operands (MathUtility raises a type error;
+  // SPARQL isNumeric(true) is false), so the arithmetic/ISNUMERIC gate
+  // excludes them while value-compare paths (bothNum) keep the raw check
+  def isNumericT(t: Column): Column =
+    fNum(t).isNotNull && !(fDt(t) <=> lit(Term.XSD_BOOLEAN))
   private def isPlainStr(t: Column): Column = isLiteral(t) && fDt(t).isNull && fLang(t).isNull
   private def isStringy(t: Column): Column = isLiteral(t) && fDt(t).isNull
   /** fn argument compatibility (SPARQL §17.4.3.1.1): (simple,simple), (lang,simple),
@@ -55,10 +60,13 @@ object Exprs {
     isStringy(l) && isStringy(r) && (fLang(r).isNull || fLang(r) === fLang(l))
   private def isBool(t: Column): Column = fDt(t) === Term.XSD_BOOLEAN
   private def isDateTime(t: Column): Column = fTs(t).isNotNull
-  // lng is populated exactly for the integer family: xsd:integer literals and
+  // lng is populated for the integer family — xsd:integer literals and
   // packed-long extension datatypes (compressedTimestamp), which join integer
-  // arithmetic/promotion through their delegate's number space
-  private def isInt(t: Column): Column = fLng(t).isNotNull
+  // arithmetic/promotion through their delegate's number space — but ALSO for
+  // xsd:boolean (lng mirrors the 0/1 value), which the reference's MathUtility
+  // rejects from arithmetic; guard it out of the exact paths explicitly
+  private def isInt(t: Column): Column =
+    fLng(t).isNotNull && !(fDt(t) <=> lit(Term.XSD_BOOLEAN))
   private[engine] def isDec(t: Column): Column = fDt(t) === Term.XSD_DECIMAL
   /** Exact-arithmetic types (xsd:integer / xsd:decimal) — BigDecimal-promoted in the
     * reference's MathUtility; here they compute in DecimalType(38,18).
@@ -78,10 +86,13 @@ object Exprs {
     case IriNode(i) => Term.iri(i)
     case LitNode(lex, Some(Term.XSD_INTEGER), _) if scala.util.Try(lex.toLong).isSuccess =>
       Term.intLit(lit(lex.toLong))
-    case LitNode(lex, Some(Term.XSD_INTEGER), _) =>
+    case LitNode(lex, Some(Term.XSD_INTEGER), _)
+        if lex.replaceFirst("^[+-]", "").length <= 38 =>
       // beyond-long xsd:integer (arbitrary precision per XSD): carries its exact
       // lexical + a double approximation for compares; exact arithmetic re-derives
-      // a decimal from the lexical when it fits decimal(38)
+      // a decimal from the lexical when it fits decimal(38). Wider than 38 digits
+      // falls to the opaque typed-literal branch (a lit() of a >38-digit
+      // BigDecimal is a plan-time error), matching the loader's d36 bound.
       Term.intLitAs(Term.XSD_INTEGER, lit(new java.math.BigDecimal(lex)))
     case LitNode(lex, Some(Term.XSD_DOUBLE), _) => Term.doubleLit(lit(lex.toDouble))
     case LitNode(lex, Some(Term.XSD_DECIMAL), _) =>
@@ -202,7 +213,8 @@ object Exprs {
       case "/" => try_divide(fDec(l), fDec(r))
     }).try_cast(Term.DECIMAL_TYPE)
     val exactCase = bothExact(l, r)
-    when(l.isNull || r.isNull || !bothNum(l, r), Term.nullTerm)
+    // isNumericT (not bothNum): xsd:boolean operands are a type error here
+    when(l.isNull || r.isNull || !(isNumericT(l) && isNumericT(r)), Term.nullTerm)
       .when(intCase, Term.intLit(lngOp))
       .when(exactCase && decRes.isNotNull, Term.decimalLit(decRes))
       .when(exactCase, Term.nullTerm) // exact-type ÷0 / overflow → type error
@@ -635,13 +647,14 @@ object Exprs {
         when(t.isNotNull && d.isNotNull && ok, Term.intLitAs(Term.XSD + bounded, d))
           .otherwise(Term.nullTerm)
       case "double" | "float" =>
-        val v = when(isNumericT(t), fNum(t)).otherwise(fStr(t).try_cast(DoubleType))
+        val v = when(isNumericT(t) || isBool(t), fNum(t))
+          .otherwise(fStr(t).try_cast(DoubleType))
         when(t.isNotNull && v.isNotNull, Term.doubleLit(v)).otherwise(Term.nullTerm)
       case "decimal" =>
         // double operands route through Spark's double→decimal cast (shortest-repr
         // BigDecimal — same value the lexical form denotes); strings parse exactly
         val v = when(isExact(t), fDec(t))
-          .when(isNumericT(t), fNum(t).cast(Term.DECIMAL_TYPE))
+          .when(isNumericT(t) || isBool(t), fNum(t).cast(Term.DECIMAL_TYPE))
           .otherwise(fStr(t).try_cast(Term.DECIMAL_TYPE))
         when(t.isNotNull && v.isNotNull, Term.decimalLit(v)).otherwise(Term.nullTerm)
       case "boolean" =>

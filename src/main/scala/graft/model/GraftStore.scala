@@ -25,6 +25,11 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
   /** Statements visible in the union default graph (all graphs merged). */
   def defaultGraph: DataFrame = statements
 
+  // context-less statements count as ONE context (the openrdf nullGraph) in the
+  // multi-graph duplicate probes below: a triple stored both context-less and in
+  // a named graph duplicates in the union default graph exactly like a triple in
+  // two named graphs (the reference's DistinctFilter treats null as a context)
+
   /** Predicates appearing in TWO OR MORE named graphs — only these can put the
     * same triple in the union default graph twice (RDF merge semantics;
     * TestDefaultGraphs 01j / the reference's DistinctFilter on default-graph
@@ -35,8 +40,10 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
     * the inference schema collects.
     */
   @transient lazy val multiGraphPids: Set[Long] =
-    statements.filter(col("g").isNotNull)
-      .select(col("p_id"), col("g")("id").as("__gid")).distinct()
+    statements
+      .select(col("p_id"),
+        coalesce(col("g")("id"), lit(GraftStore.NULL_GRAPH_ID)).as("__gid"))
+      .distinct()
       .groupBy("p_id").count().filter(col("count") > 1)
       .select("p_id").collect().map(_.getLong(0)).toSet
 
@@ -58,8 +65,9 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
     else {
       val cap = 100000
       val rows = statements
-        .filter(col("g").isNotNull && col("p_id").isin(multiGraphPids.toSeq: _*))
-        .select(col("p_id"), col("o")("id").as("__oid"), col("g")("id").as("__gid"))
+        .filter(col("p_id").isin(multiGraphPids.toSeq: _*))
+        .select(col("p_id"), col("o")("id").as("__oid"),
+          coalesce(col("g")("id"), lit(GraftStore.NULL_GRAPH_ID)).as("__gid"))
         .distinct()
         .groupBy("p_id", "__oid").count().filter(col("count") > 1)
         .select("p_id", "__oid").limit(cap + 1).collect()
@@ -170,6 +178,10 @@ object GraftStore {
   private[model] def shapeLex(df: DataFrame): DataFrame =
     df.repartition(col("nid")).sortWithinPartitions("nid").localCheckpoint()
 
+
+  /** Sentinel graph id for context-less statements in the multi-graph probes
+    * (the openrdf nullGraph as a context). */
+  val NULL_GRAPH_ID: Long = Long.MinValue
 
   val STYPE_EXPLICIT: Byte = 0
   val STYPE_AXIOM: Byte = 1

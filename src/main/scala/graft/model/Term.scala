@@ -327,8 +327,21 @@ object Term {
       val lo = boundCol(_._1)
       val hi = boundCol(_._2)
       val ok = d.isNotNull && (lo.isNull || d >= lo) && (hi.isNull || d <= hi)
-      (dt.isin(INT_RANGES.keys.map(XSD + _).toSeq: _*) && ok,
-        mk(lit(KIND_LITERAL), str, dt, lang, d.cast(DoubleType), d.try_cast(LongType), nullTs))
+      // dt list includes unbounded xsd:integer: beyond-long integers (missed by
+      // the base branch's long cast) load with an exact decimal(38,0)-derived
+      // num and a NULL lng — they sort/compare by value like constTerm's
+      // beyond-long mint instead of falling into the opaque bucket. The lexical
+      // is CANONICALIZED to match constTerm's minting, so authored forms like
+      // "+10"^^xsd:int / "010"^^xsd:int share one term id with the canonical
+      // query constant (the reference inlines these by value). Canonicalization
+      // is a cheap anchored regex on the AUTHORED string, NOT d.cast(String):
+      // each extra reference to `d` duplicates the whole try_cast subtree in
+      // codegen and this projection sits just under janino's 64 KB ceiling.
+      val canonLex = regexp_replace(
+        regexp_replace(str, "^\\+?(-?)0*(?=[0-9])", "$1"), "^-0$", "0")
+      (dt.isin(XSD_INTEGER +: INT_RANGES.keys.map(XSD + _).toSeq: _*) && ok,
+        mk(lit(KIND_LITERAL), canonLex, dt, lang,
+          d.cast(DoubleType), d.try_cast(LongType), nullTs))
     }
     val withIntFamily = base.when(intFam._1, intFam._2)
     // lexical canonicalizers dispatch first (the rewritten lexical also feeds any

@@ -96,7 +96,7 @@ object Algebra {
     // unbound → error → ?obj2 stays unbound, the pattern then binds it freely:
     // TestTickets bg1463b/d). Force-flush such binds before the sibling joins.
     def flushTargets(el: GP): Unit = {
-      val elVars = vars(lower(el, ctx))
+      val elVars = gpVars(el, ctx)
       deferred.filter { case (_, v) => elVars(v) }.foreach { b =>
         deferred = deferred.filterNot(_ eq b)
         g = OpExtend(g, b._2, b._1)
@@ -294,6 +294,40 @@ object Algebra {
       case ESid(s, p, o) => ESid(ctxExpr(s, ctx), ctxExpr(p, ctx), ctxExpr(o, ctx))
       case other => other
     }
+  }
+
+  /** Variables a graph-pattern element can bind, computed SYNTACTICALLY —
+    * flushTargets needs exactly `vars(lower(el, ctx))`, but lowering each
+    * sibling a second time (result discarded) doubled lowering work per
+    * nesting level and consumed renameCtr ids for plans that never ran.
+    * Mirrors vars∘lower case-by-case: filters/MINUS right sides bind nothing,
+    * BIND adds its target, GRAPH adds its var label, subqueries expose their
+    * projection.
+    */
+  private def gpVars(gp: GP, ctx: Option[Node]): Set[String] = gp match {
+    case TripleGP(s, p, o) => tripleVars(Triple(s, p, o, ctx)).toSet
+    case GroupGP(elems) => elems.foldLeft(Set.empty[String]) { (acc, el) => el match {
+      case _: FilterGP | _: MinusGP => acc
+      case BindGP(_, v) => acc + v.name
+      case other => acc ++ gpVars(other, ctx)
+    }}
+    case OptionalGP(inner) => gpVars(inner, ctx)
+    case UnionGP(alts) => alts.flatMap(gpVars(_, ctx)).toSet
+    case _: MinusGP | _: FilterGP | _: IncludeGP => Set.empty
+    case BindGP(_, v) => Set(v.name)
+    case v: ValuesGP => v.vars.map(_.name).toSet
+    case GraphGP(g, inner) =>
+      val gv = g match { case VarNode(n) => Set(n); case _ => Set.empty[String] }
+      gpVars(inner, Some(g)) ++ gv
+    case CtxGraphGP(g, inner) => gpVars(inner, Some(g))
+    case SubSelectGP(q) => q.projection match {
+      case Star => gpVars(q.where, ctx)
+      case ProjVars(items) => items.flatMap {
+        case (EVar(n), None) => Some(n)
+        case (_, a) => a
+      }.toSet
+    }
+    case ServiceGP(_, inner, _) => gpVars(inner, ctx)
   }
 
   /** Free variables an Op can bind (for join planning / projection *). */
