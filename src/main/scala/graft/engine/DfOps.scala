@@ -11,6 +11,45 @@ object DfOps {
   def reid(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
 
+  /** Materialize AND cut attribute lineage. localCheckpoint keeps the plan's
+    * expression ids, so two checkpointed frames sharing an upstream scan put
+    * duplicate attribute ids into sibling Union children — Catalyst's Union
+    * constraint rewriting then resolves a constraint against the wrong child
+    * (NoSuchElementException "key not found: x#N" in AttributeMap), and reid's
+    * aliases can be stripped again by RemoveRedundantAliases. A fresh
+    * LogicalRDD leaf over the checkpointed rows has new ids and no inherited
+    * constraints. Delta-sized frames only: each consumer re-reads the blocks
+    * through a row-conversion pass.
+    */
+  def freshLeaf(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  /** Run `f` with Catalyst constraint propagation OFF, restoring the previous
+    * setting after. localCheckpoint captures the origin plan's constraint set
+    * into the LogicalRDD leaf, keyed by the OPTIMIZED plan's attribute ids;
+    * when DeduplicateRelations re-ids attributes inside self-joining fixpoint
+    * plans (Spark WARNs "output columns are expected to the same"), the
+    * captured constraints reference attributes absent from the leaf's output,
+    * and ANY later Union over that leaf dies in rewriteConstraints
+    * ("key not found: x#N"). With propagation off during the checkpoint the
+    * captured set is empty — the leaf is permanently clean, whatever the
+    * session setting is when it is later queried. Constraint propagation also
+    * has known super-linear planning cost on wide union fixpoint plans, so the
+    * inference/update paths lose nothing by running without it.
+    */
+  def noConstraints[A](spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val k = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   /** Spread a narrow input across the session's cores. A small parquet table often
     * arrives as ONE split, so per-row pipelines (shingling, hashing, feature extraction)
     * run single-threaded; one cheap round-robin shuffle restores parallelism. No-op

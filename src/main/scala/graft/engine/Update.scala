@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Update {
 
+  // update paths run with constraint propagation off (DfOps.noConstraints):
+  // the delta commits localCheckpoint, and a checkpoint taken with propagation
+  // on captures origin constraints that can poison later unions over the store
   def apply(store: GraftStore, updateText: String): GraftStore =
-    Parser.parseUpdate(updateText).foldLeft(store)(applyOp)
+    DfOps.noConstraints(store.spark)(
+      Parser.parseUpdate(updateText).foldLeft(store)(applyOp))
 
   /** Statement-level delta of an update (the change-log listener surface,
     * `rdf/changesets/IChangeLog.java`): applied store plus added/removed statement
@@ -102,16 +106,64 @@ object Update {
     * (stype=Inferred) and the update retracts statements, entailments that are no
     * longer derivable are retracted too (`rdf/inf/TruthMaintenance.java`).
     */
-  def withTruthMaintenance(store: GraftStore, updateText: String): GraftStore = {
+  def withTruthMaintenance(store: GraftStore, updateText: String): GraftStore =
+    DfOps.noConstraints(store.spark)(withTruthMaintenanceImpl(store, updateText))
+
+  private def withTruthMaintenanceImpl(store: GraftStore,
+                                       updateText: String): GraftStore = {
     val ops = Parser.parseUpdate(updateText)
-    val next = ops.foldLeft(store)(applyOp)
+    // Single application pass that CAPTURES each op's change buffers (the
+    // reference's TM consumes its assertion/retraction buffers, not a
+    // before/after diff — rdf/inf/TruthMaintenance.java). The buffers are
+    // CANDIDATE sets: phantom rows (deletes of absent quads, inserts of
+    // present ones) are provably harmless downstream — over-delete suspects
+    // re-derive, insert novelty drops duplicates. Graph-level ops and bnode
+    // templates are uncapturable → fixpoint recompute.
+    def hasBnode(qs: Seq[QuadData]): Boolean = {
+      def b(n: Node): Boolean = n match {
+        case VarNode(v) => v.startsWith("-")
+        case SidNode(s2, p2, o2) => b(s2) || b(p2) || b(o2)
+        case _ => false
+      }
+      qs.exists(q => (Seq(q.s, q.p, q.o) ++ q.g).exists(b))
+    }
+    var cur = store
+    var capturable = true
+    val rem = Seq.newBuilder[DataFrame]
+    val add = Seq.newBuilder[DataFrame]
+    ops.foreach {
+      case op @ DeleteData(q) if !hasBnode(q) =>
+        rem += constQuads(cur, q); cur = applyOp(cur, op)
+      case op @ InsertData(q) if !hasBnode(q) =>
+        add += constQuads(cur, q); cur = applyOp(cur, op)
+      case m: Modify =>
+        val (st2, delQ, insQ) = applyModify(cur, m)
+        rem += delQ; add += insQ; cur = st2
+      case other =>
+        capturable = false; cur = applyOp(cur, other)
+    }
     val retracts = ops.exists {
       // COPY clears its target graph first, so it retracts too
       case _: DeleteData | _: Modify | _: ClearGraph | _: MoveGraph | _: CopyGraph => true
       case ClearDefault | ClearNamed => true
       case _ => false
     }
-    if (retracts) graft.inference.Rdfs.truthMaintain(next) else next
+    if (!retracts) return cur
+    // Delta-restricted truth maintenance (DRed) over the captured buffers;
+    // requires the entailment table AT REST (probing a lazy closure plan would
+    // re-evaluate derivations per probe — the recompute is cheaper there).
+    // Non-local rule families also fall back inside truthMaintainDelta.
+    val delta =
+      if (!capturable || !graft.inference.Rdfs.inferredAtRest(cur)) None
+      else {
+        val emptyQ = emptyQuads(store)
+        def buf(bs: Seq[DataFrame]): DataFrame =
+          (emptyQ +: bs).reduce(_.unionByName(_))
+            .withColumn("stype", lit(GraftStore.STYPE_EXPLICIT).cast("byte"))
+        graft.inference.Rdfs.truthMaintainDelta(cur,
+          buf(rem.result()), buf(add.result()))
+      }
+    delta.getOrElse(graft.inference.Rdfs.truthMaintain(cur))
   }
 
   /** Predicate ids of a quad template when ALL predicates are constant IRIs —
@@ -126,6 +178,57 @@ object Update {
       case (None, _) => None
     }.map(_.distinct)
 
+  /** Modify evaluation that also RETURNS the instantiated delete/insert quad
+    * frames — the change buffers delta truth maintenance consumes (the
+    * reference's TM works off its assertion/retraction buffers, not a
+    * before/after diff; rdf/inf/TruthMaintenance.java). The solution set is
+    * checkpointed, so the returned frames are delta-sized scans.
+    */
+  private def applyModify(store: GraftStore,
+                          m: Modify): (GraftStore, DataFrame, DataFrame) = {
+    val Modify(del, ins, where, withG, using) = m
+    // USING (NAMED) builds the WHERE dataset exactly like FROM (NAMED); absent
+    // that, WITH <g> makes g the WHERE default graph (AST2BOpUpdate.java:474-512)
+    val ds =
+      if (using.nonEmpty) DatasetSpec.from(using)
+      else withG.map(g => DatasetSpec(Some(Seq(g)), None)).getOrElse(DatasetSpec.all)
+    // WITH also retargets bare (non-GRAPH) template quads into g
+    def target(qs: Seq[QuadData]): Seq[QuadData] = withG match {
+      case Some(g) => qs.map(q => if (q.g.isEmpty) q.copy(g = Some(IriNode(g))) else q)
+      case None => qs
+    }
+    val c = new Compiler(store, ds, spreadScans = true)
+    // project the WHERE solutions down to the template's variables before
+    // materializing — BIND intermediates would otherwise be checkpointed per row
+    def tmplVars(n: Node): Seq[String] = n match {
+      case VarNode(v) if !v.startsWith("-") => Seq(v)
+      case SidNode(s, p, o) => Seq(s, p, o).flatMap(tmplVars)
+      case _ => Nil
+    }
+    val needed = (target(del) ++ target(ins))
+      .flatMap(q => (Seq(q.s, q.p, q.o) ++ q.g).flatMap(tmplVars)).toSet
+    val sol0 = c.compile(Algebra.lower(where))
+    val keep = sol0.columns.filter(needed)
+    val projected = if (keep.length < sol0.columns.length)
+      sol0.select(keep.map(col): _*) else sol0
+    // Materialize the projected solutions once: both actions must see the SAME
+    // solution multiset, bnode templates mint per-row ids, and the fused
+    // unmaterialized pipeline has been measured to blow the heap on large
+    // solution sets (object churn in the dedup hash map over recomputed rows).
+    // freshLeaf, not bare localCheckpoint: delQ and insQ both instantiate
+    // from this one frame and later union into the TM delta buffers — shared
+    // attribute ids across those union children break Catalyst's Union
+    // constraint rewrite (see DfOps.freshLeaf)
+    val sol = DfOps.freshLeaf(projected)
+    val emptyQ = emptyQuads(store)
+    val delQ = if (del.isEmpty) emptyQ else instantiate(sol, target(del))
+    val insQ = if (ins.isEmpty) emptyQ else instantiate(sol, target(ins))
+    val s1 = if (del.isEmpty) store
+      else delete(store, delQ, knownPids(target(del)))
+    val s2 = if (ins.isEmpty) s1 else insert(s1, insQ, knownPids(target(ins)))
+    (s2, delQ, insQ)
+  }
+
   def applyOp(store: GraftStore, op: UpdateOp): GraftStore = op match {
     case InsertData(quads) => insert(store, constQuads(store, quads), knownPids(quads))
     case DeleteData(quads) => delete(store, constQuads(store, quads), knownPids(quads))
@@ -137,40 +240,7 @@ object Update {
     case ClearGraph(Some(g)) =>
       store.withStatements(store.statements.filter(
         col("g").isNull || col("g")("id") =!= TermIds.iriId(g)))
-    case Modify(del, ins, where, withG, using) =>
-      // USING (NAMED) builds the WHERE dataset exactly like FROM (NAMED); absent
-      // that, WITH <g> makes g the WHERE default graph (AST2BOpUpdate.java:474-512)
-      val ds =
-        if (using.nonEmpty) DatasetSpec.from(using)
-        else withG.map(g => DatasetSpec(Some(Seq(g)), None)).getOrElse(DatasetSpec.all)
-      // WITH also retargets bare (non-GRAPH) template quads into g
-      def target(qs: Seq[QuadData]): Seq[QuadData] = withG match {
-        case Some(g) => qs.map(q => if (q.g.isEmpty) q.copy(g = Some(IriNode(g))) else q)
-        case None => qs
-      }
-      val c = new Compiler(store, ds, spreadScans = true)
-      // project the WHERE solutions down to the template's variables before
-      // materializing — BIND intermediates would otherwise be checkpointed per row
-      def tmplVars(n: Node): Seq[String] = n match {
-        case VarNode(v) if !v.startsWith("-") => Seq(v)
-        case SidNode(s, p, o) => Seq(s, p, o).flatMap(tmplVars)
-        case _ => Nil
-      }
-      val needed = (target(del) ++ target(ins))
-        .flatMap(q => (Seq(q.s, q.p, q.o) ++ q.g).flatMap(tmplVars)).toSet
-      val sol0 = c.compile(Algebra.lower(where))
-      val keep = sol0.columns.filter(needed)
-      val projected = if (keep.length < sol0.columns.length)
-        sol0.select(keep.map(col): _*) else sol0
-      // Materialize the projected solutions once: both actions must see the SAME
-      // solution multiset, bnode templates mint per-row ids, and the fused
-      // unmaterialized pipeline has been measured to blow the heap on large
-      // solution sets (object churn in the dedup hash map over recomputed rows).
-      val sol = projected.localCheckpoint()
-      val s1 = if (del.isEmpty) store
-        else delete(store, instantiate(sol, target(del)), knownPids(target(del)))
-      if (ins.isEmpty) s1
-      else insert(s1, instantiate(sol, target(ins)), knownPids(target(ins)))
+    case m: Modify => applyModify(store, m)._1
     case CreateGraph(_) => store // schemaless store: graphs exist by containing triples
     case LoadGraph(src, into, silent) =>
       try {
@@ -238,6 +308,16 @@ object Update {
     * and generated bnodes live in disjoint namespaces so `_:bn1` never collides
     * with a `[…]`-generated node.
     */
+  /** Empty (s,p,o,g) frame as a FRESH LocalRelation — `statements.limit(0)`
+    * would share the store scan's attribute ids and poison downstream unions
+    * (Catalyst Union constraint rewrite; see DfOps.freshLeaf). */
+  private def emptyQuads(store: GraftStore): DataFrame =
+    store.spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(
+        Seq("s", "p", "o", "g").map(n =>
+          org.apache.spark.sql.types.StructField(n, Term.schema))))
+
   private def constQuads(store: GraftStore, quads: Seq[QuadData]): DataFrame = {
     val scope = bnodeScope.incrementAndGet()
     def term(n: Node): Column = n match {

@@ -52,6 +52,17 @@ object Rdfs {
   private val onPropertyId = TermIds.iriId(OWL_ONPROPERTY)
   private val hasValueId = TermIds.iriId(OWL_HASVALUE)
 
+  /** Vocabulary-sized (term, term) pair frame for broadcast rule joins. */
+  private def pairsDf(spark: org.apache.spark.sql.SparkSession,
+                      pairs: Seq[(Row, Row)], an: String, bn: String): DataFrame = {
+    val termType = Term.schema
+    val rows = pairs.map { case (a, b) => Row(a, b) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(an, termType),
+        org.apache.spark.sql.types.StructField(bn, termType))))
+  }
+
   /** Driver-side transitive closure of a vocabulary-sized relation. */
   private def transitiveRows(rows: Array[(Row, Row)]): Seq[(Row, Row)] = {
     def key(r: Row) = r.getAs[Long]("id")
@@ -84,6 +95,568 @@ object Rdfs {
     closure(store.withStatements(
       store.statements.filter(col("stype") =!= GraftStore.STYPE_INFERRED)))
 
+  /** DELTA-RESTRICTED truth maintenance (DRed, delete-rederive): instead of the
+    * drop-all + full-closure recompute above, propagate the retraction through
+    * the rule program to an over-approximate SUSPECT set (entailments with ≥1
+    * derivation touching the delta), then re-derive suspects against the
+    * remaining facts under the new schema; suspects that fail re-derivation are
+    * retracted. Every scan is pruned to the delta's predicates or semi-joined by
+    * the (broadcast, delta-sized) suspect keys, so a small DELETE costs
+    * O(affected partitions), not O(corpus) — the reference computes the same
+    * incremental retraction with proof bookkeeping (`rdf/inf/TruthMaintenance
+    * .java:1`); at rest in columnar storage the taint/re-derive joins replace
+    * the proofs. The insert side of a Modify runs the SAME staged delta pass
+    * forward (added facts/schema as taint) so mixed updates stay incremental.
+    *
+    * Returns None when the delta interacts with the non-local rule families —
+    * sameAs/FP/IFP equivalence classes, transitive-property reachability, or
+    * restriction/characteristic re-declarations — where only the fixpoint
+    * recompute is safely incremental; the caller falls back to truthMaintain.
+    */
+  /** Is the store's entailment table AT REST (a scan — parquet, checkpoint
+    * blocks, committed deltas — rather than a lazy derivation pipeline)? The
+    * delta TM path probes the inferred rows several times; against a lazy
+    * closure plan each probe would re-evaluate the derivation joins, making
+    * the "incremental" path slower than the full recompute (which rebuilds
+    * from cheap pruned parquet). Joins/aggregates in the inferred rows' plan
+    * mean un-materialized derivations → route to the fixpoint recompute.
+    */
+  def inferredAtRest(store: GraftStore): Boolean = {
+    val plan = store.statements
+      .filter(col("stype") === GraftStore.STYPE_INFERRED)
+      .queryExecution.optimizedPlan
+    plan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty
+  }
+
+  /** Commit the store's materialized entailments: checkpoint the Inferred rows
+    * so later queries (and delta truth maintenance) read a table instead of
+    * re-evaluating the derivation pipeline — the at-rest posture in-session.
+    * (GraftStore.save achieves the same durably.)
+    */
+  def materialize(store: GraftStore): GraftStore =
+    if (inferredAtRest(store)) store
+    else store.withStatements(
+      store.statements.filter(col("stype") =!= GraftStore.STYPE_INFERRED)
+        .unionByName(store.statements
+          .filter(col("stype") === GraftStore.STYPE_INFERRED).localCheckpoint()))
+
+  def truthMaintainDelta(next: GraftStore,
+                         removed0: DataFrame, added0: DataFrame): Option[GraftStore] =
+    graft.engine.DfOps.noConstraints(next.spark)(
+      truthMaintainDeltaImpl(next, removed0, added0))
+
+  private def truthMaintainDeltaImpl(next: GraftStore,
+                         removed0: DataFrame, added0: DataFrame): Option[GraftStore] = {
+    val spark = next.spark
+    lazy val profRows = {
+      val ctr = new java.util.concurrent.atomic.AtomicLong()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null)
+              ctr.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+        })
+      ctr
+    }
+    def t[A](label: String)(f: => A): A =
+      if (!sys.props.contains("graft.tm.prof")) f else {
+        val t0 = System.nanoTime()
+        val r0 = profRows.get()
+        val r = f
+        Thread.sleep(200)
+        println(f"TMDELTA $label ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"rows=${profRows.get() - r0}")
+        r
+      }
+    // ONE job materializes both sides of the delta (tagged union); freshLeaf
+    // (not bare localCheckpoint) because the buffers often share upstream
+    // lineage (a Modify's delete and insert both instantiate from one
+    // solution checkpoint) and every downstream union re-splits them
+    val delta0 = t("diff")(graft.engine.DfOps.freshLeaf(removed0
+      .select(col("s"), col("p"), col("o"), col("stype")).withColumn("__r", lit(true))
+      .unionByName(added0
+        .select(col("s"), col("p"), col("o"), col("stype")).withColumn("__r", lit(false)))))
+    if (t("empty-probe")(delta0.isEmpty)) return Some(next)
+    val removed = delta0.filter(col("__r")).drop("__r")
+    val added = delta0.filter(!col("__r")).drop("__r")
+
+    // ---- bounded delta probes + non-local-family fallback guards ----
+    // ONE probe job: the delta's predicate set AND whether it re-declares a
+    // property characteristic / restriction marker (type rows with char objects)
+    val charMarks = Seq(transitiveId, symmetricId, functionalId,
+      invFunctionalId, restrictionId)
+    val pidRows = t("delta-pids")(removed.unionByName(added)
+      .select(col("p")("id").as("pid"),
+        (col("p")("id") === typeId && col("o")("id").isin(charMarks: _*))
+          .as("chr"))
+      .distinct().limit(1001).collect())
+    val deltaPids = pidRows.map(_.getLong(0)).toSet
+    if (pidRows.length > 1000) return None
+    if (deltaPids(sameAsId) || deltaPids(onPropertyId) || deltaPids(hasValueId))
+      return None
+    if (pidRows.exists(_.getBoolean(1))) return None
+
+    // The caller routes here only when the entailment table is AT REST
+    // (inferredAtRest) — a committed table, not a lazy derivation pipeline —
+    // so every probe below reads delta- or partition-sized data directly.
+    val exp = next.statements.filter(col("stype") =!= GraftStore.STYPE_INFERRED)
+    val inf = next.statements.filter(col("stype") === GraftStore.STYPE_INFERRED)
+    def key3(df: DataFrame): DataFrame = df
+      .withColumn("__sk", col("s")("id")).withColumn("__pk", col("p")("id"))
+      .withColumn("__ok", col("o")("id"))
+    // old-state views reconstructed from (next ∪ removed) − added: the lazy
+    // pre-update plan is never re-evaluated (collectVocab needs p_id, s, o)
+    def vocabView(df: DataFrame): DataFrame =
+      df.select(col("p_id"), col("s"), col("o"))
+    val newExp = vocabView(exp)
+    val oldExp = key3(exp)
+      .join(broadcast(key3(added).select("__sk", "__pk", "__ok")),
+        Seq("__sk", "__pk", "__ok"), "left_anti")
+      .select(col("p_id"), col("s"), col("o"))
+      .unionByName(removed.filter(col("stype") =!= GraftStore.STYPE_INFERRED)
+        .select(col("p")("id").as("p_id"), col("s"), col("o")))
+    val (vOld, vNew) = t("vocab")(collectVocab2(oldExp, newExp))
+    if (vOld.funcProps.nonEmpty || vOld.invFuncProps.nonEmpty ||
+        vNew.funcProps.nonEmpty || vNew.invFuncProps.nonEmpty) return None
+    // explicit-side probe suffices: inferred sameAs rows can only derive from
+    // explicit sameAs or FP/IFP declarations, both already guarded above
+    if (t("sameas-probe")(exp.filter(col("p_id") === sameAsId).limit(1).count() > 0 ||
+        !removed.filter(col("p")("id") === sameAsId).isEmpty)) return None
+
+    def idOf(r: Row): Long = r.getAs[Long]("id")
+    def ids(ps: Seq[(Row, Row)]): Set[(Long, Long)] =
+      ps.map(p => (idOf(p._1), idOf(p._2))).toSet
+    def minus(a: Seq[(Row, Row)], b: Seq[(Row, Row)]): Seq[(Row, Row)] = {
+      val bIds = ids(b); a.filterNot(p => bIds((idOf(p._1), idOf(p._2))))
+    }
+    def closed(base: Array[(Row, Row)]): Seq[(Row, Row)] =
+      (base ++ transitiveRows(base))
+        .map(p => (idOf(p._1), idOf(p._2)) -> p).toMap.values.toSeq
+    val scOld = closed(vOld.sc); val scNew = closed(vNew.sc)
+    val spOld = closed(vOld.sp); val spNew = closed(vNew.sp)
+    def invBoth(v: Vocab): Seq[(Row, Row)] =
+      ((v.inv ++ v.inv.map(_.swap)).toSeq ++ v.symProps.map(r => (r, r)))
+        .map(p => (idOf(p._1), idOf(p._2)) -> p).toMap.values.toSeq
+    val ibOld = invBoth(vOld); val ibNew = invBoth(vNew)
+
+    // transitive reachability is non-local: fall back when the delta can touch a
+    // transitive predicate's edge set (directly, via a subproperty feeding it,
+    // via an inverse partner, or via a restriction minting its edges)
+    val transIds = (vOld.transProps ++ vNew.transProps).map(idOf).toSet
+    if (transIds.nonEmpty) {
+      val feeders = transIds ++
+        (spOld ++ spNew).collect { case (p, q) if transIds(idOf(q)) => idOf(p) } ++
+        (ibOld ++ ibNew).flatMap { case (p, q) =>
+          if (transIds(idOf(p)) || transIds(idOf(q))) Seq(idOf(p), idOf(q)) else Nil }
+      if (deltaPids.exists(feeders)) return None
+      if (minus(spOld, spNew).exists(p => transIds(idOf(p._2))) ||
+          minus(spNew, spOld).exists(p => transIds(idOf(p._2)))) return None
+      if ((vOld.restrictions ++ vNew.restrictions).exists(r => transIds(idOf(r._2))))
+        return None
+    }
+
+    // ---- schema-closure diffs (driver-side, vocabulary-sized) ----
+    val dScDel = minus(scOld, scNew); val dScAdd = minus(scNew, scOld)
+    val dSpDel = minus(spOld, spNew); val dSpAdd = minus(spNew, spOld)
+    val dDomDel = minus(vOld.dom.toSeq, vNew.dom.toSeq)
+    val dDomAdd = minus(vNew.dom.toSeq, vOld.dom.toSeq)
+    val dRngDel = minus(vOld.rng.toSeq, vNew.rng.toSeq)
+    val dRngAdd = minus(vNew.rng.toSeq, vOld.rng.toSeq)
+    val dIbDel = minus(ibOld, ibNew); val dIbAdd = minus(ibNew, ibOld)
+
+    // derived schema STATEMENTS (rdfs5/11 + eq swaps) lost/gained outright: the
+    // new closures are already transitively complete, so no re-derivation check
+    def schemaStmts(sc2: Seq[(Row, Row)], sp2: Seq[(Row, Row)],
+                    eqcSwap: Seq[(Row, Row)], eqpSwap: Seq[(Row, Row)]): DataFrame = {
+      def f(ps: Seq[(Row, Row)], pred: String) =
+        pairsDf(spark, ps, "s", "o")
+          .select(col("s"), Term.iri(pred).as("p"), col("o"))
+      f(sc2, Term.RDFS_SUBCLASSOF)
+        .unionByName(f(sp2, Term.RDFS_SUBPROPERTYOF))
+        .unionByName(f(eqcSwap, OWL_EQCLASS))
+        .unionByName(f(eqpSwap, OWL_EQPROP))
+    }
+    val lostSchemaStmts = schemaStmts(dScDel, dSpDel,
+      minus(vOld.eqc.map(_.swap).toSeq, vNew.eqc.map(_.swap).toSeq),
+      minus(vOld.eqp.map(_.swap).toSeq, vNew.eqp.map(_.swap).toSeq))
+    val newSchemaStmts = schemaStmts(dScAdd, dSpAdd,
+      minus(vNew.eqc.map(_.swap).toSeq, vOld.eqc.map(_.swap).toSeq),
+      minus(vNew.eqp.map(_.swap).toSeq, vOld.eqp.map(_.swap).toSeq))
+
+    def keyed(df: DataFrame): DataFrame = df
+      .withColumn("__sk", col("s")("id")).withColumn("__pk", col("p")("id"))
+      .withColumn("__ok", col("o")("id"))
+    def dedupK(df: DataFrame): DataFrame =
+      keyed(df).dropDuplicates("__sk", "__pk", "__ok").drop("__sk", "__pk", "__ok")
+
+    // ---- over-delete: suspects = delta-tainted derivations under the OLD schema
+    // old facts = (remaining ∪ removed); the pre-update lazy plan is never touched
+    val oldFacts = exp.select(col("s"), col("p"), col("o"), col("p_id"))
+      .unionByName(inf.select(col("s"), col("p"), col("o"), col("p_id")))
+      .unionByName(removed.select(col("s"), col("p"), col("o"),
+        col("p")("id").as("p_id")))
+    val delSuspects = t("delta-derive-del")(deltaDerive(spark, oldFacts, removed,
+      scOld, spOld, vOld.dom.toSeq, vOld.rng.toSeq, ibOld, vOld.restrictions,
+      dScDel, dSpDel, dDomDel, dRngDel, dIbDel))
+    // The removed rows THEMSELVES are suspects too: an entailment whose
+    // materialization was novelty-suppressed by an explicit copy must be
+    // PROMOTED to Inferred when that copy is deleted but it stays derivable
+    // (the reference's TM re-asserts still-provable retracted statements), and
+    // such rows are also the intermediates multi-step re-derivations pass
+    // through — without them a suspect supported only via a suppressed
+    // entailment would be wrongly lost.
+    val suspects = t("suspects")(graft.engine.DfOps.freshLeaf(
+      dedupK(delSuspects.unionByName(lostSchemaStmts)
+        .unionByName(removed.select(col("s"), col("p"), col("o"))))))
+    val sKeys = keyed(suspects).select("__sk", "__pk", "__ok")
+
+    // ---- re-derive suspects from (explicit ∪ non-suspect inferred), NEW schema
+    val lostKeys = if (t("suspects-empty-probe")(suspects.isEmpty)) sKeys else t("rederive+lost") {
+      val keptInf = keyed(inf)
+        .join(broadcast(sKeys), Seq("__sk", "__pk", "__ok"), "left_anti")
+        .drop("__sk", "__pk", "__ok")
+      val base = exp.unionByName(keptInf)
+      val retained = rederive(spark, base, suspects, sKeys,
+        scNew, spNew, vNew.dom.toSeq, vNew.rng.toSeq, ibNew, vNew.restrictions)
+      // schema statements are re-derivable iff in the NEW driver-side closures
+      // (rdfs5/11 run on the driver, not in rederive) — a removed-but-still-
+      // derivable axiom must survive to be promoted below
+      val retainedSchema = keyed(schemaStmts(scNew, spNew,
+        vNew.eqc.map(_.swap).toSeq, vNew.eqp.map(_.swap).toSeq))
+        .select("__sk", "__pk", "__ok")
+      graft.engine.DfOps.freshLeaf(
+        sKeys.join(broadcast(retained.unionByName(retainedSchema)),
+          Seq("__sk", "__pk", "__ok"), "left_anti"))
+    }
+
+    // ---- apply the loss: only materialized entailments are retracted ----
+    // an explicit copy just inserted supersedes a materialized entailment:
+    // drop inferred rows whose (s,p,o) is in the added buffer too (the full
+    // recompute's novelty check does this implicitly)
+    val addedKeys = key3(added).select("__sk", "__pk", "__ok")
+    val afterLoss0 = exp.unionByName(
+      keyed(inf)
+        .join(broadcast(lostKeys), Seq("__sk", "__pk", "__ok"), "left_anti")
+        .join(broadcast(addedKeys), Seq("__sk", "__pk", "__ok"), "left_anti")
+        .drop("__sk", "__pk", "__ok"))
+    // promotion: removed rows that remain derivable come back as Inferred
+    // (novelty against the post-loss store keeps explicit copies
+    // authoritative). Presence is checked delta-side: the p_id-pruned store
+    // scan SEMI-joins the broadcast removed keys — never shuffling the store —
+    // and the delta-sized hit set broadcasts back into the anti-join.
+    val rKeys = keyed(removed.select(col("s"), col("p"), col("o")))
+    val stillPresent = graft.engine.DfOps.freshLeaf(
+      keyed(afterLoss0.filter(col("p_id").isin(deltaPids.toSeq: _*))
+          .select("s", "p", "o"))
+        .select("__sk", "__pk", "__ok")
+        .join(broadcast(rKeys.select("__sk", "__pk", "__ok")),
+          Seq("__sk", "__pk", "__ok"), "left_semi"))
+    val promoted = rKeys
+      .join(broadcast(lostKeys), Seq("__sk", "__pk", "__ok"), "left_anti")
+      .join(broadcast(stillPresent), Seq("__sk", "__pk", "__ok"), "left_anti")
+      .drop("__sk", "__pk", "__ok")
+    val afterLoss = afterLoss0.unionByName(graft.engine.DfOps.freshLeaf(
+      GraftStore.assemble(promoted
+        .withColumn("g", Term.nullTerm)
+        .withColumn("stype", lit(GraftStore.STYPE_INFERRED).cast("byte")))))
+
+    // ---- insert side: same staged pass FORWARD (added facts/schema as taint)
+    val hasInsertWork = !added.isEmpty || dScAdd.nonEmpty || dSpAdd.nonEmpty ||
+      dDomAdd.nonEmpty || dRngAdd.nonEmpty || dIbAdd.nonEmpty
+    val result =
+      if (!hasInsertWork) afterLoss
+      else {
+        val newDerived = deltaDerive(spark, afterLoss, added,
+          scNew, spNew, vNew.dom.toSeq, vNew.rng.toSeq, ibNew, vNew.restrictions,
+          dScAdd, dSpAdd, dDomAdd, dRngAdd, dIbAdd)
+          .unionByName(newSchemaStmts)
+        // novelty: keep only entailments not already present (any stype).
+        // Same delta-side shape as promotion: prune the store scan to the new
+        // conclusions' predicates, SEMI-join it against the broadcast
+        // conclusion keys, and anti-join the delta-sized hit set back — the
+        // store is scanned (pruned), never shuffled.
+        val ndKeys = graft.engine.DfOps.freshLeaf(keyed(dedupK(newDerived)))
+        val ndPidRows = ndKeys.select(col("__pk")).distinct().limit(1001).collect()
+        val presentScan =
+          if (ndPidRows.length > 1000) afterLoss
+          else afterLoss.filter(
+            col("p_id").isin(ndPidRows.map(_.getLong(0)).toSeq: _*))
+        val already = graft.engine.DfOps.freshLeaf(
+          keyed(presentScan.select("s", "p", "o"))
+            .select("__sk", "__pk", "__ok")
+            .join(broadcast(ndKeys.select("__sk", "__pk", "__ok")),
+              Seq("__sk", "__pk", "__ok"), "left_semi"))
+        val fresh = ndKeys
+          .join(broadcast(already), Seq("__sk", "__pk", "__ok"), "left_anti")
+          .drop("__sk", "__pk", "__ok")
+        afterLoss.unionByName(graft.engine.DfOps.freshLeaf(
+          GraftStore.assemble(fresh
+            .withColumn("g", Term.nullTerm)
+            .withColumn("stype", lit(GraftStore.STYPE_INFERRED).cast("byte")))))
+      }
+    Some(next.withStatements(result.select(GraftStore.columns.map(col): _*)))
+  }
+
+  /** Staged DELTA derivation: conclusions with ≥1 derivation (under the given
+    * schema closures, which must be pre-closed) using a fact from `taint0` or a
+    * schema pair from the `d*` diffs. Mirrors closure()'s stage order (rdfs7 →
+    * inverse/symmetric → hasValue → domain/range → rdfs9 → hasValue₂); the
+    * transitive and sameAs families are excluded by the caller's guards. Each
+    * stage's output re-feeds later stages, exactly like closure()'s fact
+    * accumulation. Facts-side scans are pruned to the diff pairs' predicate
+    * partitions; taint-side joins are broadcast over the delta. Returns (s,p,o).
+    */
+  private def deltaDerive(spark: org.apache.spark.sql.SparkSession,
+      allFacts0: DataFrame, taint0: DataFrame,
+      sc: Seq[(Row, Row)], sp: Seq[(Row, Row)],
+      dom: Seq[(Row, Row)], rng: Seq[(Row, Row)], ib: Seq[(Row, Row)],
+      restrictions: Seq[(Long, Row, Row)],
+      dSc: Seq[(Row, Row)], dSp: Seq[(Row, Row)], dDom: Seq[(Row, Row)],
+      dRng: Seq[(Row, Row)], dIb: Seq[(Row, Row)]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def idOf(r: Row): Long = r.getAs[Long]("id")
+    val allFacts = allFacts0.select(col("s"), col("p"), col("o"), col("p_id"))
+    def spo(df: DataFrame): DataFrame =
+      df.select(col("s"), col("p"), col("o"), col("p")("id").as("p_id"))
+    // fresh LocalRelation, not allFacts.limit(0): an empty frame sharing the
+    // fact scan's attribute ids poisons the sibling-union constraint rewrite
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](),
+      StructType(Seq("s", "p", "o").map(n => StructField(n, Term.schema))))
+    def dedup(df: DataFrame): DataFrame = df
+      .withColumn("__sk", col("s")("id")).withColumn("__pk", col("p")("id"))
+      .withColumn("__ok", col("o")("id"))
+      .dropDuplicates("__sk", "__pk", "__ok").drop("__sk", "__pk", "__ok")
+    def pd(ps: Seq[(Row, Row)], an: String, bn: String): DataFrame =
+      pairsDf(spark, ps, an, bn)
+    def pruned(ps: Seq[(Row, Row)]): DataFrame =
+      allFacts.filter(col("p_id").isin(ps.map(p => idOf(p._1)).distinct: _*))
+
+    var taint = spo(taint0)
+    var stages = List.empty[DataFrame]
+    def addStage(d: DataFrame): Unit = {
+      val dd = graft.engine.DfOps.freshLeaf(dedup(d))
+      stages ::= dd
+      taint = taint.unionByName(spo(dd))
+    }
+    def asQ(ps: Seq[(Row, Row)]): DataFrame =
+      pd(ps, "a", "b").select(col("a")("id").as("p_id"), col("b").as("q"))
+
+    // rdfs7: (x p y), p ⊑* q → (x q y)
+    if (sp.nonEmpty || dSp.nonEmpty) {
+      val viaFact = if (sp.isEmpty) empty else
+        taint.join(broadcast(asQ(sp)), Seq("p_id"))
+          .select(col("s"), col("q").as("p"), col("o"))
+      val viaSchema = if (dSp.isEmpty) empty else
+        pruned(dSp).join(broadcast(asQ(dSp)), Seq("p_id"))
+          .select(col("s"), col("q").as("p"), col("o"))
+      addStage(viaFact.unionByName(viaSchema))
+    }
+    // inverse/symmetric: (x p y) → (y q x), object must be a resource
+    if (ib.nonEmpty || dIb.nonEmpty) {
+      def flip(facts: DataFrame, ps: Seq[(Row, Row)]) =
+        facts.join(broadcast(asQ(ps)), Seq("p_id"))
+          .filter(col("o")("kind") =!= Term.KIND_LITERAL)
+          .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))
+      val viaFact = if (ib.isEmpty) empty else flip(taint, ib)
+      val viaSchema = if (dIb.isEmpty) empty else flip(pruned(dIb), dIb)
+      addStage(viaFact.unionByName(viaSchema))
+    }
+    // hasValue over tainted restriction membership (restriction set itself is
+    // delta-invariant per the caller's guards)
+    def hasValueOf(types: DataFrame): DataFrame = {
+      val rRows = restrictions.map { case (a, p, v) => Row(a, p, v) }
+      val rDf = spark.createDataFrame(spark.sparkContext.parallelize(rRows, 1),
+        StructType(Seq(StructField("tid", LongType),
+          StructField("hp", Term.schema), StructField("hv", Term.schema))))
+      types.join(broadcast(rDf), col("o")("id") === col("tid"))
+        .select(col("s"), col("hp").as("p"), col("hv").as("o"))
+    }
+    if (restrictions.nonEmpty)
+      addStage(hasValueOf(taint.filter(col("p_id") === typeId)))
+    // rdfs2/rdfs3: domain/range → type triples
+    if (dom.nonEmpty || rng.nonEmpty || dDom.nonEmpty || dRng.nonEmpty) {
+      def asCls(ps: Seq[(Row, Row)]): DataFrame =
+        pd(ps, "a", "c").select(col("a")("id").as("p_id"), col("c").as("cls"))
+      def domJ(facts: DataFrame, ps: Seq[(Row, Row)]) =
+        facts.join(broadcast(asCls(ps)), Seq("p_id"))
+          .select(col("s"), Term.iri(Term.RDF_TYPE).as("p"), col("cls").as("o"))
+      def rngJ(facts: DataFrame, ps: Seq[(Row, Row)]) =
+        facts.join(broadcast(asCls(ps)), Seq("p_id"))
+          .filter(col("o")("kind") =!= Term.KIND_LITERAL)
+          .select(col("o").as("s"), Term.iri(Term.RDF_TYPE).as("p"), col("cls").as("o"))
+      val parts = Seq(
+        if (dom.nonEmpty) Some(domJ(taint, dom)) else None,
+        if (dDom.nonEmpty) Some(domJ(pruned(dDom), dDom)) else None,
+        if (rng.nonEmpty) Some(rngJ(taint, rng)) else None,
+        if (dRng.nonEmpty) Some(rngJ(pruned(dRng), dRng)) else None).flatten
+      addStage(parts.reduce(_.unionByName(_)))
+    }
+    // rdfs9: (x type a), a ⊑* b → (x type b)
+    if (sc.nonEmpty || dSc.nonEmpty) {
+      def r9(types: DataFrame, ps: Seq[(Row, Row)]) =
+        types.join(broadcast(pd(ps, "a", "b")
+            .select(col("a")("id").as("tid"), col("b").as("cls"))),
+          col("o")("id") === col("tid"))
+          .select(col("s"), Term.iri(Term.RDF_TYPE).as("p"), col("cls").as("o"))
+      val viaFact = if (sc.isEmpty) empty
+        else r9(taint.filter(col("p_id") === typeId), sc)
+      val viaSchema = if (dSc.isEmpty) empty
+        else r9(allFacts.filter(col("p_id") === typeId), dSc)
+      addStage(viaFact.unionByName(viaSchema))
+    }
+    // hasValue second firing over the late (dom/rng/rdfs9-derived) type taint
+    if (restrictions.nonEmpty)
+      addStage(hasValueOf(taint.filter(col("p_id") === typeId)))
+    if (stages.isEmpty) empty else dedup(stages.reduce(_.unionByName(_)))
+  }
+
+  /** Staged re-derivation RESTRICTED to the suspect set: which suspects remain
+    * derivable from `base0` under the (pre-closed) NEW schema? Premise scans are
+    * pruned to the rule's predicate partitions AND semi-joined against the
+    * broadcast suspect keys, so cost tracks the delta, not the corpus. Retained
+    * suspects re-feed later stages (a re-derived (x q y) can support a suspect
+    * domain type, etc.). Returns the retained keys (__sk,__pk,__ok).
+    */
+  private def rederive(spark: org.apache.spark.sql.SparkSession,
+      base0: DataFrame, suspects: DataFrame, sKeys: DataFrame,
+      sc: Seq[(Row, Row)], sp: Seq[(Row, Row)],
+      dom: Seq[(Row, Row)], rng: Seq[(Row, Row)], ib: Seq[(Row, Row)],
+      restrictions: Seq[(Long, Row, Row)]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def idOf(r: Row): Long = r.getAs[Long]("id")
+    def keyed(df: DataFrame): DataFrame = df
+      .withColumn("__sk", col("s")("id")).withColumn("__pk", col("p")("id"))
+      .withColumn("__ok", col("o")("id"))
+    var base = base0.select(col("s"), col("p"), col("o"), col("p_id"))
+    // fresh LocalRelation (see deltaDerive's `empty` note)
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](),
+      StructType(Seq("s", "p", "o").map(n => StructField(n, Term.schema))))
+    def pd(ps: Seq[(Row, Row)], an: String, bn: String): DataFrame =
+      pairsDf(spark, ps, an, bn)
+    // suspect-key probes for premise pruning (all delta-sized, broadcast)
+    val suspPairs = suspects
+      .select(col("s")("id").as("__sk"), col("o")("id").as("__ok")).distinct()
+    val suspTypeSubj = suspects.filter(col("p")("id") === typeId)
+      .select(col("s")("id").as("__sid")).distinct()
+    val suspSubj = suspects.select(col("s")("id").as("__sid")).distinct()
+    // vocabulary-bounded driver probes: the suspect PREDICATES and TYPE CLASSES
+    // restrict each rule's schema pairs to those whose conclusions can hit a
+    // suspect at all — partitions of irrelevant predicates are never scanned
+    // (caps fall back to unrestricted pairs, never to a wrong answer)
+    val suspPkRows = suspects.select(col("p")("id")).distinct()
+      .limit(1001).collect()
+    val suspPks: Option[Set[Long]] =
+      if (suspPkRows.length > 1000) None else Some(suspPkRows.map(_.getLong(0)).toSet)
+    val suspClsRows = suspects.filter(col("p")("id") === typeId)
+      .select(col("o")("id")).distinct().limit(1001).collect()
+    val suspCls: Option[Set[Long]] =
+      if (suspClsRows.length > 1000) None
+      else Some(suspClsRows.map(_.getLong(0)).toSet)
+    def byConcl(ps: Seq[(Row, Row)], rel: Option[Set[Long]]): Seq[(Row, Row)] =
+      rel match {
+        case Some(ids) => ps.filter(p => ids(idOf(p._2)))
+        case None => ps
+      }
+    val sp2 = byConcl(sp, suspPks)
+    val ib2 = byConcl(ib, suspPks)
+    val dom2 = byConcl(dom, suspCls)
+    val rng2 = byConcl(rng, suspCls)
+    val sc2 = byConcl(sc, suspCls)
+    val restrictions2 = suspPks match {
+      case Some(ids) => restrictions.filter(r => ids(idOf(r._2)))
+      case None => restrictions
+    }
+
+    def prunedBy(ps: Seq[(Row, Row)]): DataFrame =
+      base.filter(col("p_id").isin(ps.map(p => idOf(p._1)).distinct: _*))
+    def asQ(ps: Seq[(Row, Row)]): DataFrame =
+      pd(ps, "a", "b").select(col("a")("id").as("p_id"), col("b").as("q"))
+
+    // Staged keeps in closure()'s exact rule order: each retained conclusion
+    // re-enters `base` before the stages it can support (dom before rdfs9
+    // before hasValue2), which mirrors the materializer's derivation power —
+    // a suspect supported only through a promoted intermediate is found at
+    // stage depth, no fixpoint needed.
+    var retainedAcc = keyed(empty).select("__sk", "__pk", "__ok")
+    def keep(concl: DataFrame): Unit = {
+      val hit = graft.engine.DfOps.freshLeaf(keyed(concl)
+        .join(broadcast(sKeys), Seq("__sk", "__pk", "__ok"), "left_semi")
+        .dropDuplicates("__sk", "__pk", "__ok"))
+      retainedAcc = retainedAcc.unionByName(hit.select("__sk", "__pk", "__ok"))
+      base = base.unionByName(hit.select(col("s"), col("p"), col("o"),
+        col("p")("id").as("p_id")))
+    }
+    def stages(): Seq[Option[DataFrame]] = {
+      val arms = Seq(
+        // rdfs7: premise (x p y) relevant iff some suspect shares (x, y)
+        if (sp2.isEmpty) None else Some(
+          prunedBy(sp2)
+            .join(broadcast(suspPairs),
+              col("s")("id") === col("__sk") && col("o")("id") === col("__ok"),
+              "left_semi")
+            .join(broadcast(asQ(sp2)), Seq("p_id"))
+            .select(col("s"), col("q").as("p"), col("o"))),
+        // inverse/symmetric: premise (y p x) vs suspect (x q y) — flipped probe
+        if (ib2.isEmpty) None else Some(
+          prunedBy(ib2)
+            .join(broadcast(suspPairs),
+              col("o")("id") === col("__sk") && col("s")("id") === col("__ok"),
+              "left_semi")
+            .join(broadcast(asQ(ib2)), Seq("p_id"))
+            .filter(col("o")("kind") =!= Term.KIND_LITERAL)
+            .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))),
+        // hasValue: premise (x type R) relevant iff x is a suspect subject
+        if (restrictions2.isEmpty) None else Some {
+          val rRows = restrictions2.map { case (a, p, v) => Row(a, p, v) }
+          val rDf = spark.createDataFrame(spark.sparkContext.parallelize(rRows, 1),
+            StructType(Seq(StructField("tid", LongType),
+              StructField("hp", Term.schema), StructField("hv", Term.schema))))
+          base.filter(col("p_id") === typeId)
+            .join(broadcast(suspSubj), col("s")("id") === col("__sid"), "left_semi")
+            .join(broadcast(rDf), col("o")("id") === col("tid"))
+            .select(col("s"), col("hp").as("p"), col("hv").as("o"))
+        },
+        // rdfs2/3: premise relevance keyed on the suspect TYPE subjects
+        if (dom2.isEmpty) None else Some(
+          prunedBy(dom2)
+            .join(broadcast(suspTypeSubj), col("s")("id") === col("__sid"), "left_semi")
+            .join(broadcast(pd(dom2, "a", "c")
+              .select(col("a")("id").as("p_id"), col("c").as("cls"))), Seq("p_id"))
+            .select(col("s"), Term.iri(Term.RDF_TYPE).as("p"), col("cls").as("o"))),
+        if (rng2.isEmpty) None else Some(
+          prunedBy(rng2)
+            .join(broadcast(suspTypeSubj), col("o")("id") === col("__sid"), "left_semi")
+            .join(broadcast(pd(rng2, "a", "c")
+              .select(col("a")("id").as("p_id"), col("c").as("cls"))), Seq("p_id"))
+            .filter(col("o")("kind") =!= Term.KIND_LITERAL)
+            .select(col("o").as("s"), Term.iri(Term.RDF_TYPE).as("p"),
+              col("cls").as("o"))),
+        // rdfs9: premise (x type a) relevant iff x is a suspect type subject
+        if (sc2.isEmpty) None else Some(
+          base.filter(col("p_id") === typeId)
+            .join(broadcast(suspTypeSubj), col("s")("id") === col("__sid"), "left_semi")
+            .join(broadcast(pd(sc2, "a", "b")
+              .select(col("a")("id").as("tid"), col("b").as("cls"))),
+              col("o")("id") === col("tid"))
+            .select(col("s"), Term.iri(Term.RDF_TYPE).as("p"), col("cls").as("o")))
+      )
+      arms
+    }
+    // closure() stage order: rdfs7 → inverse/symmetric → hasValue → dom → rng
+    // → rdfs9; arms are rebuilt against the grown `base` at each step, and the
+    // hasValue arm re-fires once more at the end (the second firing over
+    // re-derived types, like the materializer)
+    for (i <- 0 until 6) stages()(i).foreach(keep)
+    stages()(2).foreach(keep)
+    retainedAcc
+  }
+
   /** Rule-program FIXPOINT: re-run the staged closure until no new statements
     * derive (the reference's InferenceEngine runs its rule set to quiescence;
     * `rdf/rules/InferenceEngine.java` computeClosure). One round = one full
@@ -107,45 +680,76 @@ object Rdfs {
     cur
   }
 
-  /** Materialize the closure; derived rows get stype=Inferred and the default graph. */
-  def closure(store: GraftStore): GraftStore = {
-    val spark = store.spark
-    val stmts = store.statements
-    // ONE pruned scan collects every (vocabulary-sized) schema relation AND the
-    // property-characteristic/restriction-marker rows — a single driver action, not
-    // one per vocabulary family (each action re-evaluates the statement plan, which
-    // after updates/closures is more than a bare parquet scan)
+  /** The vocabulary-sized schema relations + property characteristics of a
+    * statement frame — ONE pruned driver action (see collectVocab).
+    * `sc`/`sp` are already eq-folded (RuleOwlEquivalentClass/Property:
+    * a ≡ b ⇔ a ⊑ b ∧ b ⊑ a).
+    */
+  private[inference] final case class Vocab(
+      sc: Array[(Row, Row)], sp: Array[(Row, Row)],
+      eqc: Array[(Row, Row)], eqp: Array[(Row, Row)],
+      dom: Array[(Row, Row)], rng: Array[(Row, Row)], inv: Array[(Row, Row)],
+      transProps: Array[Row], symProps: Array[Row],
+      funcProps: Array[Row], invFuncProps: Array[Row],
+      restrictions: Seq[(Long, Row, Row)])
+
+  /** ONE pruned scan collects every (vocabulary-sized) schema relation AND the
+    * property-characteristic/restriction-marker rows — a single driver action, not
+    * one per vocabulary family (each action re-evaluates the statement plan, which
+    * after updates/closures is more than a bare parquet scan).
+    */
+  // the two vocabulary sub-scans have very different costs: the schema-pid part
+  // prunes to a handful of vocabulary-sized partitions, while the
+  // characteristic/restriction-marker part (type rows with owl:* class objects)
+  // must read the whole rdf:type partition — callers that KNOW the marker rows
+  // are unchanged share one marker scan across both vocab views
+  private def vocabSchemaPart(df: DataFrame): DataFrame = {
     val schemaPids = Seq(subClassId, subPropId, domainId, rangeId,
       inverseOfId, eqClassId, eqPropId, onPropertyId, hasValueId)
+    df.filter(col("p_id").isin(schemaPids: _*))
+      .select(col("p_id"), col("s"), col("o"), col("o")("id").as("o_id"))
+  }
+  private def vocabCharPart(df: DataFrame): DataFrame = {
     val charIds = Seq(transitiveId, symmetricId, functionalId, invFunctionalId)
-    val vocabRows: Array[Row] = stmts
-      .filter(col("p_id").isin(schemaPids: _*) ||
-        (col("p_id") === typeId && col("o")("id").isin(charIds :+ restrictionId: _*)))
-      .select(col("p_id"), col("s"), col("o"), col("o")("id").as("o_id")).collect()
+    df.filter(col("p_id") === typeId &&
+        col("o")("id").isin(charIds :+ restrictionId: _*))
+      .select(col("p_id"), col("s"), col("o"), col("o")("id").as("o_id"))
+  }
+  private def vocabFilter(df: DataFrame): DataFrame =
+    vocabSchemaPart(df).unionByName(vocabCharPart(df))
+
+  private[inference] def collectVocab(stmts: DataFrame): Vocab =
+    vocabFromRows(vocabFilter(stmts).collect())
+
+  /** Two vocabularies (old/new views of a store) in ONE tagged driver action.
+    * PRECONDITION (guaranteed by truthMaintainDelta's charMarks guard): the
+    * characteristic/restriction-marker rows are identical in both views, so the
+    * expensive type-partition marker scan runs ONCE and is shared.
+    */
+  private[inference] def collectVocab2(oldStmts: DataFrame,
+                                       newStmts: DataFrame): (Vocab, Vocab) = {
+    val rows = vocabSchemaPart(oldStmts).withColumn("__old", lit(true))
+      .unionByName(vocabSchemaPart(newStmts).withColumn("__old", lit(false)))
+      .unionByName(vocabCharPart(newStmts).withColumn("__old", lit(null)))
+      .collect()
+    val char = rows.filter(_.isNullAt(4))
+    (vocabFromRows(rows.filter(r => !r.isNullAt(4) && r.getBoolean(4)) ++ char),
+      vocabFromRows(rows.filter(r => !r.isNullAt(4) && !r.getBoolean(4)) ++ char))
+  }
+
+  private def vocabFromRows(vocabRows: Array[Row]): Vocab = {
     val schemaRows: Map[Long, Array[(Row, Row)]] = vocabRows
       .filter(r => r.getLong(0) != typeId)
       .groupBy(_.getLong(0))
       .map { case (k, rs) => k -> rs.map(r => (r.getStruct(1), r.getStruct(2))) }
     def schema(pid: Long): Array[(Row, Row)] = schemaRows.getOrElse(pid, Array.empty)
-
-    // owl:equivalentClass/Property fold into the subClass/subProperty closures
-    // (RuleOwlEquivalentClass/Property: a ≡ b ⇔ a ⊑ b ∧ b ⊑ a)
     val eqc = schema(eqClassId)
     val eqp = schema(eqPropId)
-    val sc = schema(subClassId) ++ eqc ++ eqc.map(_.swap)
-    val sp = schema(subPropId) ++ eqp ++ eqp.map(_.swap)
-    val dom = schema(domainId)
-    val rng = schema(rangeId)
-    val inv = schema(inverseOfId)
     // property-characteristic declarations (transitive/symmetric/(inverse-)functional)
     // come from the same combined vocabulary scan, keyed by the type object
     val propChars: Map[Long, Array[Row]] = vocabRows
       .filter(r => r.getLong(0) == typeId && r.getLong(3) != restrictionId)
       .groupBy(_.getLong(3)).map { case (k, rs) => k -> rs.map(_.getStruct(1)) }
-    val transProps = propChars.getOrElse(transitiveId, Array.empty[Row])
-    val symProps = propChars.getOrElse(symmetricId, Array.empty[Row])
-    val funcProps = propChars.getOrElse(functionalId, Array.empty[Row])
-    val invFuncProps = propChars.getOrElse(invFunctionalId, Array.empty[Row])
     // owl:hasValue restrictions (RuleOwlHasValue): a type owl:Restriction,
     // a owl:onProperty p, a owl:hasValue v — vocabulary-sized, keyed by a.id
     val restrictions: Seq[(Long, Row, Row)] = {
@@ -160,6 +764,38 @@ object Rdfs {
           .map(a => (a, onP(a), hv(a)))
       }
     }
+    Vocab(
+      sc = schema(subClassId) ++ eqc ++ eqc.map(_.swap),
+      sp = schema(subPropId) ++ eqp ++ eqp.map(_.swap),
+      eqc = eqc, eqp = eqp,
+      dom = schema(domainId), rng = schema(rangeId), inv = schema(inverseOfId),
+      transProps = propChars.getOrElse(transitiveId, Array.empty[Row]),
+      symProps = propChars.getOrElse(symmetricId, Array.empty[Row]),
+      funcProps = propChars.getOrElse(functionalId, Array.empty[Row]),
+      invFuncProps = propChars.getOrElse(invFunctionalId, Array.empty[Row]),
+      restrictions = restrictions)
+  }
+
+  /** Materialize the closure; derived rows get stype=Inferred and the default graph. */
+  def closure(store: GraftStore): GraftStore =
+    graft.engine.DfOps.noConstraints(store.spark)(closureImpl(store))
+
+  private def closureImpl(store: GraftStore): GraftStore = {
+    val spark = store.spark
+    val stmts = store.statements
+    val v = collectVocab(stmts)
+    val eqc = v.eqc
+    val eqp = v.eqp
+    val sc = v.sc
+    val sp = v.sp
+    val dom = v.dom
+    val rng = v.rng
+    val inv = v.inv
+    val transProps = v.transProps
+    val symProps = v.symProps
+    val funcProps = v.funcProps
+    val invFuncProps = v.invFuncProps
+    val restrictions = v.restrictions
     val hasSameAs = stmts.filter(col("p_id") === sameAsId).limit(1).count() > 0 ||
       funcProps.nonEmpty || invFuncProps.nonEmpty
     if (sc.isEmpty && sp.isEmpty && dom.isEmpty && rng.isEmpty && inv.isEmpty &&
@@ -167,13 +803,8 @@ object Rdfs {
       return store
 
     val termType = Term.schema
-    def pairsDf(pairs: Seq[(Row, Row)], an: String, bn: String): DataFrame = {
-      val rows = pairs.map { case (a, b) => Row(a, b) }
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(an, termType),
-          org.apache.spark.sql.types.StructField(bn, termType))))
-    }
+    def pairsDf(pairs: Seq[(Row, Row)], an: String, bn: String): DataFrame =
+      Rdfs.pairsDf(spark, pairs, an, bn)
 
     val scC = transitiveRows(sc)
     val spC = transitiveRows(sp)

@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Delta vs full-recompute truth maintenance A/B on an AT-REST closed store
+  * (entailments materialized — the 100 TB posture, where they live in parquet).
+  *
+  * For each of K small DELETEs (one schema axiom + instance rows), times
+  *   delta: Update.withTruthMaintenance (routes to Rdfs.truthMaintainDelta)
+  *   full:  Rdfs.truthMaintain after the same applyOp
+  * and cross-checks the two result stores' statement key sets are identical.
+  *
+  * Usage: runMain graft.tools.TmAB [sfDir] [deletes]
+  */
+object TmAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nDel = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-tmab")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // wall-clock plus TOTAL INPUT RECORDS read by all tasks in the section —
+    // the scale-invariant cost: single-node wall-clock under-represents the
+    // cluster gap, but rows-scanned is the quantity that multiplies by 10⁶ at
+    // 100 TB
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+      })
+    def time[A](f: => A): (A, Double, Long) = {
+      val t0 = System.nanoTime()
+      val r0 = recordsRead.get()
+      val r = f
+      Thread.sleep(300) // let the listener bus drain task-end events
+      (r, (System.nanoTime() - t0) / 1e9, recordsRead.get() - r0)
+    }
+
+    // at-rest closed store: closure saved as p_id-partitioned parquet and
+    // reopened — the 100 TB posture where entailments live in storage and every
+    // probe below is a PRUNED scan (an in-session checkpoint can't prune: RDD
+    // block scans read everything, which would make the delta path O(corpus))
+    val raw0 = graft.model.Tpch.store(spark, sfDir)
+    raw0.statements.count()
+    // a realistic ontology: rdfs:domain on every column predicate, so the full
+    // recompute's rdfs2 pass must scan EVERY predicate partition while a small
+    // delete's delta pass touches only the partitions its suspects implicate
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val domAxioms = tables.flatMap { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").columns.map(c =>
+        s"<urn:p:$c> <http://www.w3.org/2000/01/rdf-schema#domain> <urn:c:${t.capitalize}> .")
+    }
+    val raw = graft.engine.Update(raw0,
+      s"INSERT DATA { ${domAxioms.mkString("\n")} }")
+    val atRestPath = "/tmp/graft_tmab_store"
+    val (closed, tClose, _) = time {
+      graft.model.GraftStore.save(
+        graft.inference.Rdfs.closure(raw).statements, atRestPath)
+      graft.model.GraftStore.load(spark, atRestPath)
+    }
+    println(f"TMAB close+save+load $tClose%.2f s atRest=${graft.inference.Rdfs.inferredAtRest(closed)}")
+
+    // pick nDel customers to retract type rows for, plus one schema-axiom delete
+    val custIds = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").limit(nDel).collect().map(_.getLong(0))
+    val updates =
+      custIds.map(k =>
+        s"DELETE DATA { <urn:t:customer:$k> a <urn:c:Customer> . }") :+
+      """DELETE DATA { <urn:c:Part>
+        |  <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:c:Any> . }""".stripMargin
+
+    def keySet(st: graft.model.GraftStore) = st.statements
+      .select(xxhash64(col("s")("id"), col("p")("id"), col("o")("id"),
+        coalesce(col("g")("id"), lit(0L)), col("stype")).as("k"))
+
+    // independent deletes against the same at-rest store: isolates the
+    // per-mutation cost (the chained/compaction cadence is a policy knob)
+    // the contract both paths must meet: after the mutation the store answers
+    // queries at at-rest speed again. The delta path delivers that by
+    // construction (parquet + broadcast tombstones); the full recompute must
+    // re-materialize its (corpus-sized) entailment table — the O(corpus) cost
+    // this A/B exists to expose.
+    def workload(st: graft.model.GraftStore): Long =
+      graft.engine.Engine.query(st,
+        "SELECT (COUNT(*) AS ?c) WHERE { ?x a <urn:c:Any> }").count() +
+      graft.engine.Engine.query(st,
+        "SELECT ?n WHERE { ?x a <urn:c:Nation> ; <urn:p:n_name> ?n }").count()
+    for ((u, i) <- updates.zipWithIndex) {
+      val (deltaSt, tDelta, rowsDelta) = time {
+        graft.engine.Update.withTruthMaintenance(closed, u)
+      }
+      val (_, tDeltaQ, rowsDeltaQ) = time(workload(deltaSt))
+      val (fullSt, tFull, rowsFull) = time {
+        val applied = graft.sparql.Parser.parseUpdate(u)
+          .foldLeft(closed)(graft.engine.Update.applyOp)
+        graft.inference.Rdfs.materialize(
+          graft.inference.Rdfs.truthMaintain(applied))
+      }
+      val (_, tFullQ, rowsFullQ) = time(workload(fullSt))
+      println(f"""TMAB-Q {"delete":$i,"delta_q_sec":$tDeltaQ%.2f,"full_q_sec":$tFullQ%.2f,""".stripMargin
+        + s""""delta_q_rows":$rowsDeltaQ,"full_q_rows":$rowsFullQ}""")
+      val onlyDelta = keySet(deltaSt).exceptAll(keySet(fullSt)).count()
+      val onlyFull = keySet(fullSt).exceptAll(keySet(deltaSt)).count()
+      println(f"""TMAB {"delete":$i,"delta_sec":$tDelta%.2f,"full_sec":$tFull%.2f,"""
+        + s""""delta_rows_read":$rowsDelta,"full_rows_read":$rowsFull,"""
+        + s""""only_delta":$onlyDelta,"only_full":$onlyFull}""")
+    }
+    spark.stop()
+  }
+}
