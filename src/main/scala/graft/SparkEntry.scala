@@ -595,7 +595,11 @@ object SparkEntry {
 
     // truth maintenance: retracting a subclass axiom retracts its entailments
     ("q_truth_maint", ((s: SparkSession, dir: String) => {
-      val closed = graft.inference.Rdfs.closure(Tpch.store(s, dir))
+      // materialize puts the entailments AT REST (the 100 TB posture: they
+      // live in parquet/checkpoint blocks) so the update routes through
+      // delta-restricted truth maintenance instead of the fixpoint recompute
+      val closed = graft.inference.Rdfs.materialize(
+        graft.inference.Rdfs.closure(Tpch.store(s, dir)))
       val tm = graft.engine.Update.withTruthMaintenance(closed,
         """DELETE DATA { <urn:c:Customer>
           |  <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:c:Any> . }""".stripMargin)

@@ -138,10 +138,10 @@ object Rdfs {
     */
   def materialize(store: GraftStore): GraftStore =
     if (inferredAtRest(store)) store
-    else store.withStatements(
+    else graft.engine.DfOps.noConstraints(store.spark)(store.withStatements(
       store.statements.filter(col("stype") =!= GraftStore.STYPE_INFERRED)
         .unionByName(store.statements
-          .filter(col("stype") === GraftStore.STYPE_INFERRED).localCheckpoint()))
+          .filter(col("stype") === GraftStore.STYPE_INFERRED).localCheckpoint())))
 
   def truthMaintainDelta(next: GraftStore,
                          removed0: DataFrame, added0: DataFrame): Option[GraftStore] =

@@ -133,17 +133,47 @@ object Dedup {
   /** MinHash+LSH near-dup candidate pairs with signature-estimated Jaccard.
     * bands×rows = k; two docs collide if any band of `rows` consecutive minhashes
     * matches. Returns (a, b, est_jaccard) with a < b, est ≥ threshold.
+    *
+    * `bucketCap` (0 = off) is the pair-explosion guard: a band bucket holding n
+    * docs yields n(n−1)/2 candidate pairs, so one pathological mega-family (a
+    * mirror-heavy crawl with millions of near-identical pages) turns the
+    * otherwise-linear candidate stage quadratic no matter how good the banding
+    * is. With a cap, buckets larger than `bucketCap` are DROPPED before the
+    * self-join (their members report no pairs through that band) and the
+    * dropped mass is logged — the corpus-level dup-rate governance
+    * (`dupRateBySource`) still surfaces the family itself. The cap bounds
+    * worst-case pairs at docs·bands·bucketCap/2 — linear again.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                    threshold: Double = 0.7,
-                   family: HashFamily = xxFamily): DataFrame = {
+                   family: HashFamily = xxFamily,
+                   bucketCap: Int = 0): DataFrame = {
     val rows = k / bands
     val sig = minhashSignature(docs, idCol, textCol, k, shingleN, family).localCheckpoint()
-    val banded = sig.select(col("id"), col("sig"),
+    val banded0 = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => family.band(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val banded = if (bucketCap <= 0) banded0 else {
+      // one count aggregation over the (docs·bands)-row banded frame — the same
+      // (band,bh) keys the self-join below shuffles on, and `sig` is already
+      // checkpointed, so the guard costs one small keyed exchange, not a rescan
+      // of the corpus. The dropped-mass probe is an eager bounded aggregate:
+      // governance must be observable, not silent (SCALE.md "no silent caps").
+      val counted = banded0.withColumn("__n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bh")))
+        .localCheckpoint()
+      val d = counted.filter(col("__n") > bucketCap)
+        .agg(count(lit(1)).as("r"), approx_count_distinct("bh").as("b"))
+        .collect()(0)
+      if (d.getLong(0) > 0)
+        System.err.println(s"graft.Dedup.minhashPairs: bucketCap=$bucketCap dropped " +
+          s"${d.getLong(0)} banded rows across ~${d.getLong(1)} over-cap buckets " +
+          "(mega-family guard; dup-rate governance still reports the family)")
+      counted.filter(col("__n") <= bucketCap).drop("__n")
+    }
     val l = banded.select(col("band"), col("bh"), col("id").as("a"), col("sig").as("siga"))
     val r = banded.select(col("band"), col("bh"), col("id").as("b"), col("sig").as("sigb"))
     val cand = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))

@@ -32,6 +32,23 @@ class PipelineSpec extends GraftSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash bucketCap drops a synthetic mega-family, keeps small buckets") {
+    // 200 identical docs (one band bucket of 200 → 19,900 pairs uncapped)
+    // plus a small genuine near-dup pair that must survive the cap
+    val mega = (100L until 300L).map(i =>
+      (i, "mirror mirror on the wall who is the fairest of them all"))
+    val d = (mega ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat")
+    )).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
+    assert(uncapped.count() >= 19900L) // the quadratic blowup the cap prevents
+    val capped = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5,
+      bucketCap = 50).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => p._1 >= 100L)) // mega-family buckets dropped
+    assert(capped.contains((1L, 2L))) // small-bucket near-dup survives
+  }
+
   test("ngram jaccard: exact dup = 1.0") {
     val d = docs
     val j = Dedup.ngramJaccard(d, "doc_id", "text",
