@@ -250,6 +250,27 @@ object Dev {
         .first().getLong(0)
       println(s"PROBE-SEARCH-IN-SEARCH: got=$sisGot exp=$sisExp ORACLE-MATCH: ${sisGot == sisExp}")
     }
+    // probe 18 (r12): delta truth maintenance consumes ACTUAL change buffers —
+    // a phantom re-insert of an existing axiom must not mask retraction, and
+    // the DRed path (not the fixpoint recompute) must be the one that ran
+    locally {
+      val s12 = engine.Update(store,
+        """INSERT DATA {
+          |  <urn:r12:X> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:r12:Y> .
+          |  <urn:r12:nm> <http://www.w3.org/2000/01/rdf-schema#domain> <urn:r12:X> .
+          |  <urn:r12:u> <urn:r12:nm> "v" . }""".stripMargin)
+      val closed = inference.Rdfs.materialize(inference.Rdfs.closure(s12))
+      val tm = engine.Update.withTruthMaintenance(closed,
+        """DELETE { <urn:r12:u> <urn:r12:nm> "v" . }
+          |INSERT { <urn:r12:X> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:r12:Y> . }
+          |WHERE { }""".stripMargin)
+      val staleY = engine.Engine.query(tm, "ASK { <urn:r12:u> a <urn:r12:Y> }")
+        .first().getBoolean(0)
+      val staleX = engine.Engine.query(tm, "ASK { <urn:r12:u> a <urn:r12:X> }")
+        .first().getBoolean(0)
+      println(s"PROBE-TM-PHANTOM-REINSERT: path=${inference.Rdfs.lastTmPath} " +
+        s"staleTypeX=$staleX staleTypeY=$staleY (expect delta false false)")
+    }
     // flagship smoke (driver contract)
     val flag = SparkEntry.entry(spark)
     println(s"ENTRY-ROWS: ${flag.count()}")

@@ -114,28 +114,24 @@ object Update {
     val ops = Parser.parseUpdate(updateText)
     // Single application pass that CAPTURES each op's change buffers (the
     // reference's TM consumes its assertion/retraction buffers, not a
-    // before/after diff — rdf/inf/TruthMaintenance.java). The buffers are
-    // CANDIDATE sets: phantom rows (deletes of absent quads, inserts of
-    // present ones) are provably harmless downstream — over-delete suspects
-    // re-derive, insert novelty drops duplicates. Graph-level ops and bnode
-    // templates are uncapturable → fixpoint recompute.
-    def hasBnode(qs: Seq[QuadData]): Boolean = {
-      def b(n: Node): Boolean = n match {
-        case VarNode(v) => v.startsWith("-")
-        case SidNode(s2, p2, o2) => b(s2) || b(p2) || b(o2)
-        case _ => false
-      }
-      qs.exists(q => (Seq(q.s, q.p, q.o) ++ q.g).exists(b))
-    }
+    // before/after diff — rdf/inf/TruthMaintenance.java). The buffers are the
+    // ACTUAL deltas — insert()'s post-novelty committed rows and delete()'s
+    // actually-purged rows, with their real graph and stype — not the quad
+    // templates: a phantom insert (row already present) or phantom delete
+    // must NOT enter the buffers, or the old-state reconstruction inside
+    // truthMaintainDelta wrongly subtracts/adds pre-existing rows. Graph-level
+    // ops are uncapturable → fixpoint recompute.
     var cur = store
     var capturable = true
     val rem = Seq.newBuilder[DataFrame]
     val add = Seq.newBuilder[DataFrame]
     ops.foreach {
-      case op @ DeleteData(q) if !hasBnode(q) =>
-        rem += constQuads(cur, q); cur = applyOp(cur, op)
-      case op @ InsertData(q) if !hasBnode(q) =>
-        add += constQuads(cur, q); cur = applyOp(cur, op)
+      case DeleteData(q) =>
+        val (st2, purged) = deleteCapture(cur, constQuads(cur, q), knownPids(q))
+        rem += purged; cur = st2
+      case InsertData(q) =>
+        val (st2, fresh) = insertCapture(cur, constQuads(cur, q), knownPids(q))
+        add += fresh; cur = st2
       case m: Modify =>
         val (st2, delQ, insQ) = applyModify(cur, m)
         rem += delQ; add += insQ; cur = st2
@@ -148,7 +144,7 @@ object Update {
       case ClearDefault | ClearNamed => true
       case _ => false
     }
-    if (!retracts) return cur
+    if (!retracts) { graft.inference.Rdfs.lastTmPath = "none"; return cur }
     // Delta-restricted truth maintenance (DRed) over the captured buffers;
     // requires the entailment table AT REST (probing a lazy closure plan would
     // re-evaluate derivations per probe — the recompute is cheaper there).
@@ -156,13 +152,17 @@ object Update {
     val delta =
       if (!capturable || !graft.inference.Rdfs.inferredAtRest(cur)) None
       else {
+        // captured buffers carry the store's real stype (a purged row can be
+        // Inferred); empty seed matches that shape
         val emptyQ = emptyQuads(store)
+          .withColumn("stype", lit(GraftStore.STYPE_EXPLICIT).cast("byte"))
         def buf(bs: Seq[DataFrame]): DataFrame =
-          (emptyQ +: bs).reduce(_.unionByName(_))
-            .withColumn("stype", lit(GraftStore.STYPE_EXPLICIT).cast("byte"))
+          (emptyQ +: bs.map(_.select(col("s"), col("p"), col("o"), col("g"),
+            col("stype")))).reduce(_.unionByName(_))
         graft.inference.Rdfs.truthMaintainDelta(cur,
           buf(rem.result()), buf(add.result()))
       }
+    graft.inference.Rdfs.lastTmPath = if (delta.isDefined) "delta" else "full"
     delta.getOrElse(graft.inference.Rdfs.truthMaintain(cur))
   }
 
@@ -178,10 +178,11 @@ object Update {
       case (None, _) => None
     }.map(_.distinct)
 
-  /** Modify evaluation that also RETURNS the instantiated delete/insert quad
-    * frames — the change buffers delta truth maintenance consumes (the
-    * reference's TM works off its assertion/retraction buffers, not a
-    * before/after diff; rdf/inf/TruthMaintenance.java). The solution set is
+  /** Modify evaluation that also RETURNS the ACTUAL delete/insert deltas —
+    * the rows delete() really purged and insert() really committed (post
+    * novelty), with their real graph/stype — the change buffers delta truth
+    * maintenance consumes (the reference's TM works off its assertion/
+    * retraction buffers; rdf/inf/TruthMaintenance.java). The solution set is
     * checkpointed, so the returned frames are delta-sized scans.
     */
   private def applyModify(store: GraftStore,
@@ -221,12 +222,12 @@ object Update {
     // constraint rewrite (see DfOps.freshLeaf)
     val sol = DfOps.freshLeaf(projected)
     val emptyQ = emptyQuads(store)
-    val delQ = if (del.isEmpty) emptyQ else instantiate(sol, target(del))
-    val insQ = if (ins.isEmpty) emptyQ else instantiate(sol, target(ins))
-    val s1 = if (del.isEmpty) store
-      else delete(store, delQ, knownPids(target(del)))
-    val s2 = if (ins.isEmpty) s1 else insert(s1, insQ, knownPids(target(ins)))
-    (s2, delQ, insQ)
+      .withColumn("stype", lit(GraftStore.STYPE_EXPLICIT).cast("byte"))
+    val (s1, actDel) = if (del.isEmpty) (store, emptyQ)
+      else deleteCapture(store, instantiate(sol, target(del)), knownPids(target(del)))
+    val (s2, actIns) = if (ins.isEmpty) (s1, emptyQ)
+      else insertCapture(s1, instantiate(sol, target(ins)), knownPids(target(ins)))
+    (s2, actDel, actIns)
   }
 
   def applyOp(store: GraftStore, op: UpdateOp): GraftStore = op match {
@@ -396,7 +397,13 @@ object Update {
     * (`rbop/rdf/update/InsertStatementsOp.java`).
     */
   private def insert(store: GraftStore, quads: DataFrame,
-                     pids: Option[Seq[Long]] = None): GraftStore = {
+                     pids: Option[Seq[Long]] = None): GraftStore =
+    insertCapture(store, quads, pids)._1
+
+  /** insert() that also returns the committed (post-novelty) rows — already
+    * checkpointed, so the TM change buffer reads a delta-sized table. */
+  private def insertCapture(store: GraftStore, quads: DataFrame,
+                            pids: Option[Seq[Long]] = None): (GraftStore, DataFrame) = {
     val existing = pids.orElse(deltaPids(quads)) match {
       case Some(pids) => store.statements.filter(col("p_id").isin(pids: _*))
       case None => store.statements
@@ -411,8 +418,8 @@ object Update {
     // commit the delta (CommitOp analog): materializing the delta-sized frame keeps
     // every downstream query plan simple — parquet ∪ committed rows, not a re-planned
     // anti-join pipeline per action
-    store.withStatements(
-      store.statements.unionByName(GraftStore.assemble(fresh).localCheckpoint()))
+    val committed = GraftStore.assemble(fresh).localCheckpoint()
+    (store.withStatements(store.statements.unionByName(committed)), committed)
   }
 
   /** Bare (graph-less) delete quads are a CONTEXT WILDCARD: they remove the matching
@@ -421,7 +428,14 @@ object Update {
     * union-default-graph solutions actually remove what it matched).
     */
   private def delete(store: GraftStore, quads: DataFrame,
-                     pids0: Option[Seq[Long]] = None): GraftStore = {
+                     pids0: Option[Seq[Long]] = None): GraftStore =
+    deleteCapture(store, quads, pids0)._1
+
+  /** delete() that also returns the rows actually purged (any stype, with
+    * their real graph) — the TM retraction buffer. The purged frame stays
+    * lazy; non-TM callers never pay for it. */
+  private def deleteCapture(store: GraftStore, quads: DataFrame,
+                            pids0: Option[Seq[Long]] = None): (GraftStore, DataFrame) = {
     def tripleKey(df: DataFrame): DataFrame =
       df.withColumn("__k3", xxhash64(col("s")("id"), col("p")("id"), col("o")("id")))
     val victims = statementKey(quads.filter(col("g").isNotNull))
@@ -433,14 +447,25 @@ object Update {
         .join(victims, Seq("__k"), "left_anti")
         .join(tripleVictims, Seq("__k3"), "left_anti")
         .drop("__k", "__k3")
-    val kept = pids0.orElse(deltaPids(quads)) match {
+    // complement of purge: rows hit by a graph-specific victim, plus rows hit
+    // by a wildcard triple victim (anti on __k first so a row matching both
+    // appears once)
+    def purged(df: DataFrame): DataFrame = {
+      val k = tripleKey(statementKey(df))
+      k.join(victims, Seq("__k"), "left_semi")
+        .unionByName(k.join(victims, Seq("__k"), "left_anti")
+          .join(tripleVictims, Seq("__k3"), "left_semi"))
+        .drop("__k", "__k3")
+    }
+    val (kept, removedRows) = pids0.orElse(deltaPids(quads)) match {
       case Some(pids) =>
         // commit the rewritten partitions (delta-sized); untouched ones stay parquet
-        store.statements.filter(!col("p_id").isin(pids: _*))
-          .unionByName(purge(store.statements.filter(col("p_id").isin(pids: _*)))
-            .localCheckpoint())
-      case None => purge(store.statements)
+        val hit = store.statements.filter(col("p_id").isin(pids: _*))
+        (store.statements.filter(!col("p_id").isin(pids: _*))
+           .unionByName(purge(hit).localCheckpoint()),
+         purged(hit))
+      case None => (purge(store.statements), purged(store.statements))
     }
-    store.withStatements(kept.select(GraftStore.columns.map(col): _*))
+    (store.withStatements(kept.select(GraftStore.columns.map(col): _*)), removedRows)
   }
 }

@@ -143,6 +143,16 @@ object Rdfs {
         .unionByName(store.statements
           .filter(col("stype") === GraftStore.STYPE_INFERRED).localCheckpoint())))
 
+  /** Which TM path the last Update.withTruthMaintenance took ("delta" |
+    * "full" | "none") — test/diagnostic instrumentation only.
+    */
+  @volatile var lastTmPath: String = "none"
+
+  // -Dgraft.tm.prof counter: ONE listener for the JVM's lifetime (re-registering
+  // per invocation leaked listeners and double-counted recordsRead)
+  private val tmProfCtr = new java.util.concurrent.atomic.AtomicLong()
+  private val tmProfRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def truthMaintainDelta(next: GraftStore,
                          removed0: DataFrame, added0: DataFrame): Option[GraftStore] =
     graft.engine.DfOps.noConstraints(next.spark)(
@@ -152,15 +162,15 @@ object Rdfs {
                          removed0: DataFrame, added0: DataFrame): Option[GraftStore] = {
     val spark = next.spark
     lazy val profRows = {
-      val ctr = new java.util.concurrent.atomic.AtomicLong()
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(
-              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-            if (te.taskMetrics != null)
-              ctr.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
-        })
-      ctr
+      if (tmProfRegistered.compareAndSet(false, true))
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (te.taskMetrics != null)
+                tmProfCtr.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+          })
+      tmProfCtr
     }
     def t[A](label: String)(f: => A): A =
       if (!sys.props.contains("graft.tm.prof")) f else {
@@ -177,9 +187,11 @@ object Rdfs {
     // lineage (a Modify's delete and insert both instantiate from one
     // solution checkpoint) and every downstream union re-splits them
     val delta0 = t("diff")(graft.engine.DfOps.freshLeaf(removed0
-      .select(col("s"), col("p"), col("o"), col("stype")).withColumn("__r", lit(true))
+      .select(col("s"), col("p"), col("o"), col("g"), col("stype"))
+      .withColumn("__r", lit(true))
       .unionByName(added0
-        .select(col("s"), col("p"), col("o"), col("stype")).withColumn("__r", lit(false)))))
+        .select(col("s"), col("p"), col("o"), col("g"), col("stype"))
+        .withColumn("__r", lit(false)))))
     if (t("empty-probe")(delta0.isEmpty)) return Some(next)
     val removed = delta0.filter(col("__r")).drop("__r")
     val added = delta0.filter(!col("__r")).drop("__r")
@@ -209,13 +221,20 @@ object Rdfs {
       .withColumn("__sk", col("s")("id")).withColumn("__pk", col("p")("id"))
       .withColumn("__ok", col("o")("id"))
     // old-state views reconstructed from (next ∪ removed) − added: the lazy
-    // pre-update plan is never re-evaluated (collectVocab needs p_id, s, o)
+    // pre-update plan is never re-evaluated (collectVocab needs p_id, s, o).
+    // The buffers are ACTUAL deltas (insert's post-novelty rows, delete's
+    // purged rows — Update.insertCapture/deleteCapture), and the subtraction
+    // is keyed on (s,p,o,g) — insert novelty is per quad, so an (s,p,o)-keyed
+    // anti-join would wrongly drop a pre-existing copy of the triple living
+    // in another graph from the old view
+    def key4(df: DataFrame): DataFrame = key3(df)
+      .withColumn("__gk", coalesce(col("g")("id"), lit(0L)))
     def vocabView(df: DataFrame): DataFrame =
       df.select(col("p_id"), col("s"), col("o"))
     val newExp = vocabView(exp)
-    val oldExp = key3(exp)
-      .join(broadcast(key3(added).select("__sk", "__pk", "__ok")),
-        Seq("__sk", "__pk", "__ok"), "left_anti")
+    val oldExp = key4(exp)
+      .join(broadcast(key4(added).select("__sk", "__pk", "__ok", "__gk")),
+        Seq("__sk", "__pk", "__ok", "__gk"), "left_anti")
       .select(col("p_id"), col("s"), col("o"))
       .unionByName(removed.filter(col("stype") =!= GraftStore.STYPE_INFERRED)
         .select(col("p")("id").as("p_id"), col("s"), col("o")))
@@ -348,7 +367,11 @@ object Rdfs {
     // authoritative). Presence is checked delta-side: the p_id-pruned store
     // scan SEMI-joins the broadcast removed keys — never shuffling the store —
     // and the delta-sized hit set broadcasts back into the anti-join.
+    // dedup: the delete of one triple from two graphs (or a Modify whose WHERE
+    // hits it twice) yields multiple purged copies of the same (s,p,o) — the
+    // promotion below must mint ONE Inferred row, like the full recompute
     val rKeys = keyed(removed.select(col("s"), col("p"), col("o")))
+      .dropDuplicates("__sk", "__pk", "__ok")
     val stillPresent = graft.engine.DfOps.freshLeaf(
       keyed(afterLoss0.filter(col("p_id").isin(deltaPids.toSeq: _*))
           .select("s", "p", "o"))

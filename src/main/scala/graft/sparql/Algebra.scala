@@ -320,13 +320,22 @@ object Algebra {
       val gv = g match { case VarNode(n) => Set(n); case _ => Set.empty[String] }
       gpVars(inner, Some(g)) ++ gv
     case CtxGraphGP(g, inner) => gpVars(inner, Some(g))
-    case SubSelectGP(q) => q.projection match {
-      case Star => gpVars(q.where, ctx)
-      case ProjVars(items) => items.flatMap {
-        case (EVar(n), None) => Some(n)
-        case (_, a) => a
-      }.toSet
-    }
+    case SubSelectGP(q) =>
+      val base = q.projection match {
+        case Star => gpVars(q.where, ctx)
+        case ProjVars(items) => items.flatMap {
+          case (EVar(n), None) => Some(n)
+          case (_, a) => a
+        }.toSet
+      }
+      // mirror scopeSubquery's proj2: under GRAPH ?g a subquery whose body
+      // binds ?g gets the context var appended to its projection, so it binds
+      // ?g here too (over-approximates ctxBinds — extra flushes are safe)
+      ctx match {
+        case Some(VarNode(n)) if !base.contains(n) &&
+            gpVars(q.where, ctx).contains(n) => base + n
+        case _ => base
+      }
     case ServiceGP(_, inner, _) => gpVars(inner, ctx)
   }
 

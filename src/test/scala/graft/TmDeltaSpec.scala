@@ -34,20 +34,19 @@ class TmDeltaSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getByte(4))).toSet
 
-  /** Assert the delta path ran AND matches the full recompute. */
+  /** Assert the delta path ran AND matches the full recompute — including row
+    * COUNTS (key sets miss duplicate identical statements, e.g. a promotion
+    * minting two copies of one Inferred row).
+    */
   def check(closed: GraftStore, update: String, expectDelta: Boolean = true): Unit = {
     val viaApi = Update.withTruthMaintenance(closed, update)
+    // which path actually ran, per the instrumentation — not a proxy probe
+    assert(Rdfs.lastTmPath === (if (expectDelta) "delta" else "full"),
+      s"expected the ${if (expectDelta) "delta" else "fallback"} TM path")
     val full = Rdfs.truthMaintain(
       graft.sparql.Parser.parseUpdate(update).foldLeft(closed)(Update.applyOp))
     assert(keys(viaApi) === keys(full))
-    if (expectDelta) {
-      // the delta path must actually have been exercised (not silently
-      // falling back): verify the buffers route through truthMaintainDelta
-      val ops = graft.sparql.Parser.parseUpdate(update)
-      val applied = ops.foldLeft(closed)(Update.applyOp)
-      assert(Rdfs.inferredAtRest(applied) ||
-        Rdfs.inferredAtRest(closed), "expected an at-rest store")
-    }
+    assert(viaApi.statements.count() === full.statements.count())
   }
 
   val base = s"""
@@ -174,5 +173,51 @@ class TmDeltaSpec extends AnyFunSuite {
   test("phantom delete (row absent) is a no-op on the statement set") {
     val st = atRest(base, "t13")
     check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u9> a <urn:x:C> . } }")
+  }
+
+  test("phantom re-insert of an existing axiom keeps the old vocabulary intact") {
+    // X ⊑ Y already exists; the Modify re-inserts it (zero actual delta) while
+    // deleting u7's only support. BOTH (u7 type X) and (u7 type Y) must
+    // retract — a candidate-buffer add would subtract the pre-existing axiom
+    // from the old view, under-approximate suspects, and leave (u7 type Y)
+    val t = base + s"""
+      @prefix : <urn:x:> .
+      @prefix rdfs: <$RDFS> .
+      :g {
+        :X rdfs:subClassOf :Y .
+        :name2 rdfs:domain :X .
+        :u7 :name2 "v" .
+      }
+    """
+    val st = atRest(t, "t14")
+    check(st,
+      s"""DELETE { GRAPH <urn:x:g> { <urn:x:u7> <urn:x:name2> "v" . } }
+         |INSERT { GRAPH <urn:x:g> { <urn:x:X> <${RDFS}subClassOf> <urn:x:Y> . } }
+         |WHERE { }""".stripMargin)
+  }
+
+  test("insert of a triple into a second graph keeps the first graph's copy in the old view") {
+    // B ⊑ A lives in :g; the update inserts a copy into :g2 (novel per quad)
+    // and deletes u2's name. The old-state reconstruction must retain the :g
+    // copy — an (s,p,o)-keyed subtraction would drop both, lose B ⊑ A from
+    // the old schema, and leave (u2 type A) stale
+    val st = atRest(base, "t15")
+    check(st,
+      s"""DELETE DATA { GRAPH <urn:x:g> { <urn:x:u2> <urn:x:name> "two" . } } ;
+         |INSERT DATA { GRAPH <urn:x:g2> { <urn:x:B> <${RDFS}subClassOf> <urn:x:A> . } }""".stripMargin)
+  }
+
+  test("same triple deleted from two graphs promotes ONE Inferred row") {
+    // u6 a :B is explicit in :g AND :g2, and derivable via domain(name)=B;
+    // deleting both copies must mint exactly one promoted Inferred row
+    val t = base.replace(":u6 a :B .", ":u6 a :B ; :name \"six\" .") + """
+      @prefix : <urn:x:> .
+      :g2 { :u6 a :B . }
+    """
+    val st = atRest(t, "t16")
+    check(st,
+      """DELETE DATA {
+        |  GRAPH <urn:x:g> { <urn:x:u6> a <urn:x:B> . }
+        |  GRAPH <urn:x:g2> { <urn:x:u6> a <urn:x:B> . } }""".stripMargin)
   }
 }
