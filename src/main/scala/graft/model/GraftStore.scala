@@ -28,7 +28,17 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
   // context-less statements count as ONE context (the openrdf nullGraph) in the
   // multi-graph duplicate probes below: a triple stored both context-less and in
   // a named graph duplicates in the union default graph exactly like a triple in
-  // two named graphs (the reference's DistinctFilter treats null as a context)
+  // two named graphs (the reference's DistinctFilter treats null as a context).
+  //
+  // INFERRED rows are excluded from both probes: no Inferred row ever shares
+  // (s,p,o) with any other row — the closure's novelty anti-join establishes
+  // the invariant, Update.insertCapture's upgrade-on-reassert and the DRed
+  // promotion/novelty joins maintain it — so entailments cannot contribute a
+  // duplicate to the union default graph. The exclusion also matters for COST:
+  // on a store whose entailments are still a lazy derivation pipeline, the
+  // stype filter constant-folds the derived branches away (their stype is a
+  // literal), so the probe reads pruned parquet instead of re-running the
+  // whole closure (measured 3× on the closure+query battery entry).
 
   /** Predicates appearing in TWO OR MORE named graphs — only these can put the
     * same triple in the union default graph twice (RDF merge semantics;
@@ -40,7 +50,7 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
     * the inference schema collects.
     */
   @transient lazy val multiGraphPids: Set[Long] =
-    statements
+    statements.filter(col("stype") =!= GraftStore.STYPE_INFERRED)
       .select(col("p_id"),
         coalesce(col("g")("id"), lit(GraftStore.NULL_GRAPH_ID)).as("__gid"))
       .distinct()
@@ -65,7 +75,8 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
     else {
       val cap = 100000
       val rows = statements
-        .filter(col("p_id").isin(multiGraphPids.toSeq: _*))
+        .filter(col("p_id").isin(multiGraphPids.toSeq: _*) &&
+          col("stype") =!= GraftStore.STYPE_INFERRED)
         .select(col("p_id"), col("o")("id").as("__oid"),
           coalesce(col("g")("id"), lit(GraftStore.NULL_GRAPH_ID)).as("__gid"))
         .distinct()

@@ -30,6 +30,9 @@ object QBench {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       println(f"""QBENCH {"name":"$n","iter":$i,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      // match Bench's cadence: GC outside the timed region so the
+      // ContextCleaner frees dead localCheckpoint blocks between iterations
+      System.gc()
     }
     spark.stop()
   }

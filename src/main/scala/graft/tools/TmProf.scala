@@ -30,22 +30,17 @@ object TmProf {
       println(f"TMPROF $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    sys.props("graft.tm.prof") = "1" // TMDELTA per-phase lines from the DRed pass
     for (i <- 1 to iters) {
       println(s"--- iter $i ---")
-      val st = t("store")(graft.model.Tpch.store(spark, sfDir))
-      val closed = t("closure-build")(graft.inference.Rdfs.closure(st))
-      t("inf-materialize")(closed.statements
-        .filter(col("stype") === graft.model.GraftStore.STYPE_INFERRED)
-        .localCheckpoint().count())
-      t("inf-materialize-2nd")(closed.statements
-        .filter(col("stype") === graft.model.GraftStore.STYPE_INFERRED)
-        .localCheckpoint().count())
+      val closed = t("closed-store")(graft.SparkEntry.closedStore(spark, sfDir))
       val tm = t("update+tm-build")(graft.engine.Update.withTruthMaintenance(closed,
         """DELETE DATA { <urn:c:Customer>
           |  <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:c:Any> . }""".stripMargin))
       val n = t("count-query")(graft.engine.Engine.query(tm,
         "SELECT (COUNT(*) AS ?cnt) WHERE { ?x a <urn:c:Any> }").count())
       println(s"rows=$n")
+      System.gc()
     }
     spark.stop()
   }
