@@ -271,6 +271,32 @@ object Dev {
       println(s"PROBE-TM-PHANTOM-REINSERT: path=${inference.Rdfs.lastTmPath} " +
         s"staleTypeX=$staleX staleTypeY=$staleY (expect delta false false)")
     }
+    // probe 19 (r12): transitive delta cone — an at-rest store with a
+    // transitive chain takes the DELTA path on an edge delete and retracts
+    // exactly the unreachable closure pairs (alternate-path pair survives)
+    locally {
+      val s19 = engine.Update(store,
+        """INSERT DATA {
+          |  <urn:r19:anc> a <http://www.w3.org/2002/07/owl#TransitiveProperty> .
+          |  <urn:r19:a> <urn:r19:anc> <urn:r19:b> .
+          |  <urn:r19:b> <urn:r19:anc> <urn:r19:c> .
+          |  <urn:r19:c> <urn:r19:anc> <urn:r19:d> .
+          |  <urn:r19:a> <urn:r19:anc> <urn:r19:x> .
+          |  <urn:r19:x> <urn:r19:anc> <urn:r19:c> . }""".stripMargin)
+      val closed = inference.Rdfs.materialize(inference.Rdfs.closure(s19))
+      val tm = engine.Update.withTruthMaintenance(closed,
+        "DELETE DATA { <urn:r19:a> <urn:r19:anc> <urn:r19:b> . }")
+      val ac = engine.Engine.query(tm, "ASK { <urn:r19:a> <urn:r19:anc> <urn:r19:c> }")
+        .first().getBoolean(0) // survives via a→x→c
+      val ad = engine.Engine.query(tm, "ASK { <urn:r19:a> <urn:r19:anc> <urn:r19:d> }")
+        .first().getBoolean(0) // survives via a→x→c→d
+      val bd = engine.Engine.query(tm, "ASK { <urn:r19:b> <urn:r19:anc> <urn:r19:d> }")
+        .first().getBoolean(0) // untouched chain suffix
+      val ab = engine.Engine.query(tm, "ASK { <urn:r19:a> <urn:r19:anc> <urn:r19:b> }")
+        .first().getBoolean(0) // the deleted edge itself
+      println(s"PROBE-TM-TRANS-CONE: path=${inference.Rdfs.lastTmPath} " +
+        s"ac=$ac ad=$ad bd=$bd ab=$ab (expect delta true true true false)")
+    }
     // flagship smoke (driver contract)
     val flag = SparkEntry.entry(spark)
     println(s"ENTRY-ROWS: ${flag.count()}")

@@ -401,25 +401,73 @@ object Update {
     insertCapture(store, quads, pids)._1
 
   /** insert() that also returns the committed (post-novelty) rows — already
-    * checkpointed, so the TM change buffer reads a delta-sized table. */
+    * checkpointed, so the TM change buffer reads a delta-sized table.
+    *
+    * Novelty is checked against EXPLICIT/AXIOM rows only: asserting a triple
+    * that exists as a materialized entailment UPGRADES it (the reference's
+    * StatementEnum upgrade — an explicit assertion supersedes Inferred): the
+    * quad commits as Explicit and the superseded Inferred row is dropped.
+    * This preserves the store invariant that no Inferred row shares (s,p,o)
+    * with any other row (the closure's novelty anti-join establishes it;
+    * GraftStore's default-graph dedup probes rely on it).
+    */
   private def insertCapture(store: GraftStore, quads: DataFrame,
-                            pids: Option[Seq[Long]] = None): (GraftStore, DataFrame) = {
-    val existing = pids.orElse(deltaPids(quads)) match {
+                            pids0: Option[Seq[Long]] = None): (GraftStore, DataFrame) = {
+    val pids = pids0.orElse(deltaPids(quads))
+    val existing = pids match {
       case Some(pids) => store.statements.filter(col("p_id").isin(pids: _*))
       case None => store.statements
     }
+    def tripleKey(df: DataFrame): DataFrame =
+      df.withColumn("__k3", xxhash64(col("s")("id"), col("p")("id"), col("o")("id")))
     // dedup on the 8-byte statement key, not the full-width struct rows — the
-    // exchange then carries ids, and the (already key-hashed) anti-join follows
-    val fresh = statementKey(quads).dropDuplicates("__k")
-      .join(statementKey(existing.select("s", "p", "o", "g")).select("__k"),
-        Seq("__k"), "left_anti")
-      .drop("__k")
+    // exchange then carries ids, and the (already key-hashed) anti-join follows.
+    // ONE delta-sized checkpoint carries both the novel rows and the
+    // upgraded-entailment marker (__conf): no second pass over the partitions
+    val exNonInf = statementKey(existing
+        .filter(col("stype") =!= GraftStore.STYPE_INFERRED)
+        .select("s", "p", "o", "g")).select("__k")
+    val infK3 = tripleKey(existing
+        .filter(col("stype") === GraftStore.STYPE_INFERRED).select("s", "p", "o"))
+      .select("__k3").dropDuplicates("__k3").withColumn("__conf", lit(true))
+    val fresh = tripleKey(statementKey(quads).dropDuplicates("__k"))
+      .join(exNonInf, Seq("__k"), "left_anti")
+      .join(infK3, Seq("__k3"), "left")
       .withColumn("stype", lit(GraftStore.STYPE_EXPLICIT).cast("byte"))
     // commit the delta (CommitOp analog): materializing the delta-sized frame keeps
     // every downstream query plan simple — parquet ∪ committed rows, not a re-planned
     // anti-join pipeline per action
-    val committed = GraftStore.assemble(fresh).localCheckpoint()
-    (store.withStatements(store.statements.unionByName(committed)), committed)
+    val committedPlus = fresh.select(col("p")("id").as("p_id"), col("s"),
+        col("p"), col("o"), col("g"), col("stype"),
+        coalesce(col("__conf"), lit(false)).as("__conf"))
+      .localCheckpoint()
+    val committed = committedPlus.drop("__conf")
+    val conflictK3 = committedPlus.filter(col("__conf")).select(
+      xxhash64(col("s")("id"), col("p")("id"), col("o")("id")).as("__k3"))
+    // superseded Inferred copies are filtered out of the touched partitions,
+    // and the rewritten partitions are COMMITTED (localCheckpoint, like
+    // deleteCapture's purge): an at-rest store must stay at rest across the
+    // upgrade — a lazy anti-join on the inferred branch would make
+    // inferredAtRest route the next TM pass to the full recompute. The
+    // common case (no upgrade) leaves the store plan untouched.
+    val base =
+      if (conflictK3.isEmpty) store.statements
+      else {
+        val inf = store.statements.filter(col("stype") === GraftStore.STYPE_INFERRED)
+        val keptInf = pids match {
+          case Some(pids) =>
+            inf.filter(!col("p_id").isin(pids: _*))
+              .unionByName(tripleKey(inf.filter(col("p_id").isin(pids: _*)))
+                .join(broadcast(conflictK3), Seq("__k3"), "left_anti").drop("__k3")
+                .localCheckpoint())
+          case None => tripleKey(inf)
+            .join(broadcast(conflictK3), Seq("__k3"), "left_anti").drop("__k3")
+            .localCheckpoint()
+        }
+        store.statements.filter(col("stype") =!= GraftStore.STYPE_INFERRED)
+          .unionByName(keptInf)
+      }
+    (store.withStatements(base.unionByName(committed)), committed)
   }
 
   /** Bare (graph-less) delete quads are a CONTEXT WILDCARD: they remove the matching

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Rdfs {
 
+  /** Bump when closure SEMANTICS change — keys the on-disk at-rest closed-store
+    * cache (SparkEntry.closedStore) so a stale materialization is never reused.
+    */
+  val CLOSURE_VERSION = 1
+
   val OWL = "http://www.w3.org/2002/07/owl#"
   val OWL_SAMEAS: String = OWL + "sameAs"
   val OWL_INVERSEOF: String = OWL + "inverseOf"
@@ -192,13 +197,14 @@ object Rdfs {
       .unionByName(added0
         .select(col("s"), col("p"), col("o"), col("g"), col("stype"))
         .withColumn("__r", lit(false)))))
-    if (t("empty-probe")(delta0.isEmpty)) return Some(next)
     val removed = delta0.filter(col("__r")).drop("__r")
     val added = delta0.filter(!col("__r")).drop("__r")
 
     // ---- bounded delta probes + non-local-family fallback guards ----
     // ONE probe job: the delta's predicate set AND whether it re-declares a
-    // property characteristic / restriction marker (type rows with char objects)
+    // property characteristic / restriction marker (type rows with char
+    // objects). An empty pid set means an empty delta — no separate
+    // emptiness job.
     val charMarks = Seq(transitiveId, symmetricId, functionalId,
       invFunctionalId, restrictionId)
     val pidRows = t("delta-pids")(removed.unionByName(added)
@@ -206,6 +212,7 @@ object Rdfs {
         (col("p")("id") === typeId && col("o")("id").isin(charMarks: _*))
           .as("chr"))
       .distinct().limit(1001).collect())
+    if (pidRows.isEmpty) return Some(next)
     val deltaPids = pidRows.map(_.getLong(0)).toSet
     if (pidRows.length > 1000) return None
     if (deltaPids(sameAsId) || deltaPids(onPropertyId) || deltaPids(hasValueId))
@@ -238,13 +245,14 @@ object Rdfs {
       .select(col("p_id"), col("s"), col("o"))
       .unionByName(removed.filter(col("stype") =!= GraftStore.STYPE_INFERRED)
         .select(col("p")("id").as("p_id"), col("s"), col("o")))
-    val (vOld, vNew) = t("vocab")(collectVocab2(oldExp, newExp))
+    // ONE driver action: both vocab views AND the explicit-side sameAs
+    // presence probe (inferred sameAs rows can only derive from explicit
+    // sameAs or FP/IFP declarations, the latter guarded via the vocabs; a
+    // removed-side sameAs row is already caught by the deltaPids guard above)
+    val (vOld, vNew, expHasSameAs) = t("vocab")(collectVocab2(oldExp, newExp))
     if (vOld.funcProps.nonEmpty || vOld.invFuncProps.nonEmpty ||
         vNew.funcProps.nonEmpty || vNew.invFuncProps.nonEmpty) return None
-    // explicit-side probe suffices: inferred sameAs rows can only derive from
-    // explicit sameAs or FP/IFP declarations, both already guarded above
-    if (t("sameas-probe")(exp.filter(col("p_id") === sameAsId).limit(1).count() > 0 ||
-        !removed.filter(col("p")("id") === sameAsId).isEmpty)) return None
+    if (expHasSameAs) return None
 
     def idOf(r: Row): Long = r.getAs[Long]("id")
     def ids(ps: Seq[(Row, Row)]): Set[(Long, Long)] =
@@ -262,20 +270,42 @@ object Rdfs {
         .map(p => (idOf(p._1), idOf(p._2)) -> p).toMap.values.toSeq
     val ibOld = invBoth(vOld); val ibNew = invBoth(vNew)
 
-    // transitive reachability is non-local: fall back when the delta can touch a
-    // transitive predicate's edge set (directly, via a subproperty feeding it,
-    // via an inverse partner, or via a restriction minting its edges)
+    // Transitive reachability is non-local. Two regimes:
+    //   DIRECT — the delta adds/removes edges of a transitive property whose
+    //   BASE edge set lives only in its own explicit partition (no subproperty
+    //   feeding it, no inverse partner, not symmetric, no restriction minting
+    //   its edges, not rdf:type). Handled below by an EXACT delta-cone
+    //   reachability pass (transCone): O(affected cone), never O(corpus).
+    //   INDIRECT — the delta reaches a transitive property's edges through
+    //   another predicate (subproperty/inverse/restriction) or changes which
+    //   properties are transitive (charMarks guard above): still the fixpoint
+    //   recompute — the base edge set is no longer a single pruned partition.
     val transIds = (vOld.transProps ++ vNew.transProps).map(idOf).toSet
+    val transDirect = deltaPids intersect transIds
     if (transIds.nonEmpty) {
-      val feeders = transIds ++
-        (spOld ++ spNew).collect { case (p, q) if transIds(idOf(q)) => idOf(p) } ++
+      val indirect = ((spOld ++ spNew).collect {
+          case (p, q) if transIds(idOf(q)) && idOf(p) != idOf(q) => idOf(p) } ++
         (ibOld ++ ibNew).flatMap { case (p, q) =>
-          if (transIds(idOf(p)) || transIds(idOf(q))) Seq(idOf(p), idOf(q)) else Nil }
-      if (deltaPids.exists(feeders)) return None
+          if (transIds(idOf(p)) || transIds(idOf(q))) Seq(idOf(p), idOf(q)) else Nil })
+        .toSet
+      if (deltaPids.exists(indirect)) return None
       if (minus(spOld, spNew).exists(p => transIds(idOf(p._2))) ||
           minus(spNew, spOld).exists(p => transIds(idOf(p._2)))) return None
       if ((vOld.restrictions ++ vNew.restrictions).exists(r => transIds(idOf(r._2))))
         return None
+      // the cone pass assumes a directly-touched property's base edges are
+      // exactly its explicit partition: any feeder into it → recompute
+      // (indirect feeders with the delta NOT touching them are caught above
+      // only when the delta touches them; here the mere existence of a feeder
+      // into a DIRECTLY-touched property invalidates the cone's edge set)
+      if (transDirect.nonEmpty) {
+        val fedInto = (spOld ++ spNew).exists { case (p, q) =>
+            transDirect(idOf(q)) && idOf(p) != idOf(q) } ||
+          (ibOld ++ ibNew).exists { case (p, q) =>
+            transDirect(idOf(p)) || transDirect(idOf(q)) } ||
+          transDirect(typeId)
+        if (fedInto) return None
+      }
     }
 
     // ---- schema-closure diffs (driver-side, vocabulary-sized) ----
@@ -318,7 +348,108 @@ object Rdfs {
       .unionByName(inf.select(col("s"), col("p"), col("o"), col("p_id")))
       .unionByName(removed.select(col("s"), col("p"), col("o"),
         col("p")("id").as("p_id")))
-    val delSuspects = t("delta-derive-del")(deltaDerive(spark, oldFacts, removed,
+
+    // ---- transitive delta cone (directly-touched transitive properties) ----
+    // EXACT per-property reachability maintenance in id space. Affected
+    // sources X = nodes that can reach a delta edge's tail (old-reach join +
+    // backward BFS over the new edges); a forward BFS from X over the NEW
+    // explicit edge set yields their exact new reach. Then
+    //   lost     = inferred pairs from X not in the new reach
+    //   new      = new-reach pairs that did not previously hold
+    //   promoted = removed explicit edges still in the new reach
+    // Everything prunes to the touched properties' partitions; frontiers are
+    // cone-sized and checkpointed — the shape of seededPathIds, keyed by p_id.
+    val (lostTransSpo, newTransSpo, promTransSpo) =
+      if (transDirect.isEmpty) (None, None, None)
+      else t("trans-cone") {
+        val tSeq = transDirect.toSeq
+        def ckpt(df: DataFrame): DataFrame = df.localCheckpoint()
+        val eNew = ckpt(exp.filter(col("p_id").isin(tSeq: _*))
+          .select(col("p_id"), col("s")("id").as("a"), col("o")("id").as("b"))
+          .dropDuplicates("p_id", "a", "b"))
+        val oldT = oldFacts.filter(col("p_id").isin(tSeq: _*))
+          .select(col("p_id"), col("s")("id").as("a"), col("o")("id").as("b"))
+          .dropDuplicates("p_id", "a", "b")
+        val deltaT = delta0.filter(col("p")("id").isin(tSeq: _*))
+          .select(col("p")("id").as("p_id"), col("s")("id").as("a"),
+            col("o")("id").as("b"))
+          .dropDuplicates("p_id", "a", "b")
+        val dTails = ckpt(deltaT.select(col("p_id"), col("a").as("b")).distinct())
+        // X0: old-reach ancestors of the delta tails (oldT pairs ending at one)
+        val x0 = oldT.join(broadcast(dTails), Seq("p_id", "b"), "left_semi")
+          .select(col("p_id"), col("a").as("n"))
+        // backward BFS over the new edges from the tails (new-graph ancestors)
+        var backAcc = dTails.select(col("p_id"), col("b").as("n"))
+        var backFrontier = backAcc
+        var nb = backFrontier.count()
+        while (nb > 0) {
+          backFrontier = ckpt(eNew
+            .join(backFrontier.select(col("p_id"), col("n").as("b")),
+              Seq("p_id", "b"), "left_semi")
+            .select(col("p_id"), col("a").as("n")).distinct()
+            .join(backAcc, Seq("p_id", "n"), "left_anti"))
+          nb = backFrontier.count()
+          if (nb > 0) backAcc = backAcc.unionByName(
+            graft.engine.DfOps.reid(backFrontier))
+        }
+        val xSrc = ckpt(x0.unionByName(backAcc).dropDuplicates("p_id", "n"))
+        // forward BFS: exact new reach of every affected source
+        var reach = ckpt(eNew
+          .join(xSrc.select(col("p_id"), col("n").as("a")),
+            Seq("p_id", "a"), "left_semi")
+          .select(col("p_id"), col("a").as("x"), col("b").as("y")))
+        var frontier = reach
+        var nf = frontier.count()
+        while (nf > 0) {
+          frontier = ckpt(frontier.select(col("p_id"), col("x"), col("y").as("a"))
+            .join(eNew, Seq("p_id", "a"))
+            .select(col("p_id"), col("x"), col("b").as("y")).distinct()
+            .join(reach, Seq("p_id", "x", "y"), "left_anti"))
+          nf = frontier.count()
+          if (nf > 0) reach = reach.unionByName(graft.engine.DfOps.reid(frontier))
+        }
+        // id → term dictionary from the touched partitions (old view: includes
+        // removed rows' nodes); property terms are vocabulary-side
+        val tNodes = oldFacts.filter(col("p_id").isin(tSeq: _*))
+        val dict = ckpt(tNodes.select(col("s").as("n"))
+          .unionByName(tNodes.select(col("o").as("n")))
+          .withColumn("nid", col("n")("id")).dropDuplicates("nid"))
+        val transRows = (vOld.transProps ++ vNew.transProps)
+          .filter(r => transDirect(idOf(r)))
+          .map(r => idOf(r) -> r).toMap.values.toSeq
+        val pDict = pairsDf(spark, transRows.map(r => (r, r)), "pt", "pt2")
+          .select(col("pt")("id").as("p_id"), col("pt").as("pterm"))
+          .dropDuplicates("p_id")
+        def toSpo(ids: DataFrame): DataFrame = ids
+          .join(dict.select(col("nid").as("x"), col("n").as("s")), Seq("x"))
+          .join(dict.select(col("nid").as("y"), col("n").as("o")), Seq("y"))
+          .join(broadcast(pDict), Seq("p_id"))
+          .select(col("s"), col("pterm").as("p"), col("o"))
+        val infT = inf.filter(col("p_id").isin(tSeq: _*))
+          .select(col("p_id"), col("s")("id").as("x"), col("o")("id").as("y"))
+        val lostIds = infT
+          .join(xSrc.select(col("p_id"), col("n").as("x")),
+            Seq("p_id", "x"), "left_semi")
+          .join(reach, Seq("p_id", "x", "y"), "left_anti")
+        val newIds = reach.join(
+          oldT.select(col("p_id"), col("a").as("x"), col("b").as("y")),
+          Seq("p_id", "x", "y"), "left_anti")
+        val remT = removed.filter(col("p")("id").isin(tSeq: _*))
+          .select(col("s"), col("p"), col("o"),
+            col("p")("id").as("p_id"), col("s")("id").as("x"),
+            col("o")("id").as("y"))
+          .join(reach, Seq("p_id", "x", "y"), "left_semi")
+          .select(col("s"), col("p"), col("o"))
+        (Some(ckpt(toSpo(lostIds))), Some(ckpt(toSpo(newIds))),
+          Some(ckpt(remT.dropDuplicates())))
+      }
+
+    val removedTaint = lostTransSpo match {
+      case Some(lt) => removed.select(col("s"), col("p"), col("o"))
+        .unionByName(lt)
+      case None => removed.select(col("s"), col("p"), col("o"))
+    }
+    val delSuspects = t("delta-derive-del")(deltaDerive(spark, oldFacts, removedTaint,
       scOld, spOld, vOld.dom.toSeq, vOld.rng.toSeq, ibOld, vOld.restrictions,
       dScDel, dSpDel, dDomDel, dRngDel, dIbDel))
     // The removed rows THEMSELVES are suspects too: an entailment whose
@@ -328,9 +459,12 @@ object Rdfs {
     // such rows are also the intermediates multi-step re-derivations pass
     // through — without them a suspect supported only via a suppressed
     // entailment would be wrongly lost.
+    // removedTaint already carries the lost transitive pairs, so downstream
+    // entailments of a lost (x t y) — dom/rng types, rdfs7 products — are
+    // suspected, and the lost pairs themselves enter the suspect set
     val suspects = t("suspects")(graft.engine.DfOps.freshLeaf(
       dedupK(delSuspects.unionByName(lostSchemaStmts)
-        .unionByName(removed.select(col("s"), col("p"), col("o"))))))
+        .unionByName(removedTaint))))
     val sKeys = keyed(suspects).select("__sk", "__pk", "__ok")
 
     // ---- re-derive suspects from (explicit ∪ non-suspect inferred), NEW schema
@@ -338,7 +472,17 @@ object Rdfs {
       val keptInf = keyed(inf)
         .join(broadcast(sKeys), Seq("__sk", "__pk", "__ok"), "left_anti")
         .drop("__sk", "__pk", "__ok")
-      val base = exp.unionByName(keptInf)
+      // promoted-to-be transitive edges (removed explicit, still in the new
+      // reach) re-enter the premise base: an entailment supported only
+      // through such an edge — dom(t) on a promoted (a t b) — must survive
+      val base = promTransSpo match {
+        case Some(pt) => exp.unionByName(keptInf).unionByName(
+          pt.withColumn("p_id", col("p")("id"))
+            .withColumn("g", Term.nullTerm)
+            .withColumn("stype", lit(GraftStore.STYPE_INFERRED).cast("byte"))
+            .select(exp.columns.map(col): _*))
+        case None => exp.unionByName(keptInf)
+      }
       val retained = rederive(spark, base, suspects, sKeys,
         scNew, spNew, vNew.dom.toSeq, vNew.rng.toSeq, ibNew, vNew.restrictions)
       // schema statements are re-derivable iff in the NEW driver-side closures
@@ -347,8 +491,15 @@ object Rdfs {
       val retainedSchema = keyed(schemaStmts(scNew, spNew,
         vNew.eqc.map(_.swap).toSeq, vNew.eqp.map(_.swap).toSeq))
         .select("__sk", "__pk", "__ok")
+      // transitive retention is decided by the cone pass, not the rule arms:
+      // removed t-edges still in the new reach are retained (→ promotion)
+      val retainedTrans = promTransSpo match {
+        case Some(pt) => keyed(pt).select("__sk", "__pk", "__ok")
+        case None => retainedSchema.limit(0)
+      }
       graft.engine.DfOps.freshLeaf(
-        sKeys.join(broadcast(retained.unionByName(retainedSchema)),
+        sKeys.join(broadcast(retained.unionByName(retainedSchema)
+            .unionByName(retainedTrans)),
           Seq("__sk", "__pk", "__ok"), "left_anti"))
     }
 
@@ -393,10 +544,19 @@ object Rdfs {
     val result =
       if (!hasInsertWork) afterLoss
       else {
-        val newDerived = deltaDerive(spark, afterLoss, added,
+        // new transitive pairs from the cone (reach gained via added edges)
+        // are conclusions AND taint: dom/rng/rdfs9 must fire on them. A
+        // delete-only update cannot gain reach, so the None arm covers it.
+        val addedTaint = newTransSpo match {
+          case Some(nt) => added.select(col("s"), col("p"), col("o"))
+            .unionByName(nt)
+          case None => added.select(col("s"), col("p"), col("o"))
+        }
+        val newDerived = deltaDerive(spark, afterLoss, addedTaint,
           scNew, spNew, vNew.dom.toSeq, vNew.rng.toSeq, ibNew, vNew.restrictions,
           dScAdd, dSpAdd, dDomAdd, dRngAdd, dIbAdd)
           .unionByName(newSchemaStmts)
+          .unionByName(newTransSpo.getOrElse(newSchemaStmts.limit(0)))
         // novelty: keep only entailments not already present (any stype).
         // Same delta-side shape as promotion: prune the store scan to the new
         // conclusions' predicates, SEMI-join it against the broadcast
@@ -571,13 +731,17 @@ object Rdfs {
     // vocabulary-bounded driver probes: the suspect PREDICATES and TYPE CLASSES
     // restrict each rule's schema pairs to those whose conclusions can hit a
     // suspect at all — partitions of irrelevant predicates are never scanned
-    // (caps fall back to unrestricted pairs, never to a wrong answer)
-    val suspPkRows = suspects.select(col("p")("id")).distinct()
-      .limit(1001).collect()
+    // (caps fall back to unrestricted pairs, never to a wrong answer).
+    // ONE tagged job collects both sets (each side capped at 1001 pre-union)
+    val suspProbe = suspects.select(col("p")("id").as("v"), lit(true).as("isPk"))
+      .distinct().limit(1001)
+      .unionByName(suspects.filter(col("p")("id") === typeId)
+        .select(col("o")("id").as("v"), lit(false).as("isPk"))
+        .distinct().limit(1001))
+      .collect()
+    val (suspPkRows, suspClsRows) = suspProbe.partition(_.getBoolean(1))
     val suspPks: Option[Set[Long]] =
       if (suspPkRows.length > 1000) None else Some(suspPkRows.map(_.getLong(0)).toSet)
-    val suspClsRows = suspects.filter(col("p")("id") === typeId)
-      .select(col("o")("id")).distinct().limit(1001).collect()
     val suspCls: Option[Set[Long]] =
       if (suspClsRows.length > 1000) None
       else Some(suspClsRows.map(_.getLong(0)).toSet)
@@ -744,20 +908,27 @@ object Rdfs {
   private[inference] def collectVocab(stmts: DataFrame): Vocab =
     vocabFromRows(vocabFilter(stmts).collect())
 
-  /** Two vocabularies (old/new views of a store) in ONE tagged driver action.
+  /** Two vocabularies (old/new views of a store) in ONE tagged driver action,
+    * plus the new view's explicit-sameAs presence (folded into the same job —
+    * a separate limit(1) probe was one more round-trip per TM pass).
     * PRECONDITION (guaranteed by truthMaintainDelta's charMarks guard): the
     * characteristic/restriction-marker rows are identical in both views, so the
     * expensive type-partition marker scan runs ONCE and is shared.
     */
   private[inference] def collectVocab2(oldStmts: DataFrame,
-                                       newStmts: DataFrame): (Vocab, Vocab) = {
+                                       newStmts: DataFrame): (Vocab, Vocab, Boolean) = {
     val rows = vocabSchemaPart(oldStmts).withColumn("__old", lit(true))
       .unionByName(vocabSchemaPart(newStmts).withColumn("__old", lit(false)))
       .unionByName(vocabCharPart(newStmts).withColumn("__old", lit(null)))
+      .unionByName(newStmts.filter(col("p_id") === sameAsId).limit(1)
+        .select(col("p_id"), col("s"), col("o"), col("o")("id").as("o_id"))
+        .withColumn("__old", lit(null)))
       .collect()
-    val char = rows.filter(_.isNullAt(4))
-    (vocabFromRows(rows.filter(r => !r.isNullAt(4) && r.getBoolean(4)) ++ char),
-      vocabFromRows(rows.filter(r => !r.isNullAt(4) && !r.getBoolean(4)) ++ char))
+    val (sameAs, tagged) = rows.partition(_.getLong(0) == sameAsId)
+    val char = tagged.filter(_.isNullAt(4))
+    (vocabFromRows(tagged.filter(r => !r.isNullAt(4) && r.getBoolean(4)) ++ char),
+      vocabFromRows(tagged.filter(r => !r.isNullAt(4) && !r.getBoolean(4)) ++ char),
+      sameAs.nonEmpty)
   }
 
   private def vocabFromRows(vocabRows: Array[Row]): Vocab = {

@@ -64,8 +64,19 @@ object TmAB {
       spark.read.parquet(s"$sfDir/$t.parquet").columns.map(c =>
         s"<urn:p:$c> <http://www.w3.org/2000/01/rdf-schema#domain> <urn:c:${t.capitalize}> .")
     }
-    val raw = graft.engine.Update(raw0,
+    // a transitive ontology slice: N chains of length 10 under one transitive
+    // property. Its closure adds ~36·N pairs; any full recompute must re-run
+    // the per-property fixpoint over ALL chains, while a single-edge delete's
+    // delta cone touches one chain — the O(delta) case VERDICT r11 asked for.
+    val nChains = args.lift(2).map(_.toInt).getOrElse(10000)
+    val chainNt = (0 until nChains).flatMap { c =>
+      (0 until 9).map(i => s"<urn:ch:$c:$i> <urn:p:next> <urn:ch:$c:${i + 1}> .")
+    } :+ ("<urn:p:next> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> " +
+      "<http://www.w3.org/2002/07/owl#TransitiveProperty> .")
+    val raw1 = graft.engine.Update(raw0,
       s"INSERT DATA { ${domAxioms.mkString("\n")} }")
+    val raw = new graft.model.GraftStore(spark, raw1.statements.unionByName(
+      graft.sources.Rio.readTrig(spark, chainNt.mkString("\n"))))
     val atRestPath = "/tmp/graft_tmab_store"
     val (closed, tClose, _) = time {
       graft.model.GraftStore.save(
@@ -79,9 +90,15 @@ object TmAB {
       .select("c_custkey").limit(nDel).collect().map(_.getLong(0))
     val updates =
       custIds.map(k =>
-        s"DELETE DATA { <urn:t:customer:$k> a <urn:c:Customer> . }") :+
+        s"DELETE DATA { <urn:t:customer:$k> a <urn:c:Customer> . }") ++ Seq(
       """DELETE DATA { <urn:c:Part>
-        |  <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:c:Any> . }""".stripMargin
+        |  <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:c:Any> . }""".stripMargin,
+      // transitive edge delete: one chain's cone vs the all-chains fixpoint
+      "DELETE DATA { <urn:ch:0:4> <urn:p:next> <urn:ch:0:5> . }",
+      // transitive edge insert (Modify → TM): links two chains, 30 new pairs
+      """DELETE { <urn:ch:1:9> <urn:p:next> <urn:ch:1:9> . }
+        |INSERT { <urn:ch:1:9> <urn:p:next> <urn:ch:2:0> . }
+        |WHERE {}""".stripMargin)
 
     def keySet(st: graft.model.GraftStore) = st.statements
       .select(xxhash64(col("s")("id"), col("p")("id"), col("o")("id"),
@@ -103,6 +120,7 @@ object TmAB {
       val (deltaSt, tDelta, rowsDelta) = time {
         graft.engine.Update.withTruthMaintenance(closed, u)
       }
+      val path = graft.inference.Rdfs.lastTmPath
       val (_, tDeltaQ, rowsDeltaQ) = time(workload(deltaSt))
       val (fullSt, tFull, rowsFull) = time {
         val applied = graft.sparql.Parser.parseUpdate(u)
@@ -115,7 +133,7 @@ object TmAB {
         + s""""delta_q_rows":$rowsDeltaQ,"full_q_rows":$rowsFullQ}""")
       val onlyDelta = keySet(deltaSt).exceptAll(keySet(fullSt)).count()
       val onlyFull = keySet(fullSt).exceptAll(keySet(deltaSt)).count()
-      println(f"""TMAB {"delete":$i,"delta_sec":$tDelta%.2f,"full_sec":$tFull%.2f,"""
+      println(f"""TMAB {"delete":$i,"path":"$path","delta_sec":$tDelta%.2f,"full_sec":$tFull%.2f,"""
         + s""""delta_rows_read":$rowsDelta,"full_rows_read":$rowsFull,"""
         + s""""only_delta":$onlyDelta,"only_full":$onlyFull}""")
     }

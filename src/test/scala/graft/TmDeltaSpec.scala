@@ -144,18 +144,130 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:x:g2> { <urn:x:p1> <urn:x:parentOf> <urn:x:p2> . } }")
   }
 
-  test("fallback: transitive-property edge delete still correct via recompute") {
+  test("transitive edge delete: downstream closure pairs retract (delta cone)") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
       :g3 {
         :anc a owl:TransitiveProperty .
+        :a :anc :b . :b :anc :c . :c :anc :d .
+      }
+    """
+    // deleting (a anc b) retracts (a anc c) and (a anc d); (b anc d) survives
+    val st = atRest(t, "t11")
+    check(st,
+      "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:a> <urn:x:anc> <urn:x:b> . } }")
+  }
+
+  test("transitive edge delete with an alternate path: pair survives") {
+    val t = base + s"""
+      @prefix : <urn:x:> .
+      @prefix owl: <$OWL> .
+      :g3 {
+        :anc a owl:TransitiveProperty .
+        :a :anc :b . :b :anc :c . :a :anc :x . :x :anc :c .
+      }
+    """
+    // (a anc c) keeps its derivation through :x after (b anc c) goes
+    val st = atRest(t, "t11b")
+    check(st,
+      "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:b> <urn:x:anc> <urn:x:c> . } }")
+  }
+
+  test("transitive promotion: explicit edge still derivable becomes Inferred") {
+    val t = base + s"""
+      @prefix : <urn:x:> .
+      @prefix owl: <$OWL> .
+      :g3 {
+        :anc a owl:TransitiveProperty .
+        :a :anc :b . :b :anc :c . :a :anc :c .
+      }
+    """
+    // explicit (a anc c) deleted but still entailed via a→b→c → promoted
+    val st = atRest(t, "t11c")
+    check(st,
+      "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:a> <urn:x:anc> <urn:x:c> . } }")
+  }
+
+  test("transitive edge insert: new reach pairs derive (delta cone forward)") {
+    val t = base + s"""
+      @prefix : <urn:x:> .
+      @prefix owl: <$OWL> .
+      :g3 {
+        :anc a owl:TransitiveProperty .
+        :a :anc :b . :c :anc :d .
+      }
+    """
+    // inserting (b anc c) mints (a anc c), (a anc d), (b anc d)
+    val st = atRest(t, "t11d")
+    check(st,
+      s"""DELETE { GRAPH <urn:x:g> { <urn:x:u2> <urn:x:name> "two" . } }
+         |INSERT { GRAPH <urn:x:g3> { <urn:x:b> <urn:x:anc> <urn:x:c> . } }
+         |WHERE { }""".stripMargin)
+  }
+
+  test("transitive delete cascades into range types through the lost pairs") {
+    val t = base + s"""
+      @prefix : <urn:x:> .
+      @prefix rdfs: <$RDFS> .
+      @prefix owl: <$OWL> .
+      :g3 {
+        :anc a owl:TransitiveProperty .
+        :anc rdfs:range :Node .
         :a :anc :b . :b :anc :c .
       }
     """
-    val st = atRest(t, "t11")
+    // deleting (b anc c) loses (a anc c); (c type Node)'s every support goes
+    val st = atRest(t, "t11e")
     check(st,
-      "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:a> <urn:x:anc> <urn:x:b> . } }",
+      "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:b> <urn:x:anc> <urn:x:c> . } }")
+  }
+
+  test("transitive cycle delete terminates and retracts exactly") {
+    val t = base + s"""
+      @prefix : <urn:x:> .
+      @prefix owl: <$OWL> .
+      :g3 {
+        :anc a owl:TransitiveProperty .
+        :a :anc :b . :b :anc :a . :b :anc :c .
+      }
+    """
+    // the cycle entails (a,a),(b,b),(a,c); deleting (b anc a) drops all three
+    val st = atRest(t, "t11f")
+    check(st,
+      "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:b> <urn:x:anc> <urn:x:a> . } }")
+  }
+
+  test("fallback: transitive property fed by a subproperty still recomputes") {
+    val t = base + s"""
+      @prefix : <urn:x:> .
+      @prefix rdfs: <$RDFS> .
+      @prefix owl: <$OWL> .
+      :g3 {
+        :anc a owl:TransitiveProperty .
+        :parent rdfs:subPropertyOf :anc .
+        :a :parent :b . :b :anc :c .
+      }
+    """
+    // :anc's base edges are not one partition (rdfs7 feeds it) → cone invalid
+    val st = atRest(t, "t11g")
+    check(st,
+      "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:b> <urn:x:anc> <urn:x:c> . } }",
+      expectDelta = false)
+  }
+
+  test("fallback: symmetric transitive property recomputes") {
+    val t = base + s"""
+      @prefix : <urn:x:> .
+      @prefix owl: <$OWL> .
+      :g3 {
+        :conn a owl:TransitiveProperty , owl:SymmetricProperty .
+        :a :conn :b . :b :conn :c .
+      }
+    """
+    val st = atRest(t, "t11h")
+    check(st,
+      "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:a> <urn:x:conn> <urn:x:b> . } }",
       expectDelta = false)
   }
 
