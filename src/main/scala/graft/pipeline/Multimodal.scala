@@ -97,9 +97,32 @@ object Multimodal {
     }
   } catch { case _: Exception => None }
 
+  /** REAL audio metadata via the JDK's own javax.sound.sampled (WAV/AIFF/AU —
+    * zero added dependencies): container format and duration from the header,
+    * no sample decode. `duration_ms` = frameLength / frameRate; unknown frame
+    * counts (streamed headers) report 0 rather than guessing. None for
+    * payloads the JDK has no audio reader for — compressed audio (MP3/OGG)
+    * and all video stay on the deterministic stub (documented exclusion:
+    * the JDK ships no codecs for them).
+    */
+  def decodeAudioReal(bytes: Array[Byte]): Option[Row] = try {
+    if (bytes == null || bytes.length < 12) None
+    else {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      val durMs =
+        if (aff.getFrameLength > 0 && fmt.getFrameRate > 0)
+          (aff.getFrameLength * 1000.0 / fmt.getFrameRate).toLong
+        else 0L
+      Some(Row(aff.getType.toString.toLowerCase, 0, 0, durMs, bytes.length.toLong))
+    }
+  } catch { case _: Exception => None }
+
   /** ===== STUB ===== deterministic fake decode: metadata derived from payload bytes.
-    * The real-codec path (decodeReal) runs first; this is the fallback for
-    * payloads the JDK cannot decode (audio/video — no codec libs in the JDK).
+    * The real-codec paths (decodeReal for images, decodeAudioReal for
+    * WAV/AIFF/AU) run first; this is the fallback for payloads the JDK cannot
+    * decode (compressed audio and video — no codec libs in the JDK).
     */
   def decodeStub(bytes: Array[Byte]): Row = {
     if (bytes == null || bytes.isEmpty) Row("empty", 0, 0, 0L, 0L)
@@ -143,7 +166,8 @@ object Multimodal {
       it.map { ir =>
         val r = toRow(ir).asInstanceOf[Row]
         val b = r.getAs[Array[Byte]](idx)
-        Row.fromSeq(r.toSeq :+ decodeReal(b).getOrElse(decodeStub(b)))
+        Row.fromSeq(r.toSeq :+ decodeReal(b).orElse(decodeAudioReal(b))
+          .getOrElse(decodeStub(b)))
       }
     }
     df.sparkSession.createDataFrame(rows, schema)

@@ -120,6 +120,14 @@ object RefTck {
     // as commented-out lines (the test was modified upstream to run locally)
     val rqCode = rq.replaceAll("(?m)^\\s*#.*$", "")
     val qUpper = rqCode.toUpperCase
+    // ticket-618f (CONSTRUCT + GROUP BY + aggregate ORDER BY) is DISABLED in
+    // the reference itself — TestTickets.java:442-461 comments the whole test
+    // out with "Currently disabled due to parsing problems" (its own parser
+    // rejects aggregates in a CONSTRUCT's solution modifiers). A test the
+    // reference cannot run is a REFBUG exclusion, not coverage we lack; the
+    // generic CONSTRUCT-form skip below would otherwise mask the adjudication.
+    if (name == "ticket-618f")
+      return Outcome(name, "SKIP-REFBUG")
     if (qUpper.contains("CONSTRUCT") && !qUpper.contains("SELECT"))
       return Outcome(name, "SKIP-CONSTRUCT")
     if (qUpper.contains("DESCRIBE") && !qUpper.contains("SELECT"))
@@ -159,11 +167,14 @@ object RefTck {
     // mismatched solutions only when the optimizer wraps it in a
     // BindingConstraint (ConditionalBind.java:155 returns null to the wrapper);
     // 03a and 03b differ ONLY in a subquery FILTER, yet the reference keeps the
-    // mismatched row in 03a and drops it in 03b — the observable outcome tracks
-    // its cost-model's operator placement, not a uniform semantics. We implement
-    // the 03b (constraint) behavior uniformly.
+    // mismatched row in 03a (TestBindings.java:885; 03a.srx row 2 binds
+    // o=<http://o2> — the BIND neither rebinds nor filters it) and drops it in
+    // 03b — the observable outcome tracks its cost-model's operator placement,
+    // not a uniform semantics: NO single evaluation rule can satisfy both srx
+    // files, so one of the pair is unpassable by construction. We implement
+    // the 03b (constraint) behavior uniformly and pass 03b.
     if (name == "bindingsWithSubquery03a")
-      return Outcome(name, "SKIP-ORDERDEP")
+      return Outcome(name, "SKIP-REFBUG")
     val store =
       try {
         val dfs = dataNames.map { dn =>

@@ -281,6 +281,28 @@ class FeatureSpec extends GraftSuite {
     assert(f1.head > f1.last)
   }
 
+  test("multimodal REAL audio metadata via JDK javax.sound.sampled") {
+    // build a real 0.5 s mono 8 kHz 16-bit PCM WAV in-test (4000 frames)
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](4000 * 2)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 4000L)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val docs = Seq((1L, wav), (2L, "not audio".getBytes)).toDF("doc_id", "payload")
+    val meta = Multimodal.decodeMeta(docs, "payload")
+    val m1 = meta.filter(col("doc_id") === 1).select("meta").first().getStruct(0)
+    assert(m1.getAs[String]("format") == "wave")
+    assert(m1.getAs[Long]("duration_ms") == 500L)
+    assert(m1.getAs[Long]("n_bytes") == wav.length.toLong)
+    // frame sampling rides the real duration: 4 frames at 0/125/250/375 ms
+    val offs = Multimodal.frameSample(docs.filter(col("doc_id") === 1), "payload", 4)
+      .select("frame_offset_ms").collect().map(_.getLong(0)).sorted
+    assert(offs.toSeq == Seq(0L, 125L, 250L, 375L))
+  }
+
   // ---- streaming ----
   test("incremental triple ingest via structured streaming") {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
