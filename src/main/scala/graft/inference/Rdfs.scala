@@ -250,8 +250,6 @@ object Rdfs {
     // sameAs or FP/IFP declarations, the latter guarded via the vocabs; a
     // removed-side sameAs row is already caught by the deltaPids guard above)
     val (vOld, vNew, expHasSameAs) = t("vocab")(collectVocab2(oldExp, newExp))
-    if (vOld.funcProps.nonEmpty || vOld.invFuncProps.nonEmpty ||
-        vNew.funcProps.nonEmpty || vNew.invFuncProps.nonEmpty) return None
     if (expHasSameAs) return None
 
     def idOf(r: Row): Long = r.getAs[Long]("id")
@@ -270,6 +268,56 @@ object Rdfs {
         .map(p => (idOf(p._1), idOf(p._2)) -> p).toMap.values.toSeq
     val ibOld = invBoth(vOld); val ibNew = invBoth(vNew)
 
+    // FEEDER CLOSURE: the set of predicates whose facts can (through any
+    // chain of rdfs7 subproperty steps and inverse/symmetric flips) become
+    // facts of a target predicate. Vocabulary-sized driver fixpoint; sp is
+    // already transitively closed, but sp and ib compose (r ⊑ q, inv(q)=p),
+    // so the closure iterates to quiescence.
+    def feederClosure(targets: Set[Long]): Set[Long] = {
+      val sps = (spOld ++ spNew).map(p => (idOf(p._1), idOf(p._2)))
+      val ibs = (ibOld ++ ibNew).map(p => (idOf(p._1), idOf(p._2)))
+      var f = targets
+      var grown = true
+      while (grown) {
+        val next = f ++ sps.collect { case (p, q) if f(q) => p } ++
+          ibs.flatMap { case (p, q) => if (f(p) || f(q)) Seq(p, q) else Nil }
+        grown = next.size > f.size
+        f = next
+      }
+      f
+    }
+    def restrictionMintsInto(closureF: Set[Long]): Boolean =
+      (vOld.restrictions ++ vNew.restrictions).exists(r => closureF(idOf(r._2)))
+
+    // FP/IFP are non-local ONLY when the delta can touch their premise facts:
+    // the rules derive owl:sameAs from two facts of a functional property, so
+    // a delta that never touches an FP/IFP property's feeder cone (the
+    // property itself, subproperty chains, inverse partners, restrictions
+    // minting into the cone, transitive pairs of a cone member) cannot change
+    // their conclusions. A store whose ontology merely DECLARES functional
+    // properties no longer pays the full recompute for every unrelated
+    // delete. Any materialized sameAs state (explicit guarded above; inferred
+    // probed below, pruned to the sameAs partition) still falls back —
+    // substitution entailments are corpus-wide. Re-declarations are caught by
+    // the charMarks guard.
+    val fpBase = (vOld.funcProps ++ vNew.funcProps ++
+      vOld.invFuncProps ++ vNew.invFuncProps).map(idOf).toSet
+    if (fpBase.nonEmpty) {
+      val fpCone = feederClosure(fpBase)
+      if (fpCone(typeId)) return None
+      if (deltaPids.exists(fpCone)) return None
+      if (restrictionMintsInto(fpCone)) return None
+      if ((vOld.transProps ++ vNew.transProps).exists(r => fpCone(idOf(r))))
+        return None
+      if (minus(spOld, spNew).exists(p => fpCone(idOf(p._2))) ||
+          minus(spNew, spOld).exists(p => fpCone(idOf(p._2)))) return None
+      if (minus(ibOld, ibNew).exists(p => fpCone(idOf(p._1)) || fpCone(idOf(p._2))) ||
+          minus(ibNew, ibOld).exists(p => fpCone(idOf(p._1)) || fpCone(idOf(p._2))))
+        return None
+      if (t("inf-sameas-probe")(
+          !inf.filter(col("p_id") === sameAsId).limit(1).isEmpty)) return None
+    }
+
     // Transitive reachability is non-local. Two regimes:
     //   DIRECT — the delta adds/removes edges of a transitive property whose
     //   BASE edge set lives only in its own explicit partition (no subproperty
@@ -283,21 +331,16 @@ object Rdfs {
     val transIds = (vOld.transProps ++ vNew.transProps).map(idOf).toSet
     val transDirect = deltaPids intersect transIds
     if (transIds.nonEmpty) {
-      val indirect = ((spOld ++ spNew).collect {
-          case (p, q) if transIds(idOf(q)) && idOf(p) != idOf(q) => idOf(p) } ++
-        (ibOld ++ ibNew).flatMap { case (p, q) =>
-          if (transIds(idOf(p)) || transIds(idOf(q))) Seq(idOf(p), idOf(q)) else Nil })
-        .toSet
+      val indirect = feederClosure(transIds) -- transIds
       if (deltaPids.exists(indirect)) return None
       if (minus(spOld, spNew).exists(p => transIds(idOf(p._2))) ||
           minus(spNew, spOld).exists(p => transIds(idOf(p._2)))) return None
-      if ((vOld.restrictions ++ vNew.restrictions).exists(r => transIds(idOf(r._2))))
-        return None
+      if (restrictionMintsInto(feederClosure(transIds))) return None
       // the cone pass assumes a directly-touched property's base edges are
-      // exactly its explicit partition: any feeder into it → recompute
-      // (indirect feeders with the delta NOT touching them are caught above
-      // only when the delta touches them; here the mere existence of a feeder
-      // into a DIRECTLY-touched property invalidates the cone's edge set)
+      // exactly its explicit partition: any feeder into it → recompute.
+      // sp is transitively closed, so a one-level check is complete for
+      // subproperty chains; the ib check also catches symmetric self-pairs
+      // (which feederClosure cannot see — (t,t) never grows the set).
       if (transDirect.nonEmpty) {
         val fedInto = (spOld ++ spNew).exists { case (p, q) =>
             transDirect(idOf(q)) && idOf(p) != idOf(q) } ||
@@ -443,6 +486,12 @@ object Rdfs {
         (Some(ckpt(toSpo(lostIds))), Some(ckpt(toSpo(newIds))),
           Some(ckpt(remT.dropDuplicates())))
       }
+    // cone-size safety valve: the suspect machinery broadcasts the lost set —
+    // a hub-edge delete whose cone approaches corpus scale is better served
+    // by the recompute than by a corpus-sized broadcast. The frames are
+    // already checkpointed; the counts are metadata-cheap.
+    if (lostTransSpo.exists(_.count() + newTransSpo.get.count() > 10000000L))
+      return None
 
     val removedTaint = lostTransSpo match {
       case Some(lt) => removed.select(col("s"), col("p"), col("o"))

@@ -271,6 +271,65 @@ class TmDeltaSpec extends AnyFunSuite {
       expectDelta = false)
   }
 
+  test("FP declared but untouched: unrelated delete stays on the delta path") {
+    // an ontology that merely declares a FunctionalProperty (clean data — no
+    // sameAs ever derived) must not pay the recompute for unrelated deletes
+    val t = base + s"""
+      @prefix : <urn:x:> .
+      @prefix owl: <$OWL> .
+      :g5 {
+        :ssn a owl:FunctionalProperty .
+        :p1 :ssn :id1 .
+      }
+    """
+    val st = atRest(t, "t17")
+    check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u1> a <urn:x:C> . } }")
+  }
+
+  test("fallback: delete touching the functional property's own partition") {
+    val t = base + s"""
+      @prefix : <urn:x:> .
+      @prefix owl: <$OWL> .
+      :g5 {
+        :ssn a owl:FunctionalProperty .
+        :p1 :ssn :id1 .
+      }
+    """
+    val st = atRest(t, "t18")
+    check(st, "DELETE DATA { GRAPH <urn:x:g5> { <urn:x:p1> <urn:x:ssn> <urn:x:id1> . } }",
+      expectDelta = false)
+  }
+
+  test("fallback: delete touching a subproperty feeding the functional property") {
+    val t = base + s"""
+      @prefix : <urn:x:> .
+      @prefix rdfs: <$RDFS> .
+      @prefix owl: <$OWL> .
+      :g5 {
+        :ssn a owl:FunctionalProperty .
+        :taxId rdfs:subPropertyOf :ssn .
+        :p1 :taxId :id1 .
+      }
+    """
+    val st = atRest(t, "t19")
+    check(st, "DELETE DATA { GRAPH <urn:x:g5> { <urn:x:p1> <urn:x:taxId> <urn:x:id1> . } }",
+      expectDelta = false)
+  }
+
+  test("fallback: FP violation materialized sameAs forces recompute on any delete") {
+    val t = base + s"""
+      @prefix : <urn:x:> .
+      @prefix owl: <$OWL> .
+      :g5 {
+        :ssn a owl:FunctionalProperty .
+        :p1 :ssn :id1 . :p1 :ssn :id2 .
+      }
+    """
+    val st = atRest(t, "t20")
+    check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u1> a <urn:x:C> . } }",
+      expectDelta = false)
+  }
+
   test("fallback: sameAs store still correct via recompute") {
     val t = base + s"""
       @prefix : <urn:x:> .
