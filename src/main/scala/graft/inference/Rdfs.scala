@@ -418,38 +418,111 @@ object Rdfs {
             col("o")("id").as("b"))
           .dropDuplicates("p_id", "a", "b")
         val dTails = ckpt(deltaT.select(col("p_id"), col("a").as("b")).distinct())
-        // X0: old-reach ancestors of the delta tails (oldT pairs ending at one)
-        val x0 = oldT.join(broadcast(dTails), Seq("p_id", "b"), "left_semi")
-          .select(col("p_id"), col("a").as("n"))
-        // backward BFS over the new edges from the tails (new-graph ancestors)
-        var backAcc = dTails.select(col("p_id"), col("b").as("n"))
-        var backFrontier = backAcc
-        var nb = backFrontier.count()
-        while (nb > 0) {
-          backFrontier = ckpt(eNew
-            .join(backFrontier.select(col("p_id"), col("n").as("b")),
-              Seq("p_id", "b"), "left_semi")
-            .select(col("p_id"), col("a").as("n")).distinct()
-            .join(backAcc, Seq("p_id", "n"), "left_anti"))
-          nb = backFrontier.count()
-          if (nb > 0) backAcc = backAcc.unionByName(
-            graft.engine.DfOps.reid(backFrontier))
-        }
-        val xSrc = ckpt(x0.unionByName(backAcc).dropDuplicates("p_id", "n"))
-        // forward BFS: exact new reach of every affected source
-        var reach = ckpt(eNew
-          .join(xSrc.select(col("p_id"), col("n").as("a")),
-            Seq("p_id", "a"), "left_semi")
-          .select(col("p_id"), col("a").as("x"), col("b").as("y")))
-        var frontier = reach
-        var nf = frontier.count()
-        while (nf > 0) {
-          frontier = ckpt(frontier.select(col("p_id"), col("x"), col("y").as("a"))
-            .join(eNew, Seq("p_id", "a"))
-            .select(col("p_id"), col("x"), col("b").as("y")).distinct()
-            .join(reach, Seq("p_id", "x", "y"), "left_anti"))
-          nf = frontier.count()
-          if (nf > 0) reach = reach.unionByName(graft.engine.DfOps.reid(frontier))
+        val remPairs = removed.filter(col("p")("id").isin(tSeq: _*))
+          .select(col("p")("id").as("p_id"), col("s")("id").as("a"),
+            col("o")("id").as("b")).dropDuplicates("p_id", "a", "b")
+        // Affected sources X are computed by ONE backward BFS over
+        // eNew ∪ removedPairs — a superset of both the old and the new edge
+        // sets (an old edge either survived into eNew or was purged into the
+        // removed buffer), so the ancestor set over-approximates both graphs;
+        // extra sources only cost forward-BFS work, the final reach stays
+        // exact (it runs on eNew alone).
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val nodeT = StructType(Seq(StructField("p_id", LongType),
+          StructField("n", LongType)))
+        val pairT = StructType(Seq(StructField("p_id", LongType),
+          StructField("x", LongType), StructField("y", LongType)))
+        // DRIVER FAST PATH: a targeted retraction's pruned edge partition is
+        // usually driver-bounded; collecting it turns ~2·diameter iteration
+        // JOBS into zero (the sf0.1→x10 A/B showed fixed job overhead, not
+        // data volume, dominating the distributed loop: 9.3M rows read but
+        // 76 s wall). Distributed loops remain for partitions past the bound.
+        val eCnt = eNew.count()
+        // -Dgraft.tm.cone.driverMax overrides the collect bound (tests set 0
+        // to force the distributed loops; default 2M edges)
+        val driverMax = sys.props.get("graft.tm.cone.driverMax")
+          .map(_.toLong).getOrElse(2000000L)
+        val driverBfs: Option[(DataFrame, DataFrame)] =
+          if (eCnt > driverMax) None else {
+            val eArr = eNew.collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            val remArr = remPairs.collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            val tails = dTails.collect().map(r => (r.getLong(0), r.getLong(1)))
+            val revAll = (eArr ++ remArr).groupBy(e => (e._1, e._3))
+              .map { case (k, es) => k -> es.map(_._2) }
+            val xs = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+            var bfr: Seq[(Long, Long)] = tails.toSeq.distinct
+            bfr.foreach(xs += _)
+            while (bfr.nonEmpty) {
+              bfr = bfr.flatMap { case (p, n) =>
+                revAll.getOrElse((p, n), Array.empty[Long]).map(a => (p, a)) }
+                .distinct.filterNot(xs)
+              bfr.foreach(xs += _)
+            }
+            // per-source forward BFS is O(|X|·E) worst case — keep it on the
+            // driver only for small source sets; larger cones go distributed
+            if (xs.size > 20000) None else {
+              val fwd = eArr.groupBy(e => (e._1, e._2))
+                .map { case (k, es) => k -> es.map(_._3) }
+              val reachB = scala.collection.mutable.ArrayBuffer.empty[Row]
+              var overflow = false
+              xs.foreach { case (p, x) =>
+                if (!overflow) {
+                  val seen = scala.collection.mutable.HashSet.empty[Long]
+                  var fr: Seq[Long] =
+                    fwd.getOrElse((p, x), Array.empty[Long]).toSeq.distinct
+                  fr.foreach(seen += _)
+                  while (fr.nonEmpty && !overflow) {
+                    fr = fr.flatMap(m => fwd.getOrElse((p, m), Array.empty[Long]))
+                      .distinct.filterNot(seen)
+                    fr.foreach(seen += _)
+                    if (reachB.size + seen.size > 10000000) overflow = true
+                  }
+                  seen.foreach(y => reachB += Row(p, x, y))
+                }
+              }
+              if (overflow) None
+              else Some((
+                spark.createDataFrame(spark.sparkContext.parallelize(
+                  xs.toSeq.map { case (p, n) => Row(p, n) }, 1), nodeT),
+                spark.createDataFrame(spark.sparkContext.parallelize(
+                  reachB.toSeq, (reachB.size / 500000 + 1).toInt), pairT)))
+            }
+          }
+        val (xSrc, reach) = driverBfs.getOrElse {
+          val eAll = ckpt(eNew.unionByName(remPairs)
+            .dropDuplicates("p_id", "a", "b"))
+          var backAcc = dTails.select(col("p_id"), col("b").as("n")).distinct()
+          var backFrontier = backAcc
+          var nb = backFrontier.count()
+          while (nb > 0) {
+            backFrontier = ckpt(eAll
+              .join(backFrontier.select(col("p_id"), col("n").as("b")),
+                Seq("p_id", "b"), "left_semi")
+              .select(col("p_id"), col("a").as("n")).distinct()
+              .join(backAcc, Seq("p_id", "n"), "left_anti"))
+            nb = backFrontier.count()
+            if (nb > 0) backAcc = backAcc.unionByName(
+              graft.engine.DfOps.reid(backFrontier))
+          }
+          val xS = ckpt(backAcc.dropDuplicates("p_id", "n"))
+          // forward BFS: exact new reach of every affected source
+          var rch = ckpt(eNew
+            .join(xS.select(col("p_id"), col("n").as("a")),
+              Seq("p_id", "a"), "left_semi")
+            .select(col("p_id"), col("a").as("x"), col("b").as("y")))
+          var frontier = rch
+          var nf = frontier.count()
+          while (nf > 0) {
+            frontier = ckpt(frontier.select(col("p_id"), col("x"), col("y").as("a"))
+              .join(eNew, Seq("p_id", "a"))
+              .select(col("p_id"), col("x"), col("b").as("y")).distinct()
+              .join(rch, Seq("p_id", "x", "y"), "left_anti"))
+            nf = frontier.count()
+            if (nf > 0) rch = rch.unionByName(graft.engine.DfOps.reid(frontier))
+          }
+          (xS, rch)
         }
         // id → term dictionary from the touched partitions (old view: includes
         // removed rows' nodes); property terms are vocabulary-side

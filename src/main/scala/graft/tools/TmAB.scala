@@ -78,8 +78,13 @@ object TmAB {
     val raw = new graft.model.GraftStore(spark, raw1.statements.unionByName(
       graft.sources.Rio.readTrig(spark, chainNt.mkString("\n"))))
     val atRestPath = "/tmp/graft_tmab_store"
+    // GRAFT_TMAB_REUSE=1 reopens a previously-saved at-rest store (same
+    // sfDir/chain args only — the path is not keyed) to iterate on the
+    // mutation scenarios without paying the closure+save again
+    val reuse = sys.env.contains("GRAFT_TMAB_REUSE") &&
+      new java.io.File(atRestPath + "/_SUCCESS").exists()
     val (closed, tClose, _) = time {
-      graft.model.GraftStore.save(
+      if (!reuse) graft.model.GraftStore.save(
         graft.inference.Rdfs.closure(raw).statements, atRestPath)
       graft.model.GraftStore.load(spark, atRestPath)
     }

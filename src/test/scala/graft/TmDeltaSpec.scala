@@ -238,6 +238,24 @@ class TmDeltaSpec extends AnyFunSuite {
       "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:b> <urn:x:anc> <urn:x:a> . } }")
   }
 
+  test("transitive cone distributed path (driver collect disabled) is identical") {
+    val t = base + s"""
+      @prefix : <urn:x:> .
+      @prefix owl: <$OWL> .
+      :g3 {
+        :anc a owl:TransitiveProperty .
+        :a :anc :b . :b :anc :c . :c :anc :d . :a :anc :c .
+      }
+    """
+    val st = atRest(t, "t11i")
+    sys.props("graft.tm.cone.driverMax") = "0"
+    try check(st,
+      """DELETE { <urn:x:a> <urn:x:anc> <urn:x:c> . }
+        |INSERT { <urn:x:d> <urn:x:anc> <urn:x:e> . }
+        |WHERE {}""".stripMargin)
+    finally sys.props.remove("graft.tm.cone.driverMax")
+  }
+
   test("fallback: transitive property fed by a subproperty still recomputes") {
     val t = base + s"""
       @prefix : <urn:x:> .
