@@ -325,3 +325,33 @@ object Dev {
     spark.stop()
   }
 }
+
+/** Scratch: chained-TM plan growth inspection (round 12). */
+object DevChain {
+  def main(args: Array[String]): Unit = {
+    val spark = Dev.session(8)
+    val st0 = engine.Update(model.Tpch.store(spark, "/root/testdata/sf0.001"),
+      """INSERT DATA {
+        |  <urn:cc:B> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <urn:cc:A> .
+        |  <urn:cc:u1> a <urn:cc:B> . <urn:cc:u2> a <urn:cc:B> . <urn:cc:u3> a <urn:cc:B> .
+        |}""".stripMargin)
+    model.GraftStore.save(inference.Rdfs.closure(st0).statements, "/tmp/graft-devchain")
+    var cur = model.GraftStore.load(spark, "/tmp/graft-devchain")
+    for (i <- 1 to 8) {
+      val t0 = System.nanoTime()
+      cur = engine.Update.withTruthMaintenance(cur,
+        if (i <= 3) s"DELETE DATA { <urn:cc:u$i> a <urn:cc:B> . }"
+        else s"DELETE DATA { <urn:t:customer:${i - 4}> a <urn:c:Customer> . }")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val plan = cur.statements
+        .filter(org.apache.spark.sql.functions.col("stype") === model.GraftStore.STYPE_INFERRED)
+        .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      val leaves = plan.collectLeaves()
+      println(f"CHAIN step=$i sec=$sec%.2f path=${inference.Rdfs.lastTmPath} " +
+        s"depth=${inference.Rdfs.tombstoneDepth(cur)} joins=${joins.size} " +
+        s"leaves=${leaves.size} planNodes=${plan.collect { case p => p }.size}")
+    }
+    spark.stop()
+  }
+}

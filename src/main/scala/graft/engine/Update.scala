@@ -163,7 +163,27 @@ object Update {
           buf(rem.result()), buf(add.result()))
       }
     graft.inference.Rdfs.lastTmPath = if (delta.isDefined) "delta" else "full"
-    delta.getOrElse(graft.inference.Rdfs.truthMaintain(cur))
+    compactIfFragmented(delta.getOrElse(graft.inference.Rdfs.truthMaintain(cur)))
+  }
+
+  /** Long in-session mutation chains fragment the statements plan: every
+    * deleteCapture partition rewrite leaves its PREDECESSOR's checkpoint as a
+    * dead branch behind an `!isin` filter Catalyst cannot statically prune
+    * (the rows are opaque), so each later evaluation rescans k dead
+    * partition-sized blocks — measured quadratic on an 8-delete chain (TmAB
+    * TMAB-CHAIN: 7 s → 400 s by step 5 at sf0.1). Until the store carries a
+    * partition-keyed layout (the Delta-style file-replacement design; at
+    * 100 TB this fold IS the partition write-back `GraftStore.save` already
+    * does durably), fold the frame once when the committed-block count passes
+    * a bound — amortized O(store-in-memory) per ~8 mutations, bounded
+    * steady-state chain cost, and single-mutation callers (the battery, the
+    * HTTP endpoint's sparse updates) never hit it.
+    */
+  private def compactIfFragmented(st: GraftStore): GraftStore = {
+    val rddLeaves = st.statements.queryExecution.optimizedPlan.collectLeaves()
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    if (rddLeaves <= 24) st
+    else st.withStatements(DfOps.freshLeaf(st.statements))
   }
 
   /** Predicate ids of a quad template when ALL predicates are constant IRIs —

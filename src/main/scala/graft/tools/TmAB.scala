@@ -142,6 +142,33 @@ object TmAB {
         + s""""delta_rows_read":$rowsDelta,"full_rows_read":$rowsFull,"""
         + s""""only_delta":$onlyDelta,"only_full":$onlyFull}""")
     }
+
+    // CHAINED mutations against ONE evolving store: the tombstone design's
+    // point — every mutation stays on the delta path (tombstone layers count
+    // as at rest; the stack compacts past its depth bound instead of routing
+    // to the recompute). Cross-checked once at the end against the full
+    // recompute of the whole op sequence.
+    val chainKeys = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").orderBy(col("c_custkey").desc).limit(8)
+      .collect().map(_.getLong(0))
+    val chainOps = chainKeys.map(k =>
+      s"DELETE DATA { <urn:t:customer:$k> a <urn:c:Customer> . }")
+    var cur = closed
+    for ((u, i) <- chainOps.zipWithIndex) {
+      val (st2, tStep, rowsStep) = time {
+        graft.engine.Update.withTruthMaintenance(cur, u)
+      }
+      cur = st2
+      println(f"""TMAB-CHAIN {"step":$i,"path":"${graft.inference.Rdfs.lastTmPath}","""
+        + f""""sec":$tStep%.2f,"rows_read":$rowsStep,"""
+        + s""""tombstone_depth":${graft.inference.Rdfs.tombstoneDepth(cur).getOrElse(-1)}}""")
+    }
+    val fullChain = graft.inference.Rdfs.materialize(graft.inference.Rdfs.truthMaintain(
+      chainOps.flatMap(graft.sparql.Parser.parseUpdate)
+        .foldLeft(closed)(graft.engine.Update.applyOp)))
+    val od = keySet(cur).exceptAll(keySet(fullChain)).count()
+    val of = keySet(fullChain).exceptAll(keySet(cur)).count()
+    println(s"""TMAB-CHAIN-CHECK {"only_delta":$od,"only_full":$of}""")
     spark.stop()
   }
 }
