@@ -48,15 +48,31 @@ object SparkEntry {
     */
   private val closedRegistry =
     scala.collection.concurrent.TrieMap.empty[String, graft.model.GraftStore]
-  def closedStore(s: SparkSession, dir: String): graft.model.GraftStore =
-    closedRegistry.getOrElseUpdate(dir, {
+  /** Content fingerprint of the SOURCE parquet tables (name/mtime/size over the
+    * dir tree) — keyed into the closed-store cache path so in-place changes to
+    * the source data invalidate the cached closure instead of silently serving
+    * a stale one.
+    */
+  private def srcFingerprint(dir: String): String = {
+    def walk(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).map(walk).mkString
+      else s"${f.getName}:${f.lastModified}:${f.length};"
+    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+      walk(new java.io.File(dir))))
+  }
+  def closedStore(s: SparkSession, dir: String): graft.model.GraftStore = {
+    val fp = srcFingerprint(dir)
+    closedRegistry.getOrElseUpdate(s"$dir#$fp", {
       val path = Tpch.storePath(dir) +
-        "-closed-c" + graft.inference.Rdfs.CLOSURE_VERSION
+        "-closed-c" + graft.inference.Rdfs.CLOSURE_VERSION + "-f" + fp
       if (!new java.io.File(path + "/_SUCCESS").exists())
         graft.model.GraftStore.save(
           graft.inference.Rdfs.closure(Tpch.store(s, dir)).statements, path)
       graft.model.GraftStore.load(s, path)
     })
+  }
 
   // ======== SPARQL operator battery ========
   private val sparqlQueries: Seq[(String, Q, Option[String])] = Seq(

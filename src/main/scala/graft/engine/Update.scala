@@ -166,24 +166,43 @@ object Update {
     compactIfFragmented(delta.getOrElse(graft.inference.Rdfs.truthMaintain(cur)))
   }
 
-  /** Long in-session mutation chains fragment the statements plan: every
-    * deleteCapture partition rewrite leaves its PREDECESSOR's checkpoint as a
-    * dead branch behind an `!isin` filter Catalyst cannot statically prune
-    * (the rows are opaque), so each later evaluation rescans k dead
-    * partition-sized blocks — measured quadratic on an 8-delete chain (TmAB
-    * TMAB-CHAIN: 7 s → 400 s by step 5 at sf0.1). Until the store carries a
-    * partition-keyed layout (the Delta-style file-replacement design; at
-    * 100 TB this fold IS the partition write-back `GraftStore.save` already
-    * does durably), fold the frame once when the committed-block count passes
-    * a bound — amortized O(store-in-memory) per ~8 mutations, bounded
-    * steady-state chain cost, and single-mutation callers (the battery, the
-    * HTTP endpoint's sparse updates) never hit it.
+  /** Stacked-rewrite layers a segment tolerates before the mutation path folds
+    * it (freshLeaf — a PARTITION-sized materialization, amortized over ~6
+    * touches of the same partitions; never a store-wide rewrite).
     */
-  private def compactIfFragmented(st: GraftStore): GraftStore = {
-    val rddLeaves = st.statements.queryExecution.optimizedPlan.collectLeaves()
-      .count(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
-    if (rddLeaves <= 24) st
-    else st.withStatements(DfOps.freshLeaf(st.statements))
+  private[graft] val FOLD_LAYERS = 6
+
+  /** Segment-count bound: past it the layout's union plan is wide enough that
+    * per-query planning cost shows, so fold all segments into one (total size =
+    * the mutated partitions only, never the store).
+    */
+  private val FOLD_SEGS = 48
+
+  /** Bound a mutated store's plan size. Layout stores (the partition-keyed
+    * path — every Update mutation produces one) bound per-segment layer depth
+    * at write time, so only the segment COUNT can grow: fold all segments into
+    * one once it passes FOLD_SEGS — O(mutated partitions), keeping the base
+    * parquet scans (and their partition pruning) untouched. Stores without a
+    * layout (TM fixpoint-recompute results) keep the legacy whole-frame fold
+    * when their committed-block count passes a bound.
+    */
+  private def compactIfFragmented(st: GraftStore): GraftStore = st.layoutOpt match {
+    case Some(lay) =>
+      if (lay.segs.size <= FOLD_SEGS) st
+      else {
+        val folded = DfOps.freshLeaf(
+          lay.segs.map(s => DfOps.reid(s.frame.select(GraftStore.columns.map(col): _*)))
+            .reduce(_.unionByName(_)))
+        st.withLayout(
+          graft.model.StatementLayout(lay.base,
+            Vector(graft.model.LayoutSeg(lay.segPids, folded, 0))),
+          hint = Some(st.mayHaveInferred))
+      }
+    case None =>
+      val rddLeaves = st.statements.queryExecution.optimizedPlan.collectLeaves()
+        .count(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+      if (rddLeaves <= 24) st
+      else st.withStatements(DfOps.freshLeaf(st.statements))
   }
 
   /** Predicate ids of a quad template when ALL predicates are constant IRIs —
@@ -434,8 +453,9 @@ object Update {
   private def insertCapture(store: GraftStore, quads: DataFrame,
                             pids0: Option[Seq[Long]] = None): (GraftStore, DataFrame) = {
     val pids = pids0.orElse(deltaPids(quads))
+    val lay = store.layout
     val existing = pids match {
-      case Some(pids) => store.statements.filter(col("p_id").isin(pids: _*))
+      case Some(pids) => lay.slice(pids)
       case None => store.statements
     }
     def tripleKey(df: DataFrame): DataFrame =
@@ -443,51 +463,72 @@ object Update {
     // dedup on the 8-byte statement key, not the full-width struct rows — the
     // exchange then carries ids, and the (already key-hashed) anti-join follows.
     // ONE delta-sized checkpoint carries both the novel rows and the
-    // upgraded-entailment marker (__conf): no second pass over the partitions
+    // upgraded-entailment marker (__conf): no second pass over the partitions.
+    // A store KNOWN to carry no Inferred rows (mayHaveInferred, threaded along
+    // the mutation lineage) skips the upgrade-detection join and its action —
+    // the common closure-free update path keeps its single anti-join shape.
+    val mayInf = store.mayHaveInferred
     val exNonInf = statementKey(existing
         .filter(col("stype") =!= GraftStore.STYPE_INFERRED)
         .select("s", "p", "o", "g")).select("__k")
-    val infK3 = tripleKey(existing
-        .filter(col("stype") === GraftStore.STYPE_INFERRED).select("s", "p", "o"))
-      .select("__k3").dropDuplicates("__k3").withColumn("__conf", lit(true))
-    val fresh = tripleKey(statementKey(quads).dropDuplicates("__k"))
+    val novel = tripleKey(statementKey(quads).dropDuplicates("__k"))
       .join(exNonInf, Seq("__k"), "left_anti")
-      .join(infK3, Seq("__k3"), "left")
-      .withColumn("stype", lit(GraftStore.STYPE_EXPLICIT).cast("byte"))
+    val fresh =
+      if (!mayInf) novel.withColumn("__conf", lit(false))
+      else {
+        val infK3 = tripleKey(existing
+            .filter(col("stype") === GraftStore.STYPE_INFERRED).select("s", "p", "o"))
+          .select("__k3").dropDuplicates("__k3").withColumn("__conf", lit(true))
+        novel.join(infK3.withColumnRenamed("__conf", "__c0"), Seq("__k3"), "left")
+          .withColumn("__conf", coalesce(col("__c0"), lit(false)))
+      }
     // commit the delta (CommitOp analog): materializing the delta-sized frame keeps
     // every downstream query plan simple — parquet ∪ committed rows, not a re-planned
     // anti-join pipeline per action
-    val committedPlus = fresh.select(col("p")("id").as("p_id"), col("s"),
-        col("p"), col("o"), col("g"), col("stype"),
-        coalesce(col("__conf"), lit(false)).as("__conf"))
+    val committedPlus = fresh
+      .withColumn("stype", lit(GraftStore.STYPE_EXPLICIT).cast("byte"))
+      .select(col("p")("id").as("p_id"), col("s"),
+        col("p"), col("o"), col("g"), col("stype"), col("__conf"))
       .localCheckpoint()
     val committed = committedPlus.drop("__conf")
     val conflictK3 = committedPlus.filter(col("__conf")).select(
       xxhash64(col("s")("id"), col("p")("id"), col("o")("id")).as("__k3"))
-    // superseded Inferred copies are filtered out of the touched partitions,
-    // and the rewritten partitions are COMMITTED (localCheckpoint, like
-    // deleteCapture's purge): an at-rest store must stay at rest across the
-    // upgrade — a lazy anti-join on the inferred branch would make
-    // inferredAtRest route the next TM pass to the full recompute. The
-    // common case (no upgrade) leaves the store plan untouched.
-    val base =
-      if (conflictK3.isEmpty) store.statements
-      else {
-        val inf = store.statements.filter(col("stype") === GraftStore.STYPE_INFERRED)
-        val keptInf = pids match {
-          case Some(pids) =>
-            inf.filter(!col("p_id").isin(pids: _*))
-              .unionByName(tripleKey(inf.filter(col("p_id").isin(pids: _*)))
+    val hasConflict = mayInf && !conflictK3.isEmpty
+    pids match {
+      case Some(ps) =>
+        // partition-keyed layout: the touched partitions' segments are replaced
+        // wholesale (slice ∪ committed, minus superseded Inferred copies on an
+        // upgrade); untouched partitions keep their pruned parquet scans. The
+        // superseded-copy drop is a LAZY delta tombstone (broadcast anti-join
+        // over committed keys) counted against the segment's layer bound.
+        val sliceNew0 =
+          if (!hasConflict) DfOps.reid(existing).unionByName(committed)
+          else DfOps.reid(existing.filter(col("stype") =!= GraftStore.STYPE_INFERRED))
+            .unionByName(
+              tripleKey(DfOps.reid(existing
+                  .filter(col("stype") === GraftStore.STYPE_INFERRED)))
+                .join(broadcast(conflictK3), Seq("__k3"), "left_anti").drop("__k3"))
+            .unionByName(committed)
+        val sliceNew = sliceNew0.select(GraftStore.columns.map(col): _*)
+        val layers = lay.layersAt(ps) + 1
+        val (frame2, layers2) =
+          if (layers >= FOLD_LAYERS) (DfOps.freshLeaf(sliceNew), 0)
+          else (sliceNew, layers)
+        (store.withLayout(lay.replace(ps, frame2, layers2),
+          hint = Some(mayInf)), committed)
+      case None =>
+        // pathological delta (>1000 predicates): legacy full-store path
+        val base =
+          if (!hasConflict) store.statements
+          else {
+            val inf = store.statements.filter(col("stype") === GraftStore.STYPE_INFERRED)
+            store.statements.filter(col("stype") =!= GraftStore.STYPE_INFERRED)
+              .unionByName(tripleKey(inf)
                 .join(broadcast(conflictK3), Seq("__k3"), "left_anti").drop("__k3")
                 .localCheckpoint())
-          case None => tripleKey(inf)
-            .join(broadcast(conflictK3), Seq("__k3"), "left_anti").drop("__k3")
-            .localCheckpoint()
-        }
-        store.statements.filter(col("stype") =!= GraftStore.STYPE_INFERRED)
-          .unionByName(keptInf)
-      }
-    (store.withStatements(base.unionByName(committed)), committed)
+          }
+        (store.withStatements(base.unionByName(committed)), committed)
+    }
   }
 
   /** Bare (graph-less) delete quads are a CONTEXT WILDCARD: they remove the matching
@@ -501,39 +542,53 @@ object Update {
 
   /** delete() that also returns the rows actually purged (any stype, with
     * their real graph) — the TM retraction buffer. The purged frame stays
-    * lazy; non-TM callers never pay for it. */
+    * lazy; non-TM callers never pay for it.
+    *
+    * The retraction applies as a LAZY delta tombstone over the touched
+    * partitions' layout segments: the victim keys are committed (freshLeaf, so
+    * the anti-join right sides are delta leaves and `Rdfs.tombstoneDepth`
+    * classifies the store as at rest), but the partition rows are NOT
+    * rewritten — a delete costs O(delta), and the segment folds (partition-
+    * sized) only when its layer count passes FOLD_LAYERS.
+    */
   private def deleteCapture(store: GraftStore, quads: DataFrame,
                             pids0: Option[Seq[Long]] = None): (GraftStore, DataFrame) = {
     def tripleKey(df: DataFrame): DataFrame =
       df.withColumn("__k3", xxhash64(col("s")("id"), col("p")("id"), col("o")("id")))
-    val victims = statementKey(quads.filter(col("g").isNotNull))
-      .select("__k").dropDuplicates()
-    val tripleVictims = tripleKey(quads.filter(col("g").isNull))
-      .select("__k3").dropDuplicates()
+    val victims = DfOps.freshLeaf(statementKey(quads.filter(col("g").isNotNull))
+      .select("__k").dropDuplicates())
+    val tripleVictims = DfOps.freshLeaf(tripleKey(quads.filter(col("g").isNull))
+      .select("__k3").dropDuplicates())
     def purge(df: DataFrame): DataFrame =
       tripleKey(statementKey(df))
-        .join(victims, Seq("__k"), "left_anti")
-        .join(tripleVictims, Seq("__k3"), "left_anti")
+        .join(broadcast(victims), Seq("__k"), "left_anti")
+        .join(broadcast(tripleVictims), Seq("__k3"), "left_anti")
         .drop("__k", "__k3")
     // complement of purge: rows hit by a graph-specific victim, plus rows hit
     // by a wildcard triple victim (anti on __k first so a row matching both
     // appears once)
     def purged(df: DataFrame): DataFrame = {
       val k = tripleKey(statementKey(df))
-      k.join(victims, Seq("__k"), "left_semi")
-        .unionByName(k.join(victims, Seq("__k"), "left_anti")
-          .join(tripleVictims, Seq("__k3"), "left_semi"))
+      k.join(broadcast(victims), Seq("__k"), "left_semi")
+        .unionByName(k.join(broadcast(victims), Seq("__k"), "left_anti")
+          .join(broadcast(tripleVictims), Seq("__k3"), "left_semi"))
         .drop("__k", "__k3")
     }
-    val (kept, removedRows) = pids0.orElse(deltaPids(quads)) match {
-      case Some(pids) =>
-        // commit the rewritten partitions (delta-sized); untouched ones stay parquet
-        val hit = store.statements.filter(col("p_id").isin(pids: _*))
-        (store.statements.filter(!col("p_id").isin(pids: _*))
-           .unionByName(purge(hit).localCheckpoint()),
-         purged(hit))
-      case None => (purge(store.statements), purged(store.statements))
+    pids0.orElse(deltaPids(quads)) match {
+      case Some(ps) =>
+        val lay = store.layout
+        val hit = lay.slice(ps)
+        val frame0 = purge(hit).select(GraftStore.columns.map(col): _*)
+        val layers = lay.layersAt(ps) + 1
+        val (frame2, layers2) =
+          if (layers >= FOLD_LAYERS) (DfOps.freshLeaf(frame0), 0)
+          else (frame0, layers)
+        (store.withLayout(lay.replace(ps, frame2, layers2),
+          hint = Some(store.mayHaveInferred)), purged(hit))
+      case None =>
+        val kept = purge(store.statements)
+        (store.withStatements(kept.select(GraftStore.columns.map(col): _*)),
+          purged(store.statements))
     }
-    (store.withStatements(kept.select(GraftStore.columns.map(col): _*)), removedRows)
   }
 }

@@ -20,7 +20,36 @@ import org.apache.spark.storage.StorageLevel
   *   stype BYTE         -- 0=Explicit, 1=Axiom, 2=Inferred (rdf/model/StatementEnum.java:42-59)
   */
 final class GraftStore(val spark: SparkSession, val statements: DataFrame,
-                       val lexiconPath: Option[String] = None) {
+                       val lexiconPath: Option[String] = None,
+                       private[graft] val layoutOpt: Option[StatementLayout] = None,
+                       private[graft] val inferredHint: Option[Boolean] = None) {
+
+  /** Partition-keyed view of this store (base frame + p_id-keyed replacement
+    * segments). Mutation paths (Update, delta truth maintenance) rewrite ONLY
+    * the touched partitions' segments; untouched partitions stay pruned
+    * parquet scans forever — the Delta-style file-replacement shape that keeps
+    * a 100 TB mutation stream O(delta) instead of stacking dead branches.
+    */
+  private[graft] def layout: StatementLayout =
+    layoutOpt.getOrElse(StatementLayout(statements, Vector.empty))
+
+  /** Replace the layout (and derive `statements` from it). The hint carries
+    * forward whether the store may hold Inferred rows (see mayHaveInferred).
+    */
+  private[graft] def withLayout(l: StatementLayout,
+                                hint: Option[Boolean] = None): GraftStore =
+    new GraftStore(spark, l.assemble, None, Some(l), hint)
+
+  /** Can this store contain stype=Inferred rows? Probed once per store lineage
+    * (parquet row-group stats make the probe metadata-cheap on closure-free
+    * stores); mutation paths thread the answer forward so chained updates on a
+    * closure-free store never re-probe and never pay the upgrade-detection
+    * joins (Update.insertCapture).
+    */
+  @transient private[graft] lazy val mayHaveInferred: Boolean =
+    inferredHint.getOrElse(
+      !statements.filter(col("stype") === GraftStore.STYPE_INFERRED)
+        .limit(1).isEmpty)
 
   /** Statements visible in the union default graph (all graphs merged). */
   def defaultGraph: DataFrame = statements
@@ -135,6 +164,91 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
       .unionByName(statements.select(col("o").as("n")))
       .withColumn("nid", col("n")("id"))
       .dropDuplicates("nid")
+}
+
+/** One replaced partition-group: `frame` holds EXACTLY the store's current
+  * rows whose p_id ∈ `pids`. `layers` counts lazy rewrite layers stacked on
+  * the frame since it was last materialized (tombstone anti-joins, committed-
+  * delta unions); callers fold (freshLeaf) past a bound so every segment plan
+  * stays shallow — partition-sized compaction, never a store-wide rewrite.
+  */
+final case class LayoutSeg(pids: Set[Long], frame: DataFrame, layers: Int)
+
+/** Partition-keyed statements layout: `base` (typically the at-rest
+  * p_id-partitioned parquet) plus disjoint replacement segments. Assembled
+  * statements = base minus replaced partitions, union the segment frames —
+  * so replacing a partition DROPS its old branch from the plan instead of
+  * filtering it out (the fragmentation the r12 chain probe measured as
+  * super-linear). The reference's analog is writing only the affected index
+  * ranges under a group commit (`rbop/rdf/update/InsertStatementsOp.java`);
+  * at 100 TB each segment folds back durably via `GraftStore.save`'s
+  * partition write-back.
+  */
+final case class StatementLayout(base: DataFrame, segs: Vector[LayoutSeg]) {
+
+  def segPids: Set[Long] = segs.iterator.flatMap(_.pids).toSet
+
+  /** The full statements view. Each union child is re-aliased (fresh
+    * expression ids) — segment frames routinely share checkpoint leaves.
+    */
+  def assemble: DataFrame =
+    if (segs.isEmpty) base
+    else {
+      def reid(df: DataFrame): DataFrame =
+        df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
+      val cols = GraftStore.columns
+      val excl = segPids.toSeq
+      (base.filter(!col("p_id").isin(excl: _*)) +:
+        segs.map(s => reid(s.frame.select(cols.map(col): _*))))
+        .reduce(_.unionByName(_))
+    }
+
+  /** Current rows of the given partitions — base slices for never-replaced
+    * pids, segment frames (filtered to the overlap when a segment straddles
+    * the boundary) for the rest. A flat plan: no dead branches, no stacking.
+    */
+  def slice(pids: Seq[Long]): DataFrame = {
+    val want = pids.toSet
+    val fromBase = {
+      val bp = (want -- segPids).toSeq
+      if (bp.isEmpty) Nil else Seq(base.filter(col("p_id").isin(bp: _*)))
+    }
+    val fromSegs = segs.flatMap { s =>
+      val ov = s.pids intersect want
+      if (ov.isEmpty) None
+      else if (ov == s.pids) Some(s.frame)
+      else Some(s.frame.filter(col("p_id").isin(ov.toSeq: _*)))
+    }
+    (fromBase ++ fromSegs).reduceOption(_.unionByName(_))
+      .getOrElse(base.filter(org.apache.spark.sql.functions.lit(false)))
+  }
+
+  /** Max stacked layers among segments overlapping `pids` (0 when none) —
+    * the caller's fold-decision input for the replacement frame.
+    */
+  def layersAt(pids: Seq[Long]): Int = {
+    val want = pids.toSet
+    (0 +: segs.collect { case s if (s.pids intersect want).nonEmpty => s.layers }).max
+  }
+
+  /** Replace the given partitions with `frame` (which must hold exactly their
+    * new rows). Fully-covered segments are dropped; straddling segments keep
+    * their remainder behind ONE pid filter (replaced wholesale next touch, so
+    * filters never stack).
+    */
+  def replace(pids: Seq[Long], frame: DataFrame, layers: Int): StatementLayout = {
+    val want = pids.toSet
+    val kept = segs.flatMap { s =>
+      val ov = s.pids intersect want
+      if (ov.isEmpty) Some(s)
+      else if (s.pids == ov) None
+      else {
+        val rem = s.pids -- want
+        Some(LayoutSeg(rem, s.frame.filter(col("p_id").isin(rem.toSeq: _*)), s.layers))
+      }
+    }
+    StatementLayout(base, kept :+ LayoutSeg(want, frame, layers))
+  }
 }
 
 object GraftStore {
