@@ -25,7 +25,7 @@ object Rdfs {
   /** Bump when closure SEMANTICS change — keys the on-disk at-rest closed-store
     * cache (SparkEntry.closedStore) so a stale materialization is never reused.
     */
-  val CLOSURE_VERSION = 1
+  val CLOSURE_VERSION = 2 // r13: sameAs substitution closes the full orbit
 
   val OWL = "http://www.w3.org/2002/07/owl#"
   val OWL_SAMEAS: String = OWL + "sameAs"
@@ -183,6 +183,15 @@ object Rdfs {
     */
   @volatile var lastTmPath: String = "none"
 
+  /** sameAs delta state for truthMaintainDelta: alias maps (xid → alias term;
+    * OLD for the over-delete pass, NEW for re-derivation and the insert side)
+    * plus the class-diff products when the delta touched sameAs edges.
+    */
+  private final case class SaDelta(
+      aliasOld: DataFrame, aliasNew: DataFrame,
+      lostTaint: Option[DataFrame], addSpo: Option[DataFrame],
+      addAlias: Option[DataFrame], promSpo: Option[DataFrame])
+
   // -Dgraft.tm.prof counter: ONE listener for the JVM's lifetime (re-registering
   // per invocation leaked listeners and double-counted recordsRead)
   private val tmProfCtr = new java.util.concurrent.atomic.AtomicLong()
@@ -245,9 +254,12 @@ object Rdfs {
     if (pidRows.isEmpty) return Some(next)
     val deltaPids = pidRows.map(_.getLong(0)).toSet
     if (pidRows.length > 1000) return None
-    if (deltaPids(sameAsId) || deltaPids(onPropertyId) || deltaPids(hasValueId))
+    if (deltaPids(onPropertyId) || deltaPids(hasValueId))
       return None
     if (pidRows.exists(_.getBoolean(1))) return None
+    // sameAs edges in the delta: handled by the equivalence-class diff pass
+    // below (saDelta) — no longer an automatic recompute
+    val saTouched = deltaPids(sameAsId)
 
     // The caller routes here only when the entailment table is AT REST
     // (inferredAtRest) — a committed table, not a lazy derivation pipeline —
@@ -280,7 +292,14 @@ object Rdfs {
     // sameAs or FP/IFP declarations, the latter guarded via the vocabs; a
     // removed-side sameAs row is already caught by the deltaPids guard above)
     val (vOld, vNew, expHasSameAs) = t("vocab")(collectVocab2(oldExp, newExp))
-    if (expHasSameAs) return None
+    // materialized sameAs state (explicit pairs in the new view, or a delta
+    // touching the sameAs partition): no longer an automatic recompute — the
+    // alias map IS the at-rest all-pairs sameAs partition (Case A: classes
+    // unchanged), and a sameAs-edge delta rebuilds the affected classes and
+    // diffs the all-pairs sets (Case B). Interactions with the OTHER non-local
+    // families (FP/IFP-derived pairs, directly-touched transitive properties)
+    // still fall back below.
+    val saPresent = expHasSameAs || saTouched
 
     def idOf(r: Row): Long = r.getAs[Long]("id")
     def ids(ps: Seq[(Row, Row)]): Set[(Long, Long)] =
@@ -333,6 +352,10 @@ object Rdfs {
     val fpBase = (vOld.funcProps ++ vNew.funcProps ++
       vOld.invFuncProps ++ vNew.invFuncProps).map(idOf).toSet
     if (fpBase.nonEmpty) {
+      // FP/IFP can MINT sameAs pairs: combined with materialized sameAs state
+      // the class structure is no longer the explicit partition alone →
+      // recompute (the delta pass's alias maps would under-approximate)
+      if (saPresent) return None
       val fpCone = feederClosure(fpBase)
       if (fpCone(typeId)) return None
       if (deltaPids.exists(fpCone)) return None
@@ -360,6 +383,31 @@ object Rdfs {
     //   recompute — the base edge set is no longer a single pruned partition.
     val transIds = (vOld.transProps ++ vNew.transProps).map(idOf).toSet
     val transDirect = deltaPids intersect transIds
+    // a directly-touched transitive property whose nodes intersect the sameAs
+    // classes breaks the cone pass's base-edges-are-one-partition assumption
+    // (substituted edge copies live as entailments in the same partition) →
+    // recompute. DISJOINT classes compose fine — the cone stays exact over
+    // the explicit edges and the substitution arms handle everything else —
+    // so the fallback is gated on one pruned-partition overlap probe, not on
+    // sameAs presence alone.
+    if (saPresent && transDirect.nonEmpty) {
+      val tSeq0 = transDirect.toSeq
+      val tNodes = next.statements.filter(col("p_id").isin(tSeq0: _*))
+        .select(col("s")("id").as("n"))
+        .unionByName(next.statements.filter(col("p_id").isin(tSeq0: _*))
+          .select(col("o")("id").as("n")))
+        .unionByName(removed.filter(col("p")("id").isin(tSeq0: _*))
+          .select(col("s")("id").as("n")))
+        .unionByName(removed.filter(col("p")("id").isin(tSeq0: _*))
+          .select(col("o")("id").as("n")))
+      val saMembers = next.statements.filter(col("p_id") === sameAsId)
+        .select(col("s")("id").as("n"))
+        .unionByName(removed.filter(col("p")("id") === sameAsId)
+          .select(col("s")("id").as("n")))
+      if (t("sa-trans-overlap")(
+          !tNodes.join(saMembers, Seq("n"), "left_semi").limit(1).isEmpty))
+        return None
+    }
     if (transIds.nonEmpty) {
       val indirect = feederClosure(transIds) -- transIds
       if (deltaPids.exists(indirect)) return None
@@ -495,7 +543,15 @@ object Rdfs {
             if (xs.size > 20000) None else {
               val fwd = eArr.groupBy(e => (e._1, e._2))
                 .map { case (k, es) => k -> es.map(_._3) }
-              val reachB = scala.collection.mutable.ArrayBuffer.empty[Row]
+              // packed primitive (p,x,y) triples — ~24 B/pair vs ~120 B for
+              // Row objects — with the cap derived from the heap actually
+              // free RIGHT NOW (≤1/8 of it), so the valve bounds memory
+              // consumed, not just pair count: modest driver configs no
+              // longer OOM at the threshold
+              val rt = Runtime.getRuntime
+              val heapRoom = (rt.maxMemory - (rt.totalMemory - rt.freeMemory)) / 8 / 24
+              val pairCap = math.min(10000000L, math.max(1000000L, heapRoom))
+              val reachB = scala.collection.mutable.ArrayBuffer.empty[Long]
               var overflow = false
               xs.foreach { case (p, x) =>
                 if (!overflow) {
@@ -507,17 +563,27 @@ object Rdfs {
                     fr = fr.flatMap(m => fwd.getOrElse((p, m), Array.empty[Long]))
                       .distinct.filterNot(seen)
                     fr.foreach(seen += _)
-                    if (reachB.size + seen.size > 10000000) overflow = true
+                    if (reachB.size / 3 + seen.size > pairCap) overflow = true
                   }
-                  seen.foreach(y => reachB += Row(p, x, y))
+                  seen.foreach { y => reachB += p; reachB += x; reachB += y }
                 }
               }
               if (overflow) None
-              else Some((
-                spark.createDataFrame(spark.sparkContext.parallelize(
-                  xs.toSeq.map { case (p, n) => Row(p, n) }, 1), nodeT),
-                spark.createDataFrame(spark.sparkContext.parallelize(
-                  reachB.toSeq, (reachB.size / 500000 + 1).toInt), pairT)))
+              else {
+                val packed = reachB.toArray
+                val nPairs = packed.length / 3
+                // ship the packed array ONCE per executor (broadcast), mint
+                // Rows distributed — the driver never holds Row objects
+                val bc = spark.sparkContext.broadcast(packed)
+                val pairsRdd = spark.sparkContext
+                  .parallelize(0 until nPairs, (nPairs / 500000 + 1))
+                  .map(i => Row(bc.value(3 * i), bc.value(3 * i + 1),
+                    bc.value(3 * i + 2)))
+                Some((
+                  spark.createDataFrame(spark.sparkContext.parallelize(
+                    xs.toSeq.map { case (p, n) => Row(p, n) }, 1), nodeT),
+                  spark.createDataFrame(pairsRdd, pairT)))
+              }
             }
           }
         val (xSrc, reach) = driverBfs.getOrElse {
@@ -596,14 +662,149 @@ object Rdfs {
     if (lostTransSpo.exists(_.count() + newTransSpo.get.count() > 10000000L))
       return None
 
-    val removedTaint = lostTransSpo match {
+    // ---- sameAs delta state (materialized equivalence classes) ----
+    // Case A — the delta never touches sameAs: classes are unchanged, and the
+    // at-rest sameAs partition IS the exact all-pairs alias map (the closure
+    // materializes all pairs of every class); the substitution arms in
+    // deltaDerive/rederive read it directly — O(delta) joins, no class work.
+    // Case B — the delta adds/removes sameAs edges: rebuild the classes from
+    // the NEW explicit pairs (driver union-find over the collected partition,
+    // bounded like the transitive cone's fast path), diff the all-pairs sets,
+    // and treat lost/new pairs like lost/new transitive reach: member-fact
+    // substitutions through the LOST aliases become suspects; substitutions
+    // onto the NEW aliases become conclusions + forward taint. The reference
+    // computes the same retraction with per-statement proof chains
+    // (RDF/inf/TruthMaintenance.java:1); at rest in columnar storage the
+    // class diff + substitution joins replace the proofs.
+    val saDelta: Option[SaDelta] =
+      if (!saPresent) None
+      else if (!saTouched) {
+        val alias = next.statements.filter(col("p_id") === sameAsId)
+          .select(col("s")("id").as("xid"), col("o").as("alias"))
+        Some(SaDelta(alias, alias, None, None, None, None))
+      } else {
+        val saCur = next.statements.filter(col("p_id") === sameAsId)
+        val remSaRows = removed.filter(col("p")("id") === sameAsId)
+        val remSaIds = remSaRows
+          .select(col("s")("id").as("a"), col("o")("id").as("b"))
+          .dropDuplicates("a", "b")
+        // the OLD pair view: current partition (post-mutation) minus the
+        // edges THIS delta added, plus the ones it removed. An added edge
+        // coinciding with a previously-inferred pair is harmlessly excluded —
+        // it then shows up in dAdd and novelty drops its re-derivations.
+        val addSaIds = added.filter(col("p")("id") === sameAsId)
+          .select(col("s")("id").as("a"), col("o")("id").as("b"))
+          .dropDuplicates("a", "b")
+        val oldIdsDf = saCur
+          .select(col("s")("id").as("a"), col("o")("id").as("b"))
+          .join(addSaIds, Seq("a", "b"), "left_anti")
+          .unionByName(remSaIds).dropDuplicates("a", "b")
+        val newExpIdsDf = exp.filter(col("p_id") === sameAsId)
+          .select(col("s")("id").as("a"), col("o")("id").as("b"))
+          .dropDuplicates("a", "b")
+        val cap = 2000000
+        val (oldArr, newArr, remArr) = t("sa-collect")((
+          oldIdsDf.limit(cap + 1).collect().map(r => (r.getLong(0), r.getLong(1))),
+          newExpIdsDf.limit(cap + 1).collect().map(r => (r.getLong(0), r.getLong(1))),
+          remSaIds.limit(cap + 1).collect().map(r => (r.getLong(0), r.getLong(1)))))
+        if (oldArr.length > cap || newArr.length > cap || remArr.length > cap)
+          return None // partition past the driver bound → recompute
+        // union-find over the new explicit pairs → components → all-pairs
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        newArr.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b); if (ra != rb) parent(ra) = rb
+        }
+        val membersByRoot = newArr.flatMap(p => Seq(p._1, p._2)).distinct
+          .groupBy(find)
+        val nPairs = membersByRoot.valuesIterator
+          .map(ms => ms.length.toLong * (ms.length - 1)).sum
+        if (nPairs > 4000000L) return None // all-pairs blowup → recompute
+        val newAll = membersByRoot.valuesIterator.flatMap(ms =>
+          for (x <- ms.iterator; y <- ms if x != y) yield (x, y)).toSet
+        val oldPairs = oldArr.toSet
+        val dDel = (oldPairs diff newAll).toSeq
+        val dAdd = (newAll diff oldPairs).toSeq
+        val promPairs = remArr.filter(newAll).toSeq
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val pairT = StructType(Seq(StructField("a", LongType), StructField("b", LongType)))
+        def idPairs(ps: Seq[(Long, Long)]): DataFrame = spark.createDataFrame(
+          spark.sparkContext.parallelize(ps.map(p => Row(p._1, p._2)),
+            (ps.size / 500000 + 1)), pairT)
+        // id → term dictionary from the sameAs partitions (old view)
+        val saNodes = saCur.select(col("s").as("n"))
+          .unionByName(saCur.select(col("o").as("n")))
+          .unionByName(remSaRows.select(col("s").as("n")))
+          .unionByName(remSaRows.select(col("o").as("n")))
+          .withColumn("nid", col("n")("id")).dropDuplicates("nid").localCheckpoint()
+        def toSpo(ids: DataFrame): DataFrame = ids
+          .join(saNodes.select(col("nid").as("a"), col("n").as("s")), Seq("a"))
+          .join(saNodes.select(col("nid").as("b"), col("n").as("o")), Seq("b"))
+          .select(col("s"), Term.iri(OWL_SAMEAS).as("p"), col("o"))
+        def toAlias(ids: DataFrame): DataFrame = ids
+          .join(saNodes.select(col("nid").as("b"), col("n").as("alias")), Seq("b"))
+          .select(col("a").as("xid"), col("alias"))
+        // alias maps: OLD = the materialized all-pairs (plus removed edges —
+        // the pre-delete view); NEW = old ∪ added, minus lost (built by
+        // delta-sized anti-joins rather than re-materializing all pairs)
+        val aliasOld = toAlias(oldIdsDf)
+        val aliasNew = toAlias(oldIdsDf.unionByName(idPairs(dAdd))
+          .dropDuplicates("a", "b")
+          .join(idPairs(dDel), Seq("a", "b"), "left_anti"))
+        // lost-pair taint: the pair rows themselves + member-fact
+        // substitutions through the lost aliases (ONE pruned-by-broadcast
+        // pass over the fact table; output is cone-sized)
+        val lostTaint =
+          if (dDel.isEmpty) None
+          else t("sa-lost") {
+            val dDelAlias = toAlias(idPairs(dDel)).localCheckpoint()
+            val aliasOldO = aliasOld.withColumnRenamed("alias", "alias2")
+              .withColumnRenamed("xid", "yid")
+            val f0 = oldFacts.filter(col("p_id") =!= sameAsId)
+            val subj = f0.join(broadcast(dDelAlias), col("s")("id") === col("xid"))
+              .select(col("alias").as("s"), col("p"), col("o"))
+            val obj = f0.filter(col("o")("kind") =!= Term.KIND_LITERAL)
+              .join(broadcast(dDelAlias.withColumnRenamed("alias", "alias2")
+                .withColumnRenamed("xid", "yid")), col("o")("id") === col("yid"))
+              .select(col("s"), col("p"), col("alias2").as("o"))
+            // both-sided orbit members whose derivation used a lost pair on
+            // EITHER side (over-approximate; re-derivation decides retention)
+            val bothA = subj.filter(col("o")("kind") =!= Term.KIND_LITERAL)
+              .join(aliasOldO, col("o")("id") === col("yid"))
+              .select(col("s"), col("p"), col("alias2").as("o"))
+            val bothB = obj.join(aliasOld, col("s")("id") === col("xid"))
+              .select(col("alias").as("s"), col("p"), col("o"))
+            Some(toSpo(idPairs(dDel)).unionByName(subj).unionByName(obj)
+              .unionByName(bothA).unionByName(bothB)
+              .localCheckpoint())
+          }
+        val addSpo = if (dAdd.isEmpty) None
+          else Some(toSpo(idPairs(dAdd)).localCheckpoint())
+        val addAlias = if (dAdd.isEmpty) None
+          else Some(toAlias(idPairs(dAdd)).localCheckpoint())
+        val promSpo = if (promPairs.isEmpty) None
+          else Some(toSpo(idPairs(promPairs)).localCheckpoint())
+        Some(SaDelta(aliasOld, aliasNew, lostTaint, addSpo, addAlias, promSpo))
+      }
+
+    val removedTaint0 = lostTransSpo match {
       case Some(lt) => removed.select(col("s"), col("p"), col("o"))
         .unionByName(lt)
       case None => removed.select(col("s"), col("p"), col("o"))
     }
+    val removedTaint = saDelta.flatMap(_.lostTaint) match {
+      case Some(lt) => removedTaint0.unionByName(lt)
+      case None => removedTaint0
+    }
     val delSuspects = t("delta-derive-del")(deltaDerive(spark, oldFacts, removedTaint,
       scOld, spOld, vOld.dom.toSeq, vOld.rng.toSeq, ibOld, vOld.restrictions,
-      dScDel, dSpDel, dDomDel, dRngDel, dIbDel))
+      dScDel, dSpDel, dDomDel, dRngDel, dIbDel, saDelta.map(_.aliasOld)))
     // The removed rows THEMSELVES are suspects too: an entailment whose
     // materialization was novelty-suppressed by an explicit copy must be
     // PROMOTED to Inferred when that copy is deleted but it stays derivable
@@ -617,6 +818,11 @@ object Rdfs {
     val suspects = t("suspects")(graft.engine.DfOps.freshLeaf(
       dedupK(delSuspects.unionByName(lostSchemaStmts)
         .unionByName(removedTaint))))
+    // mega-class valve: the suspect keys broadcast into every re-derivation
+    // arm — a delta hitting a corpus-scale equivalence class is better served
+    // by the recompute than by a corpus-sized broadcast (count on the
+    // checkpointed frame is metadata-cheap)
+    if (saPresent && suspects.count() > 10000000L) return None
     val sKeys = keyed(suspects).select("__sk", "__pk", "__ok")
 
     // ---- re-derive suspects from (explicit ∪ non-suspect inferred), NEW schema
@@ -636,7 +842,8 @@ object Rdfs {
         case None => exp.unionByName(keptInf)
       }
       val retained = rederive(spark, base, suspects, sKeys,
-        scNew, spNew, vNew.dom.toSeq, vNew.rng.toSeq, ibNew, vNew.restrictions)
+        scNew, spNew, vNew.dom.toSeq, vNew.rng.toSeq, ibNew, vNew.restrictions,
+        saDelta.map(_.aliasNew))
       // schema statements are re-derivable iff in the NEW driver-side closures
       // (rdfs5/11 run on the driver, not in rederive) — a removed-but-still-
       // derivable axiom must survive to be promoted below
@@ -649,9 +856,15 @@ object Rdfs {
         case Some(pt) => keyed(pt).select("__sk", "__pk", "__ok")
         case None => retainedSchema.limit(0)
       }
+      // sameAs retention is decided by the class diff: removed sameAs edges
+      // whose endpoints remain connected in the new classes are retained
+      val retainedSa = saDelta.flatMap(_.promSpo) match {
+        case Some(ps) => keyed(ps).select("__sk", "__pk", "__ok")
+        case None => retainedSchema.limit(0)
+      }
       graft.engine.DfOps.freshLeaf(
         sKeys.join(broadcast(retained.unionByName(retainedSchema)
-            .unionByName(retainedTrans)),
+            .unionByName(retainedTrans).unionByName(retainedSa)),
           Seq("__sk", "__pk", "__ok"), "left_anti"))
     }
 
@@ -673,7 +886,11 @@ object Rdfs {
       .join(broadcast(lostKeys), Seq("__sk", "__pk", "__ok"), "left_anti")
       .join(broadcast(addedKeys), Seq("__sk", "__pk", "__ok"), "left_anti")
       .drop("__sk", "__pk", "__ok")
-    val depth = tombstoneDepth(next).getOrElse(0)
+    // layout stores bound tombstone layers PER SEGMENT at application time
+    // (below) — the legacy whole-inferred-branch compaction applies only to
+    // stores without a partition-keyed layout
+    val depth =
+      if (next.layoutOpt.isDefined) 0 else tombstoneDepth(next).getOrElse(0)
     val afterLoss0 =
       if (depth < 6) exp.unionByName(tombstoned(inf))
       // accumulated layers live across ALL partitions, so compaction folds the
@@ -701,30 +918,59 @@ object Rdfs {
       .join(broadcast(lostKeys), Seq("__sk", "__pk", "__ok"), "left_anti")
       .join(broadcast(stillPresent), Seq("__sk", "__pk", "__ok"), "left_anti")
       .drop("__sk", "__pk", "__ok")
-    val afterLoss = afterLoss0.unionByName(graft.engine.DfOps.freshLeaf(
+    val promStmts = graft.engine.DfOps.freshLeaf(
       GraftStore.assemble(promoted
         .withColumn("g", Term.nullTerm)
-        .withColumn("stype", lit(GraftStore.STYPE_INFERRED).cast("byte")))))
+        .withColumn("stype", lit(GraftStore.STYPE_INFERRED).cast("byte"))))
+    val afterLoss = afterLoss0.unionByName(promStmts)
 
     // ---- insert side: same staged pass FORWARD (added facts/schema as taint)
     val hasInsertWork = !added.isEmpty || dScAdd.nonEmpty || dSpAdd.nonEmpty ||
-      dDomAdd.nonEmpty || dRngAdd.nonEmpty || dIbAdd.nonEmpty
-    val result =
-      if (!hasInsertWork) afterLoss
+      dDomAdd.nonEmpty || dRngAdd.nonEmpty || dIbAdd.nonEmpty ||
+      saDelta.exists(_.addSpo.isDefined)
+    val freshStmts: Option[DataFrame] =
+      if (!hasInsertWork) None
       else {
         // new transitive pairs from the cone (reach gained via added edges)
         // are conclusions AND taint: dom/rng/rdfs9 must fire on them. A
         // delete-only update cannot gain reach, so the None arm covers it.
-        val addedTaint = newTransSpo match {
-          case Some(nt) => added.select(col("s"), col("p"), col("o"))
-            .unionByName(nt)
-          case None => added.select(col("s"), col("p"), col("o"))
+        // Likewise new sameAs pairs from a class merge: the pairs themselves
+        // plus the substitutions of the merged classes' surviving facts onto
+        // the new aliases (one pruned-by-broadcast pass over the fact table).
+        val saAdds: Seq[DataFrame] = saDelta.toSeq.flatMap { sd =>
+          sd.addSpo.toSeq.flatMap { aSpo =>
+            val subs = sd.addAlias.toSeq.flatMap { aAl =>
+              val aliasNewO = sd.aliasNew.withColumnRenamed("alias", "alias2")
+                .withColumnRenamed("xid", "yid")
+              val f0 = afterLoss.filter(col("p_id") =!= sameAsId)
+                .select(col("s"), col("p"), col("o"))
+              val subjNew = f0.join(broadcast(aAl), col("s")("id") === col("xid"))
+                .select(col("alias").as("s"), col("p"), col("o"))
+              val objNew = f0.filter(col("o")("kind") =!= Term.KIND_LITERAL)
+                .join(broadcast(aAl.withColumnRenamed("alias", "alias2")
+                  .withColumnRenamed("xid", "yid")), col("o")("id") === col("yid"))
+                .select(col("s"), col("p"), col("alias2").as("o"))
+              // both-sided orbit members involving ≥1 new alias (the full
+              // class×class orbit is what closure() materializes)
+              val bothA = subjNew.filter(col("o")("kind") =!= Term.KIND_LITERAL)
+                .join(aliasNewO, col("o")("id") === col("yid"))
+                .select(col("s"), col("p"), col("alias2").as("o"))
+              val bothB = objNew.join(sd.aliasNew, col("s")("id") === col("xid"))
+                .select(col("alias").as("s"), col("p"), col("o"))
+              Seq(subjNew, objNew, bothA, bothB)
+            }
+            aSpo +: subs
+          }
         }
+        val addedTaint = (Seq(added.select(col("s"), col("p"), col("o"))) ++
+          newTransSpo ++ saAdds).reduce(_.unionByName(_))
         val newDerived = deltaDerive(spark, afterLoss, addedTaint,
           scNew, spNew, vNew.dom.toSeq, vNew.rng.toSeq, ibNew, vNew.restrictions,
-          dScAdd, dSpAdd, dDomAdd, dRngAdd, dIbAdd)
+          dScAdd, dSpAdd, dDomAdd, dRngAdd, dIbAdd, saDelta.map(_.aliasNew))
           .unionByName(newSchemaStmts)
           .unionByName(newTransSpo.getOrElse(newSchemaStmts.limit(0)))
+          .unionByName(saAdds.reduceOption(_.unionByName(_))
+            .getOrElse(newSchemaStmts.limit(0)))
         // novelty: keep only entailments not already present (any stype).
         // Same delta-side shape as promotion: prune the store scan to the new
         // conclusions' predicates, SEMI-join it against the broadcast
@@ -744,12 +990,54 @@ object Rdfs {
         val fresh = ndKeys
           .join(broadcast(already), Seq("__sk", "__pk", "__ok"), "left_anti")
           .drop("__sk", "__pk", "__ok")
-        afterLoss.unionByName(graft.engine.DfOps.freshLeaf(
+        Some(graft.engine.DfOps.freshLeaf(
           GraftStore.assemble(fresh
             .withColumn("g", Term.nullTerm)
             .withColumn("stype", lit(GraftStore.STYPE_INFERRED).cast("byte")))))
       }
-    Some(next.withStatements(result.select(GraftStore.columns.map(col): _*)))
+
+    // ---- apply: partition-keyed when the store carries a layout ----
+    // Only the partitions holding a tombstone key, a promotion, or a fresh
+    // conclusion change; their segments are replaced wholesale (untouched
+    // partitions keep their pruned scans and their existing segment plans —
+    // no dead branches, no stacking). Per-segment layer depth folds
+    // partition-sized past FOLD_LAYERS. Falls back to the legacy whole-frame
+    // result when the touched-pid probe overflows (cone spanning >64
+    // predicates) or the store has no layout.
+    val laidOut: Option[GraftStore] = next.layoutOpt.flatMap { lay =>
+      val touchedRows = t("touched-pids")(
+        lostKeys.select(col("__pk"))
+          .unionByName(addedKeys.select(col("__pk")))
+          .unionByName(promStmts.select(col("p_id").as("__pk")))
+          .unionByName(freshStmts.map(_.select(col("p_id").as("__pk")))
+            .getOrElse(promStmts.select(col("p_id").as("__pk")).limit(0)))
+          .distinct().limit(65).collect())
+      if (touchedRows.length > 64) None
+      else if (touchedRows.isEmpty) Some(next)
+      else {
+        val touched = touchedRows.map(_.getLong(0)).toSeq
+        val slice = lay.slice(touched)
+        val cols = GraftStore.columns.map(col)
+        val sliceNew0 = graft.engine.DfOps.reid(
+            slice.filter(col("stype") =!= GraftStore.STYPE_INFERRED))
+          .unionByName(tombstoned(graft.engine.DfOps.reid(
+            slice.filter(col("stype") === GraftStore.STYPE_INFERRED))))
+          .select(cols: _*)
+          .unionByName(promStmts.select(cols: _*))
+        val sliceNew = freshStmts.fold(sliceNew0)(f =>
+          sliceNew0.unionByName(f.select(cols: _*)))
+        val layers = lay.layersAt(touched) + 1
+        val (frame2, layers2) =
+          if (layers >= graft.engine.Update.FOLD_LAYERS)
+            (graft.engine.DfOps.freshLeaf(sliceNew), 0)
+          else (sliceNew, layers)
+        Some(next.withLayout(lay.replace(touched, frame2, layers2)))
+      }
+    }
+    Some(laidOut.getOrElse {
+      val result = freshStmts.fold(afterLoss)(afterLoss.unionByName)
+      next.withStatements(result.select(GraftStore.columns.map(col): _*))
+    })
   }
 
   /** Staged DELTA derivation: conclusions with ≥1 derivation (under the given
@@ -767,7 +1055,8 @@ object Rdfs {
       dom: Seq[(Row, Row)], rng: Seq[(Row, Row)], ib: Seq[(Row, Row)],
       restrictions: Seq[(Long, Row, Row)],
       dSc: Seq[(Row, Row)], dSp: Seq[(Row, Row)], dDom: Seq[(Row, Row)],
-      dRng: Seq[(Row, Row)], dIb: Seq[(Row, Row)]): DataFrame = {
+      dRng: Seq[(Row, Row)], dIb: Seq[(Row, Row)],
+      sa: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     def idOf(r: Row): Long = r.getAs[Long]("id")
     val allFacts = allFacts0.select(col("s"), col("p"), col("o"), col("p_id"))
@@ -829,6 +1118,27 @@ object Rdfs {
     }
     if (restrictions.nonEmpty)
       addStage(hasValueOf(taint.filter(col("p_id") === typeId)))
+    // owl:sameAs substitution (RuleOwlSameAs2/3): tainted facts substituted
+    // through the materialized all-pairs alias map — subject side then object
+    // side (non-literal), mirroring closure()'s one-pass stage order (the
+    // substituted copies then feed dom/rng/rdfs9 below, like the closure's
+    // factsForTypes). The taint is delta-sized; the alias map is a pruned
+    // partition scan keyed on node id.
+    sa.foreach { aliasOf =>
+      val aliasO = aliasOf.withColumnRenamed("alias", "alias2")
+        .withColumnRenamed("xid", "yid")
+      val t0 = taint.filter(col("p_id") =!= sameAsId)
+      val subj = t0.join(aliasOf, col("s")("id") === col("xid"))
+        .select(col("alias").as("s"), col("p"), col("o"))
+      val obj = t0.filter(col("o")("kind") =!= Term.KIND_LITERAL)
+        .join(aliasO, col("o")("id") === col("yid"))
+        .select(col("s"), col("p"), col("alias2").as("o"))
+      // both-sided orbit member (closure() derives the full class×class orbit)
+      val both = subj.filter(col("o")("kind") =!= Term.KIND_LITERAL)
+        .join(aliasO, col("o")("id") === col("yid"))
+        .select(col("s"), col("p"), col("alias2").as("o"))
+      addStage(subj.unionByName(obj).unionByName(both))
+    }
     // rdfs2/rdfs3: domain/range → type triples
     if (dom.nonEmpty || rng.nonEmpty || dDom.nonEmpty || dRng.nonEmpty) {
       def asCls(ps: Seq[(Row, Row)]): DataFrame =
@@ -877,7 +1187,8 @@ object Rdfs {
       base0: DataFrame, suspects: DataFrame, sKeys: DataFrame,
       sc: Seq[(Row, Row)], sp: Seq[(Row, Row)],
       dom: Seq[(Row, Row)], rng: Seq[(Row, Row)], ib: Seq[(Row, Row)],
-      restrictions: Seq[(Long, Row, Row)]): DataFrame = {
+      restrictions: Seq[(Long, Row, Row)],
+      sa: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     def idOf(r: Row): Long = r.getAs[Long]("id")
     def keyed(df: DataFrame): DataFrame = df
@@ -977,6 +1288,43 @@ object Rdfs {
             .join(broadcast(rDf), col("o")("id") === col("tid"))
             .select(col("s"), col("hp").as("p"), col("hv").as("o"))
         },
+        // sameAs substitution: a suspect (x' p y) is retained iff a surviving
+        // fact (x p y) has x' among x's NEW aliases (mirror for the object
+        // side). Premises are pruned to the suspects' predicate partitions AND
+        // semi-joined by the suspects' (p,o) / (s,p) key pairs BEFORE the
+        // alias join, so cost tracks the suspects, not the partitions.
+        sa.map { aliasOf =>
+          val s0 = suspects.filter(col("p")("id") =!= sameAsId)
+          val po = s0.select(col("p")("id").as("__qpk"), col("o")("id").as("__qok"))
+            .distinct()
+          val sp0 = s0.select(col("s")("id").as("__qsk"), col("p")("id").as("__qpk2"))
+            .distinct()
+          val prem = (suspPks match {
+            case Some(ids) => base.filter(col("p_id").isin(ids.toSeq: _*))
+            case None => base
+          }).filter(col("p_id") =!= sameAsId)
+          val subj = prem.join(broadcast(po),
+              col("p")("id") === col("__qpk") && col("o")("id") === col("__qok"),
+              "left_semi")
+            .join(aliasOf, col("s")("id") === col("xid"))
+            .select(col("alias").as("s"), col("p"), col("o"))
+          val aliasO = aliasOf.withColumnRenamed("alias", "alias2")
+            .withColumnRenamed("xid", "yid")
+          val obj = prem.filter(col("o")("kind") =!= Term.KIND_LITERAL)
+            .join(broadcast(sp0),
+              col("s")("id") === col("__qsk") && col("p")("id") === col("__qpk2"),
+              "left_semi")
+            .join(aliasO, col("o")("id") === col("yid"))
+            .select(col("s"), col("p"), col("alias2").as("o"))
+          // both-sided orbit: premise pruned to the suspect predicates only
+          // (neither endpoint key survives the double substitution)
+          val both = prem.filter(col("o")("kind") =!= Term.KIND_LITERAL)
+            .join(aliasOf, col("s")("id") === col("xid"))
+            .select(col("alias").as("s"), col("p"), col("o"))
+            .join(aliasO, col("o")("id") === col("yid"))
+            .select(col("s"), col("p"), col("alias2").as("o"))
+          subj.unionByName(obj).unionByName(both)
+        },
         // rdfs2/3: premise relevance keyed on the suspect TYPE subjects
         if (dom2.isEmpty) None else Some(
           prunedBy(dom2)
@@ -1003,11 +1351,11 @@ object Rdfs {
       )
       arms
     }
-    // closure() stage order: rdfs7 → inverse/symmetric → hasValue → dom → rng
-    // → rdfs9; arms are rebuilt against the grown `base` at each step, and the
-    // hasValue arm re-fires once more at the end (the second firing over
-    // re-derived types, like the materializer)
-    for (i <- 0 until 6) stages()(i).foreach(keep)
+    // closure() stage order: rdfs7 → inverse/symmetric → hasValue → sameAs →
+    // dom → rng → rdfs9; arms are rebuilt against the grown `base` at each
+    // step, and the hasValue arm re-fires once more at the end (the second
+    // firing over re-derived types, like the materializer)
+    for (i <- 0 until 7) stages()(i).foreach(keep)
     stages()(2).foreach(keep)
     retainedAcc
   }
@@ -1342,8 +1690,22 @@ object Rdfs {
         .join(broadcast(aliasOf), col("o")("id") === col("xid"))
         .select(col("s"), col("p"), col("alias").as("o"))
         .localCheckpoint()
+      // BOTH-sided substitution (the full class×class orbit): the reference's
+      // RuleOwlSameAs2/3 run inside an iterative rule engine to quiescence, so
+      // (x' p y') derives whenever x'~x AND y'~y — one more join off the
+      // already-substituted subjects closes the orbit in a single pass, and
+      // makes the materialized state CLOSED under substitution (which the
+      // delta TM pass relies on: substituting a materialized copy must never
+      // leave the orbit).
+      val bothSub = subjSub.filter(col("o")("kind") =!= Term.KIND_LITERAL)
+        .join(broadcast(aliasOf.withColumnRenamed("xid", "yid")
+          .withColumnRenamed("alias", "alias2")), col("o")("id") === col("yid"))
+        .select(col("s"), col("p"), col("alias2").as("o"))
+        .localCheckpoint()
       derived :+= subjSub
       derived :+= objSub
+      derived :+= bothSub
+      facts = facts.unionByName(withPid(graft.engine.DfOps.reid(bothSub)))
       facts = facts.unionByName(withPid(graft.engine.DfOps.reid(subjSub)))
         .unionByName(withPid(graft.engine.DfOps.reid(objSub)))
     }

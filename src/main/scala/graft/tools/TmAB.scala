@@ -69,9 +69,18 @@ object TmAB {
     // the per-property fixpoint over ALL chains, while a single-edge delete's
     // delta cone touches one chain — the O(delta) case VERDICT r11 asked for.
     val nChains = args.lift(2).map(_.toInt).getOrElse(10000)
+    // a sameAs slice: N/2 two-member equivalence classes over customer
+    // resources (each customer's facts gain substituted alias copies in the
+    // closure) — the materialized-sameAs store posture whose deletes the
+    // r12 verdict flagged as always-recompute
+    val nSame = math.max(2, nChains / 2)
+    // offset past the custIds the plain-delete scenarios use, so those A/B
+    // rows keep their original (sameAs-free) meaning
+    val sameNt = (nSame until 2 * nSame).map(i =>
+      s"<urn:t:customer:$i> <http://www.w3.org/2002/07/owl#sameAs> <urn:alias:c$i> .")
     val chainNt = (0 until nChains).flatMap { c =>
       (0 until 9).map(i => s"<urn:ch:$c:$i> <urn:p:next> <urn:ch:$c:${i + 1}> .")
-    } :+ ("<urn:p:next> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> " +
+    } ++ sameNt :+ ("<urn:p:next> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> " +
       "<http://www.w3.org/2002/07/owl#TransitiveProperty> .")
     val raw1 = graft.engine.Update(raw0,
       s"INSERT DATA { ${domAxioms.mkString("\n")} }")
@@ -103,6 +112,16 @@ object TmAB {
       // transitive edge insert (Modify → TM): links two chains, 30 new pairs
       """DELETE { <urn:ch:1:9> <urn:p:next> <urn:ch:1:9> . }
         |INSERT { <urn:ch:1:9> <urn:p:next> <urn:ch:2:0> . }
+        |WHERE {}""".stripMargin,
+      // sameAs-linked fact delete (Case A: classes unchanged — the alias map
+      // is the at-rest sameAs partition; suspects = the substituted copies)
+      s"DELETE DATA { <urn:t:customer:$nSame> a <urn:c:Customer> . }",
+      // sameAs edge delete (Case B: class split — alias copies retract)
+      s"DELETE DATA { <urn:t:customer:${nSame + 1}> " +
+        s"<http://www.w3.org/2002/07/owl#sameAs> <urn:alias:c${nSame + 1}> . }",
+      // sameAs edge insert via Modify (Case B: class merge — alias copies derive)
+      s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+        |INSERT { <urn:alias:c${nSame + 2}> <http://www.w3.org/2002/07/owl#sameAs> <urn:alias:c${nSame + 3}> . }
         |WHERE {}""".stripMargin)
 
     def keySet(st: graft.model.GraftStore) = st.statements

@@ -348,14 +348,92 @@ class TmDeltaSpec extends AnyFunSuite {
       expectDelta = false)
   }
 
-  test("fallback: sameAs store still correct via recompute") {
+  test("sameAs store: fact delete of an aliased node stays on the delta path") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
       :g4 { :m owl:sameAs :n . :m :name "m" . }
     """
     val st = atRest(t, "t12")
-    check(st, "DELETE DATA { GRAPH <urn:x:g4> { <urn:x:m> <urn:x:name> \"m\" . } }",
+    check(st, "DELETE DATA { GRAPH <urn:x:g4> { <urn:x:m> <urn:x:name> \"m\" . } }")
+  }
+
+  // ---- sameAs DRed: materialized equivalence classes ----
+
+  /** Chain class {m,n,o2} (two explicit edges), a second class {q,r}, facts on
+    * members, and a domain axiom so substituted copies cascade into rdfs2/9.
+    */
+  val saBase = s"""
+    @prefix : <urn:x:> .
+    @prefix rdfs: <$RDFS> .
+    @prefix owl: <$OWL> .
+    :g {
+      :name rdfs:domain :B .
+      :B rdfs:subClassOf :A .
+      :m owl:sameAs :n .
+      :n owl:sameAs :o2 .
+      :m :name "m" .
+      :p :name "p" .
+      :q owl:sameAs :r .
+      :q :likes :m .
+    }
+  """
+
+  test("sameAs: deleting a member fact retracts its substituted copies (delta)") {
+    val st = atRest(saBase, "sa1")
+    check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:m> <urn:x:name> \"m\" . } }")
+  }
+
+  test("sameAs: removed fact still derivable via an alias copy is promoted") {
+    val t = saBase + """
+      @prefix : <urn:x:> .
+      :g2 { :n :name "m" . }
+    """
+    val st = atRest(t, "sa2")
+    check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:m> <urn:x:name> \"m\" . } }")
+  }
+
+  test("sameAs edge delete splits the class: lost pairs + lost copies retract") {
+    val st = atRest(saBase, "sa3")
+    check(st,
+      s"DELETE DATA { GRAPH <urn:x:g> { <urn:x:n> <${OWL}sameAs> <urn:x:o2> . } }")
+  }
+
+  test("sameAs edge delete with an alternate connection: pairs survive, edge promotes") {
+    val t = saBase + s"""
+      @prefix : <urn:x:> .
+      @prefix owl: <$OWL> .
+      :g3 { :m owl:sameAs :o2 . }
+    """
+    val st = atRest(t, "sa4")
+    check(st,
+      s"DELETE DATA { GRAPH <urn:x:g> { <urn:x:n> <${OWL}sameAs> <urn:x:o2> . } }")
+  }
+
+  test("sameAs edge insert merges two classes: new pairs + member substitutions") {
+    val st = atRest(saBase, "sa5")
+    check(st,
+      s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+         |INSERT { <urn:x:o2> <${OWL}sameAs> <urn:x:q> . }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("sameAs: member fact insert derives substituted copies forward (delta)") {
+    val st = atRest(saBase, "sa6")
+    check(st,
+      s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+         |INSERT { <urn:x:n> <urn:x:name> "fresh" . }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("fallback: explicit sameAs combined with FP declarations still recomputes") {
+    val t = saBase + s"""
+      @prefix : <urn:x:> .
+      @prefix owl: <$OWL> .
+      :g6 { :ssn a owl:FunctionalProperty . }
+    """
+    val st = atRest(t, "sa7")
+    check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:m> <urn:x:name> \"m\" . } }",
       expectDelta = false)
   }
 
