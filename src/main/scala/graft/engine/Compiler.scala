@@ -1165,6 +1165,31 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     case other => OpJoin(v, other)
   }
 
+  /** Evaluate `SERVICE ?v { inner }` against the endpoints bound to ?v by the
+    * sibling `l`. Endpoint count is bounded (these are catalog entries, not
+    * data); each endpoint's answers are tagged with its endpoint IRI term so
+    * the join pairs solutions with their own endpoint's results.
+    */
+  private def varServiceJoin(l: Op, svc: Op, v: String, inner: Op,
+                             silent: Boolean): DataFrame = {
+    val dl = compile(l)
+    if (!dl.columns.contains(v))
+      throw new UnsupportedOperationException(
+        s"SERVICE ?$v: the endpoint variable is not bound by the group")
+    val eps = dl.filter(col(v).isNotNull && col(v)("kind") === Term.KIND_IRI)
+      .select(col(v)("str").as("__ep")).distinct().limit(33)
+      .collect().map(_.getString(0)).toSeq
+    if (eps.size > 32)
+      throw new UnsupportedOperationException(
+        s"SERVICE ?$v: more than 32 distinct endpoints bound")
+    val branches = eps.map { ep =>
+      Services.dispatchIri(this, ep, inner, silent).withColumn(v, Term.iri(ep))
+    }
+    val dr = branches.reduceOption(_.unionByName(_))
+      .getOrElse(unitDf.withColumn(v, Term.nullTerm).filter(lit(false)))
+    joinOp(l, svc, dl, dr, "inner")
+  }
+
   private def joinOp(lOp: Op, rOp: Op, dl: DataFrame, dr: DataFrame, how: String): DataFrame = {
     val shared = dl.columns.intersect(dr.columns).toSet
     val risky = (unboundOf(lOp) ++ unboundOf(rOp)) & shared
@@ -1187,6 +1212,17 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       val dr = compile(r)
       val dl = RemoteService.evaluateWith(spark, i, inner, silent, dr)
       joinOp(r, svc, dr, dl, "inner")
+    // SERVICE with a VARIABLE endpoint (SPARQL 1.1 Federated Query §4; the
+    // reference routes these through its ServiceRegistry aliases —
+    // eval/ServiceRegistry.java). The variable must be bound by the join
+    // sibling; the bound endpoint IRIs are vocabulary-sized by nature, so the
+    // probe collects them (bounded) and evaluates the service once per
+    // endpoint, tagging each result with its endpoint term — the join then
+    // keeps each solution paired with its own endpoint's answers.
+    case OpJoin(l, svc @ OpService(VarNode(v), inner, silent)) =>
+      varServiceJoin(l, svc, v, inner, silent)
+    case OpJoin(svc @ OpService(VarNode(v), inner, silent), r) =>
+      varServiceJoin(r, svc, v, inner, silent)
     case j @ OpJoin(_, _) =>
       // BIND/VALUES split a group's triples into separate OpBgp conjuncts, but
       // the reference's pipelined ALP still seeds a closure path from solutions
@@ -1830,16 +1866,22 @@ object Services {
   def mayYieldUnbound(iri: String): Boolean = unboundOk.contains(iri)
   def has(iri: String): Boolean = { BuiltinServices.init; registry.contains(iri) }
   def dispatch(c: Compiler, iri: Ast.Node, inner: Op, silent: Boolean): DataFrame = {
-    BuiltinServices.init
     iri match {
-      case IriNode(i) => registry.get(i) match {
-        case Some(fn) => fn(c, inner, silent)
-        // unregistered http(s) endpoint → SPARQL-protocol federation
-        case None if RemoteService.isRemoteIri(i) =>
-          RemoteService.evaluate(c.store.spark, i, inner, silent)
-        case None => throw new UnsupportedOperationException(s"no service registered for <$i>")
-      }
+      case IriNode(i) => dispatchIri(c, i, inner, silent)
+      case Ast.VarNode(v) => throw new UnsupportedOperationException(
+        s"SERVICE ?$v: the endpoint variable is not bound by the group")
       case other => throw new UnsupportedOperationException(s"SERVICE with $other")
+    }
+  }
+
+  def dispatchIri(c: Compiler, i: String, inner: Op, silent: Boolean): DataFrame = {
+    BuiltinServices.init
+    registry.get(i) match {
+      case Some(fn) => fn(c, inner, silent)
+      // unregistered http(s) endpoint → SPARQL-protocol federation
+      case None if RemoteService.isRemoteIri(i) =>
+        RemoteService.evaluate(c.store.spark, i, inner, silent)
+      case None => throw new UnsupportedOperationException(s"no service registered for <$i>")
     }
   }
 }

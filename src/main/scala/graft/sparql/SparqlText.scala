@@ -23,6 +23,12 @@ object SparqlText {
   }
 
   def node(n: Node): String = n match {
+    // parser-generated bnode placeholders (`[…]`/`(…)`/`_:label` → VarNode
+    // "-g_N"/"-bnl_X") are not legal variable syntax on the wire — print them
+    // as plain variables with a sanitized name (a bnode in a query pattern is
+    // semantically a fresh variable, SPARQL 1.1 §4.1.4)
+    case VarNode(v) if v.startsWith("-") =>
+      "?graftbn_" + v.stripPrefix("-").replaceAll("[^A-Za-z0-9_]", "_")
     case VarNode(v) => s"?$v"
     case IriNode(i) => s"<$i>"
     case LitNode(lex, Some(dt), _) => s""""${escape(lex)}"^^<$dt>"""

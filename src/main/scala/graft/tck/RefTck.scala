@@ -308,7 +308,7 @@ object RefTck {
 
   // ---- result comparison ----
 
-  private def compare(name: String, df: DataFrame, expected: Srx.Result): Outcome =
+  private[tck] def compare(name: String, df: DataFrame, expected: Srx.Result): Outcome =
     expected match {
       case Srx.BooleanResult(want) =>
         val got = df.collect().headOption.exists(_.getBoolean(0))

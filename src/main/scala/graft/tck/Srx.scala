@@ -15,8 +15,13 @@ object Srx {
 
   private val Xsd = "http://www.w3.org/2001/XMLSchema#"
 
-  def parse(f: File): Result = {
-    val root = scala.xml.XML.loadFile(f)
+  def parse(f: File): Result = parseXml(scala.xml.XML.loadFile(f))
+
+  /** Parse from in-memory XML text (the federation sweep rewrites endpoint
+    * aliases in the expected files before parsing). */
+  def parseString(xml: String): Result = parseXml(scala.xml.XML.loadString(xml))
+
+  private def parseXml(root: scala.xml.Elem): Result = {
     val bool = (root \ "boolean").headOption
     bool match {
       case Some(b) => BooleanResult(b.text.trim.toBoolean)
