@@ -303,6 +303,57 @@ class FeatureSpec extends GraftSuite {
     assert(offs.toSeq == Seq(0L, 125L, 250L, 375L))
   }
 
+  test("multimodal REAL video container metadata (MP4 + WebM headers)") {
+    // minimal ISO-BMFF: ftyp + moov{ mvhd(v0, timescale=1000, duration=2500)
+    // + trak{ tkhd(v0, 640x360 as 16.16 fixed) } } — header-only, no media
+    val mp4 = {
+      val bb = java.nio.ByteBuffer.allocate(16 + 8 + 28 + 100)
+      bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      bb.putInt(8 + 28 + 100).put("moov".getBytes)
+      bb.putInt(28).put("mvhd".getBytes)
+        .putInt(0).putInt(0).putInt(0) // ver/flags, ctime, mtime
+        .putInt(1000).putInt(2500)     // timescale, duration
+      bb.putInt(100).put("trak".getBytes)
+      bb.putInt(92).put("tkhd".getBytes)
+        .putInt(0).putInt(0).putInt(0).putInt(1).putInt(0) // hdr,times,id,res
+        .putInt(2500).putLong(0L)                          // duration, reserved
+        .putShort(0).putShort(0).putShort(0).putShort(0)   // layer/alt/vol/res
+      (0 until 9).foreach(_ => bb.putInt(0))               // matrix
+      bb.putInt(640 << 16).putInt(360 << 16)               // width, height 16.16
+      bb.array()
+    }
+    // minimal WebM: EBML{DocType="webm"} + Segment{ Info{ TimecodeScale=1e6,
+    // Duration=2500.0f } Tracks{ TrackEntry{ Video{ 320x240 } } } }
+    val webm = {
+      val hex = "1A45DFA3" + "87" + "4282" + "84" + "7765626D" + // "webm"
+        "18538067" + "A4" +
+        "1549A966" + "8E" +
+        "2AD7B1" + "83" + "0F4240" +
+        "4489" + "84" + "451C4000" + // 2500.0f
+        "1654AE6B" + "8C" +
+        "AE" + "8A" +
+        "E0" + "88" +
+        "B0" + "82" + "0140" + // 320
+        "BA" + "82" + "00F0"   // 240
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }
+    val docs = Seq((1L, mp4), (2L, webm), (3L, "not video".getBytes))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.decodeMeta(docs, "payload")
+    val m1 = meta.filter(col("doc_id") === 1).select("meta").first().getStruct(0)
+    assert(m1.getAs[String]("format") == "mp4")
+    assert(m1.getAs[Long]("duration_ms") == 2500L)
+    assert(m1.getAs[Int]("width") == 640 && m1.getAs[Int]("height") == 360)
+    val m2 = meta.filter(col("doc_id") === 2).select("meta").first().getStruct(0)
+    assert(m2.getAs[String]("format") == "webm")
+    assert(m2.getAs[Long]("duration_ms") == 2500L)
+    assert(m2.getAs[Int]("width") == 320 && m2.getAs[Int]("height") == 240)
+    // frame sampling rides the parsed duration
+    val offs = Multimodal.frameSample(docs.filter(col("doc_id") === 2), "payload", 5)
+      .select("frame_offset_ms").collect().map(_.getLong(0)).sorted
+    assert(offs.toSeq == Seq(0L, 500L, 1000L, 1500L, 2000L))
+  }
+
   // ---- streaming ----
   test("incremental triple ingest via structured streaming") {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
