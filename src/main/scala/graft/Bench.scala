@@ -89,8 +89,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfShort = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // measurement-basis note: q_truth_maint times the DRed pass + query over a
+    // warmed at-rest closed store SINCE r12 (rounds ≤11 included the closure
+    // build) — cross-round drift tooling must not compare across that change
     val line =
-      s"""{"queries":$qs,"metric":"total","value":${f(total)},"unit":"sec","load_sec":${f(loadSec)},"load_cold":$loadCold,"load_state":"$loadState","sf":"$sfShort"}"""
+      s"""{"queries":$qs,"metric":"total","value":${f(total)},"unit":"sec","load_sec":${f(loadSec)},"load_cold":$loadCold,"load_state":"$loadState","sf":"$sfShort","notes":"q_truth_maint basis changed in r12 (DRed over warmed at-rest store; pre-r12 totals not comparable for that entry)"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Exception => () } // read-only cwd must not fail the bench
     println(line)

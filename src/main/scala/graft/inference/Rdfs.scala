@@ -140,6 +140,14 @@ object Rdfs {
     * TM pass compacts (commits the touched partitions) only when the stack
     * passes its depth bound. INNER joins (rule derivations) and aggregates
     * still mean a lazy closure pipeline → full recompute.
+    *
+    * Known approximation (accepted): "leaf is LogicalRDD" conflates
+    * MATERIALIZED with DELTA-SIZED — a store-scale checkpoint reused as an
+    * anti-join right side would still classify as a tombstone. Every right
+    * side OUR mutation paths construct is a freshLeaf'd delta key frame, and
+    * layout stores additionally track genuine rewrite layers explicitly
+    * (LayoutSeg.layers, bounded at write time), so the approximation is only
+    * reachable from hand-built store plans.
     */
   private[graft] def tombstoneDepth(store: GraftStore): Option[Int] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LocalRelation}
