@@ -23,6 +23,38 @@ object Dev {
 
   def main(args: Array[String]): Unit = {
     val spark = session()
+    // probe 13 (r13): Turtle-star load → BIND-sid statement-pattern lookup →
+    // VARNAME/'-' subtraction → ORDER BY FunctionCall, oracled by Spark SQL
+    // over the same raw parquet
+    locally {
+      val nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        .select("n_nationkey", "n_name").collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getString(1))).sortBy(_._1)
+      val ttlx = nat.map { case (k, nm) =>
+        s"""<urn:n:$k> <urn:p:name> "$nm" .
+           |<< <urn:n:$k> <urn:p:name> "$nm" >> <urn:p:src> <urn:s:tpch> ;
+           |   <urn:p:key> $k .""".stripMargin
+      }.mkString("\n")
+      val st = new model.GraftStore(spark,
+        sources.Rio.readTurtle(spark, ttlx).localCheckpoint())
+      val got = engine.Engine.query(st,
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?name ?k WHERE {
+          |  BIND(<< ?x <urn:p:name> ?name >> AS ?sid)
+          |  ?sid <urn:p:key> ?k .
+          |  FILTER(?k-10 >= 0)
+          |} ORDER BY xsd:integer(str(?k))""".stripMargin)
+        .select(col("name")("str"), col("k")("num").cast("long")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val want = nat.filter(_._1 >= 10).map { case (k, nm) => (nm, k) }
+      println(s"PROBE-R13-TTLX got=${got.length} want=${want.length} " +
+        s"equal=${got.toSeq == want.toSeq} head=${got.headOption}")
+      val n5 = nat.find(_._1 == 5L).map(_._2).getOrElse(nat.head._2)
+      val wild = engine.Engine.query(st,
+        s"""SELECT ?p WHERE { << <urn:n:5> <urn:p:name> "$n5" >> ?p ?o }""")
+        .select(col("p")("str")).collect().map(_.getString(0)).sorted.toSeq
+      println(s"PROBE-R13-WILDCARD preds=$wild (expect urn:p:key, urn:p:src only)")
+    }
     // probe 11 (r4): geo:search service over packed literals
     locally {
       val gs = engine.Update(model.Tpch.store(spark, "/root/testdata/sf0.001"),

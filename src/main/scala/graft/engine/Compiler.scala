@@ -634,7 +634,16 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         df = df.filter(col("p_id") === TermIds.iriId(iri))
         // a predicate living in a single graph cannot duplicate across graphs
         dedupSpo &&= t.g.isEmpty && store.multiGraphPids(TermIds.iriId(iri))
-      case PLink(_) => () // variable predicate
+      case PLink(_) =>
+        // variable predicate: a sid's reification decomposition (sid rdf:subject s,
+        // …) is VIRTUAL in the reference (SidIV unpacks on demand) — here it is
+        // materialized, so a wildcard ?p over a KIND_SID subject must not surface
+        // it (rdr-04: `<<?s ?p ?o>> ?p1 ?o1` returns annotations only). Explicit
+        // reification on non-sid subjects (bnode rdf:subject quads) stays visible.
+        val decomp = Seq(Term.RDF_SUBJECT, Term.RDF_PREDICATE, Term.RDF_OBJECT)
+          .map(TermIds.iriId)
+        df = df.filter(col("s")("kind") =!= Term.KIND_SID ||
+          !col("p_id").isin(decomp: _*))
       case PNeg(set) =>
         val fwd = set.collect { case (i, false) => TermIds.iriId(i) }
         if (set.exists(_._2))

@@ -169,8 +169,12 @@ object Rio {
 
   /** Turtle subset loader (single-node parse → distributed encode, the SURVEY §2.1
     * Turtle/TriG strategy): supports @prefix/@base, prefixed names, `a`, `;`/`,` lists,
-    * typed/lang literals, numeric shorthand, labeled bnodes. Rides the SPARQL grammar's
-    * quad-data production (`INSERT DATA`), which shares Turtle's triples syntax.
+    * typed/lang literals, numeric shorthand, labeled bnodes, and Turtle-star
+    * (`.ttlx` — `<< s p o >>` terms; the reference's RDR data interchange,
+    * `rdf/rio/turtle/BigdataTurtleParser.java`). Rides the SPARQL grammar's
+    * quad-data production (`INSERT DATA`), which shares Turtle's triples syntax —
+    * embedded triples assert the inner statement plus its reification
+    * decomposition, like the INSERT DATA SIDs mode.
     */
   def readTurtle(spark: SparkSession, turtle: String): DataFrame = {
     val lines = turtle.linesIterator.toSeq.map { l =>
@@ -193,7 +197,13 @@ object Rio {
       case VarNode(v) => (Term.KIND_BNODE, v, null, null) // parser's bnode placeholder
       case LitNode(lex, dt, lang) => (Term.KIND_LITERAL, lex, dt.orNull, lang.orNull)
     }
-    val quads = ops.collect { case InsertData(q) => q }.flatten.map { q =>
+    val all = ops.collect { case InsertData(q) => q }.flatten
+    // embedded-triple terms need the full Column-space term builder (a sid's id
+    // derives from its canonicalized components — Term.sid); the flat ParsedQuad
+    // row path stays the bulk route for everything else
+    def isSid(n: Node): Boolean = n.isInstanceOf[SidNode]
+    val (sidful, plainQ) = all.partition(q => isSid(q.s) || isSid(q.o) || q.g.exists(isSid))
+    val quads = plainQ.map { q =>
       val s = flat(q.s); val o = flat(q.o)
       val p = q.p match { case IriNode(i) => i
         case other => throw new IllegalArgumentException(s"predicate must be IRI: $other") }
@@ -202,7 +212,43 @@ object Rio {
       ParsedQuad(s._1, s._2, p, o._1, o._2, o._3, o._4, Term.KIND_IRI, g.orNull)
     }
     import spark.implicits._
-    statementsFromParsed(quads.toDF())
+    val plainDf = statementsFromParsed(quads.toDF())
+    if (sidful.isEmpty) plainDf
+    else {
+      // RDF set semantics across the two routes: an annotation's inner-statement
+      // assertion usually repeats a triple the document also states plainly
+      // (and two annotations on one statement repeat its decomposition)
+      plainDf.unionByName(sidStatements(spark, sidful))
+        .withColumn("__sid", col("s")("id")).withColumn("__oid", col("o")("id"))
+        .withColumn("__gid", col("g")("id"))
+        .dropDuplicates("__sid", "p_id", "__oid", "__gid", "stype")
+        .drop("__sid", "__oid", "__gid")
+    }
+  }
+
+  /** Quads whose terms include `<< s p o >>` (Turtle-star / SIDs): terms are built
+    * recursively in Column space so the sid's canonical string — and therefore its
+    * id — matches `Term.sid` on every other path (query patterns, INSERT DATA).
+    * Batched array-explode keeps the plan literal count bounded; annotation
+    * statements are a small fraction of any corpus, the bulk rides ParsedQuad.
+    */
+  private def sidStatements(spark: SparkSession,
+                            quads: Seq[graft.sparql.Ast.QuadData]): DataFrame = {
+    import graft.sparql.Ast._
+    def term(n: Node): Column = n match {
+      case SidNode(s, p, o) => Term.sid(term(s), term(p), term(o))
+      case VarNode(v) => Term.bnode(lit(v)) // parser's bnode placeholder, stable per doc
+      case other => graft.engine.Exprs.constTerm(other)
+    }
+    quads.grouped(512).map { batch =>
+      val rows = batch.map { q =>
+        struct(term(q.s).as("s"), term(q.p).as("p"), term(q.o).as("o"),
+          q.g.map(term).getOrElse(Term.nullTerm).as("g"))
+      }
+      GraftStore.assemble(spark.range(1).select(explode(array(rows: _*)).as("q"))
+        .select(col("q.s").as("s"), col("q.p").as("p"), col("q.o").as("o"),
+          col("q.g").as("g"), lit(GraftStore.STYPE_EXPLICIT).cast("byte").as("stype")))
+    }.reduce(_.unionByName(_))
   }
 
   /** TriG document string → statements. TriG wraps Turtle triples in graph blocks —

@@ -39,6 +39,9 @@ object Parser {
     def isWS(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
     def nameStart(c: Char) = c.isLetter || c == '_' || c.isDigit
     def nameChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '-'
+    // VARNAME is stricter than PN_LOCAL: no '-' (sparql.jj VARNAME production —
+    // `?countTotal-?countF` is a subtraction, not one hyphenated variable)
+    def varChar(c: Char) = c.isLetterOrDigit || c == '_'
     while (i < n) {
       val c = q(i)
       if (isWS(c)) i += 1
@@ -55,10 +58,10 @@ object Parser {
         val (s, ni) = lexString(q, i)
         out += TStr(s, i); i = ni
       } else if (c == '?' && i + 1 < n && nameStart(q(i + 1))) {
-        var j = i + 1; while (j < n && nameChar(q(j))) j += 1
+        var j = i + 1; while (j < n && varChar(q(j))) j += 1
         out += TVar(q.substring(i + 1, j), i); i = j
       } else if (c == '$' && i + 1 < n && nameStart(q(i + 1))) {
-        var j = i + 1; while (j < n && nameChar(q(j))) j += 1
+        var j = i + 1; while (j < n && varChar(q(j))) j += 1
         out += TVar(q.substring(i + 1, j), i); i = j
       } else if (c == '@' ) {
         var j = i + 1; while (j < n && (q(j).isLetterOrDigit || q(j) == '-')) j += 1
@@ -483,6 +486,11 @@ object Parser {
           case TVar(n, _) => i += 1; keys += ((EVar(n), true))
           case TPunct("(", _) => keys += ((parseBracketted(), true))
           case TWord(_, _, _) if isBuiltinStart => keys += ((parsePrimaryExpr(), true))
+          case TIri(_, _) | TPName(_, _, _)
+            if toks.lift(i + 1).exists { case TPunct("(", _) => true; case _ => false } =>
+            // OrderCondition ::= … | FunctionCall (`ORDER BY xsd:double(str(?price))`,
+            // BSBM explore query10)
+            keys += ((parsePrimaryExpr(), true))
           case _ => go = false
         }
         orderBy = keys.toSeq
@@ -546,7 +554,7 @@ object Parser {
           case TWord("BIND", _, _) =>
             i += 1; expectPunct("(")
             val e = parseExpr(); expectWord("AS"); val v = parseVar(); expectPunct(")")
-            elems += BindGP(e, v)
+            elems ++= desugarSidBind(e, v).getOrElse(Seq(BindGP(e, v)))
           case TWord("LET", _, _) =>
             // legacy assignment syntax `LET (?v := expr)` — the reference's
             // sparql.jj AssignmentNode production, equivalent to BIND(expr AS ?v)
@@ -557,7 +565,7 @@ object Parser {
               case _ => fail("expected ':=' in LET")
             }
             val e = parseExpr(); expectPunct(")")
-            elems += BindGP(e, v)
+            elems ++= desugarSidBind(e, v).getOrElse(Seq(BindGP(e, v)))
           case TWord("VALUES", _, _) => elems += parseValues()
           case TWord("GRAPH", _, _) =>
             i += 1
@@ -671,6 +679,37 @@ object Parser {
       out += TripleGP(sid, PLink(graft.model.Term.RDF_PREDICATE), p)
       out += TripleGP(sid, PLink(graft.model.Term.RDF_OBJECT), o)
       sid
+    }
+
+    /** `BIND(<< s p o >> AS ?sid)` is a statement-pattern MATCH in the reference's
+      * RDR semantics, not a constructor: it binds ?sid (and any unbound inner
+      * variables) from statements that EXIST — the sid lookup form
+      * (TestReificationDoneRightEval.java rdr-02a/03/03a; a sid exists only for
+      * an asserted statement, so the inner triple pattern joins too — rdr-03a
+      * expects only the reification whose base statement is present). Pattern
+      * position `<< s p o >>` stays decomposition-only (no inner-assertion join):
+      * the history service addresses sids of RETRACTED statements through it.
+      * Only a bare ESid over vars/constants desugars; nested or computed forms
+      * keep expression (constructor) semantics.
+      */
+    private def desugarSidBind(e: Expr, v: VarNode): Option[Seq[GP]] = e match {
+      case ESid(s, p, o) =>
+        def node(x: Expr): Option[Node] = x match {
+          case EVar(n) => Some(VarNode(n))
+          case EConst(n) => Some(n)
+          case _ => None
+        }
+        def pred(x: Expr): Option[Path] = x match {
+          case EVar(n) => Some(PLink("?" + n)) // var-predicate marker
+          case EConst(IriNode(i)) => Some(PLink(i))
+          case _ => None
+        }
+        for (sN <- node(s); pP <- pred(p); oN <- node(o)) yield Seq(
+          TripleGP(sN, pP, oN),
+          TripleGP(v, PLink(graft.model.Term.RDF_SUBJECT), sN),
+          TripleGP(v, PLink(graft.model.Term.RDF_PREDICATE), node(p).get),
+          TripleGP(v, PLink(graft.model.Term.RDF_OBJECT), oN))
+      case _ => None
     }
 
     /** RDF collection `(e1 e2 …)` → rdf:first/rdf:rest chain on fresh bnodes. */

@@ -111,8 +111,14 @@ object RefTck {
     runCase(spark, dir, name, name + ".rq",
       dataFile(dir, name).toSeq.map(_.getName), name + ".srx")
 
+  /** Root of the reference test module — data wired by resource path
+    * (`src/test/resources/data/…`, the RTO suite convention) resolves here.
+    */
+  val ModuleRoot = "/root/reference/bigdata-rdf-test"
+
   def runCase(spark: SparkSession, dir: File, name: String, rqName: String,
-              dataNames: Seq[String], srxName: String): Outcome = {
+              dataNames: Seq[String], srxName: String,
+              prep: GraftStore => GraftStore = identity): Outcome = {
     val rq = Files.readString(new File(dir, rqName).toPath)
     // skip-detection must ignore comment lines — ticket-618f's prose mentions
     // "SELECT" while the query itself is a CONSTRUCT, and
@@ -178,8 +184,23 @@ object RefTck {
     val store =
       try {
         val dfs = dataNames.map { dn =>
-          val data = new File(dir, dn)
-          val text0 = Files.readString(data.toPath)
+          // suite-relative names (possibly with subdirs, e.g. `bsbm/emptyDataset.nt`)
+          // resolve against the suite dir; resource-path wirings
+          // (`src/test/resources/…`, the RTO convention) against the module root
+          val data = {
+            val local = new File(dir, dn)
+            if (local.exists()) local else new File(ModuleRoot, dn)
+          }
+          val bytes0 = Files.readAllBytes(data.toPath)
+          val gz = dn.endsWith(".gz")
+          val bytes =
+            if (gz) {
+              val in = new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(bytes0))
+              try in.readAllBytes() finally in.close()
+            } else bytes0
+          val base = if (gz) dn.stripSuffix(".gz") else dn
+          val text0 = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
           // ticket_blzg_1284.trig uses skos:prefLabel without declaring the
           // prefix — the reference's Sesame parser stack resolves it from its
           // preset namespace table (the query file declares the same mapping);
@@ -188,17 +209,22 @@ object RefTck {
             if (dn.startsWith("ticket_blzg_1284"))
               "@prefix skos: <http://www.w3.org/2004/02/skos/core#> .\n" + text0
             else text0
-          if (dn.endsWith(".nt")) {
+          if (base.endsWith(".nt") || base.endsWith(".nq")) {
             import spark.implicits._
             Rio.statementsFromLines(text.linesIterator.toSeq.toDS())
-          } else if (dn.endsWith(".trig")) Rio.readTrig(spark, text)
-          else if (dn.endsWith(".rdf") || dn.endsWith(".xml")) Rio.readRdfXml(spark, text)
-          else if (dn.endsWith(".ttl") || dn.endsWith(".n3")) Rio.readTurtle(spark, text)
+          } else if (base.endsWith(".trig")) Rio.readTrig(spark, text)
+          else if (base.endsWith(".rdf") || base.endsWith(".xml")) Rio.readRdfXml(spark, text)
+          else if (base.endsWith(".ttl") || base.endsWith(".ttlx") || base.endsWith(".n3"))
+            Rio.readTurtle(spark, text)
           else throw new IllegalArgumentException(s"unsupported data format: $dn")
         }
-        val df = dfs.reduceOption(_.unionByName(_))
-          .getOrElse(throw new IllegalArgumentException("no data file"))
-        new GraftStore(spark, df.localCheckpoint())
+        // an empty wiring (`new String[]{}` — e.g. BSBM-Q1 against no data) is a
+        // legitimate case: the expected results prove the query yields nothing
+        val df = dfs.reduceOption(_.unionByName(_)).getOrElse {
+          import spark.implicits._
+          Rio.statementsFromLines(spark.emptyDataset[String])
+        }
+        prep(new GraftStore(spark, df.localCheckpoint()))
       } catch {
         case e: Exception => return Outcome(name, "SKIP-DATA", msg(e))
       }

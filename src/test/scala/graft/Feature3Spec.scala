@@ -135,8 +135,9 @@ class Feature3Spec extends GraftSuite {
       """INSERT DATA {
         |  << <urn:f3:b1> <urn:p:worksFor> <urn:f3:inc> >> <urn:p:certainty> 0.7 .
         |}""".stripMargin)
-    // the expression-built sid joins against the annotation stored via the
-    // pattern decomposition — same term construction on both paths
+    // BIND(<< >>) is the RDR statement-pattern lookup (reif TCK suite): it
+    // matches the asserted statement and binds its sid, which then joins the
+    // annotation stored via the pattern decomposition
     val df = Engine.query(s0,
       """SELECT ?c WHERE {
         |  BIND(<< <urn:f3:b1> <urn:p:worksFor> <urn:f3:inc> >> AS ?sid)

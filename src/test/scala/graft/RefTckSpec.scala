@@ -28,8 +28,10 @@ class RefTckSpec extends GraftSuite {
   test("reference TCK corpus: zero FAIL / zero ERROR") {
     assume(new java.io.File(RefTck.EvalDir).isDirectory, "reference corpus not mounted")
     // eval corpus + the SERVICE-federation suite (openrdf-service manifest,
-    // served loopback through the repo's own SparqlServer — see FedTck)
-    val outcomes = RefTck.run(spark) ++ graft.tck.FedTck.run(spark)
+    // served loopback through the repo's own SparqlServer — see FedTck) + the
+    // eval subdirectory suites (reif/ RDF*, rto/ — see SubTck)
+    val outcomes = RefTck.run(spark) ++ graft.tck.FedTck.run(spark) ++
+      graft.tck.SubTck.run(spark)
     val by = outcomes.groupBy(_.status).view.mapValues(_.size).toMap.toSeq.sortBy(_._1)
     val skips = outcomes.filter(_.status.startsWith("SKIP"))
       .map(o => "\"" + o.name + "\":\"" + o.status + "\"").mkString("{", ",", "}")
