@@ -55,6 +55,25 @@ object Dev {
         .select(col("p")("str")).collect().map(_.getString(0)).sorted.toSeq
       println(s"PROBE-R13-WILDCARD preds=$wild (expect urn:p:key, urn:p:src only)")
     }
+    // probe 14 (r13): solution-set UPDATE extension end-to-end, oracled by
+    // Spark SQL over the raw parquet — INSERT INTO builds the set, DELETE FROM
+    // evicts, INCLUDE joins the survivors back to the store
+    locally {
+      val st = engine.Update(model.Tpch.store(spark, "/root/testdata/sf0.001"),
+        """INSERT INTO %hot SELECT ?n ?name
+          |WHERE { ?n <urn:p:n_name> ?name ; <urn:p:n_nationkey> ?k } ;
+          |DELETE FROM %hot SELECT ?n ?name
+          |WHERE { ?n <urn:p:n_name> ?name ; <urn:p:n_nationkey> ?k . FILTER(?k < 10) }""".stripMargin)
+      val got = engine.Engine.query(st,
+        "SELECT ?name ?k WHERE { INCLUDE %hot . ?n <urn:p:n_nationkey> ?k } ORDER BY ?name")
+        .select(col("name")("str"), col("k")("num").cast("long")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val want = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        .select("n_name", "n_nationkey").collect()
+        .map(r => (r.getString(0), r.getAs[Number](1).longValue))
+        .filter(_._2 >= 10).sortBy(_._1).toSeq
+      println(s"PROBE-R13-SSETS got=${got.length} want=${want.length} equal=${got == want}")
+    }
     // probe 11 (r4): geo:search service over packed literals
     locally {
       val gs = engine.Update(model.Tpch.store(spark, "/root/testdata/sf0.001"),

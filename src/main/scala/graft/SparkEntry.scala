@@ -539,6 +539,23 @@ object SparkEntry {
            |  } }""".stripMargin, oLng("cnt"))(s, dir)): Q,
       Some("SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM orders")),
 
+    // solution-set update extension (INSERT INTO / DELETE FROM %set +
+    // INCLUDE join — sail/tck/BigdataSPARQLUpdateTest2.java, ast/ssets):
+    // build a named set from nation, evict the low keys, INCLUDE-join back
+    ("q_sset_update", ((s: SparkSession, dir: String) => {
+      val updated = graft.engine.Update(Tpch.store(s, dir),
+        """INSERT INTO %hot SELECT ?n ?name
+          |WHERE { ?n <urn:p:n_name> ?name ; <urn:p:n_nationkey> ?k } ;
+          |DELETE FROM %hot SELECT ?n ?name
+          |WHERE { ?n <urn:p:n_name> ?name ; <urn:p:n_nationkey> ?k . FILTER(?k < 10) }""".stripMargin)
+      Engine.query(updated,
+        """SELECT ?name ?k WHERE { INCLUDE %hot .
+          |  ?n <urn:p:n_nationkey> ?k } ORDER BY ?name""".stripMargin)
+        .select(oStr("name"), oLng("k"))
+    }): Q,
+      Some("""SELECT n_name AS name, CAST(n_nationkey AS BIGINT) AS k
+             | FROM nation WHERE n_nationkey >= 10 ORDER BY 1""".stripMargin)),
+
     ("q_update_insert", ((s: SparkSession, dir: String) => {
       val updated = graft.engine.Update(Tpch.store(s, dir),
         """INSERT DATA { <urn:t:region:99> a <urn:c:Region> .

@@ -2125,6 +2125,43 @@ object SolutionSets {
   def drop(store: GraftStore, name: String): Unit =
     cache.synchronized { cache.remove((store, name)) }
 
+  /** Append solutions to a named set (creating it), `INSERT INTO %set` —
+    * solution sets are multisets, so this is a bag union.
+    */
+  def insertSolutions(store: GraftStore, name: String, sols: DataFrame): Unit =
+    cache.synchronized {
+      val next = cache.asScalaGet(store, name) match {
+        case Some(cur) => cur.unionByName(sols, allowMissingColumns = true)
+        case None => sols
+      }
+      cache.put((store, name), next.localCheckpoint())
+    }
+
+  /** Remove from a named set every solution that agrees with some projected
+    * solution on the projection's columns (null-safe term-id equality),
+    * `DELETE FROM %set`.
+    */
+  def deleteSolutions(store: GraftStore, name: String, sols: DataFrame): Unit =
+    cache.synchronized {
+      cache.asScalaGet(store, name).foreach { cur =>
+        val shared = sols.columns.filter(cur.columns.contains)
+        val next =
+          if (shared.isEmpty) cur
+          else {
+            val d = sols.select(shared.map(col): _*).localCheckpoint()
+            cur.join(d, shared.map(c => cur(c)("id") <=> d(c)("id")).reduce(_ && _),
+              "left_anti")
+          }
+        cache.put((store, name), next.localCheckpoint())
+      }
+    }
+
+  private implicit class CacheOps(
+      m: java.util.LinkedHashMap[(GraftStore, String), DataFrame]) {
+    def asScalaGet(store: GraftStore, name: String): Option[DataFrame] =
+      Option(m.get((store, name)))
+  }
+
   private[engine] def view(store: GraftStore): Map[String, DataFrame] = cache.synchronized {
     import scala.jdk.CollectionConverters._
     cache.asScala.collect { case ((s, n), df) if s eq store => n -> df }.toMap

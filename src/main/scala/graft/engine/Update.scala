@@ -269,6 +269,29 @@ object Update {
     (s2, actDel, actIns)
   }
 
+  /** `INSERT INTO %set` / `DELETE FROM %set` (solution-set update extension,
+    * `sail/tck/BigdataSPARQLUpdateTest2.java:456-870`): evaluate WHERE once
+    * against the store, project per clause, mutate the named sets. The
+    * statement store itself is unchanged, so the same store is returned and
+    * `INCLUDE %set` on it sees the updated solutions.
+    */
+  private def applySolutionsUpdate(store: GraftStore,
+                                   su: SolutionsUpdate): GraftStore = {
+    val c = new Compiler(store, DatasetSpec.all)
+    val sol = DfOps.freshLeaf(c.compile(graft.sparql.Algebra.lower(su.where)))
+    def proj(vars: Seq[String]): DataFrame =
+      if (vars.isEmpty) sol
+      else sol.select(vars.map(v =>
+        if (sol.columns.contains(v)) col(v) else Term.nullTerm.as(v)): _*)
+    // delete first, then insert — `DELETE FROM … INSERT INTO … WHERE` moves
+    // the solutions (both clauses see the same pre-evaluated WHERE multiset)
+    su.delete.foreach { case (name, vars) =>
+      SolutionSets.deleteSolutions(store, name, proj(vars)) }
+    su.insert.foreach { case (name, vars) =>
+      SolutionSets.insertSolutions(store, name, proj(vars)) }
+    store
+  }
+
   def applyOp(store: GraftStore, op: UpdateOp): GraftStore = op match {
     case InsertData(quads) => insert(store, constQuads(store, quads), knownPids(quads))
     case DeleteData(quads) => delete(store, constQuads(store, quads), knownPids(quads))
@@ -281,6 +304,7 @@ object Update {
       store.withStatements(store.statements.filter(
         col("g").isNull || col("g")("id") =!= TermIds.iriId(g)))
     case m: Modify => applyModify(store, m)._1
+    case su: SolutionsUpdate => applySolutionsUpdate(store, su)
     case CreateGraph(_) => store // schemaless store: graphs exist by containing triples
     case LoadGraph(src, into, silent) =>
       try {

@@ -121,5 +121,15 @@ object Ast {
   final case class CopyGraph(from: GraphRef, to: GraphRef) extends UpdateOp
   final case class MoveGraph(from: GraphRef, to: GraphRef) extends UpdateOp
   final case class CreateGraph(iri: String) extends UpdateOp // no-op on a schemaless store
+  /** Solution-set update extension (`INSERT INTO %set SELECT … WHERE` /
+    * `DELETE FROM %set SELECT … [INSERT INTO %set SELECT …] WHERE` — the
+    * reference's SPARQL UPDATE extension for named solution sets,
+    * `sail/tck/BigdataSPARQLUpdateTest2.java:456-870`, ast/ssets): WHERE is
+    * evaluated once; each clause projects its own variable list (Nil = `*`);
+    * DELETE removes matching solutions from the set, INSERT appends.
+    */
+  final case class SolutionsUpdate(delete: Option[(String, Seq[String])],
+                                   insert: Option[(String, Seq[String])],
+                                   where: GP) extends UpdateOp
   final case class QuadData(s: Node, p: Node, o: Node, g: Option[Node])
 }

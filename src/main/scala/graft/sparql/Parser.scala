@@ -1046,7 +1046,13 @@ object Parser {
         cur match {
           case TWord("INSERT", _, _) =>
             i += 1
-            if (acceptWord("DATA")) {
+            if (isWord("INTO")) { // INSERT INTO %set SELECT … WHERE (solution sets)
+              if (withG.isDefined) fail("WITH is not allowed with INSERT INTO")
+              acceptWord("INTO")
+              val tgt = parseSsetClause()
+              expectWord("WHERE")
+              ops += SolutionsUpdate(None, Some(tgt), parseGroupGP())
+            } else if (acceptWord("DATA")) {
               if (withG.isDefined) fail("WITH is not allowed with INSERT DATA")
               ops += InsertData(parseQuadData(assertInner = true))
             } else { // INSERT {} WHERE {}
@@ -1057,7 +1063,17 @@ object Parser {
             }
           case TWord("DELETE", _, _) =>
             i += 1
-            if (acceptWord("DATA")) {
+            if (isWord("FROM")) {
+              // DELETE FROM %set SELECT … [INSERT INTO %set SELECT …] WHERE
+              if (withG.isDefined) fail("WITH is not allowed with DELETE FROM")
+              acceptWord("FROM")
+              val del = parseSsetClause()
+              val ins = if (acceptWord("INSERT")) {
+                expectWord("INTO"); Some(parseSsetClause())
+              } else None
+              expectWord("WHERE")
+              ops += SolutionsUpdate(Some(del), ins, parseGroupGP())
+            } else if (acceptWord("DATA")) {
               if (withG.isDefined) fail("WITH is not allowed with DELETE DATA")
               ops += DeleteData(parseQuadData(assertInner = false))
             } else if (acceptWord("WHERE")) {
@@ -1118,6 +1134,24 @@ object Parser {
 
     private def parseQuadData(assertInner: Boolean): Seq[QuadData] =
       parseQuadPatterns(assertInner)
+
+    /** `%set SELECT ?a ?b …` or `%set SELECT *` (solution-set update clause);
+      * Nil projection = `*`.
+      */
+    private def parseSsetClause(): (String, Seq[String]) = {
+      val name = cur match {
+        case TPct(nm, _) => i += 1; nm
+        case _ => fail("expected %name")
+      }
+      expectWord("SELECT")
+      if (acceptPunct("*")) (name, Nil)
+      else {
+        val vars = ArrayBuffer.empty[String]
+        while (cur.isInstanceOf[TVar]) { vars += cur.asInstanceOf[TVar].name; i += 1 }
+        if (vars.isEmpty) fail("expected projection after SELECT")
+        (name, vars.toSeq)
+      }
+    }
 
     /** DELETE WHERE shorthand: re-read the quad template as the WHERE pattern. */
     private def quadsToGP(quads: Seq[QuadData]): GP = {

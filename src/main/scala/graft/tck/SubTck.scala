@@ -123,6 +123,91 @@ object SubTck {
     }
   }
 
+  /** Named-solution-set UPDATE suite (`sail/tck/BigdataSPARQLUpdateTest2.java`,
+    * data under `sail/tck/data/`): each case loads dataset-01.trig, applies the
+    * test's update sequence (`INSERT INTO %set` / `DELETE FROM %set` — the
+    * reference's solution-set update extension), then compares an
+    * `INCLUDE %set` query against the shipped .srx. Update texts are the test
+    * bodies' strings verbatim (file:line per case).
+    */
+  private val SsetsDir =
+    "/root/reference/bigdata-sails-test/src/test/java/com/bigdata/rdf/sail/tck/data"
+
+  private val ssetsPrologue =
+    """PREFIX rdf:  <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+      |PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+      |PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+      |""".stripMargin
+
+  private val ssetsBuild = // shared "build the solution set" step (:566-575 etc.)
+    """INSERT INTO %namedSet1
+      |SELECT ?x ?name
+      |WHERE { ?x rdf:type foaf:Person . ?x rdfs:label ?name . }""".stripMargin
+
+  private val ssetsInclude1 = "SELECT ?x ?name WHERE { INCLUDE %namedSet1 . }"
+
+  /** (name, update steps, final query, srx) */
+  private val ssetsCases: Seq[(String, Seq[String], String, String)] = Seq(
+    ("ssets-insertIntoSolutions_01", // :456-535
+      Seq("""INSERT INTO %namedSet1
+            |SELECT ?x ?name
+            |WHERE { SELECT ?x ?name
+            |WHERE { ?x rdf:type foaf:Person . ?x rdfs:label ?name . }
+            |ORDER BY ?name }""".stripMargin),
+      """SELECT ?x ?name WHERE { INCLUDE %namedSet1 . ?x rdfs:label "Mike" . }""",
+      "test_insertIntoSolutions_01.srx"),
+    ("ssets-deleteFromSolutions_01", // :541-620
+      Seq(ssetsBuild,
+        """DELETE FROM %namedSet1
+          |SELECT *
+          |WHERE { BIND(<http://www.bigdata.com/Mike> as ?x) BIND("Mike" as ?name) }""".stripMargin),
+      ssetsInclude1, "test_deleteFromSolutions_01.srx"),
+    ("ssets-deleteFromSolutions_02", // :622-698
+      Seq(ssetsBuild,
+        """DELETE FROM %namedSet1
+          |SELECT ?x ?name
+          |WHERE { ?x rdfs:label ?name . FILTER (?x = <http://www.bigdata.com/Mike>) . }""".stripMargin),
+      ssetsInclude1, "test_deleteFromSolutions_02.srx"),
+    ("ssets-deleteFromSolutions_03", // :700-774
+      Seq(ssetsBuild,
+        """DELETE FROM %namedSet1
+          |SELECT ?x ?name
+          |WHERE { ?x rdfs:label ?name . FILTER (?x = <http://www.bigdata.com/Bryan>) . }""".stripMargin),
+      ssetsInclude1, "test_deleteFromSolutions_03.srx"),
+    ("ssets-deleteInsertSolutions_01a", // :790-870, set the solutions left namedSet1
+      Seq(ssetsBuild,
+        """DELETE FROM %namedSet1
+          |  SELECT ?x ?name
+          |INSERT INTO %namedSet2
+          |  SELECT ?x ?name
+          |WHERE { ?x rdfs:label ?name . FILTER (?x = <http://www.bigdata.com/Bryan>) . }""".stripMargin),
+      ssetsInclude1, "test_deleteInsertSolutions_01a.srx"),
+    ("ssets-deleteInsertSolutions_01b", // :870-905, the solutions moved INTO namedSet2
+      Seq(ssetsBuild,
+        """DELETE FROM %namedSet1
+          |  SELECT ?x ?name
+          |INSERT INTO %namedSet2
+          |  SELECT ?x ?name
+          |WHERE { ?x rdfs:label ?name . FILTER (?x = <http://www.bigdata.com/Bryan>) . }""".stripMargin),
+      "SELECT ?x ?name WHERE { INCLUDE %namedSet2 . }",
+      "test_deleteInsertSolutions_01b.srx"))
+
+  private def runSsets(spark: SparkSession, filter: String): Seq[Outcome] = {
+    val dir = new File(SsetsDir)
+    if (!dir.isDirectory) return Seq.empty
+    ssetsCases.filter(_._1.contains(filter)).map { case (name, steps, query, srx) =>
+      try {
+        val trig = java.nio.file.Files.readString(new File(dir, "dataset-01.trig").toPath)
+        var store = new graft.model.GraftStore(spark,
+          graft.sources.Rio.readTrig(spark, trig).localCheckpoint())
+        steps.foreach(u => store = graft.engine.Update(store, ssetsPrologue + u))
+        val df = graft.engine.Engine.query(store, ssetsPrologue + query)
+        val expected = Srx.parse(new File(dir, srx))
+        RefTck.compare(name, df, expected)
+      } catch { case e: Exception => Outcome(name, "ERROR", e.toString.take(200)) }
+    }
+  }
+
   def run(spark: SparkSession, filter: String = ""): Seq[Outcome] = {
     if (!ReifDir.isDirectory || !RtoDir.isDirectory) return Seq.empty
     val reif = reifCases
@@ -140,7 +225,7 @@ object SubTck {
     val ext = rtoExternal.filter(n => ("rto-" + n).contains(filter))
       .map(n => Outcome("rto-" + n, "SKIP-EXTERNAL",
         "dataset_pc100.nt not shipped in the checkout (TestRTO_BSBM.java:153)"))
-    reif ++ rto ++ ext ++ runBsbm(spark, filter)
+    reif ++ rto ++ ext ++ runBsbm(spark, filter) ++ runSsets(spark, filter)
   }
 
   def main(args: Array[String]): Unit = {
