@@ -172,6 +172,13 @@ object Update {
     */
   private[graft] val FOLD_LAYERS = 6
 
+  /** Max rows a delta key frame may hold and still get a broadcast hint —
+    * ≈128 MB of 8-byte keys with struct overhead. Past it the hint is
+    * dropped and Catalyst/AQE picks the join (the hint is forced regardless
+    * of size otherwise; a bulk DELETE WHERE must not OOM the driver).
+    */
+  private val BC_KEY_ROWS = 4000000L
+
   /** Segment-count bound: past it the layout's union plan is wide enough that
     * per-query planning cost shows, so fold all segments into one (total size =
     * the mutated partitions only, never the store).
@@ -517,7 +524,12 @@ object Update {
     val committed = committedPlus.drop("__conf")
     val conflictK3 = committedPlus.filter(col("__conf")).select(
       xxhash64(col("s")("id"), col("p")("id"), col("o")("id")).as("__k3"))
-    val hasConflict = mayInf && !conflictK3.isEmpty
+    // count, not isEmpty: same single action, and it sizes the broadcast hint
+    // (a bulk upgrade past broadcastable size falls back to Catalyst's choice)
+    val nConflict = if (mayInf) conflictK3.count() else 0L
+    val hasConflict = nConflict > 0L
+    def bcConf(df: DataFrame): DataFrame =
+      if (nConflict <= BC_KEY_ROWS) broadcast(df) else df
     pids match {
       case Some(ps) =>
         // partition-keyed layout: the touched partitions' segments are replaced
@@ -531,7 +543,7 @@ object Update {
             .unionByName(
               tripleKey(DfOps.reid(existing
                   .filter(col("stype") === GraftStore.STYPE_INFERRED)))
-                .join(broadcast(conflictK3), Seq("__k3"), "left_anti").drop("__k3"))
+                .join(bcConf(conflictK3), Seq("__k3"), "left_anti").drop("__k3"))
             .unionByName(committed)
         val sliceNew = sliceNew0.select(GraftStore.columns.map(col): _*)
         val layers = lay.layersAt(ps) + 1
@@ -548,7 +560,7 @@ object Update {
             val inf = store.statements.filter(col("stype") === GraftStore.STYPE_INFERRED)
             store.statements.filter(col("stype") =!= GraftStore.STYPE_INFERRED)
               .unionByName(tripleKey(inf)
-                .join(broadcast(conflictK3), Seq("__k3"), "left_anti").drop("__k3")
+                .join(bcConf(conflictK3), Seq("__k3"), "left_anti").drop("__k3")
                 .localCheckpoint())
           }
         (store.withStatements(base.unionByName(committed)), committed)
@@ -579,23 +591,30 @@ object Update {
                             pids0: Option[Seq[Long]] = None): (GraftStore, DataFrame) = {
     def tripleKey(df: DataFrame): DataFrame =
       df.withColumn("__k3", xxhash64(col("s")("id"), col("p")("id"), col("o")("id")))
-    val victims = DfOps.freshLeaf(statementKey(quads.filter(col("g").isNotNull))
+    val victims0 = DfOps.freshLeaf(statementKey(quads.filter(col("g").isNotNull))
       .select("__k").dropDuplicates())
-    val tripleVictims = DfOps.freshLeaf(tripleKey(quads.filter(col("g").isNull))
+    val tripleVictims0 = DfOps.freshLeaf(tripleKey(quads.filter(col("g").isNull))
       .select("__k3").dropDuplicates())
+    // broadcast hints only while the victim sets are broadcast-sized (counts
+    // on the checkpointed key frames are metadata-cheap); a bulk DELETE WHERE
+    // delta falls back to Catalyst's join choice instead of a forced broadcast
+    def bcIfSmall(df: DataFrame): DataFrame =
+      if (df.count() <= BC_KEY_ROWS) broadcast(df) else df
+    val victims = bcIfSmall(victims0)
+    val tripleVictims = bcIfSmall(tripleVictims0)
     def purge(df: DataFrame): DataFrame =
       tripleKey(statementKey(df))
-        .join(broadcast(victims), Seq("__k"), "left_anti")
-        .join(broadcast(tripleVictims), Seq("__k3"), "left_anti")
+        .join(victims, Seq("__k"), "left_anti")
+        .join(tripleVictims, Seq("__k3"), "left_anti")
         .drop("__k", "__k3")
     // complement of purge: rows hit by a graph-specific victim, plus rows hit
     // by a wildcard triple victim (anti on __k first so a row matching both
     // appears once)
     def purged(df: DataFrame): DataFrame = {
       val k = tripleKey(statementKey(df))
-      k.join(broadcast(victims), Seq("__k"), "left_semi")
-        .unionByName(k.join(broadcast(victims), Seq("__k"), "left_anti")
-          .join(broadcast(tripleVictims), Seq("__k3"), "left_semi"))
+      k.join(victims, Seq("__k"), "left_semi")
+        .unionByName(k.join(victims, Seq("__k"), "left_anti")
+          .join(tripleVictims, Seq("__k3"), "left_semi"))
         .drop("__k", "__k3")
     }
     pids0.orElse(deltaPids(quads)) match {

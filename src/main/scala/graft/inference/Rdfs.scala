@@ -246,6 +246,13 @@ object Rdfs {
         .withColumn("__r", lit(false)))))
     val removed = delta0.filter(col("__r")).drop("__r")
     val added = delta0.filter(!col("__r")).drop("__r")
+    // delta-size valve: the retraction/novelty key sets below ride broadcast
+    // hash joins sized by the delta — a bulk mutation past broadcastable size
+    // is better served by the recompute (count on the checkpointed frame is
+    // metadata-cheap). -Dgraft.tm.deltaCap overrides for tests.
+    val deltaCap = sys.props.get("graft.tm.deltaCap")
+      .map(_.toLong).getOrElse(10000000L)
+    if (delta0.count() > deltaCap) return None
 
     // ---- bounded delta probes + non-local-family fallback guards ----
     // ONE probe job: the delta's predicate set AND whether it re-declares a
@@ -826,11 +833,11 @@ object Rdfs {
     val suspects = t("suspects")(graft.engine.DfOps.freshLeaf(
       dedupK(delSuspects.unionByName(lostSchemaStmts)
         .unionByName(removedTaint))))
-    // mega-class valve: the suspect keys broadcast into every re-derivation
-    // arm — a delta hitting a corpus-scale equivalence class is better served
-    // by the recompute than by a corpus-sized broadcast (count on the
-    // checkpointed frame is metadata-cheap)
-    if (saPresent && suspects.count() > 10000000L) return None
+    // mega-cone valve: the suspect keys broadcast into every re-derivation
+    // arm — a delta whose taint cone reaches corpus scale (a mega equivalence
+    // class, a hub-heavy schema) is better served by the recompute than by a
+    // corpus-sized broadcast (count on the checkpointed frame is metadata-cheap)
+    if (suspects.count() > 10000000L) return None
     val sKeys = keyed(suspects).select("__sk", "__pk", "__ok")
 
     // ---- re-derive suspects from (explicit ∪ non-suspect inferred), NEW schema

@@ -506,4 +506,16 @@ class TmDeltaSpec extends AnyFunSuite {
         |  GRAPH <urn:x:g> { <urn:x:u6> a <urn:x:B> . }
         |  GRAPH <urn:x:g2> { <urn:x:u6> a <urn:x:B> . } }""".stripMargin)
   }
+
+  test("delta-size valve: a bulk delta routes to the recompute, same result") {
+    // every retraction/novelty key set rides a broadcast hash join sized by
+    // the delta — past the (prop-overridable) cap the pass must fall back to
+    // the fixpoint recompute rather than force a corpus-sized broadcast
+    val st = atRest(base, "t17")
+    sys.props("graft.tm.deltaCap") = "1"
+    try check(st,
+      "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u1> a <urn:x:C> . " +
+        "<urn:x:u2> <urn:x:name> \"two\" . } }", expectDelta = false)
+    finally sys.props.remove("graft.tm.deltaCap")
+  }
 }
