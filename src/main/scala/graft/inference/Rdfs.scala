@@ -386,34 +386,67 @@ object Rdfs {
           !inf.filter(col("p_id") === sameAsId).limit(1).isEmpty)) return None
     }
 
-    // Transitive reachability is non-local. Two regimes:
-    //   DIRECT — the delta adds/removes edges of a transitive property whose
-    //   BASE edge set lives only in its own explicit partition (no subproperty
-    //   feeding it, no inverse partner, not symmetric, no restriction minting
-    //   its edges, not rdf:type). Handled below by an EXACT delta-cone
-    //   reachability pass (transCone): O(affected cone), never O(corpus).
-    //   INDIRECT — the delta reaches a transitive property's edges through
-    //   another predicate (subproperty/inverse/restriction) or changes which
-    //   properties are transitive (charMarks guard above): still the fixpoint
-    //   recompute — the base edge set is no longer a single pruned partition.
+    // Transitive reachability is non-local. The delta-cone pass handles a
+    // transitive property t touched directly OR through a FEEDER partition —
+    // any predicate whose facts become t-edges through a chain of rdfs7
+    // subproperty steps (parity kept) and inverse/symmetric flips (parity
+    // flipped). The cone then runs over t's EFFECTIVE base edge set: the
+    // union of the feeder partitions' explicit rows, translated per the
+    // path's parity. Still recompute: schema deltas that alter a feeder
+    // structure, restrictions minting into the cone, rdf:type in the cone,
+    // sameAs classes overlapping the effective partitions (substituted edge
+    // copies would be invisible to the translation).
     val transIds = (vOld.transProps ++ vNew.transProps).map(idOf).toSet
-    val transDirect = deltaPids intersect transIds
-    // a directly-touched transitive property whose nodes intersect the sameAs
-    // classes breaks the cone pass's base-edges-are-one-partition assumption
-    // (substituted edge copies live as entailments in the same partition) →
-    // recompute. DISJOINT classes compose fine — the cone stays exact over
-    // the explicit edges and the substitution arms handle everything else —
-    // so the fallback is gated on one pruned-partition overlap probe, not on
-    // sameAs presence alone.
-    if (saPresent && transDirect.nonEmpty) {
-      val tSeq0 = transDirect.toSeq
-      val tNodes = next.statements.filter(col("p_id").isin(tSeq0: _*))
+    if (transIds.nonEmpty) {
+      val cone = feederClosure(transIds) // includes transIds
+      if (minus(spOld, spNew).exists(p => cone(idOf(p._2))) ||
+          minus(spNew, spOld).exists(p => cone(idOf(p._2)))) return None
+      if (minus(ibOld, ibNew).exists(p => cone(idOf(p._1)) || cone(idOf(p._2))) ||
+          minus(ibNew, ibOld).exists(p => cone(idOf(p._1)) || cone(idOf(p._2))))
+        return None
+      if (restrictionMintsInto(cone)) return None
+      if (cone(typeId)) return None
+    }
+    // (source pid, flipped) states whose explicit rows are base edges of t:
+    // (t,false) itself, grown backwards over the schema graph to quiescence.
+    // Driver-side, schema-sized; sp/ib are delta-stable here (guards above).
+    def feederStates(t0: Long): Set[(Long, Boolean)] = {
+      val sps = spNew.map(p => (idOf(p._1), idOf(p._2))).filter(p => p._1 != p._2)
+      val ibs = ibNew.map(p => (idOf(p._1), idOf(p._2)))
+      val seen = scala.collection.mutable.Set[(Long, Boolean)]((t0, false))
+      var fr: Set[(Long, Boolean)] = Set((t0, false))
+      while (fr.nonEmpty) {
+        fr = fr.flatMap { case (r, par) =>
+          sps.collect { case (p, q) if q == r => (p, par) } ++
+            ibs.flatMap { case (p, q) =>
+              (if (q == r) Seq((p, !par)) else Nil) ++
+                (if (p == r) Seq((q, !par)) else Nil) }
+        } -- seen
+        seen ++= fr
+      }
+      seen.toSet
+    }
+    val transStates: Map[Long, Set[(Long, Boolean)]] =
+      transIds.iterator.map(t0 => t0 -> feederStates(t0))
+        .filter { case (_, ss) => ss.exists(s => deltaPids(s._1)) }
+        .toMap
+    val transTouched: Set[Long] = transStates.keySet
+    // plan-width valve: each state is a pruned-partition scan in the
+    // effective-edge union — a pathological schema fans out past it
+    if (transStates.valuesIterator.map(_.size).sum > 256) return None
+    // a touched transitive property whose EFFECTIVE partitions' nodes
+    // intersect the sameAs classes breaks the translation's explicit-rows
+    // assumption (substituted edge copies live as entailments) → recompute.
+    // DISJOINT classes compose fine — gated on one pruned overlap probe.
+    if (saPresent && transTouched.nonEmpty) {
+      val effPids = transStates.valuesIterator.flatten.map(_._1).toSeq.distinct
+      val tNodes = next.statements.filter(col("p_id").isin(effPids: _*))
         .select(col("s")("id").as("n"))
-        .unionByName(next.statements.filter(col("p_id").isin(tSeq0: _*))
+        .unionByName(next.statements.filter(col("p_id").isin(effPids: _*))
           .select(col("o")("id").as("n")))
-        .unionByName(removed.filter(col("p")("id").isin(tSeq0: _*))
+        .unionByName(removed.filter(col("p")("id").isin(effPids: _*))
           .select(col("s")("id").as("n")))
-        .unionByName(removed.filter(col("p")("id").isin(tSeq0: _*))
+        .unionByName(removed.filter(col("p")("id").isin(effPids: _*))
           .select(col("o")("id").as("n")))
       val saMembers = next.statements.filter(col("p_id") === sameAsId)
         .select(col("s")("id").as("n"))
@@ -422,26 +455,6 @@ object Rdfs {
       if (t("sa-trans-overlap")(
           !tNodes.join(saMembers, Seq("n"), "left_semi").limit(1).isEmpty))
         return None
-    }
-    if (transIds.nonEmpty) {
-      val indirect = feederClosure(transIds) -- transIds
-      if (deltaPids.exists(indirect)) return None
-      if (minus(spOld, spNew).exists(p => transIds(idOf(p._2))) ||
-          minus(spNew, spOld).exists(p => transIds(idOf(p._2)))) return None
-      if (restrictionMintsInto(feederClosure(transIds))) return None
-      // the cone pass assumes a directly-touched property's base edges are
-      // exactly its explicit partition: any feeder into it → recompute.
-      // sp is transitively closed, so a one-level check is complete for
-      // subproperty chains; the ib check also catches symmetric self-pairs
-      // (which feederClosure cannot see — (t,t) never grows the set).
-      if (transDirect.nonEmpty) {
-        val fedInto = (spOld ++ spNew).exists { case (p, q) =>
-            transDirect(idOf(q)) && idOf(p) != idOf(q) } ||
-          (ibOld ++ ibNew).exists { case (p, q) =>
-            transDirect(idOf(p)) || transDirect(idOf(q)) } ||
-          transDirect(typeId)
-        if (fedInto) return None
-      }
     }
 
     // ---- schema-closure diffs (driver-side, vocabulary-sized) ----
@@ -485,35 +498,49 @@ object Rdfs {
       .unionByName(removed.select(col("s"), col("p"), col("o"),
         col("p")("id").as("p_id")))
 
-    // ---- transitive delta cone (directly-touched transitive properties) ----
-    // EXACT per-property reachability maintenance in id space. Affected
-    // sources X = nodes that can reach a delta edge's tail (old-reach join +
-    // backward BFS over the new edges); a forward BFS from X over the NEW
-    // explicit edge set yields their exact new reach. Then
+    // ---- transitive delta cone (touched transitive properties) ----
+    // EXACT per-property reachability maintenance in id space over the
+    // EFFECTIVE base edge set (feeder partitions translated per parity).
+    // Affected sources X = nodes that can reach a delta edge's tail (backward
+    // BFS over new∪removed effective edges); a forward BFS from X over the
+    // NEW effective edges yields their exact new reach. Then
     //   lost     = inferred pairs from X not in the new reach
     //   new      = new-reach pairs that did not previously hold
-    //   promoted = removed explicit edges still in the new reach
-    // Everything prunes to the touched properties' partitions; frontiers are
-    // cone-sized and checkpointed — the shape of seededPathIds, keyed by p_id.
-    val (lostTransSpo, newTransSpo, promTransSpo) =
-      if (transDirect.isEmpty) (None, None, None)
+    //   promoted = removed explicit t-edges still in the new reach
+    //   reach    = returned for suspect retention (a rule-arm t-suspect in
+    //              the new reach is derivable by transitivity)
+    // Everything prunes to the effective partitions; frontiers are cone-sized
+    // and checkpointed — the shape of seededPathIds, keyed by p_id.
+    val (lostTransSpo, newTransSpo, promTransSpo, transReach) =
+      if (transTouched.isEmpty) (None, None, None, None)
       else t("trans-cone") {
-        val tSeq = transDirect.toSeq
+        val tSeq = transTouched.toSeq
+        val states = transStates.toSeq.flatMap { case (t0, ss) =>
+          ss.toSeq.map(s => (t0, s._1, s._2)) }
+        val srcAll = states.map(_._2).distinct
         def ckpt(df: DataFrame): DataFrame = df.localCheckpoint()
-        val eNew = ckpt(exp.filter(col("p_id").isin(tSeq: _*))
-          .select(col("p_id"), col("s")("id").as("a"), col("o")("id").as("b"))
-          .dropDuplicates("p_id", "a", "b"))
+        // effective translation: each (t, src, flip) state contributes src's
+        // rows — flipped when the feeder path's inverse-parity is odd — as
+        // t-edges; paths of mixed feeder edges compose under t's transitivity
+        def effT(idsDf: DataFrame): DataFrame =
+          states.map { case (t0, src, flip) =>
+            val part = idsDf.filter(col("p_id") === src)
+            if (!flip) part.select(lit(t0).as("p_id"), col("a"), col("b"))
+            else part.select(lit(t0).as("p_id"), col("b").as("a"),
+              col("a").as("b"))
+          }.reduce(_.unionByName(_)).dropDuplicates("p_id", "a", "b")
+        val eNew = ckpt(effT(exp.filter(col("p_id").isin(srcAll: _*))
+          .select(col("p_id"), col("s")("id").as("a"), col("o")("id").as("b"))))
         val oldT = oldFacts.filter(col("p_id").isin(tSeq: _*))
           .select(col("p_id"), col("s")("id").as("a"), col("o")("id").as("b"))
           .dropDuplicates("p_id", "a", "b")
-        val deltaT = delta0.filter(col("p")("id").isin(tSeq: _*))
+        val deltaT = effT(delta0.filter(col("p")("id").isin(srcAll: _*))
           .select(col("p")("id").as("p_id"), col("s")("id").as("a"),
-            col("o")("id").as("b"))
-          .dropDuplicates("p_id", "a", "b")
+            col("o")("id").as("b")))
         val dTails = ckpt(deltaT.select(col("p_id"), col("a").as("b")).distinct())
-        val remPairs = removed.filter(col("p")("id").isin(tSeq: _*))
+        val remPairs = effT(removed.filter(col("p")("id").isin(srcAll: _*))
           .select(col("p")("id").as("p_id"), col("s")("id").as("a"),
-            col("o")("id").as("b")).dropDuplicates("p_id", "a", "b")
+            col("o")("id").as("b")))
         // Affected sources X are computed by ONE backward BFS over
         // eNew ∪ removedPairs — a superset of both the old and the new edge
         // sets (an old edge either survived into eNew or was purged into the
@@ -635,14 +662,16 @@ object Rdfs {
           }
           (xS, rch)
         }
-        // id → term dictionary from the touched partitions (old view: includes
-        // removed rows' nodes); property terms are vocabulary-side
-        val tNodes = oldFacts.filter(col("p_id").isin(tSeq: _*))
+        // id → term dictionary from the effective partitions (old view:
+        // includes removed rows' nodes — a fresh reach pair may involve nodes
+        // seen only in a feeder partition); property terms are vocabulary-side
+        val tNodes = oldFacts.filter(
+          col("p_id").isin((tSeq ++ srcAll).distinct: _*))
         val dict = ckpt(tNodes.select(col("s").as("n"))
           .unionByName(tNodes.select(col("o").as("n")))
           .withColumn("nid", col("n")("id")).dropDuplicates("nid"))
         val transRows = (vOld.transProps ++ vNew.transProps)
-          .filter(r => transDirect(idOf(r)))
+          .filter(r => transTouched(idOf(r)))
           .map(r => idOf(r) -> r).toMap.values.toSeq
         val pDict = pairsDf(spark, transRows.map(r => (r, r)), "pt", "pt2")
           .select(col("pt")("id").as("p_id"), col("pt").as("pterm"))
@@ -668,7 +697,7 @@ object Rdfs {
           .join(reach, Seq("p_id", "x", "y"), "left_semi")
           .select(col("s"), col("p"), col("o"))
         (Some(ckpt(toSpo(lostIds))), Some(ckpt(toSpo(newIds))),
-          Some(ckpt(remT.dropDuplicates())))
+          Some(ckpt(remT.dropDuplicates())), Some(reach))
       }
     // cone-size safety valve: the suspect machinery broadcasts the lost set —
     // a hub-edge delete whose cone approaches corpus scale is better served
@@ -808,18 +837,19 @@ object Rdfs {
         Some(SaDelta(aliasOld, aliasNew, lostTaint, addSpo, addAlias, promSpo))
       }
 
-    val removedTaint0 = lostTransSpo match {
-      case Some(lt) => removed.select(col("s"), col("p"), col("o"))
-        .unionByName(lt)
-      case None => removed.select(col("s"), col("p"), col("o"))
-    }
+    val removedTaint0 = removed.select(col("s"), col("p"), col("o"))
     val removedTaint = saDelta.flatMap(_.lostTaint) match {
       case Some(lt) => removedTaint0.unionByName(lt)
       case None => removedTaint0
     }
+    // lost transitive pairs are POST-TRANSITIVE taint: closure() derives the
+    // transitive fixpoint after rdfs7/inverse/hasValue, so their downstream
+    // entailments live only in sameAs/dom/rng/rdfs9 — feeding them to the
+    // earlier arms would suspect rows the materializer never derived
     val delSuspects = t("delta-derive-del")(deltaDerive(spark, oldFacts, removedTaint,
       scOld, spOld, vOld.dom.toSeq, vOld.rng.toSeq, ibOld, vOld.restrictions,
-      dScDel, dSpDel, dDomDel, dRngDel, dIbDel, saDelta.map(_.aliasOld)))
+      dScDel, dSpDel, dDomDel, dRngDel, dIbDel, saDelta.map(_.aliasOld),
+      lateTaint = lostTransSpo))
     // The removed rows THEMSELVES are suspects too: an entailment whose
     // materialization was novelty-suppressed by an explicit copy must be
     // PROMOTED to Inferred when that copy is deleted but it stays derivable
@@ -827,12 +857,13 @@ object Rdfs {
     // such rows are also the intermediates multi-step re-derivations pass
     // through — without them a suspect supported only via a suppressed
     // entailment would be wrongly lost.
-    // removedTaint already carries the lost transitive pairs, so downstream
-    // entailments of a lost (x t y) — dom/rng types, rdfs7 products — are
-    // suspected, and the lost pairs themselves enter the suspect set
+    // the lost transitive pairs themselves enter the suspect set (they are
+    // retracted unless the reach retains them); their downstream entailments
+    // were suspected via the lateTaint arms above
     val suspects = t("suspects")(graft.engine.DfOps.freshLeaf(
       dedupK(delSuspects.unionByName(lostSchemaStmts)
-        .unionByName(removedTaint))))
+        .unionByName(removedTaint)
+        .unionByName(lostTransSpo.getOrElse(lostSchemaStmts.limit(0))))))
     // mega-cone valve: the suspect keys broadcast into every re-derivation
     // arm — a delta whose taint cone reaches corpus scale (a mega equivalence
     // class, a hub-heavy schema) is better served by the recompute than by a
@@ -845,18 +876,60 @@ object Rdfs {
       val keptInf = keyed(inf)
         .join(broadcast(sKeys), Seq("__sk", "__pk", "__ok"), "left_anti")
         .drop("__sk", "__pk", "__ok")
-      // promoted-to-be transitive edges (removed explicit, still in the new
-      // reach) re-enter the premise base: an entailment supported only
-      // through such an edge — dom(t) on a promoted (a t b) — must survive
-      val base = promTransSpo match {
-        case Some(pt) => exp.unionByName(keptInf).unionByName(
-          pt.withColumn("p_id", col("p")("id"))
-            .withColumn("g", Term.nullTerm)
-            .withColumn("stype", lit(GraftStore.STYPE_INFERRED).cast("byte"))
-            .select(exp.columns.map(col): _*))
-        case None => exp.unionByName(keptInf)
+      // a rule-arm t-suspect (e.g. an rdfs7/inverse copy whose feeder premise
+      // was deleted) still in the new effective reach is derivable by
+      // transitivity — the arms cannot see that, the cone's reach can. All
+      // arm-minted t-suspects stem from delta tails, which are affected
+      // sources by construction, so the X-restricted reach is decisive.
+      // Materialized as SPO (delta-sized): both the retained-key set and a
+      // premise re-entry (a dom/rng/rdfs9 suspect supported only through a
+      // surviving t-pair must see it in the premise base).
+      val reachKeptSpo: Option[DataFrame] = transReach.map { reach =>
+        graft.engine.DfOps.freshLeaf(
+          keyed(suspects.filter(col("p")("id").isin(transTouched.toSeq: _*)))
+            .join(reach.select(col("x").as("__sk"), col("p_id").as("__pk"),
+              col("y").as("__ok")), Seq("__sk", "__pk", "__ok"), "left_semi")
+            .drop("__sk", "__pk", "__ok"))
       }
-      val retained = rederive(spark, base, suspects, sKeys,
+      // promoted-to-be transitive edges (removed explicit, still in the new
+      // reach) and reach-retained t-suspects re-enter the premise base: an
+      // entailment supported only through such a row — dom(t) on a surviving
+      // (a t b) — must survive with it
+      def asInf(pt: DataFrame): DataFrame = pt
+        .withColumn("p_id", col("p")("id"))
+        .withColumn("g", Term.nullTerm)
+        .withColumn("stype", lit(GraftStore.STYPE_INFERRED).cast("byte"))
+        .select(exp.columns.map(col): _*)
+      val base = (Seq(exp.unionByName(keptInf)) ++ promTransSpo.map(asInf) ++
+        reachKeptSpo.map(asInf)).reduce(_.unionByName(_))
+      // premise base for the PRE-TRANSITIVE arms (rdfs7/inverse/hasValue):
+      // closure() runs those stages before the transitive fixpoint, so a
+      // transitive-partition row is a legitimate early premise ONLY when it is
+      // an effective base EDGE (explicit, or a feeder copy) — transitive-
+      // fixpoint pairs must not feed them (an inverse flip of a reach pair is
+      // a row the materializer never derives). Inferred t-rows are kept iff
+      // their id-triple matches the feeder-translated explicit edge set.
+      val basePre =
+        if (transIds.isEmpty) base
+        else {
+          val tAll = transIds.toSeq
+          val statesAll = tAll.flatMap(t0 =>
+            feederStates(t0).toSeq.map(s => (t0, s._1, s._2)))
+          val edgeKeys = statesAll.map { case (t0, src, flip) =>
+            val part = exp.filter(col("p_id") === src)
+              .select(col("s")("id").as("a"), col("o")("id").as("b"))
+            if (!flip) part.select(col("a").as("__sk"), lit(t0).as("__pk"),
+              col("b").as("__ok"))
+            else part.select(col("b").as("__sk"), lit(t0).as("__pk"),
+              col("a").as("__ok"))
+          }.reduce(_.unionByName(_))
+          val keptEdges = keyed(keptInf.filter(col("p_id").isin(tAll: _*)))
+            .join(edgeKeys, Seq("__sk", "__pk", "__ok"), "left_semi")
+            .drop("__sk", "__pk", "__ok")
+          exp.unionByName(keptInf.filter(!col("p_id").isin(tAll: _*)))
+            .unionByName(keptEdges)
+        }
+      val retained = rederive(spark, base, basePre, suspects, sKeys,
         scNew, spNew, vNew.dom.toSeq, vNew.rng.toSeq, ibNew, vNew.restrictions,
         saDelta.map(_.aliasNew))
       // schema statements are re-derivable iff in the NEW driver-side closures
@@ -877,9 +950,14 @@ object Rdfs {
         case Some(ps) => keyed(ps).select("__sk", "__pk", "__ok")
         case None => retainedSchema.limit(0)
       }
+      val retainedReach = reachKeptSpo match {
+        case Some(rk) => keyed(rk).select("__sk", "__pk", "__ok")
+        case None => retainedSchema.limit(0)
+      }
       graft.engine.DfOps.freshLeaf(
         sKeys.join(broadcast(retained.unionByName(retainedSchema)
-            .unionByName(retainedTrans).unionByName(retainedSa)),
+            .unionByName(retainedTrans).unionByName(retainedSa)
+            .unionByName(retainedReach)),
           Seq("__sk", "__pk", "__ok"), "left_anti"))
     }
 
@@ -977,11 +1055,15 @@ object Rdfs {
             aSpo +: subs
           }
         }
+        // newTransSpo is POST-TRANSITIVE taint (lateTaint): closure() never
+        // re-inverts / rdfs7-copies / hasValue-fires on transitive
+        // conclusions — they feed only sameAs/dom/rng/rdfs9
         val addedTaint = (Seq(added.select(col("s"), col("p"), col("o"))) ++
-          newTransSpo ++ saAdds).reduce(_.unionByName(_))
+          saAdds).reduce(_.unionByName(_))
         val newDerived = deltaDerive(spark, afterLoss, addedTaint,
           scNew, spNew, vNew.dom.toSeq, vNew.rng.toSeq, ibNew, vNew.restrictions,
-          dScAdd, dSpAdd, dDomAdd, dRngAdd, dIbAdd, saDelta.map(_.aliasNew))
+          dScAdd, dSpAdd, dDomAdd, dRngAdd, dIbAdd, saDelta.map(_.aliasNew),
+          lateTaint = newTransSpo)
           .unionByName(newSchemaStmts)
           .unionByName(newTransSpo.getOrElse(newSchemaStmts.limit(0)))
           .unionByName(saAdds.reduceOption(_.unionByName(_))
@@ -1071,7 +1153,8 @@ object Rdfs {
       restrictions: Seq[(Long, Row, Row)],
       dSc: Seq[(Row, Row)], dSp: Seq[(Row, Row)], dDom: Seq[(Row, Row)],
       dRng: Seq[(Row, Row)], dIb: Seq[(Row, Row)],
-      sa: Option[DataFrame] = None): DataFrame = {
+      sa: Option[DataFrame] = None,
+      lateTaint: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     def idOf(r: Row): Long = r.getAs[Long]("id")
     val allFacts = allFacts0.select(col("s"), col("p"), col("o"), col("p_id"))
@@ -1133,6 +1216,13 @@ object Rdfs {
     }
     if (restrictions.nonEmpty)
       addStage(hasValueOf(taint.filter(col("p_id") === typeId)))
+    // POST-TRANSITIVE taint (the cone's lost/new reach pairs) joins here:
+    // closure() runs the transitive fixpoint after hasValue, so transitive
+    // conclusions feed sameAs/dom/rng/rdfs9 but are never re-inverted,
+    // re-copied by rdfs7, or re-fed to hasValue — feeding them to the earlier
+    // arms would derive rows the materializer does not (e.g. inverse flips of
+    // reach pairs), de-syncing the delta result from the at-rest closure.
+    lateTaint.foreach(lt => taint = taint.unionByName(spo(lt)))
     // owl:sameAs substitution (RuleOwlSameAs2/3): tainted facts substituted
     // through the materialized all-pairs alias map — subject side then object
     // side (non-literal), mirroring closure()'s one-pass stage order (the
@@ -1199,7 +1289,8 @@ object Rdfs {
     * domain type, etc.). Returns the retained keys (__sk,__pk,__ok).
     */
   private def rederive(spark: org.apache.spark.sql.SparkSession,
-      base0: DataFrame, suspects: DataFrame, sKeys: DataFrame,
+      base0: DataFrame, basePre0: DataFrame,
+      suspects: DataFrame, sKeys: DataFrame,
       sc: Seq[(Row, Row)], sp: Seq[(Row, Row)],
       dom: Seq[(Row, Row)], rng: Seq[(Row, Row)], ib: Seq[(Row, Row)],
       restrictions: Seq[(Long, Row, Row)],
@@ -1210,6 +1301,10 @@ object Rdfs {
       .withColumn("__sk", col("s")("id")).withColumn("__pk", col("p")("id"))
       .withColumn("__ok", col("o")("id"))
     var base = base0.select(col("s"), col("p"), col("o"), col("p_id"))
+    // premise base for the pre-transitive arms (see the caller's basePre):
+    // grows with arm-retained conclusions exactly like `base` — an arm's
+    // retention is available to every LATER arm, mirroring closure()'s staging
+    var basePre = basePre0.select(col("s"), col("p"), col("o"), col("p_id"))
     // fresh LocalRelation (see deltaDerive's `empty` note)
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[Row](),
@@ -1256,6 +1351,8 @@ object Rdfs {
 
     def prunedBy(ps: Seq[(Row, Row)]): DataFrame =
       base.filter(col("p_id").isin(ps.map(p => idOf(p._1)).distinct: _*))
+    def prunedByPre(ps: Seq[(Row, Row)]): DataFrame =
+      basePre.filter(col("p_id").isin(ps.map(p => idOf(p._1)).distinct: _*))
     def asQ(ps: Seq[(Row, Row)]): DataFrame =
       pd(ps, "a", "b").select(col("a")("id").as("p_id"), col("b").as("q"))
 
@@ -1270,14 +1367,18 @@ object Rdfs {
         .join(broadcast(sKeys), Seq("__sk", "__pk", "__ok"), "left_semi")
         .dropDuplicates("__sk", "__pk", "__ok"))
       retainedAcc = retainedAcc.unionByName(hit.select("__sk", "__pk", "__ok"))
-      base = base.unionByName(hit.select(col("s"), col("p"), col("o"),
-        col("p")("id").as("p_id")))
+      val hitSpo = hit.select(col("s"), col("p"), col("o"),
+        col("p")("id").as("p_id"))
+      base = base.unionByName(hitSpo)
+      basePre = basePre.unionByName(hitSpo)
     }
     def stages(): Seq[Option[DataFrame]] = {
       val arms = Seq(
-        // rdfs7: premise (x p y) relevant iff some suspect shares (x, y)
+        // rdfs7: premise (x p y) relevant iff some suspect shares (x, y).
+        // PRE-TRANSITIVE arm — premises from basePre (no transitive-fixpoint
+        // pairs; closure() runs rdfs7/inverse/hasValue before transitivity)
         if (sp2.isEmpty) None else Some(
-          prunedBy(sp2)
+          prunedByPre(sp2)
             .join(broadcast(suspPairs),
               col("s")("id") === col("__sk") && col("o")("id") === col("__ok"),
               "left_semi")
@@ -1285,7 +1386,7 @@ object Rdfs {
             .select(col("s"), col("q").as("p"), col("o"))),
         // inverse/symmetric: premise (y p x) vs suspect (x q y) — flipped probe
         if (ib2.isEmpty) None else Some(
-          prunedBy(ib2)
+          prunedByPre(ib2)
             .join(broadcast(suspPairs),
               col("o")("id") === col("__sk") && col("s")("id") === col("__ok"),
               "left_semi")
@@ -1298,7 +1399,7 @@ object Rdfs {
           val rDf = spark.createDataFrame(spark.sparkContext.parallelize(rRows, 1),
             StructType(Seq(StructField("tid", LongType),
               StructField("hp", Term.schema), StructField("hv", Term.schema))))
-          base.filter(col("p_id") === typeId)
+          basePre.filter(col("p_id") === typeId)
             .join(broadcast(suspSubj), col("s")("id") === col("__sid"), "left_semi")
             .join(broadcast(rDf), col("o")("id") === col("tid"))
             .select(col("s"), col("hp").as("p"), col("hv").as("o"))

@@ -78,9 +78,24 @@ object TmAB {
     // rows keep their original (sameAs-free) meaning
     val sameNt = (nSame until 2 * nSame).map(i =>
       s"<urn:t:customer:$i> <http://www.w3.org/2002/07/owl#sameAs> <urn:alias:c$i> .")
+    // feeder-fed slice (r13): N/10 chains linked by :step ⊑ :next — the
+    // transitive property's effective base edges span a FEEDER partition, the
+    // family that recomputed before the effective-edge cone landed. Plus a
+    // symmetric+transitive :conn slice (flipped self-feeder).
+    val nFeed = math.max(2, nChains / 10)
+    val feederNt = (0 until nFeed).flatMap { c =>
+      (0 until 9).map(i => s"<urn:fch:$c:$i> <urn:p:step> <urn:fch:$c:${i + 1}> .")
+    } ++ (0 until nFeed).flatMap { c =>
+      (0 until 9).map(i => s"<urn:sch:$c:$i> <urn:p:conn> <urn:sch:$c:${i + 1}> .")
+    } ++ Seq(
+      "<urn:p:step> <http://www.w3.org/2000/01/rdf-schema#subPropertyOf> <urn:p:next> .",
+      "<urn:p:conn> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> " +
+        "<http://www.w3.org/2002/07/owl#TransitiveProperty> .",
+      "<urn:p:conn> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> " +
+        "<http://www.w3.org/2002/07/owl#SymmetricProperty> .")
     val chainNt = (0 until nChains).flatMap { c =>
       (0 until 9).map(i => s"<urn:ch:$c:$i> <urn:p:next> <urn:ch:$c:${i + 1}> .")
-    } ++ sameNt :+ ("<urn:p:next> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> " +
+    } ++ sameNt ++ feederNt :+ ("<urn:p:next> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> " +
       "<http://www.w3.org/2002/07/owl#TransitiveProperty> .")
     val raw1 = graft.engine.Update(raw0,
       s"INSERT DATA { ${domAxioms.mkString("\n")} }")
@@ -122,7 +137,13 @@ object TmAB {
       // sameAs edge insert via Modify (Case B: class merge — alias copies derive)
       s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
         |INSERT { <urn:alias:c${nSame + 2}> <http://www.w3.org/2002/07/owl#sameAs> <urn:alias:c${nSame + 3}> . }
-        |WHERE {}""".stripMargin)
+        |WHERE {}""".stripMargin,
+      // feeder-edge delete (r13): one :step edge — :next's cone must run over
+      // the effective (feeder-translated) base edges, one chain's cone vs the
+      // all-chains fixpoint
+      "DELETE DATA { <urn:fch:0:4> <urn:p:step> <urn:fch:0:5> . }",
+      // symmetric-transitive edge delete: both orientations' reach retracts
+      "DELETE DATA { <urn:sch:0:4> <urn:p:conn> <urn:sch:0:5> . }")
 
     def keySet(st: graft.model.GraftStore) = st.statements
       .select(xxhash64(col("s")("id"), col("p")("id"), col("o")("id"),

@@ -256,7 +256,9 @@ class TmDeltaSpec extends AnyFunSuite {
     finally sys.props.remove("graft.tm.cone.driverMax")
   }
 
-  test("fallback: transitive property fed by a subproperty still recomputes") {
+  test("transitive property fed by a subproperty stays on the delta path") {
+    // pre-r13 this recomputed; the cone now runs over the EFFECTIVE base
+    // edges (feeder partitions translated per parity), so it stays O(delta)
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix rdfs: <$RDFS> .
@@ -267,14 +269,13 @@ class TmDeltaSpec extends AnyFunSuite {
         :a :parent :b . :b :anc :c .
       }
     """
-    // :anc's base edges are not one partition (rdfs7 feeds it) → cone invalid
     val st = atRest(t, "t11g")
     check(st,
-      "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:b> <urn:x:anc> <urn:x:c> . } }",
-      expectDelta = false)
+      "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:b> <urn:x:anc> <urn:x:c> . } }")
   }
 
-  test("fallback: symmetric transitive property recomputes") {
+  test("symmetric transitive property stays on the delta path") {
+    // pre-r13 this recomputed; symmetric = a flipped self-feeder state
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
@@ -285,8 +286,7 @@ class TmDeltaSpec extends AnyFunSuite {
     """
     val st = atRest(t, "t11h")
     check(st,
-      "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:a> <urn:x:conn> <urn:x:b> . } }",
-      expectDelta = false)
+      "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:a> <urn:x:conn> <urn:x:b> . } }")
   }
 
   test("FP declared but untouched: unrelated delete stays on the delta path") {
@@ -505,6 +505,75 @@ class TmDeltaSpec extends AnyFunSuite {
       """DELETE DATA {
         |  GRAPH <urn:x:g> { <urn:x:u6> a <urn:x:B> . }
         |  GRAPH <urn:x:g2> { <urn:x:u6> a <urn:x:B> . } }""".stripMargin)
+  }
+
+  // feeder-fed transitive properties: the cone runs over the EFFECTIVE base
+  // edge set (feeder partitions translated per inverse-parity), so deltas on
+  // a subproperty / inverse / the property's own symmetric copies stay O(delta)
+  val feederBase = s"""
+    @prefix : <urn:f:> .
+    @prefix rdfs: <$RDFS> .
+    @prefix owl: <$OWL> .
+    :g {
+      :anc a owl:TransitiveProperty .
+      :part rdfs:subPropertyOf :anc .
+      :childOf owl:inverseOf :anc .
+      :a :part :b .
+      :b :part :c .
+      :d :childOf :c .
+      :e :anc :a .
+    }
+  """
+
+  test("subproperty-fed transitive: deleting a feeder edge retracts reach") {
+    // :b part :c feeds anc; e→a→b→c→d chains break at b
+    val st = atRest(feederBase, "tf1")
+    check(st, "DELETE DATA { GRAPH <urn:f:g> { <urn:f:b> <urn:f:part> <urn:f:c> . } }")
+  }
+
+  test("inverse-fed transitive: deleting the flipped feeder edge retracts reach") {
+    // :d childOf :c is the flipped base edge (c anc d)
+    val st = atRest(feederBase, "tf2")
+    check(st, "DELETE DATA { GRAPH <urn:f:g> { <urn:f:d> <urn:f:childOf> <urn:f:c> . } }")
+  }
+
+  test("feeder insert: a new subproperty edge extends reach incrementally") {
+    // pure inserts skip TM (retracts gate) — drive it as a Modify, like t11d
+    val st = atRest(feederBase, "tf3")
+    check(st,
+      """DELETE { GRAPH <urn:f:g> { <urn:f:e> <urn:f:anc> <urn:f:a> . } }
+        |INSERT { GRAPH <urn:f:g> { <urn:f:c> <urn:f:part> <urn:f:e> . } }
+        |WHERE { }""".stripMargin)
+  }
+
+  test("mixed feeder mutation: delete one feeder edge, insert another") {
+    val st = atRest(feederBase, "tf4")
+    check(st,
+      """DELETE DATA { GRAPH <urn:f:g> { <urn:f:a> <urn:f:part> <urn:f:b> . } } ;
+        |INSERT DATA { GRAPH <urn:f:g> { <urn:f:b> <urn:f:childOf> <urn:f:a> . } }""".stripMargin)
+  }
+
+  test("promotion with a feeder backup: deleted explicit edge stays reachable") {
+    // (a anc b) explicit AND (a part b): deleting the explicit copy must
+    // promote it to Inferred (still in reach via the feeder partition)
+    val t = feederBase.replace(":a :part :b .", ":a :part :b . :a :anc :b .")
+    val st = atRest(t, "tf5")
+    check(st, "DELETE DATA { GRAPH <urn:f:g> { <urn:f:a> <urn:f:anc> <urn:f:b> . } }")
+  }
+
+  test("symmetric transitive property: edge delete retracts both orientations") {
+    val t = s"""
+      @prefix : <urn:f2:> .
+      @prefix owl: <$OWL> .
+      :g {
+        :conn a owl:TransitiveProperty , owl:SymmetricProperty .
+        :a :conn :b .
+        :b :conn :c .
+        :d :conn :c .
+      }
+    """
+    val st = atRest(t, "tf6")
+    check(st, "DELETE DATA { GRAPH <urn:f2:g> { <urn:f2:b> <urn:f2:conn> <urn:f2:c> . } }")
   }
 
   test("delta-size valve: a bulk delta routes to the recompute, same result") {
