@@ -810,7 +810,16 @@ object Rdfs {
             val dDelAlias = toAlias(idPairs(dDel)).localCheckpoint()
             val aliasOldO = aliasOld.withColumnRenamed("alias", "alias2")
               .withColumnRenamed("xid", "yid")
-            val f0 = oldFacts.filter(col("p_id") =!= sameAsId)
+            // one pre-filtered, committed member-fact slice instead of two
+            // full passes when the split classes are small (dDel is already
+            // driver-side) — member facts span every partition, no pruning
+            val mIds = dDel.map(_._1).distinct
+            val f0 =
+              if (mIds.size > 2048) oldFacts.filter(col("p_id") =!= sameAsId)
+              else graft.engine.DfOps.freshLeaf(
+                oldFacts.filter(col("p_id") =!= sameAsId &&
+                  (col("s")("id").isin(mIds: _*) ||
+                    col("o")("id").isin(mIds: _*))))
             val subj = f0.join(broadcast(dDelAlias), col("s")("id") === col("xid"))
               .select(col("alias").as("s"), col("p"), col("o"))
             val obj = f0.filter(col("o")("kind") =!= Term.KIND_LITERAL)
@@ -1035,8 +1044,25 @@ object Rdfs {
             val subs = sd.addAlias.toSeq.flatMap { aAl =>
               val aliasNewO = sd.aliasNew.withColumnRenamed("alias", "alias2")
                 .withColumnRenamed("xid", "yid")
-              val f0 = afterLoss.filter(col("p_id") =!= sameAsId)
-                .select(col("s"), col("p"), col("o"))
+              // the subject- and object-side substitution arms each scan the
+              // store (member facts span every predicate partition — no p_id
+              // pruning possible). When the merged members are few (the
+              // common merge), ONE pre-filtered, committed scan replaces
+              // both full passes; the arms then join the delta-sized slice.
+              val memberRows = aAl.select(col("xid")).distinct()
+                .limit(2049).collect()
+              val f0 =
+                if (memberRows.length > 2048)
+                  afterLoss.filter(col("p_id") =!= sameAsId)
+                    .select(col("s"), col("p"), col("o"))
+                else {
+                  val ids = memberRows.map(_.getLong(0)).toSeq
+                  graft.engine.DfOps.freshLeaf(
+                    afterLoss.filter(col("p_id") =!= sameAsId &&
+                        (col("s")("id").isin(ids: _*) ||
+                          col("o")("id").isin(ids: _*)))
+                      .select(col("s"), col("p"), col("o")))
+                }
               val subjNew = f0.join(broadcast(aAl), col("s")("id") === col("xid"))
                 .select(col("alias").as("s"), col("p"), col("o"))
               val objNew = f0.filter(col("o")("kind") =!= Term.KIND_LITERAL)
