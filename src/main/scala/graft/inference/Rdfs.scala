@@ -1125,8 +1125,11 @@ object Rdfs {
     // partitions keep their pruned scans and their existing segment plans —
     // no dead branches, no stacking). Per-segment layer depth folds
     // partition-sized past FOLD_LAYERS. Falls back to the legacy whole-frame
-    // result when the touched-pid probe overflows (cone spanning >64
-    // predicates) or the store has no layout.
+    // result when the touched-pid probe overflows (cone spanning >256
+    // predicates — all touched pids land in ONE segment, so the cap guards
+    // the isin literal width, not the segment count; a sameAs-merge
+    // substituting member facts routinely touches ~100 predicates and must
+    // keep the layout's pruned scans) or the store has no layout.
     val laidOut: Option[GraftStore] = next.layoutOpt.flatMap { lay =>
       val touchedRows = t("touched-pids")(
         lostKeys.select(col("__pk"))
@@ -1134,8 +1137,8 @@ object Rdfs {
           .unionByName(promStmts.select(col("p_id").as("__pk")))
           .unionByName(freshStmts.map(_.select(col("p_id").as("__pk")))
             .getOrElse(promStmts.select(col("p_id").as("__pk")).limit(0)))
-          .distinct().limit(65).collect())
-      if (touchedRows.length > 64) None
+          .distinct().limit(257).collect())
+      if (touchedRows.length > 256) None
       else if (touchedRows.isEmpty) Some(next)
       else {
         val touched = touchedRows.map(_.getLong(0)).toSeq
