@@ -252,7 +252,6 @@ object Rdfs {
     // metadata-cheap). -Dgraft.tm.deltaCap overrides for tests.
     val deltaCap = sys.props.get("graft.tm.deltaCap")
       .map(_.toLong).getOrElse(10000000L)
-    if (delta0.count() > deltaCap) return None
 
     // ---- bounded delta probes + non-local-family fallback guards ----
     // ONE probe job: the delta's predicate set AND whether it re-declares a
@@ -269,6 +268,9 @@ object Rdfs {
     if (pidRows.isEmpty) return Some(next)
     val deltaPids = pidRows.map(_.getLong(0)).toSet
     if (pidRows.length > 1000) return None
+    // delta-size valve, AFTER the pid probe: empty/tiny deltas exit above on
+    // the single probe job without paying a separate count action
+    if (delta0.count() > deltaCap) return None
     if (deltaPids(onPropertyId) || deltaPids(hasValueId))
       return None
     if (pidRows.exists(_.getBoolean(1))) return None
@@ -407,24 +409,36 @@ object Rdfs {
       if (restrictionMintsInto(cone)) return None
       if (cone(typeId)) return None
     }
-    // (source pid, flipped) states whose explicit rows are base edges of t:
-    // (t,false) itself, grown backwards over the schema graph to quiescence.
-    // Driver-side, schema-sized; sp/ib are delta-stable here (guards above).
+    // (source pid, flipped) states whose explicit rows are base edges of t.
+    // NOT a free backward closure: closure() materializes t-edges in a FIXED
+    // stage order — rdfs7 over EXPLICIT rows only, then one inverseOf flip
+    // over (explicit ∪ rdfs7 output), then one symmetric flip of t's own
+    // accumulated edges. The materialized feeder grammar is therefore
+    // sp* → inv? → sym(t)?. A flip BEFORE an rdfs7 copy (a symmetric feeder
+    // under a subPropertyOf chain, or q inverseOf p with p ⊑ t) produces NO
+    // t-edge in the materializer; admitting such states would feed phantom
+    // effective edges into the delta cone and break the delta-vs-recompute
+    // invariant. Enumerated exactly; driver-side, schema-sized; sp/ib are
+    // delta-stable here (guards above).
     def feederStates(t0: Long): Set[(Long, Boolean)] = {
       val sps = spNew.map(p => (idOf(p._1), idOf(p._2))).filter(p => p._1 != p._2)
-      val ibs = ibNew.map(p => (idOf(p._1), idOf(p._2)))
-      val seen = scala.collection.mutable.Set[(Long, Boolean)]((t0, false))
-      var fr: Set[(Long, Boolean)] = Set((t0, false))
-      while (fr.nonEmpty) {
-        fr = fr.flatMap { case (r, par) =>
-          sps.collect { case (p, q) if q == r => (p, par) } ++
-            ibs.flatMap { case (p, q) =>
-              (if (q == r) Seq((p, !par)) else Nil) ++
-                (if (p == r) Seq((q, !par)) else Nil) }
-        } -- seen
-        seen ++= fr
-      }
-      seen.toSet
+      // inverseOf pairs ONLY (both directions): symmetric is a separate,
+      // LATER stage in closure() and is handled as the final flip below —
+      // treating a symProp self-pair as an inverse step here would mint the
+      // phantom flip-then-rdfs7 paths this enumeration exists to exclude
+      val invs = (vNew.inv ++ vNew.inv.map(_.swap))
+        .map(p => (idOf(p._1), idOf(p._2))).toSet
+      def spInto(r: Long): Set[Long] =
+        sps.collect { case (p, q) if q == r => p }.toSet
+      val straight: Set[(Long, Boolean)] =
+        (spInto(t0) + t0).map(p => (p, false))
+      val flipped: Set[(Long, Boolean)] =
+        invs.collect { case (p, q) if q == t0 => p }
+          .flatMap(p => spInto(p) + p).map(p => (p, true))
+      val base = straight ++ flipped
+      if (vNew.symProps.exists(r => idOf(r) == t0))
+        base ++ base.map { case (p, f) => (p, !f) }
+      else base
     }
     val transStates: Map[Long, Set[(Long, Boolean)]] =
       transIds.iterator.map(t0 => t0 -> feederStates(t0))
@@ -746,41 +760,86 @@ object Rdfs {
         val newExpIdsDf = exp.filter(col("p_id") === sameAsId)
           .select(col("s")("id").as("a"), col("o")("id").as("b"))
           .dropDuplicates("a", "b")
-        val cap = 2000000
-        val (oldArr, newArr, remArr) = t("sa-collect")((
-          oldIdsDf.limit(cap + 1).collect().map(r => (r.getLong(0), r.getLong(1))),
-          newExpIdsDf.limit(cap + 1).collect().map(r => (r.getLong(0), r.getLong(1))),
-          remSaIds.limit(cap + 1).collect().map(r => (r.getLong(0), r.getLong(1)))))
-        if (oldArr.length > cap || newArr.length > cap || remArr.length > cap)
-          return None // partition past the driver bound → recompute
-        // union-find over the new explicit pairs → components → all-pairs
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        newArr.foreach { case (a, b) =>
-          val ra = find(a); val rb = find(b); if (ra != rb) parent(ra) = rb
-        }
-        val membersByRoot = newArr.flatMap(p => Seq(p._1, p._2)).distinct
-          .groupBy(find)
-        val nPairs = membersByRoot.valuesIterator
-          .map(ms => ms.length.toLong * (ms.length - 1)).sum
-        if (nPairs > 4000000L) return None // all-pairs blowup → recompute
-        val newAll = membersByRoot.valuesIterator.flatMap(ms =>
-          for (x <- ms.iterator; y <- ms if x != y) yield (x, y)).toSet
-        val oldPairs = oldArr.toSet
-        val dDel = (oldPairs diff newAll).toSeq
-        val dAdd = (newAll diff oldPairs).toSeq
-        val promPairs = remArr.filter(newAll).toSeq
         import org.apache.spark.sql.types.{LongType, StructField, StructType}
         val pairT = StructType(Seq(StructField("a", LongType), StructField("b", LongType)))
         def idPairs(ps: Seq[(Long, Long)]): DataFrame = spark.createDataFrame(
           spark.sparkContext.parallelize(ps.map(p => Row(p._1, p._2)),
             (ps.size / 500000 + 1)), pairT)
+        // DRIVER FAST PATH up to `cap` rows per pair frame: collected arrays +
+        // union-find (one probe job, zero shuffles). Past the cap — plain data
+        // growth, e.g. an all-pairs partition of a few thousand-member classes
+        // — the SAME class diff runs distributed: pointer-jumping CC over the
+        // explicit pairs (gas/Gas.connectedComponents), all-pairs as a
+        // per-class self-join, diffs as anti/semi joins. The recompute is no
+        // longer the fallback for sheer class size; only the all-pairs
+        // ESTIMATE blowing past its own valve (a mega-class whose pair set
+        // approaches corpus scale) still routes there.
+        // -Dgraft.tm.sa.driverMax overrides the collect bound (tests set 0 to
+        // force the distributed class diff)
+        val cap = sys.props.get("graft.tm.sa.driverMax")
+          .map(_.toInt).getOrElse(2000000)
+        val (oldArr, newArr, remArr) = t("sa-collect")((
+          oldIdsDf.limit(cap + 1).collect().map(r => (r.getLong(0), r.getLong(1))),
+          newExpIdsDf.limit(cap + 1).collect().map(r => (r.getLong(0), r.getLong(1))),
+          remSaIds.limit(cap + 1).collect().map(r => (r.getLong(0), r.getLong(1)))))
+        val driverFits =
+          oldArr.length <= cap && newArr.length <= cap && remArr.length <= cap
+        // (dDelDf, dAddDf, promDf, nDel, nAdd, nProm, lost-side member heads)
+        val (dDelDf, dAddDf, promDf, nDel, nAdd, nProm, mIdsOpt) =
+          if (driverFits) {
+            // union-find over the new explicit pairs → components → all-pairs
+            val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+            def find(x: Long): Long = {
+              var r = x
+              while (parent.getOrElse(r, r) != r) r = parent(r)
+              var c = x
+              while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+              r
+            }
+            newArr.foreach { case (a, b) =>
+              val ra = find(a); val rb = find(b); if (ra != rb) parent(ra) = rb
+            }
+            val membersByRoot = newArr.flatMap(p => Seq(p._1, p._2)).distinct
+              .groupBy(find)
+            val nPairs = membersByRoot.valuesIterator
+              .map(ms => ms.length.toLong * (ms.length - 1)).sum
+            if (nPairs > 4000000L) return None // driver all-pairs blowup → recompute
+            val newAll = membersByRoot.valuesIterator.flatMap(ms =>
+              for (x <- ms.iterator; y <- ms if x != y) yield (x, y)).toSet
+            val oldPairs = oldArr.toSet
+            val dDel = (oldPairs diff newAll).toSeq
+            val dAdd = (newAll diff oldPairs).toSeq
+            val promPairs = remArr.filter(newAll).toSeq
+            (idPairs(dDel), idPairs(dAdd), idPairs(promPairs),
+              dDel.size.toLong, dAdd.size.toLong, promPairs.size.toLong,
+              Some(dDel.map(_._1).distinct))
+          } else t("sa-dist-cc") {
+            val comps = graft.gas.Gas.connectedComponents(
+              newExpIdsDf.select(col("a").as("src"), col("b").as("dst")))
+            val members = comps
+              .select(col("component").as("__c"), col("vertex").as("nid"))
+            // pair-count valve on the ESTIMATE (Σ size²) before the self-join
+            // mints a quadratic frame; -Dgraft.tm.sa.pairCap overrides
+            val pairCap = sys.props.get("graft.tm.sa.pairCap")
+              .map(_.toLong).getOrElse(64000000L)
+            val est = members.groupBy("__c").count()
+              .agg(sum(col("count") * col("count")).as("e"))
+              .head().getAs[Long]("e")
+            if (est > pairCap) return None
+            val newAllDf = members.join(
+                members.withColumnRenamed("nid", "nid2"), Seq("__c"))
+              .filter(col("nid") =!= col("nid2"))
+              .select(col("nid").as("a"), col("nid2").as("b"))
+              .localCheckpoint()
+            val dDelDf0 = oldIdsDf.join(newAllDf, Seq("a", "b"), "left_anti")
+              .localCheckpoint()
+            val dAddDf0 = newAllDf.join(oldIdsDf, Seq("a", "b"), "left_anti")
+              .localCheckpoint()
+            val promDf0 = remSaIds.join(newAllDf, Seq("a", "b"), "left_semi")
+              .localCheckpoint()
+            (dDelDf0, dAddDf0, promDf0,
+              dDelDf0.count(), dAddDf0.count(), promDf0.count(), None)
+          }
         // id → term dictionary from the sameAs partitions (old view)
         val saNodes = saCur.select(col("s").as("n"))
           .unionByName(saCur.select(col("o").as("n")))
@@ -798,32 +857,40 @@ object Rdfs {
         // the pre-delete view); NEW = old ∪ added, minus lost (built by
         // delta-sized anti-joins rather than re-materializing all pairs)
         val aliasOld = toAlias(oldIdsDf)
-        val aliasNew = toAlias(oldIdsDf.unionByName(idPairs(dAdd))
+        val aliasNew = toAlias(oldIdsDf.unionByName(dAddDf)
           .dropDuplicates("a", "b")
-          .join(idPairs(dDel), Seq("a", "b"), "left_anti"))
+          .join(dDelDf, Seq("a", "b"), "left_anti"))
         // lost-pair taint: the pair rows themselves + member-fact
         // substitutions through the lost aliases (ONE pruned-by-broadcast
         // pass over the fact table; output is cone-sized)
         val lostTaint =
-          if (dDel.isEmpty) None
+          if (nDel == 0) None
           else t("sa-lost") {
-            val dDelAlias = toAlias(idPairs(dDel)).localCheckpoint()
+            val dDelAlias = toAlias(dDelDf).localCheckpoint()
             val aliasOldO = aliasOld.withColumnRenamed("alias", "alias2")
               .withColumnRenamed("xid", "yid")
             // one pre-filtered, committed member-fact slice instead of two
-            // full passes when the split classes are small (dDel is already
-            // driver-side) — member facts span every partition, no pruning
-            val mIds = dDel.map(_._1).distinct
+            // full passes when the split classes are small — member facts
+            // span every partition, no pruning. Driver path supplies the
+            // head ids for free; the distributed path probes bounded.
+            val mIds = mIdsOpt.getOrElse(
+              dDelDf.select("a").distinct().limit(2049).collect()
+                .map(_.getLong(0)).toSeq)
             val f0 =
               if (mIds.size > 2048) oldFacts.filter(col("p_id") =!= sameAsId)
               else graft.engine.DfOps.freshLeaf(
                 oldFacts.filter(col("p_id") =!= sameAsId &&
                   (col("s")("id").isin(mIds: _*) ||
                     col("o")("id").isin(mIds: _*))))
-            val subj = f0.join(broadcast(dDelAlias), col("s")("id") === col("xid"))
+            // size-guarded broadcast: a distributed-scale lost-pair set must
+            // not be forced through the driver (same 4M-key policy as the
+            // mutation paths' hints)
+            def hinted(df: DataFrame): DataFrame =
+              if (nDel <= 4000000L) broadcast(df) else df
+            val subj = f0.join(hinted(dDelAlias), col("s")("id") === col("xid"))
               .select(col("alias").as("s"), col("p"), col("o"))
             val obj = f0.filter(col("o")("kind") =!= Term.KIND_LITERAL)
-              .join(broadcast(dDelAlias.withColumnRenamed("alias", "alias2")
+              .join(hinted(dDelAlias.withColumnRenamed("alias", "alias2")
                 .withColumnRenamed("xid", "yid")), col("o")("id") === col("yid"))
               .select(col("s"), col("p"), col("alias2").as("o"))
             // both-sided orbit members whose derivation used a lost pair on
@@ -833,16 +900,16 @@ object Rdfs {
               .select(col("s"), col("p"), col("alias2").as("o"))
             val bothB = obj.join(aliasOld, col("s")("id") === col("xid"))
               .select(col("alias").as("s"), col("p"), col("o"))
-            Some(toSpo(idPairs(dDel)).unionByName(subj).unionByName(obj)
+            Some(toSpo(dDelDf).unionByName(subj).unionByName(obj)
               .unionByName(bothA).unionByName(bothB)
               .localCheckpoint())
           }
-        val addSpo = if (dAdd.isEmpty) None
-          else Some(toSpo(idPairs(dAdd)).localCheckpoint())
-        val addAlias = if (dAdd.isEmpty) None
-          else Some(toAlias(idPairs(dAdd)).localCheckpoint())
-        val promSpo = if (promPairs.isEmpty) None
-          else Some(toSpo(idPairs(promPairs)).localCheckpoint())
+        val addSpo = if (nAdd == 0) None
+          else Some(toSpo(dAddDf).localCheckpoint())
+        val addAlias = if (nAdd == 0) None
+          else Some(toAlias(dAddDf).localCheckpoint())
+        val promSpo = if (nProm == 0) None
+          else Some(toSpo(promDf).localCheckpoint())
         Some(SaDelta(aliasOld, aliasNew, lostTaint, addSpo, addAlias, promSpo))
       }
 

@@ -418,6 +418,38 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
+  test("sameAs past the driver bound: split runs the DISTRIBUTED class diff") {
+    // -Dgraft.tm.sa.driverMax=0 forces the pointer-jumping-CC + anti-join
+    // path that replaces the driver union-find past 2M collected pairs —
+    // plain data growth must not fall back to the full recompute
+    val st = atRest(saBase, "sa9")
+    sys.props("graft.tm.sa.driverMax") = "0"
+    try check(st,
+      s"DELETE DATA { GRAPH <urn:x:g> { <urn:x:n> <${OWL}sameAs> <urn:x:o2> . } }")
+    finally sys.props.remove("graft.tm.sa.driverMax")
+  }
+
+  test("sameAs past the driver bound: merge runs the DISTRIBUTED class diff") {
+    val st = atRest(saBase, "sa10")
+    sys.props("graft.tm.sa.driverMax") = "0"
+    try check(st,
+      s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+         |INSERT { <urn:x:o2> <${OWL}sameAs> <urn:x:q> . }
+         |WHERE {}""".stripMargin)
+    finally sys.props.remove("graft.tm.sa.driverMax")
+  }
+
+  test("sameAs distributed diff: pair-estimate valve still routes to recompute") {
+    val st = atRest(saBase, "sa11")
+    sys.props("graft.tm.sa.driverMax") = "0"
+    sys.props("graft.tm.sa.pairCap") = "1"
+    try check(st,
+      s"DELETE DATA { GRAPH <urn:x:g> { <urn:x:n> <${OWL}sameAs> <urn:x:o2> . } }",
+      expectDelta = false)
+    finally { sys.props.remove("graft.tm.sa.driverMax")
+      sys.props.remove("graft.tm.sa.pairCap") }
+  }
+
   test("sameAs: member fact insert derives substituted copies forward (delta)") {
     val st = atRest(saBase, "sa6")
     check(st,
@@ -574,6 +606,72 @@ class TmDeltaSpec extends AnyFunSuite {
     """
     val st = atRest(t, "tf6")
     check(st, "DELETE DATA { GRAPH <urn:f2:g> { <urn:f2:b> <urn:f2:conn> <urn:f2:c> . } }")
+  }
+
+  // stage-order feeder grammar: closure() runs rdfs7 over EXPLICIT rows only,
+  // THEN the inverse/symmetric flips — so a flip-then-rdfs7 path (a symmetric
+  // feeder under subPropertyOf, or inverseOf-a-subproperty) never materializes
+  // t-edges, and the delta cone must not treat such predicates as feeders
+  // (phantom effective edges would break the delta-vs-recompute invariant)
+  test("symmetric FEEDER under subPropertyOf: flipped copies are not t-edges") {
+    // :part is symmetric and ⊑ :anc; dSym's flipped :part rows are NOT
+    // rdfs7-copied to :anc (stage order), so deleting (b part d) must not
+    // leave the cone minting reach pairs from the flipped orientation
+    val t = s"""
+      @prefix : <urn:sf:> .
+      @prefix rdfs: <$RDFS> .
+      @prefix owl: <$OWL> .
+      :g {
+        :anc a owl:TransitiveProperty .
+        :part a owl:SymmetricProperty .
+        :part rdfs:subPropertyOf :anc .
+        :a :part :b .
+        :b :part :d .
+      }
+    """
+    val st = atRest(t, "tf7")
+    check(st, "DELETE DATA { GRAPH <urn:sf:g> { <urn:sf:b> <urn:sf:part> <urn:sf:d> . } }")
+  }
+
+  test("inverseOf-a-subproperty: flip-then-rdfs7 path is not a feeder") {
+    // :q inverseOf :part, :part ⊑ :anc — dInv2's (b part c) copy of (c q b)
+    // exists as an Inferred :part row but is NOT rdfs7-copied to :anc; the
+    // surviving :q row must not surface as a phantom :anc effective edge
+    // while the cone processes the unrelated :part delete
+    val t = s"""
+      @prefix : <urn:iq:> .
+      @prefix rdfs: <$RDFS> .
+      @prefix owl: <$OWL> .
+      :g {
+        :anc a owl:TransitiveProperty .
+        :part rdfs:subPropertyOf :anc .
+        :q owl:inverseOf :part .
+        :a :part :b .
+        :b :part :d .
+        :c :q :b .
+      }
+    """
+    val st = atRest(t, "tf8")
+    check(st, "DELETE DATA { GRAPH <urn:iq:g> { <urn:iq:b> <urn:iq:part> <urn:iq:d> . } }")
+  }
+
+  test("symmetric TARGET with a subproperty feeder: all four parities are real") {
+    // :conn itself symmetric+transitive with :part ⊑ :conn — here the final
+    // dSym flip DOES apply to the rdfs7 copies, so (part, flipped) is a
+    // legitimate state and the restricted grammar must keep it
+    val t = s"""
+      @prefix : <urn:st:> .
+      @prefix rdfs: <$RDFS> .
+      @prefix owl: <$OWL> .
+      :g {
+        :conn a owl:TransitiveProperty , owl:SymmetricProperty .
+        :part rdfs:subPropertyOf :conn .
+        :a :part :b .
+        :b :conn :c .
+      }
+    """
+    val st = atRest(t, "tf9")
+    check(st, "DELETE DATA { GRAPH <urn:st:g> { <urn:st:a> <urn:st:part> <urn:st:b> . } }")
   }
 
   test("delta-size valve: a bulk delta routes to the recompute, same result") {
