@@ -22,7 +22,8 @@ import org.apache.spark.storage.StorageLevel
 final class GraftStore(val spark: SparkSession, val statements: DataFrame,
                        val lexiconPath: Option[String] = None,
                        private[graft] val layoutOpt: Option[StatementLayout] = None,
-                       private[graft] val inferredHint: Option[Boolean] = None) {
+                       private[graft] val inferredHint: Option[Boolean] = None,
+                       private[graft] val atRestPath: Option[String] = None) {
 
   /** Partition-keyed view of this store (base frame + p_id-keyed replacement
     * segments). Mutation paths (Update, delta truth maintenance) rewrite ONLY
@@ -38,7 +39,7 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
     */
   private[graft] def withLayout(l: StatementLayout,
                                 hint: Option[Boolean] = None): GraftStore =
-    new GraftStore(spark, l.assemble, None, Some(l), hint)
+    new GraftStore(spark, l.assemble, None, Some(l), hint, atRestPath)
 
   /** Can this store contain stype=Inferred rows? Probed once per store lineage
     * (parquet row-group stats make the probe metadata-cheap on closure-free
@@ -348,7 +349,75 @@ object GraftStore {
 
   def load(spark: SparkSession, path: String): GraftStore =
     new GraftStore(spark, spark.read.parquet(path)
-      .select(columns.map(col): _*)) // normalize column order; p_id read as partition col
+      .select(columns.map(col): _*), // normalize column order; p_id read as partition col
+      atRestPath = Some(path))
+
+  /** Durable O(delta) commit of a MUTATED store back to its own at-rest path:
+    * rewrite ONLY the partition directories the layout has replaced, leave
+    * every untouched `p_id=` directory's files alone. This is the durable
+    * second half of `StatementLayout` — in-session mutations replace segments;
+    * here each touched segment folds back as a dynamic-partition overwrite
+    * (bytes written O(touched partitions), not O(store)). The reference's
+    * analog is the group commit writing only the affected index ranges
+    * (`rdf/sparql/ast/eval/AST2BOpUpdate.java` → the journal's commit of
+    * touched B+Tree regions). Falls back to the full `save` when the store
+    * was not loaded from `path` or carries no replacement segments.
+    *
+    * The replacement rows are checkpointed BEFORE the write: segment plans
+    * read the very parquet files being replaced (base slices behind
+    * tombstones), and a lazy overwrite-while-reading is both rejected by
+    * Spark's path-conflict check and unsafe under the dynamic committer. The
+    * checkpoint is touched-partition-sized — exactly the O(delta) budget.
+    *
+    * Returns the REOPENED at-rest store: the in-session handle's lazy frames
+    * still reference the replaced files and must not be used afterwards.
+    */
+  def saveInPlace(store: GraftStore, path: String): GraftStore = {
+    val touched = store.layoutOpt.map(_.segPids).getOrElse(Set.empty)
+    if (!store.atRestPath.contains(path) || touched.isEmpty) {
+      save(store.statements, path)
+      return load(store.spark, path)
+    }
+    val spark = store.spark
+    val repl = store.layout.slice(touched.toSeq)
+      .select(columns.map(col): _*).localCheckpoint()
+    // same clustering as save(): full files per predicate dir, writer count
+    // scaled to the partition's row count — but the histogram here is
+    // touched-partition-sized, and doubles as the empty-partition detector
+    val hist = repl.groupBy("p_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val conf = spark.conf
+    val prevMode = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    val prevWriters = conf.get("spark.sql.maxConcurrentOutputFileWriters", "0")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    conf.set("spark.sql.maxConcurrentOutputFileWriters", "128")
+    try {
+      if (hist.nonEmpty) {
+        val nb = hist.toSeq.map { case (p, c) =>
+          (p, math.max(1L, math.min(16L, math.ceil(c / 250000.0d).toLong))) }
+        val nbDf = spark.createDataFrame(nb).toDF("p_id", "__nb")
+        repl.join(broadcast(nbDf), Seq("p_id"))
+          .repartition(col("p_id"), pmod(col("s")("id"), col("__nb")))
+          .drop("__nb")
+          .write.mode("overwrite").partitionBy("p_id").parquet(path)
+      }
+    } finally {
+      conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      conf.set("spark.sql.maxConcurrentOutputFileWriters", prevWriters)
+    }
+    // dynamic overwrite only replaces partitions PRESENT in the written frame:
+    // a touched partition whose rows were all deleted must have its directory
+    // dropped explicitly or the dead rows resurrect on reopen
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(hist.contains)
+      .foreach(p => fs.delete(new org.apache.hadoop.fs.Path(root, s"p_id=$p"), true))
+    // generation bump for the path-keyed caches (lexicon, text index) even on
+    // the delete-only path where no write job ran
+    val succ = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
+    fs.create(succ, true).close()
+    load(spark, path)
+  }
 
   /** In-memory (cached) store for small scale factors / tests. */
   def cached(spark: SparkSession, df: DataFrame): GraftStore = {
