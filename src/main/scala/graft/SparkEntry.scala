@@ -1685,6 +1685,38 @@ object SparkEntry {
              |SELECT CAST(t AS BIGINT) AS triangles, w AS wedges,
              |  3.0*t/w AS clustering FROM tri, wtot""".stripMargin)),
 
+    // SAMPLED census — the 100 TB tier: deterministic md5 edge sub-sampling
+    // (rate 1/16 per adjacency edge → 1/256 per wedge), closure probed against
+    // the full adjacency; estimator reproduced bit-for-bit by the oracle
+    // (md5 hex is engine-portable). Exact census stays available above.
+    ("p_gas_tri_sampled", ((s: SparkSession, dir: String) => {
+      val li = read(s, dir, "lineitem")
+      val op = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .dropDuplicates("o", "p")
+      val edges = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.gas.Gas.triangleStatsSampled(edges, bits = 1)
+    }): Q,
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+             |e AS (SELECT DISTINCT a.p a, b.p b FROM op a JOIN op b ON a.o=b.o AND a.p<b.p),
+             |deg AS (SELECT v, COUNT(*) AS deg FROM
+             |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+             |o AS (SELECT
+             |    CASE WHEN da.deg<db.deg OR (da.deg=db.deg AND e.a<e.b) THEN e.a ELSE e.b END AS src,
+             |    CASE WHEN da.deg<db.deg OR (da.deg=db.deg AND e.a<e.b) THEN e.b ELSE e.a END AS dst,
+             |    CASE WHEN da.deg<db.deg OR (da.deg=db.deg AND e.a<e.b) THEN db.deg ELSE da.deg END AS ddeg
+             |  FROM e JOIN deg da ON da.v=e.a JOIN deg db ON db.v=e.b),
+             |os AS (SELECT * FROM o WHERE substr(md5(src||'#'||dst),1,1)='0'),
+             |wed AS (SELECT x.dst AS v, y.dst AS w FROM os x JOIN os y
+             |  ON x.src=y.src AND (x.ddeg<y.ddeg OR (x.ddeg=y.ddeg AND x.dst<y.dst))),
+             |s AS (SELECT COUNT(*) AS sw FROM wed),
+             |c AS (SELECT COUNT(*) AS cw FROM wed JOIN o ON o.src=wed.v AND o.dst=wed.w)
+             |SELECT CAST(sw AS BIGINT) AS sampled_wedges, CAST(cw AS BIGINT) AS closed_wedges,
+             |  CAST(cw AS DOUBLE)*256.0/3.0 AS triangles_est,
+             |  CASE WHEN sw=0 THEN 0.0 ELSE CAST(cw AS DOUBLE)/CAST(sw AS DOUBLE) END AS clustering_est
+             |FROM s, c""".stripMargin)),
+
     ("p_gas_pagerank", ((s: SparkSession, dir: String) => {
       val o = read(s, dir, "orders")
       val edges = o.select(col("o_custkey").as("src"), col("o_orderkey").as("dst"))

@@ -319,4 +319,55 @@ object Gas {
     Seq((t, wTot, if (wTot == 0L) 0.0 else 3.0 * t / wTot)).toDF("triangles", "wedges", "clustering")
   }
 
+  /** SAMPLED triangle census / clustering estimate — the 100 TB tier next to
+    * the exact `triangleStats`. The exact census is answer-bounded (~m^1.5
+    * growth); at 100× scale an estimate with a fixed budget is the right
+    * default. Wedges are sampled by DETERMINISTIC edge sub-sampling: a
+    * directed (degree-ordered) adjacency edge survives iff the first hex
+    * digit of md5("src#dst") is '0' repeated `bits` times (rate 16^-bits per
+    * edge, 16^-2bits per wedge — both edges must survive). Closure is checked
+    * against the FULL adjacency, so
+    *   clustering_est = closed/sampled   (consistent ratio estimator)
+    *   triangles_est  = closed · 16^2bits / 3
+    * md5-on-string is engine-portable (same hex in DuckDB), so the oracle
+    * reproduces the estimate bit-for-bit. Cost: the wedge self-join runs on
+    * the 16^-bits-sampled adjacency — 16^-2bits of the exact join's pairs —
+    * and the closure probe is sampled-wedges-sized.
+    */
+  def triangleStatsSampled(edges0: DataFrame, bits: Int = 1): DataFrame = {
+    val e = edges0
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).dropDuplicates("a", "b")
+      .localCheckpoint()
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val wd = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val aFirst = (col("da") < col("db")) || (col("da") === col("db") && col("a") < col("b"))
+    val o = wd.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+      .localCheckpoint()
+    val keep = substring(md5(concat(col("src").cast("string"), lit("#"),
+      col("dst").cast("string"))), 1, bits) === "0" * bits
+    val oS = o.filter(keep)
+    val x = oS.select(col("src"), col("dst").as("v"), col("ddeg").as("vd"))
+    val y = oS.select(col("src"), col("dst").as("w"), col("ddeg").as("wdg"))
+    val wedges = x.join(y, Seq("src"))
+      .filter(col("vd") < col("wdg") || (col("vd") === col("wdg") && col("v") < col("w")))
+      .select("v", "w")
+    val sampled = wedges.count()
+    val closed = wedges.join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .count()
+    val inv = math.pow(16.0, 2.0 * bits)
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    Seq((sampled, closed,
+      closed * inv / 3.0,
+      if (sampled == 0L) 0.0 else closed.toDouble / sampled))
+      .toDF("sampled_wedges", "closed_wedges", "triangles_est", "clustering_est")
+  }
+
 }

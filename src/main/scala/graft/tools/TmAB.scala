@@ -29,6 +29,7 @@ object TmAB {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("mega")) { megaPhase(spark, sfDir); spark.stop(); return }
 
     // wall-clock plus TOTAL INPUT RECORDS read by all tasks in the section —
     // the scale-invariant cost: single-node wall-clock under-represents the
@@ -209,6 +210,101 @@ object TmAB {
     val od = keySet(cur).exceptAll(keySet(fullChain)).count()
     val of = keySet(fullChain).exceptAll(keySet(cur)).count()
     println(s"""TMAB-CHAIN-CHECK {"only_delta":$od,"only_full":$of}""")
+
+    // ---- durable write-back probe (saveInPlace): bytes written for a
+    // single-partition mutation must be a small fraction of the store ----
+    // runs LAST: it rewrites touched partitions of the shared at-rest store
+    // (a fresh non-reuse run rebuilds it)
+    {
+      def dirBytes(p: java.io.File): Long =
+        if (p.isFile) p.length()
+        else Option(p.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+      val root = new java.io.File(atRestPath)
+      val storeBytes = dirBytes(root)
+      val st0 = graft.model.GraftStore.load(spark, atRestPath)
+      val (mut, tMut, _) = time {
+        graft.engine.Update.withTruthMaintenance(st0,
+          s"DELETE DATA { <urn:t:customer:${custIds.head}> <urn:p:c_name> " +
+            s""""Customer#${"%09d".format(custIds.head)}" . }""")
+      }
+      val nTouched = mut.layoutOpt.map(_.segPids.size).getOrElse(-1)
+      val expectKeys = keySet(mut).localCheckpoint()
+      val mark = System.currentTimeMillis()
+      val (reopened, tSave, _) = time {
+        graft.model.GraftStore.saveInPlace(mut, atRestPath)
+      }
+      def newBytes(p: java.io.File): Long =
+        if (p.isFile) { if (p.lastModified() >= mark) p.length() else 0L }
+        else Option(p.listFiles()).map(_.map(newBytes).sum).getOrElse(0L)
+      val written = newBytes(root)
+      val mismatch = keySet(reopened).exceptAll(expectKeys).count() +
+        expectKeys.exceptAll(keySet(reopened)).count()
+      println(f"""TMAB-SAVE {"path":"${graft.inference.Rdfs.lastTmPath}","touched_pids":$nTouched,"""
+        + f""""mutate_sec":$tMut%.2f,"save_sec":$tSave%.2f,"bytes_written":$written,"""
+        + f""""store_bytes":$storeBytes,"frac":${written.toDouble / storeBytes}%.4f,"""
+        + s""""reopen_mismatch":$mismatch}""")
+    }
     spark.stop()
+  }
+
+  /** Mega-sameAs phase (run with `mega` anywhere in args): one equivalence
+    * class whose all-pairs closure exceeds the 2M-pair driver bound, layered
+    * over the full sf corpus — the case that ALWAYS recomputed before the
+    * distributed class diff. A/Bs one edge delete (class split)
+    * delta-vs-recompute; self-contained (own listener/timer).
+    */
+  def megaPhase(spark: SparkSession, sfDir: String): Unit = {
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+      })
+    def time[A](f: => A): (A, Double, Long) = {
+      val t0 = System.nanoTime()
+      val r0 = recordsRead.get()
+      val r = f
+      Thread.sleep(300)
+      (r, (System.nanoTime() - t0) / 1e9, recordsRead.get() - r0)
+    }
+    def keySet(st: graft.model.GraftStore) = st.statements
+      .select(xxhash64(col("s")("id"), col("p")("id"), col("o")("id"),
+        coalesce(col("g")("id"), lit(0L)), col("stype")).as("k"))
+    val members = 1500 // 1500·1499 ≈ 2.25M all-pairs > the 2M driver bound
+    val megaNt = (1 until members).map(i =>
+      s"<urn:m:0> <http://www.w3.org/2002/07/owl#sameAs> <urn:m:$i> .") ++ Seq(
+      "<urn:m:0> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:c:Mega> .")
+    val raw0 = graft.model.Tpch.store(spark, sfDir)
+    raw0.statements.count()
+    val raw = new graft.model.GraftStore(spark, raw0.statements.unionByName(
+      graft.sources.Rio.readTrig(spark, megaNt.mkString("\n"))))
+    val megaPath = "/tmp/graft_tmab_mega"
+    val reuse = sys.env.contains("GRAFT_TMAB_REUSE") &&
+      new java.io.File(megaPath + "/_SUCCESS").exists()
+    val (closed, tClose, _) = time {
+      if (!reuse) graft.model.GraftStore.save(
+        graft.inference.Rdfs.closure(raw).statements, megaPath)
+      graft.model.GraftStore.load(spark, megaPath)
+    }
+    val nPairs = closed.statements
+      .filter(col("p")("str") === "http://www.w3.org/2002/07/owl#sameAs").count()
+    println(f"TMAB-MEGA close+save+load $tClose%.2f s atRest=${graft.inference.Rdfs.inferredAtRest(closed)} saPairs=$nPairs")
+    val u = "DELETE DATA { <urn:m:0> <http://www.w3.org/2002/07/owl#sameAs> <urn:m:1> . }"
+    val (deltaSt, tDelta, rowsDelta) = time {
+      graft.engine.Update.withTruthMaintenance(closed, u)
+    }
+    val path = graft.inference.Rdfs.lastTmPath
+    val (fullSt, tFull, rowsFull) = time {
+      val applied = graft.sparql.Parser.parseUpdate(u)
+        .foldLeft(closed)(graft.engine.Update.applyOp)
+      graft.inference.Rdfs.materialize(
+        graft.inference.Rdfs.truthMaintain(applied))
+    }
+    val onlyDelta = keySet(deltaSt).exceptAll(keySet(fullSt)).count()
+    val onlyFull = keySet(fullSt).exceptAll(keySet(deltaSt)).count()
+    println(f"""TMAB-MEGA {"path":"$path","delta_sec":$tDelta%.2f,"full_sec":$tFull%.2f,"""
+      + s""""delta_rows_read":$rowsDelta,"full_rows_read":$rowsFull,"""
+      + s""""only_delta":$onlyDelta,"only_full":$onlyFull}""")
   }
 }
