@@ -51,6 +51,9 @@ object Bench {
           // a broken warmup query means the timed run below will also report -1;
           // surface it rather than silently reclassifying the failure as "warm"
           System.err.println(s"[bench] warmup $w failed: ${e.getClass.getSimpleName}: ${e.getMessage}") })
+    // infrastructure families (geo/search/TM/RIO/federation/sinks): tiny-input,
+    // different-constant warms of the same plan shapes — see SparkEntry.warmup
+    SparkEntry.warmup(spark)
     val warmupSec = (System.nanoTime() - tWarm) / 1e9
     // at-rest closed store (q_truth_maint's input): built/saved once per sf,
     // untimed like the base store load — entailment materialization is a load

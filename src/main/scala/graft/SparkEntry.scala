@@ -74,6 +74,96 @@ object SparkEntry {
     })
   }
 
+  /** Untimed SESSION warmup for the single-pass driver battery: compile/JIT
+    * the heavy infrastructure families once over TINY inputs with DIFFERENT
+    * constants, so the timed single pass measures engine steady state instead
+    * of first-iteration codegen/class-loading (the r12-r14 A/Bs showed 2-6 s
+    * first-iteration tax on the geo/search/TM/RIO/federation entries, all of
+    * it store-independent). Store-shaped caches (parquet store, closure
+    * store, lexicon, text postings) are warmed separately by the store opens
+    * in Bench; nothing here touches a timed query's inputs or results.
+    */
+  def warmup(s: SparkSession): Unit = {
+    def safe(tag: String)(f: => Unit): Unit =
+      try f catch { case e: Throwable =>
+        System.err.println(s"[warmup] $tag: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+    import graft.model.GraftStore
+    val tiny = new GraftStore(s, graft.sources.Rio.readTrig(s,
+      """@prefix : <urn:w:> .
+        |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        |:g { :B rdfs:subClassOf :A . :u1 a :B . :u2 a :B .
+        |     :u1 :name "warm alpha" . :u2 :name "warm beta gamma" .
+        |     :u1 :next :u2 . :u2 :next :u3 . :u1 :val 7 . }""".stripMargin)
+      .localCheckpoint())
+    // closure + at-rest TM delta pass (vocab collect, deltaDerive/rederive arms)
+    safe("closure-tm") {
+      val closed = new GraftStore(s,
+        graft.inference.Rdfs.closure(tiny).statements.localCheckpoint())
+      graft.engine.Update.withTruthMaintenance(closed,
+        "DELETE DATA { GRAPH <urn:w:g> { <urn:w:u2> a <urn:w:B> . } }")
+        .statements.count()
+    }
+    // property-path fixpoint (seeded BFS loop shapes)
+    safe("path")(Engine.query(tiny,
+      "SELECT ?x WHERE { <urn:w:u1> <urn:w:next>+ ?x }").count())
+    // geo magic service: insert packed literals then an inCircle probe
+    safe("geo") {
+      val withLoc = graft.engine.Update(tiny,
+        """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+          |INSERT { ?e <urn:w:loc> ?loc } WHERE {
+          |  ?e <urn:w:val> ?id .
+          |  BIND(STRDT(CONCAT(STR(?id), "#", STR(?id)), geo:geoSpatialLiteral) AS ?loc) }""".stripMargin)
+      Engine.query(withLoc,
+        """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+          |SELECT ?r WHERE { ?r geo:search "inCircle" ;
+          |  geo:predicate <urn:w:loc> ;
+          |  geo:spatialCircleCenter "7#7" ; geo:spatialCircleRadius "5" }""".stripMargin)
+        .count()
+    }
+    // full-text postings build + search + searchInSearch shapes
+    safe("bds") {
+      Engine.query(tiny,
+        """SELECT ?o WHERE { ?o <http://www.bigdata.com/rdf/search#search> "alpha" }""")
+        .count()
+      Engine.query(tiny,
+        """SELECT (COUNT(*) AS ?c) WHERE { ?x a <urn:w:B> .
+          |  SERVICE <http://www.bigdata.com/rdf/search#searchInSearch> {
+          |    ?x <http://www.bigdata.com/rdf/search#searchInSearch> "beta" . } }""".stripMargin)
+        .count()
+    }
+    // RIO serialize + reparse
+    safe("rio") {
+      import s.implicits._
+      graft.sources.Rio.statementsFromLines(
+        graft.sources.Rio.toNQuadLines(tiny.statements).as[String]).count()
+    }
+    // SPARQL protocol loopback: server start + SERVICE join + JSON results
+    safe("federation") {
+      val srv = new graft.server.SparqlServer(tiny).start()
+      try Engine.query(tiny,
+        s"""SELECT ?n WHERE { ?x a <urn:w:B> .
+           |  SERVICE <http://127.0.0.1:${srv.boundPort}/sparql> {
+           |    ?x <urn:w:name> ?n } }""".stripMargin).count()
+      finally srv.stop()
+    }
+    // result-sink round trip (JSON serializer + protocol parser)
+    safe("results") {
+      val df = Engine.query(tiny, "SELECT ?n WHERE { ?x <urn:w:name> ?n }")
+      graft.engine.RemoteService.parseResults(s,
+        graft.engine.SparqlResults.toJson(df)).count()
+    }
+    // JSON-LD parse + statement mint
+    safe("jsonld") {
+      val quads = graft.sources.JsonLd.parse(
+        """{"@context":{"nm":"urn:w:name"},"@id":"urn:w:j1","nm":"warm"}""")
+      require(quads.nonEmpty)
+    }
+    // UPDATE insert capture on a store handle (novelty anti-join shapes)
+    safe("update")(graft.engine.Update(tiny,
+      "INSERT DATA { GRAPH <urn:w:g> { <urn:w:u9> a <urn:w:B> . } }")
+      .statements.count())
+  }
+
   // ======== SPARQL operator battery ========
   private val sparqlQueries: Seq[(String, Q, Option[String])] = Seq(
 

@@ -401,11 +401,12 @@ object Rdfs {
     val transIds = (vOld.transProps ++ vNew.transProps).map(idOf).toSet
     if (transIds.nonEmpty) {
       val cone = feederClosure(transIds) // includes transIds
-      if (minus(spOld, spNew).exists(p => cone(idOf(p._2))) ||
-          minus(spNew, spOld).exists(p => cone(idOf(p._2)))) return None
-      if (minus(ibOld, ibNew).exists(p => cone(idOf(p._1)) || cone(idOf(p._2))) ||
-          minus(ibNew, ibOld).exists(p => cone(idOf(p._1)) || cone(idOf(p._2))))
-        return None
+      // r14: sp/inverseOf SCHEMA deltas into the cone no longer recompute —
+      // the state-diff below treats a feeder partition whose (pid, parity)
+      // state appears/disappears as a bulk effective-edge delta (its rows
+      // enter deltaT/remPairs wholesale), so the same reachability
+      // maintenance covers ontology edits on a live store. Restrictions
+      // minting into the cone and rdf:type cones still recompute.
       if (restrictionMintsInto(cone)) return None
       if (cone(typeId)) return None
     }
@@ -418,15 +419,18 @@ object Rdfs {
     // under a subPropertyOf chain, or q inverseOf p with p ⊑ t) produces NO
     // t-edge in the materializer; admitting such states would feed phantom
     // effective edges into the delta cone and break the delta-vs-recompute
-    // invariant. Enumerated exactly; driver-side, schema-sized; sp/ib are
-    // delta-stable here (guards above).
-    def feederStates(t0: Long): Set[(Long, Boolean)] = {
-      val sps = spNew.map(p => (idOf(p._1), idOf(p._2))).filter(p => p._1 != p._2)
+    // invariant. Enumerated exactly; driver-side, schema-sized. Computed
+    // under BOTH schema views: an sp/inverseOf delta that adds or removes a
+    // state turns that partition's rows into a bulk effective-edge delta
+    // (see the cone's statesAdd/statesRem arms).
+    def feederStatesOf(t0: Long, spC: Seq[(Row, Row)], invArr: Array[(Row, Row)],
+                       syms: Array[Row]): Set[(Long, Boolean)] = {
+      val sps = spC.map(p => (idOf(p._1), idOf(p._2))).filter(p => p._1 != p._2)
       // inverseOf pairs ONLY (both directions): symmetric is a separate,
       // LATER stage in closure() and is handled as the final flip below —
       // treating a symProp self-pair as an inverse step here would mint the
       // phantom flip-then-rdfs7 paths this enumeration exists to exclude
-      val invs = (vNew.inv ++ vNew.inv.map(_.swap))
+      val invs = (invArr ++ invArr.map(_.swap))
         .map(p => (idOf(p._1), idOf(p._2))).toSet
       def spInto(r: Long): Set[Long] =
         sps.collect { case (p, q) if q == r => p }.toSet
@@ -436,24 +440,33 @@ object Rdfs {
         invs.collect { case (p, q) if q == t0 => p }
           .flatMap(p => spInto(p) + p).map(p => (p, true))
       val base = straight ++ flipped
-      if (vNew.symProps.exists(r => idOf(r) == t0))
+      if (syms.exists(r => idOf(r) == t0))
         base ++ base.map { case (p, f) => (p, !f) }
       else base
     }
-    val transStates: Map[Long, Set[(Long, Boolean)]] =
-      transIds.iterator.map(t0 => t0 -> feederStates(t0))
-        .filter { case (_, ss) => ss.exists(s => deltaPids(s._1)) }
+    def feederStates(t0: Long): Set[(Long, Boolean)] =
+      feederStatesOf(t0, spNew, vNew.inv, vNew.symProps)
+    def feederStatesOld(t0: Long): Set[(Long, Boolean)] =
+      feederStatesOf(t0, spOld, vOld.inv, vOld.symProps)
+    // touched = a data delta lands in an (old or new) feeder partition, OR
+    // the schema delta changed the state set itself (ontology edit)
+    val transStates: Map[Long, (Set[(Long, Boolean)], Set[(Long, Boolean)])] =
+      transIds.iterator.map(t0 => t0 -> ((feederStates(t0), feederStatesOld(t0))))
+        .filter { case (_, (sn, so)) =>
+          (sn ++ so).exists(s => deltaPids(s._1)) || sn != so }
         .toMap
     val transTouched: Set[Long] = transStates.keySet
     // plan-width valve: each state is a pruned-partition scan in the
     // effective-edge union — a pathological schema fans out past it
-    if (transStates.valuesIterator.map(_.size).sum > 256) return None
+    if (transStates.valuesIterator.map(p => (p._1 ++ p._2).size).sum > 256)
+      return None
     // a touched transitive property whose EFFECTIVE partitions' nodes
     // intersect the sameAs classes breaks the translation's explicit-rows
     // assumption (substituted edge copies live as entailments) → recompute.
     // DISJOINT classes compose fine — gated on one pruned overlap probe.
     if (saPresent && transTouched.nonEmpty) {
-      val effPids = transStates.valuesIterator.flatten.map(_._1).toSeq.distinct
+      val effPids = transStates.valuesIterator
+        .flatMap(p => p._1 ++ p._2).map(_._1).toSeq.distinct
       val tNodes = next.statements.filter(col("p_id").isin(effPids: _*))
         .select(col("s")("id").as("n"))
         .unionByName(next.statements.filter(col("p_id").isin(effPids: _*))
@@ -529,32 +542,56 @@ object Rdfs {
       if (transTouched.isEmpty) (None, None, None, None)
       else t("trans-cone") {
         val tSeq = transTouched.toSeq
-        val states = transStates.toSeq.flatMap { case (t0, ss) =>
-          ss.toSeq.map(s => (t0, s._1, s._2)) }
-        val srcAll = states.map(_._2).distinct
+        val statesNewL = transStates.toSeq.flatMap { case (t0, (sn, _)) =>
+          sn.toSeq.map(s => (t0, s._1, s._2)) }
+        val statesOldL = transStates.toSeq.flatMap { case (t0, (_, so)) =>
+          so.toSeq.map(s => (t0, s._1, s._2)) }
+        // schema-delta state diff: a state present only in the NEW view makes
+        // that partition's surviving rows bulk-ADDED effective edges; only in
+        // the OLD view, bulk-REMOVED (rows unchanged, their translation gone)
+        val statesAdd = (statesNewL.toSet -- statesOldL.toSet).toSeq
+        val statesRem = (statesOldL.toSet -- statesNewL.toSet).toSeq
+        val srcAll = (statesNewL ++ statesOldL).map(_._2).distinct
         def ckpt(df: DataFrame): DataFrame = df.localCheckpoint()
         // effective translation: each (t, src, flip) state contributes src's
         // rows — flipped when the feeder path's inverse-parity is odd — as
         // t-edges; paths of mixed feeder edges compose under t's transitivity
-        def effT(idsDf: DataFrame): DataFrame =
-          states.map { case (t0, src, flip) =>
+        def effOver(sts: Seq[(Long, Long, Boolean)])(idsDf: DataFrame): DataFrame =
+          if (sts.isEmpty) idsDf.select(col("p_id"), col("a"), col("b")).filter(lit(false))
+          else sts.map { case (t0, src, flip) =>
             val part = idsDf.filter(col("p_id") === src)
             if (!flip) part.select(lit(t0).as("p_id"), col("a"), col("b"))
             else part.select(lit(t0).as("p_id"), col("b").as("a"),
               col("a").as("b"))
           }.reduce(_.unionByName(_)).dropDuplicates("p_id", "a", "b")
-        val eNew = ckpt(effT(exp.filter(col("p_id").isin(srcAll: _*))
-          .select(col("p_id"), col("s")("id").as("a"), col("o")("id").as("b"))))
+        def effT(idsDf: DataFrame): DataFrame = effOver(statesNewL)(idsDf)
+        def expAB(pids: Seq[Long]): DataFrame =
+          exp.filter(col("p_id").isin(pids: _*))
+            .select(col("p_id"), col("s")("id").as("a"), col("o")("id").as("b"))
+        def remAB(pids: Seq[Long]): DataFrame =
+          removed.filter(col("p")("id").isin(pids: _*))
+            .select(col("p")("id").as("p_id"), col("s")("id").as("a"),
+              col("o")("id").as("b"))
+        val eNew = ckpt(effT(expAB(statesNewL.map(_._2).distinct)))
         val oldT = oldFacts.filter(col("p_id").isin(tSeq: _*))
           .select(col("p_id"), col("s")("id").as("a"), col("o")("id").as("b"))
           .dropDuplicates("p_id", "a", "b")
         val deltaT = effT(delta0.filter(col("p")("id").isin(srcAll: _*))
           .select(col("p")("id").as("p_id"), col("s")("id").as("a"),
             col("o")("id").as("b")))
+          .unionByName(effOver(statesAdd)(expAB(statesAdd.map(_._2).distinct)))
+          .unionByName(effOver(statesRem)(
+            expAB(statesRem.map(_._2).distinct)
+              .unionByName(remAB(statesRem.map(_._2).distinct))))
         val dTails = ckpt(deltaT.select(col("p_id"), col("a").as("b")).distinct())
-        val remPairs = effT(removed.filter(col("p")("id").isin(srcAll: _*))
-          .select(col("p")("id").as("p_id"), col("s")("id").as("a"),
-            col("o")("id").as("b")))
+        // remPairs feeds ONLY the backward-BFS edge superset (old ∪ new):
+        // data-removed rows under the new states, plus whole partitions whose
+        // state was schema-removed (their translated edges were in the old
+        // graph and are absent from eNew)
+        val remPairs = effT(remAB(srcAll))
+          .unionByName(effOver(statesRem)(
+            expAB(statesRem.map(_._2).distinct)
+              .unionByName(remAB(statesRem.map(_._2).distinct))))
         // Affected sources X are computed by ONE backward BFS over
         // eNew ∪ removedPairs — a superset of both the old and the new edge
         // sets (an old edge either survived into eNew or was purged into the
@@ -925,7 +962,11 @@ object Rdfs {
     val delSuspects = t("delta-derive-del")(deltaDerive(spark, oldFacts, removedTaint,
       scOld, spOld, vOld.dom.toSeq, vOld.rng.toSeq, ibOld, vOld.restrictions,
       dScDel, dSpDel, dDomDel, dRngDel, dIbDel, saDelta.map(_.aliasOld),
-      lateTaint = lostTransSpo))
+      lateTaint = lostTransSpo,
+      // old EXPLICIT view for the schema arms (closure premises)
+      explicitFacts = Some(exp.select(col("s"), col("p"), col("o"), col("p_id"))
+        .unionByName(removed.filter(col("stype") =!= GraftStore.STYPE_INFERRED)
+          .select(col("s"), col("p"), col("o"), col("p")("id").as("p_id"))))))
     // The removed rows THEMSELVES are suspects too: an entailment whose
     // materialization was novelty-suppressed by an explicit copy must be
     // PROMOTED to Inferred when that copy is deleted but it stays derivable
@@ -1156,7 +1197,10 @@ object Rdfs {
         val newDerived = deltaDerive(spark, afterLoss, addedTaint,
           scNew, spNew, vNew.dom.toSeq, vNew.rng.toSeq, ibNew, vNew.restrictions,
           dScAdd, dSpAdd, dDomAdd, dRngAdd, dIbAdd, saDelta.map(_.aliasNew),
-          lateTaint = newTransSpo)
+          lateTaint = newTransSpo,
+          // new EXPLICIT view (added rows live in exp) for the schema arms
+          explicitFacts = Some(
+            exp.select(col("s"), col("p"), col("o"), col("p_id"))))
           .unionByName(newSchemaStmts)
           .unionByName(newTransSpo.getOrElse(newSchemaStmts.limit(0)))
           .unionByName(saAdds.reduceOption(_.unionByName(_))
@@ -1250,10 +1294,20 @@ object Rdfs {
       dSc: Seq[(Row, Row)], dSp: Seq[(Row, Row)], dDom: Seq[(Row, Row)],
       dRng: Seq[(Row, Row)], dIb: Seq[(Row, Row)],
       sa: Option[DataFrame] = None,
-      lateTaint: Option[DataFrame] = None): DataFrame = {
+      lateTaint: Option[DataFrame] = None,
+      explicitFacts: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     def idOf(r: Row): Long = r.getAs[Long]("id")
     val allFacts = allFacts0.select(col("s"), col("p"), col("o"), col("p_id"))
+    // premise frame for the dSp/dIb SCHEMA arms: closure() runs rdfs7 over
+    // EXPLICIT rows only and the inverse flip over (explicit ∪ rdfs7 output),
+    // so a schema-delta arm fed from allFacts would copy/flip inferred rows
+    // (transitive pairs, dom-derived types) the materializer never touches —
+    // phantoms on the insert side. Callers pass the side's explicit view;
+    // None falls back to allFacts (over-approximation, delete-side safe).
+    val expFacts = explicitFacts
+      .map(_.select(col("s"), col("p"), col("o"), col("p_id")))
+      .getOrElse(allFacts)
     def spo(df: DataFrame): DataFrame =
       df.select(col("s"), col("p"), col("o"), col("p")("id").as("p_id"))
     // fresh LocalRelation, not allFacts.limit(0): an empty frame sharing the
@@ -1269,6 +1323,8 @@ object Rdfs {
       pairsDf(spark, ps, an, bn)
     def pruned(ps: Seq[(Row, Row)]): DataFrame =
       allFacts.filter(col("p_id").isin(ps.map(p => idOf(p._1)).distinct: _*))
+    def prunedE(ps: Seq[(Row, Row)]): DataFrame =
+      expFacts.filter(col("p_id").isin(ps.map(p => idOf(p._1)).distinct: _*))
 
     var taint = spo(taint0)
     var stages = List.empty[DataFrame]
@@ -1286,7 +1342,7 @@ object Rdfs {
         taint.join(broadcast(asQ(sp)), Seq("p_id"))
           .select(col("s"), col("q").as("p"), col("o"))
       val viaSchema = if (dSp.isEmpty) empty else
-        pruned(dSp).join(broadcast(asQ(dSp)), Seq("p_id"))
+        prunedE(dSp).join(broadcast(asQ(dSp)), Seq("p_id"))
           .select(col("s"), col("q").as("p"), col("o"))
       addStage(viaFact.unionByName(viaSchema))
     }
@@ -1297,7 +1353,21 @@ object Rdfs {
           .filter(col("o")("kind") =!= Term.KIND_LITERAL)
           .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))
       val viaFact = if (ib.isEmpty) empty else flip(taint, ib)
-      val viaSchema = if (dIb.isEmpty) empty else flip(pruned(dIb), dIb)
+      // dInv2's input is explicit ∪ rdfs7 OUTPUT: a changed (q inv tgt) flips
+      // q's explicit rows AND the rdfs7 copies into q — expand each dIb pair
+      // over the (side-closed) sp-into set so those copies flip too, all from
+      // the EXPLICIT premise frame
+      val dIbX: Seq[(Row, Row)] = if (dIb.isEmpty) Nil else {
+        val spPairs = sp.map(p => (idOf(p._1), idOf(p._2)))
+        val rowsById = (sp.flatMap(p => Seq(p._1, p._2)) ++
+          dIb.flatMap(p => Seq(p._1, p._2))).map(r => idOf(r) -> r).toMap
+        dIb.flatMap { case (q, tgt) =>
+          val qid = idOf(q)
+          val srcs = qid +: spPairs.collect { case (a, b) if b == qid && a != qid => a }
+          srcs.distinct.map(a => (rowsById(a), tgt))
+        }.distinct
+      }
+      val viaSchema = if (dIbX.isEmpty) empty else flip(prunedE(dIbX), dIbX)
       addStage(viaFact.unionByName(viaSchema))
     }
     // hasValue over tainted restriction membership (restriction set itself is

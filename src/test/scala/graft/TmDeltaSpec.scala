@@ -608,6 +608,50 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:f2:g> { <urn:f2:b> <urn:f2:conn> <urn:f2:c> . } }")
   }
 
+  // schema deltas INTO a transitive cone (r14): adding/removing a
+  // subPropertyOf or inverseOf edge changes the feeder STATE SET — the cone
+  // treats the affected partition's rows as a bulk effective-edge delta
+  // instead of falling back to the full recompute (ontology edits on a live
+  // store are O(touched partitions))
+  test("sp-edge DELETE into the cone: feeder partition's reach retracts (delta)") {
+    val st = atRest(feederBase, "ts1")
+    check(st,
+      s"DELETE DATA { GRAPH <urn:f:g> { <urn:f:part> <${RDFS}subPropertyOf> <urn:f:anc> . } }")
+  }
+
+  test("sp-edge INSERT into the cone: new feeder's rows extend reach (delta)") {
+    // :extra holds edges but is not yet a subproperty of :anc
+    val t = feederBase.replace(":e :anc :a .", ":e :anc :a . :x :extra :e .")
+    val st = atRest(t, "ts2")
+    check(st,
+      s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+         |INSERT { GRAPH <urn:f:g> { <urn:f:extra> <${RDFS}subPropertyOf> <urn:f:anc> . } }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("inverseOf-edge DELETE into the cone: flipped feeder's reach retracts") {
+    val st = atRest(feederBase, "ts3")
+    check(st,
+      s"DELETE DATA { GRAPH <urn:f:g> { <urn:f:childOf> <${OWL}inverseOf> <urn:f:anc> . } }")
+  }
+
+  test("inverseOf-edge INSERT into the cone: new flipped feeder extends reach") {
+    val t = feederBase.replace(":e :anc :a .", ":e :anc :a . :a :pred :z .")
+    val st = atRest(t, "ts4")
+    check(st,
+      s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+         |INSERT { GRAPH <urn:f:g> { <urn:f:pred> <${OWL}inverseOf> <urn:f:anc> . } }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("mixed schema+data delta into the cone stays on the delta path") {
+    val st = atRest(feederBase, "ts5")
+    check(st,
+      s"""DELETE DATA { GRAPH <urn:f:g> {
+         |  <urn:f:part> <${RDFS}subPropertyOf> <urn:f:anc> .
+         |  <urn:f:e> <urn:f:anc> <urn:f:a> . } }""".stripMargin)
+  }
+
   // stage-order feeder grammar: closure() runs rdfs7 over EXPLICIT rows only,
   // THEN the inverse/symmetric flips — so a flip-then-rdfs7 path (a symmetric
   // feeder under subPropertyOf, or inverseOf-a-subproperty) never materializes
