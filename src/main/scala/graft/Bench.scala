@@ -53,7 +53,12 @@ object Bench {
           System.err.println(s"[bench] warmup $w failed: ${e.getClass.getSimpleName}: ${e.getMessage}") })
     // infrastructure families (geo/search/TM/RIO/federation/sinks): tiny-input,
     // different-constant warms of the same plan shapes — see SparkEntry.warmup
-    SparkEntry.warmup(spark)
+    SparkEntry.warmup(spark, Some(sfDir))
+    // drop the warms' discarded checkpoint blocks before anything is timed —
+    // the ContextCleaner frees them on GC once the handles go unreachable
+    System.gc()
+    Thread.sleep(500)
+    System.gc()
     val warmupSec = (System.nanoTime() - tWarm) / 1e9
     // at-rest closed store (q_truth_maint's input): built/saved once per sf,
     // untimed like the base store load — entailment materialization is a load
