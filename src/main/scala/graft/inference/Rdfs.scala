@@ -260,10 +260,12 @@ object Rdfs {
     // emptiness job.
     val charMarks = Seq(transitiveId, symmetricId, functionalId,
       invFunctionalId, restrictionId)
-    val pidRows = t("delta-pids")(removed.unionByName(added)
-      .select(col("p")("id").as("pid"),
-        (col("p")("id") === typeId && col("o")("id").isin(charMarks: _*))
-          .as("chr"))
+    val isMark = col("p")("id") === typeId && col("o")("id").isin(charMarks: _*)
+    val pidRows = t("delta-pids")(delta0
+      .select(col("p")("id").as("pid"), isMark.as("chr"),
+        when(isMark, col("o")("id")).as("moid"),
+        when(isMark, col("s")).as("mprop"),
+        when(isMark, col("__r")).as("mrem"))
       .distinct().limit(1001).collect())
     if (pidRows.isEmpty) return Some(next)
     val deltaPids = pidRows.map(_.getLong(0)).toSet
@@ -273,7 +275,13 @@ object Rdfs {
     if (delta0.count() > deltaCap) return None
     if (deltaPids(onPropertyId) || deltaPids(hasValueId))
       return None
-    if (pidRows.exists(_.getBoolean(1))) return None
+    // characteristic re-declarations: TRANSITIVE marks are delta-maintainable
+    // (the cone treats an en/de-declared property as a whole-property
+    // effective-edge delta — see transOldIds below); any other characteristic
+    // (symmetric/FP/IFP/restriction markers) re-wires rule machinery the
+    // delta arms don't model → recompute
+    val markRows = pidRows.filter(_.getBoolean(1))
+    if (markRows.exists(_.getLong(2) != transitiveId)) return None
     // sameAs edges in the delta: handled by the equivalence-class diff pass
     // below (saDelta) — no longer an automatic recompute
     val saTouched = deltaPids(sameAsId)
@@ -377,7 +385,9 @@ object Rdfs {
       if (fpCone(typeId)) return None
       if (deltaPids.exists(fpCone)) return None
       if (restrictionMintsInto(fpCone)) return None
-      if ((vOld.transProps ++ vNew.transProps).exists(r => fpCone(idOf(r))))
+      if ((vOld.transProps ++ vNew.transProps).exists(r => fpCone(idOf(r))) ||
+          markRows.nonEmpty && markRows.exists(r => fpCone(r.getStruct(3)
+            .getAs[Long]("id"))))
         return None
       if (minus(spOld, spNew).exists(p => fpCone(idOf(p._2))) ||
           minus(spNew, spOld).exists(p => fpCone(idOf(p._2)))) return None
@@ -398,7 +408,32 @@ object Rdfs {
     // structure, restrictions minting into the cone, rdf:type in the cone,
     // sameAs classes overlapping the effective partitions (substituted edge
     // copies would be invisible to the translation).
-    val transIds = (vOld.transProps ++ vNew.transProps).map(idOf).toSet
+    // collectVocab2 shares ONE characteristic-marker scan between the views
+    // (vOld.transProps == vNew.transProps == the NEW table's truth), so the
+    // OLD transitive set is derived from the mark delta: for each touched
+    // property, one pruned probe of the OLD explicit view decides whether a
+    // mark copy predated the delta (re-asserts and multi-graph copies keep
+    // the schema unchanged). Untouched properties carry over from the new
+    // view. A newly-transitive property gets statesOld = ∅ (all its effective
+    // edges are bulk-ADDED); a de-declared one gets statesNew = ∅ (reach
+    // collapses, rederive keeps the rdfs7/inverse copies that remain
+    // derivable).
+    val transNewIdSet = vNew.transProps.map(idOf).toSet
+    val (transOldIdSet, oldOnlyTransRows): (Set[Long], Array[Row]) =
+      if (markRows.isEmpty) (transNewIdSet, Array.empty[Row])
+      else {
+        val touched = markRows.map(_.getStruct(3)).map(idOf).distinct
+        val oldHas = t("mark-old-probe")(oldExp
+          .filter(col("p_id") === typeId && col("o")("id") === transitiveId &&
+            col("s")("id").isin(touched: _*))
+          .select(col("s")("id")).distinct().collect().map(_.getLong(0)).toSet)
+        val oldIds = (transNewIdSet -- touched) ++ touched.filter(oldHas)
+        val rows = markRows.map(_.getStruct(3))
+          .filter(r => oldIds(idOf(r)) && !transNewIdSet(idOf(r)))
+          .map(r => idOf(r) -> r).toMap.values.toArray
+        (oldIds, rows)
+      }
+    val transIds = transNewIdSet ++ transOldIdSet
     if (transIds.nonEmpty) {
       val cone = feederClosure(transIds) // includes transIds
       // r14: sp/inverseOf SCHEMA deltas into the cone no longer recompute —
@@ -451,7 +486,9 @@ object Rdfs {
     // touched = a data delta lands in an (old or new) feeder partition, OR
     // the schema delta changed the state set itself (ontology edit)
     val transStates: Map[Long, (Set[(Long, Boolean)], Set[(Long, Boolean)])] =
-      transIds.iterator.map(t0 => t0 -> ((feederStates(t0), feederStatesOld(t0))))
+      transIds.iterator.map(t0 => t0 -> ((
+          if (transNewIdSet(t0)) feederStates(t0) else Set.empty[(Long, Boolean)],
+          if (transOldIdSet(t0)) feederStatesOld(t0) else Set.empty[(Long, Boolean)])))
         .filter { case (_, (sn, so)) =>
           (sn ++ so).exists(s => deltaPids(s._1)) || sn != so }
         .toMap
@@ -721,7 +758,7 @@ object Rdfs {
         val dict = ckpt(tNodes.select(col("s").as("n"))
           .unionByName(tNodes.select(col("o").as("n")))
           .withColumn("nid", col("n")("id")).dropDuplicates("nid"))
-        val transRows = (vOld.transProps ++ vNew.transProps)
+        val transRows = (vOld.transProps ++ vNew.transProps ++ oldOnlyTransRows)
           .filter(r => transTouched(idOf(r)))
           .map(r => idOf(r) -> r).toMap.values.toSeq
         val pDict = pairsDf(spark, transRows.map(r => (r, r)), "pt", "pt2")

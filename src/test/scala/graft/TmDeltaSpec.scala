@@ -652,6 +652,60 @@ class TmDeltaSpec extends AnyFunSuite {
          |  <urn:f:e> <urn:f:anc> <urn:f:a> . } }""".stripMargin)
   }
 
+  // transitive RE-DECLARATION on a live store (r14): en/de-declaring
+  // owl:TransitiveProperty is a whole-property effective-edge delta through
+  // the same cone — no longer an automatic recompute (other characteristic
+  // marks still fall back)
+  val charBase = s"""
+    @prefix : <urn:cb:> .
+    @prefix owl: <$OWL> .
+    :g {
+      :anc a owl:TransitiveProperty .
+      :a :anc :b .
+      :b :anc :c .
+      :p :lnk :q .
+      :q :lnk :r .
+      :r :lnk :s2 .
+    }
+  """
+
+  test("transitive mark ADDED on a live store: closure pairs derive (delta)") {
+    val st = atRest(charBase, "tc1")
+    check(st,
+      s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+         |INSERT { GRAPH <urn:cb:g> { <urn:cb:lnk> a <${OWL}TransitiveProperty> . } }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("transitive mark REMOVED: reach pairs retract, explicit edges stay") {
+    val st = atRest(charBase, "tc2")
+    check(st,
+      s"DELETE DATA { GRAPH <urn:cb:g> { <urn:cb:anc> a <${OWL}TransitiveProperty> . } }")
+  }
+
+  test("transitive mark REMOVED with a feeder: rdfs7 copies survive the retraction") {
+    val st = atRest(feederBase, "tc3")
+    check(st,
+      s"DELETE DATA { GRAPH <urn:f:g> { <urn:f:anc> a <${OWL}TransitiveProperty> . } }")
+  }
+
+  test("transitive mark re-asserted in another graph: schema unchanged, delta path") {
+    val st = atRest(charBase, "tc4")
+    check(st,
+      s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+         |INSERT { GRAPH <urn:cb:g2> { <urn:cb:anc> a <${OWL}TransitiveProperty> . } }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("non-transitive characteristic re-declaration still recomputes") {
+    val st = atRest(charBase, "tc5")
+    check(st,
+      s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+         |INSERT { GRAPH <urn:cb:g> { <urn:cb:lnk> a <${OWL}SymmetricProperty> . } }
+         |WHERE {}""".stripMargin,
+      expectDelta = false)
+  }
+
   // stage-order feeder grammar: closure() runs rdfs7 over EXPLICIT rows only,
   // THEN the inverse/symmetric flips — so a flip-then-rdfs7 path (a symmetric
   // feeder under subPropertyOf, or inverseOf-a-subproperty) never materializes
