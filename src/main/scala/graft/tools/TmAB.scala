@@ -144,7 +144,16 @@ object TmAB {
       // all-chains fixpoint
       "DELETE DATA { <urn:fch:0:4> <urn:p:step> <urn:fch:0:5> . }",
       // symmetric-transitive edge delete: both orientations' reach retracts
-      "DELETE DATA { <urn:sch:0:4> <urn:p:conn> <urn:sch:0:5> . }")
+      "DELETE DATA { <urn:sch:0:4> <urn:p:conn> <urn:sch:0:5> . }",
+      // SCHEMA delta into the cone (r14): un-subproperty :step — its whole
+      // partition stops being :next effective edges (bulk statesRem delta)
+      """DELETE DATA { <urn:p:step>
+        |  <http://www.w3.org/2000/01/rdf-schema#subPropertyOf> <urn:p:next> . }""".stripMargin,
+      // transitive RE-DECLARATION (r14): de-declare :conn — reach collapses,
+      // the symmetric flips stay derivable
+      """DELETE DATA { <urn:p:conn>
+        |  <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>
+        |  <http://www.w3.org/2002/07/owl#TransitiveProperty> . }""".stripMargin)
 
     def keySet(st: graft.model.GraftStore) = st.statements
       .select(xxhash64(col("s")("id"), col("p")("id"), col("o")("id"),
