@@ -1819,11 +1819,12 @@ object SparkEntry {
              |wed AS (SELECT x.dst AS v, y.dst AS w FROM os x JOIN os y
              |  ON x.src=y.src AND (x.ddeg<y.ddeg OR (x.ddeg=y.ddeg AND x.dst<y.dst))),
              |s AS (SELECT COUNT(*) AS sw FROM wed),
-             |c AS (SELECT COUNT(*) AS cw FROM wed JOIN o ON o.src=wed.v AND o.dst=wed.w)
+             |c AS (SELECT COUNT(*) AS cw FROM wed JOIN o ON o.src=wed.v AND o.dst=wed.w),
+             |wtot AS (SELECT CAST(SUM(deg*(deg-1)/2) AS BIGINT) AS w FROM deg)
              |SELECT CAST(sw AS BIGINT) AS sampled_wedges, CAST(cw AS BIGINT) AS closed_wedges,
-             |  CAST(cw AS DOUBLE)*256.0/3.0 AS triangles_est,
-             |  CASE WHEN sw=0 THEN 0.0 ELSE CAST(cw AS DOUBLE)/CAST(sw AS DOUBLE) END AS clustering_est
-             |FROM s, c""".stripMargin)),
+             |  CAST(cw AS DOUBLE)*256.0 AS triangles_est,
+             |  CASE WHEN w=0 THEN 0.0 ELSE 3.0*(CAST(cw AS DOUBLE)*256.0)/w END AS clustering_est
+             |FROM s, c, wtot""".stripMargin)),
 
     ("p_gas_pagerank", ((s: SparkSession, dir: String) => {
       val o = read(s, dir, "orders")

@@ -326,13 +326,20 @@ object Gas {
     * directed (degree-ordered) adjacency edge survives iff the first hex
     * digit of md5("src#dst") is '0' repeated `bits` times (rate 16^-bits per
     * edge, 16^-2bits per wedge — both edges must survive). Closure is checked
-    * against the FULL adjacency, so
-    *   clustering_est = closed/sampled   (consistent ratio estimator)
-    *   triangles_est  = closed · 16^2bits / 3
-    * md5-on-string is engine-portable (same hex in DuckDB), so the oracle
-    * reproduces the estimate bit-for-bit. Cost: the wedge self-join runs on
-    * the 16^-bits-sampled adjacency — 16^-2bits of the exact join's pairs —
-    * and the closure probe is sampled-wedges-sized.
+    * against the FULL adjacency. Compact-forward orientation closes each
+    * triangle at EXACTLY one oriented wedge (its lowest-degree corner — the
+    * exact census above returns the closed-wedge count as `triangles` with no
+    * division), so a closed wedge survives sampling at 16^-2bits and
+    *   triangles_est  = closed · 16^2bits          (unbiased; bits=0 is exact)
+    *   clustering_est = 3 · triangles_est / W      (same estimand as the exact
+    *                                                census's transitivity 3T/W,
+    *                                                W = Σ d(d−1)/2 exact)
+    * No /3: that correction applies only to UNoriented wedge sampling where
+    * each triangle closes three wedges. md5-on-string is engine-portable
+    * (same hex in DuckDB), so the oracle reproduces the estimate bit-for-bit.
+    * Cost: the wedge self-join runs on the 16^-bits-sampled adjacency —
+    * 16^-2bits of the exact join's pairs — and the closure probe is
+    * sampled-wedges-sized; W reuses the degree frame the preamble builds.
     */
   def triangleStatsSampled(edges0: DataFrame, bits: Int = 1): DataFrame = {
     val e = edges0
@@ -361,12 +368,14 @@ object Gas {
     val sampled = wedges.count()
     val closed = wedges.join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
       .count()
+    val wTot = deg.agg(coalesce(sum(col("deg") * (col("deg") - 1) / 2), lit(0)).cast("long"))
+      .first().getLong(0)
     val inv = math.pow(16.0, 2.0 * bits)
     val spark = edges0.sparkSession
     import spark.implicits._
     Seq((sampled, closed,
-      closed * inv / 3.0,
-      if (sampled == 0L) 0.0 else closed.toDouble / sampled))
+      closed * inv,
+      if (wTot == 0L) 0.0 else 3.0 * (closed * inv) / wTot))
       .toDF("sampled_wedges", "closed_wedges", "triangles_est", "clustering_est")
   }
 

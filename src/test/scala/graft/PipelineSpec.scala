@@ -162,6 +162,39 @@ class PipelineSpec extends GraftSuite {
       s"triangle census must be hash joins only:\n$plan")
   }
 
+  test("sampled triangle census: unbiased vs the exact census") {
+    // bits=0 keeps every wedge — the estimator must REPRODUCE the exact census
+    // (this is what catches a stray /3: compact-forward closes each triangle
+    // at exactly one oriented wedge, so no multiplicity correction applies).
+    // K4 minus edge 3-4: T=2, W=8, transitivity 6/8 — the verdict's
+    // counter-example where closed/sampled (oriented closure fraction) is 1.0.
+    val k4m = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val ex = Gas.triangleStats(k4m).first()
+    val s0 = Gas.triangleStatsSampled(k4m, bits = 0).first()
+    assert(s0.getDouble(2) == ex.getLong(0).toDouble,
+      s"bits=0 triangles_est ${s0.getDouble(2)} != exact ${ex.getLong(0)}")
+    assert(math.abs(s0.getDouble(3) - ex.getDouble(2)) < 1e-12,
+      s"bits=0 clustering_est ${s0.getDouble(3)} != exact transitivity ${ex.getDouble(2)}")
+    // bits=1 on a triangle-rich graph: 200 disjoint 12-cliques → T = 200·C(12,3)
+    // = 44,000, so E[closed] = T/256 ≈ 172 and a 3σ-ish band is ~±25%; assert
+    // the looser ±50% to stay robust to the per-edge sampling correlation
+    // within a clique. md5 sampling is deterministic, so this never flakes.
+    val cl = (0 until 200).flatMap { c =>
+      val base = c * 12L
+      for (i <- 0 until 12; j <- i + 1 until 12) yield (base + i, base + j)
+    }.toDF("src", "dst")
+    val exT = Gas.triangleStats(cl).first()
+    val s1 = Gas.triangleStatsSampled(cl, bits = 1).first()
+    assert(exT.getLong(0) == 44000L)
+    val rel = math.abs(s1.getDouble(2) - 44000.0) / 44000.0
+    assert(rel <= 0.5, s"triangles_est ${s1.getDouble(2)} off exact 44000 by $rel")
+    // clustering_est estimates the SAME quantity as the exact census (3T/W);
+    // disjoint cliques have transitivity 1.0
+    assert(exT.getDouble(2) == 1.0)
+    assert(math.abs(s1.getDouble(3) - 1.0) <= 0.5,
+      s"clustering_est ${s1.getDouble(3)} should track exact transitivity 1.0")
+  }
+
   test("shard manifest: deterministic routing, one keyed exchange") {
     val out = graft.pipeline.Curate.shardManifest(docs, "doc_id", "text", 4)
     val rows = out.collect()
