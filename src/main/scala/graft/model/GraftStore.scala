@@ -375,7 +375,21 @@ object GraftStore {
   def saveInPlace(store: GraftStore, path: String): GraftStore = {
     val touched = store.layoutOpt.map(_.segPids).getOrElse(Set.empty)
     if (!store.atRestPath.contains(path) || touched.isEmpty) {
-      save(store.statements, path)
+      // The statements plan may still scan `path` itself even though
+      // atRestPath is gone — a TM fixpoint-recompute result (withStatements
+      // drops layout AND atRestPath) keeps explicit rows over the original
+      // parquet. A direct mode=overwrite to a path the plan reads is
+      // rejected by Spark's path-conflict check (or silently loses data
+      // through checkpoint unions), so stage-write to a sibling dir and
+      // swap with two renames — never overwrite a file the plan reads.
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".staging")
+      fs.delete(tmp, true)
+      save(store.statements, tmp.toString)
+      fs.delete(root, true)
+      if (!fs.rename(tmp, root))
+        throw new IllegalStateException(s"saveInPlace: staging swap $tmp -> $root failed")
       return load(store.spark, path)
     }
     val spark = store.spark

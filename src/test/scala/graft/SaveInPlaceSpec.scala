@@ -94,6 +94,38 @@ class SaveInPlaceSpec extends AnyFunSuite {
       "emptied partition dir must be deleted, not left to resurrect rows")
   }
 
+  test("recompute-path TM result saves back to its OWN path (staged swap)") {
+    // A characteristic re-declaration (owl:SymmetricProperty delete) forces
+    // the fixpoint-recompute TM path, whose result drops layout AND
+    // atRestPath via withStatements but still SCANS the original parquet.
+    // saveInPlace's fallback must stage-write + swap, not overwrite-in-place
+    // (a direct mode=overwrite here is Spark's overwrite-while-read error).
+    val p = s"/tmp/graft-sip-t5"
+    val trig = s"""
+      @prefix : <urn:sv:> .
+      @prefix owl: <http://www.w3.org/2002/07/owl#> .
+      :g {
+        :knows a owl:SymmetricProperty .
+        :u1 :knows :u2 .
+        :u1 :name "one" .
+      }
+    """
+    val st0 = new GraftStore(spark, graft.sources.Rio.readTrig(spark, trig))
+    GraftStore.save(Rdfs.closureFixpoint(st0).statements, p)
+    val st = GraftStore.load(spark, p)
+    val mutated = Update.withTruthMaintenance(st,
+      "DELETE DATA { GRAPH <urn:sv:g> { <urn:sv:knows> a <http://www.w3.org/2002/07/owl#SymmetricProperty> . } }")
+    assert(Rdfs.lastTmPath === "full",
+      "scenario must exercise the recompute path, not the delta path")
+    val expected = keys(mutated) // collected BEFORE the write replaces the files
+    val reopened = GraftStore.saveInPlace(mutated, p)
+    assert(keys(reopened) === expected)
+    // the symmetric-derived inverse must be gone from the durable store
+    val knows = reopened.statements.filter(col("p")("str") === "urn:sv:knows")
+    assert(knows.count() === 1L)
+    assert(!new java.io.File(p + ".staging").exists(), "staging dir must be swapped away")
+  }
+
   test("store not loaded from the target path falls back to a full save") {
     val (st, p) = freshStore("t3")
     val other = s"/tmp/graft-sip-t3b"
