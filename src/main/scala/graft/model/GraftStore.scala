@@ -143,7 +143,7 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
         // gives the same "lexicon never moves" join layout one full shuffle cheaper
         GraftStore.cachedLex(spark, p,
           () => buildNodeTerms.sortWithinPartitions("nid").localCheckpoint())
-      case None => shape(buildNodeTerms)
+      case None => shape(buildNodeTerms.select("n", "nid"))
     }
   }
 
@@ -160,11 +160,19 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
     base.localCheckpoint()
   }
 
+  /** Lexicon build WITH per-term statement-usage refcounts — the groupBy rides
+    * the same hash shuffle the old dropDuplicates paid, and the counts are
+    * what makes the durable commit's lexicon maintenance O(delta): a
+    * retraction decrements, a term whose folded refs hit 0 leaves the
+    * dictionary (so zero-length-path domains stay EXACT across deletes)
+    * without ever probing the corpus for remaining usages.
+    */
   private def buildNodeTerms: DataFrame =
     statements.select(col("s").as("n"))
       .unionByName(statements.select(col("o").as("n")))
       .withColumn("nid", col("n")("id"))
-      .dropDuplicates("nid")
+      .groupBy("nid")
+      .agg(first(col("n")).as("n"), count(lit(1)).as("refs"))
 }
 
 /** One replaced partition-group: `frame` holds EXACTLY the store's current
@@ -254,11 +262,19 @@ final case class StatementLayout(base: DataFrame, segs: Vector[LayoutSeg]) {
 
 object GraftStore {
   /** Shaped in-session lexicons, keyed (at-rest path, generation). The generation is
-    * the parquet `_SUCCESS` mtime, so rebuilding a store at the same path invalidates
-    * the in-session entry instead of serving the stale lexicon.
+    * the parquet `_SUCCESS` mtime (max over base and `-delta` side dir), so rebuilding
+    * OR delta-appending a store at the same path invalidates the in-session entry
+    * instead of serving the stale lexicon.
     */
   private[model] val lexCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), DataFrame]
+  /** Terms whose folded refcount hit ≤ 0 (deleted from the store since the base
+    * lexicon was written) — same keying as lexCache; the text index anti-joins
+    * its persisted postings by these. Bounded by the un-compacted delete volume
+    * (the saveInPlace compaction valve folds deltas into the base).
+    */
+  private[model] val deadCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Array[Long]]
   private val lexLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
@@ -267,6 +283,28 @@ object GraftStore {
     val f = new java.io.File(p + "/_SUCCESS")
     if (f.exists()) f.lastModified() else -1L
   }
+
+  /** Lexicon generation: base dir or its `-delta` side dir, whichever is newer —
+    * a durable O(delta) commit appends to the side dir and must roll the keyed
+    * caches without rewriting the base.
+    */
+  private[graft] def lexGen(p: String): Long =
+    math.max(parquetGen(p), parquetGen(p + "-delta"))
+
+  /** Drop every in-session cache entry for lexicon path `p` (all generations) —
+    * called by saveInPlace after a delta append so a same-millisecond `_SUCCESS`
+    * mtime can never serve the pre-commit frames.
+    */
+  private[graft] def invalidateLex(p: String): Unit = {
+    lexCache.filterInPlace { case ((path, _), _) => path != p }
+    deadCache.filterInPlace { case ((path, _), _) => path != p }
+  }
+
+  /** Dead-term ids for lexicon path `p` at its current generation (empty until
+    * the fold has run — force `store.nodeTerms` first).
+    */
+  private[graft] def deadNids(p: String): Array[Long] =
+    deadCache.getOrElse((p, lexGen(p)), Array.empty)
 
   /** Warm-or-build a shaped lexicon for path `p`. The per-path lock serializes the
     * side-effecting cold build (two store handles racing on first access would
@@ -277,22 +315,48 @@ object GraftStore {
                                coldBuild: () => DataFrame): DataFrame = {
     val lock = lexLocks.getOrElseUpdate(p, new Object)
     lock.synchronized {
-      val gen = parquetGen(p)
+      val gen = lexGen(p)
       val warm = if (gen >= 0) lexCache.get((p, gen)) else None
       warm.getOrElse {
         // drop entries from older generations of this path (stale after rebuild)
-        lexCache.filterInPlace { case ((path, _), _) => path != p }
-        val df =
-          if (gen >= 0) shapeLex(spark.read.parquet(p))
-          else {
-            // cold build: checkpoint the shaped lexicon FIRST, then persist it for
-            // future sessions from the checkpointed blocks — one dedup shuffle total,
-            // no write→re-read→re-shuffle round trip
+        invalidateLex(p)
+        val (df, dead) =
+          if (gen >= 0) {
+            val base = spark.read.parquet(p)
+            if (!base.columns.contains("refs"))
+              // legacy pre-refcount base: never delta-appended (saveInPlace
+              // refuses to append to it), so the plain shape stays exact
+              (shapeLex(base), Array.empty[Long])
+            else {
+              // fold base refcounts with the durable-commit delta appends on
+              // the SAME hash shuffle the shape pays anyway; terms whose
+              // folded refs hit 0 leave the dictionary (zero-length-path
+              // domains stay exact across deletes) and feed the text index's
+              // dead-postings anti-join
+              val dDir = p + "-delta"
+              val rows = base.select(col("nid"), col("n"), col("refs").as("d"))
+              val withD =
+                if (parquetGen(dDir) >= 0)
+                  rows.unionByName(spark.read.parquet(dDir)
+                    .select(col("nid"), col("n"), col("d")))
+                else rows
+              val folded = withD.groupBy("nid")
+                .agg(first(col("n")).as("n"), sum(col("d")).as("refs"))
+                .sortWithinPartitions("nid").localCheckpoint()
+              (folded.filter(col("refs") > 0).select("n", "nid"),
+                folded.filter(col("refs") <= 0).select("nid")
+                  .collect().map(_.getLong(0)))
+            }
+          } else {
+            // cold build: checkpoint the shaped refcounted lexicon FIRST, then
+            // persist it for future sessions from the checkpointed blocks — one
+            // dedup shuffle total, no write→re-read→re-shuffle round trip
             val built = coldBuild()
             built.write.mode("overwrite").parquet(p)
-            built
+            (built.select("n", "nid"), Array.empty[Long])
           }
-        lexCache.put((p, parquetGen(p)), df)
+        lexCache.put((p, lexGen(p)), df)
+        deadCache.put((p, lexGen(p)), dead)
         df
       }
     }
@@ -370,9 +434,35 @@ object GraftStore {
     * checkpoint is touched-partition-sized — exactly the O(delta) budget.
     *
     * Returns the REOPENED at-rest store: the in-session handle's lazy frames
-    * still reference the replaced files and must not be used afterwards.
+    * still reference the replaced files and must not be used afterwards. When
+    * a persisted lexicon lives at `path + "-lexicon"`, the reopened handle
+    * carries it — and the commit MAINTAINS it incrementally: the touched
+    * partitions' old-vs-new row diff folds into per-term refcount deltas
+    * appended to the lexicon's `-delta` side dir (O(touched partitions), the
+    * same budget as the statement write), instead of invalidating the
+    * dictionary and paying an O(store) rebuild on next use. The text index
+    * self-maintains off the same delta dir (`TextIndex.forStore`). The
+    * reference's analog is the text-index/lexicon hooks inside addTerms
+    * (`rdf/lexicon/LexiconRelation.java:454-456`) maintaining derived indexes
+    * on statement writes.
     */
   def saveInPlace(store: GraftStore, path: String): GraftStore = {
+    val spark = store.spark
+    val lexDir = path + "-lexicon"
+    def deleteDerived(): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(lexDir, lexDir + "-delta", lexDir + "-text")
+        .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      invalidateLex(lexDir)
+    }
+    def reopen(withLex: Boolean): GraftStore = {
+      val st = load(spark, path)
+      if (withLex) new GraftStore(spark, st.statements,
+        lexiconPath = Some(lexDir), atRestPath = Some(path))
+      else st
+    }
+    val hadLex = parquetGen(lexDir) >= 0
     val touched = store.layoutOpt.map(_.segPids).getOrElse(Set.empty)
     if (!store.atRestPath.contains(path) || touched.isEmpty) {
       // The statements plan may still scan `path` itself even though
@@ -390,11 +480,41 @@ object GraftStore {
       fs.delete(root, true)
       if (!fs.rename(tmp, root))
         throw new IllegalStateException(s"saveInPlace: staging swap $tmp -> $root failed")
-      return load(store.spark, path)
+      // a full rewrite means the persisted derived indexes describe the old
+      // store: drop them; the reopened handle rebuilds (and re-persists)
+      // exactly from the new statements on first use
+      if (hadLex) deleteDerived()
+      return reopen(hadLex)
     }
-    val spark = store.spark
     val repl = store.layout.slice(touched.toSeq)
       .select(columns.map(col): _*).localCheckpoint()
+    // ---- derived-index delta, computed BEFORE the overwrite replaces files:
+    // old rows of the touched partitions (pruned parquet read) diffed against
+    // the replacement rows, folded to per-term refcount deltas — everything
+    // here is O(touched partitions). A legacy pre-refcount lexicon cannot be
+    // maintained; its dirs are dropped below and rebuilt lazily.
+    val lexRefs = hadLex &&
+      (try spark.read.parquet(lexDir).columns.contains("refs")
+      catch { case _: Exception => false })
+    val lexDelta: Option[DataFrame] = if (!lexRefs) None else Some {
+      val old = spark.read.parquet(path)
+        .filter(col("p_id").isin(touched.toSeq: _*))
+        .select(columns.map(col): _*)
+      val diff = old.withColumn("__t", lit(-1L))
+        .unionByName(repl.withColumn("__t", lit(1L)))
+        .groupBy(col("s")("id").as("__sk"), col("p_id"),
+          col("o")("id").as("__ok"),
+          coalesce(col("g")("id"), lit(NULL_GRAPH_ID)).as("__gk"), col("stype"))
+        .agg(sum(col("__t")).as("__d"), first(col("s")).as("s"),
+          first(col("o")).as("o"))
+        .filter(col("__d") =!= 0)
+      diff.select(col("s").as("n"), col("__d"))
+        .unionByName(diff.select(col("o").as("n"), col("__d")))
+        .groupBy(col("n")("id").as("nid"))
+        .agg(first(col("n")).as("n"), sum(col("__d")).as("d"))
+        .filter(col("d") =!= 0)
+        .localCheckpoint() // eager: materialized before the files are replaced
+    }
     // same clustering as save(): full files per predicate dir, writer count
     // scaled to the partition's row count — but the histogram here is
     // touched-partition-sized, and doubles as the empty-partition detector
@@ -426,11 +546,58 @@ object GraftStore {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(hist.contains)
       .foreach(p => fs.delete(new org.apache.hadoop.fs.Path(root, s"p_id=$p"), true))
-    // generation bump for the path-keyed caches (lexicon, text index) even on
-    // the delete-only path where no write job ran
+    // generation bump for the path-keyed caches even on the delete-only path
+    // where no write job ran
     val succ = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
     fs.create(succ, true).close()
-    load(spark, path)
+    lexDelta match {
+      case Some(d) =>
+        // append the refcount delta (rolls the lexicon generation); compact
+        // into the base once the side dir outgrows its valve; and drop the
+        // in-session entries explicitly — a same-millisecond `_SUCCESS` mtime
+        // must never serve the pre-commit frames
+        if (!d.isEmpty)
+          d.select("nid", "n", "d").coalesce(1)
+            .write.mode("append").parquet(lexDir + "-delta")
+        maybeCompactLexicon(spark, lexDir)
+        invalidateLex(lexDir)
+      case None if hadLex =>
+        deleteDerived() // legacy pre-refcount lexicon: rebuild lazily
+      case None => ()
+    }
+    reopen(hadLex)
+  }
+
+  private def treeBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).map(_.iterator.map(treeBytes).sum).getOrElse(0L)
+    else f.length()
+
+  /** Fold the lexicon's `-delta` side dir into the base once it outgrows 2%
+    * of the base (floor 16 MB). The valve bounds both the read-time fold's
+    * delta union and the dead-term list the text index anti-joins by. The
+    * persisted postings are NOT folded here: the base-lexicon generation bump
+    * makes `TextIndex.forStore` rebuild them on next use, amortized against
+    * this O(terms) rewrite.
+    */
+  private def maybeCompactLexicon(spark: SparkSession, lexDir: String): Unit = {
+    val dDir = lexDir + "-delta"
+    val db = treeBytes(new java.io.File(dDir))
+    if (db <= math.max(16L << 20, treeBytes(new java.io.File(lexDir)) / 50)) return
+    val folded = spark.read.parquet(lexDir)
+      .select(col("nid"), col("n"), col("refs").as("d"))
+      .unionByName(spark.read.parquet(dDir).select(col("nid"), col("n"), col("d")))
+      .groupBy("nid").agg(first(col("n")).as("n"), sum(col("d")).as("refs"))
+      .filter(col("refs") > 0)
+    val root = new org.apache.hadoop.fs.Path(lexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(lexDir + ".staging")
+    fs.delete(tmp, true)
+    folded.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(root, true)
+    if (!fs.rename(tmp, root))
+      throw new IllegalStateException(s"lexicon compaction swap failed: $tmp -> $root")
+    fs.delete(new org.apache.hadoop.fs.Path(dDir), true)
   }
 
   /** In-memory (cached) store for small scale factors / tests. */

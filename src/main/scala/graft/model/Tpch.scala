@@ -157,7 +157,7 @@ object Tpch {
   /** Bump whenever Term encoding / the triples mapping changes — invalidates the
     * cached parquet stores (stale xxhash ids otherwise survive across sessions).
     */
-  val STORE_VERSION = 3
+  val STORE_VERSION = 4
 
   /** Canonical at-rest location for a source dir's store — the single sanitizer
     * shared by `store` and external tools (ScaleStress deletes through this so a

@@ -134,6 +134,25 @@ object TextIndex {
       .otherwise((lit(1.0) + floor((w / b - 1.0) * 4) / 4.0) * b)
   }
 
+  /** Per-literal postings (token, lit_id, weight) for a (lit_id, lit_str, …)
+    * frame. Deterministic per literal — a literal's rows depend on nothing but
+    * its own lexical form — which is what makes the durable-commit maintenance
+    * below idempotent: re-deriving a literal's postings and replacing the
+    * at-rest rows by lit_id is a semantic no-op.
+    */
+  private def postingsFor(lits: DataFrame): DataFrame = {
+    val tf = lits.select(col("lit_id"),
+      explode(split(lower(col("lit_str")), "[^\\p{L}\\p{N}]+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("lit_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val mag = tf.groupBy("lit_id")
+      .agg(sqrt(sum(col("tf") * col("tf"))).as("mag"))
+    tf.join(mag, "lit_id")
+      .withColumn("weight", luceneNormRoundTrip(col("tf").cast("double") / col("mag")))
+      .select("token", "lit_id", "weight")
+  }
+
   /** Build postings over every distinct plain-string literal in object position. */
   def build(store: GraftStore): TextIndex = {
     val lits = store.statements
@@ -144,21 +163,12 @@ object TextIndex {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = lits.count()
     // postings carry ids only (the dictionary-encoding shuffle-width payoff); the
-    // struct re-attach lives in search(), against the ranked hit set
-    val tf = lits.select(col("lit_id"),
-      explode(split(lower(col("lit_str")), "[^\\p{L}\\p{N}]+")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy("lit_id", "token")
-      .agg(count(lit(1)).as("tf"))
-    // per-literal UNIT term-frequency vector (TermFrequencyData.normalize():114 —
-    // weight = tf / sqrt(Σ tf²)); relevance is then the reference's cosine, with
-    // a single-term query over a one-token literal scoring exactly 1.0
-    val mag = tf.groupBy("lit_id")
-      .agg(sqrt(sum(col("tf") * col("tf"))).as("mag"))
-    val postings = tf.join(mag, "lit_id")
-      .withColumn("weight", luceneNormRoundTrip(col("tf").cast("double") / col("mag")))
-      .select("token", "lit_id", "weight")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // struct re-attach lives in search(), against the ranked hit set. Weights
+    // are the per-literal UNIT term-frequency vector
+    // (TermFrequencyData.normalize():114 — weight = tf / sqrt(Σ tf²));
+    // relevance is then the reference's cosine, with a single-term query over
+    // a one-token literal scoring exactly 1.0.
+    val postings = postingsFor(lits).persist(StorageLevel.MEMORY_AND_DISK)
     new TextIndex(postings, lits, n)
   }
 
@@ -176,28 +186,33 @@ object TextIndex {
     * postings instead of re-tokenizing the corpus.
     */
   def forStore(store: GraftStore): TextIndex = cache.synchronized {
-    val lexGen = store.lexiconPath.map(GraftStore.parquetGen).getOrElse(-1L)
+    // combined generation: base lexicon OR its durable-commit `-delta` side
+    // dir, whichever is newer — a saveInPlace append rolls the key
+    val lexGen = store.lexiconPath.map(GraftStore.lexGen).getOrElse(-1L)
     store.lexiconPath.flatMap(pathCache.get).foreach { case (gen, hit) =>
       if (gen == lexGen) return hit
-      else store.lexiconPath.foreach(pathCache.remove) // store rebuilt → stale index
+      else store.lexiconPath.foreach(pathCache.remove) // store rolled → stale index
     }
     var idx = cache.get(store)
     if (idx == null) {
       idx = store.lexiconPath match {
         case Some(p) =>
           val tp = p + "-text"
-          // at-rest postings are reusable only if written at-or-after the current
-          // lexicon generation; older postings belong to a previous store build
+          // at-rest postings are reusable only if written at-or-after the
+          // BASE lexicon generation; older postings belong to a previous
+          // store build (or predate a lexicon compaction). Newer delta-dir
+          // appends do NOT force a rebuild — they fold in below.
           val postingsGen = GraftStore.parquetGen(tp + "/postings")
           val schemaOk = postingsGen >= 0 &&
             (try store.spark.read.parquet(tp + "/postings").columns.contains("weight")
             catch { case _: Exception => false })
-          if (postingsGen < 0 || postingsGen < lexGen || !schemaOk) {
+          if (postingsGen < 0 || postingsGen < GraftStore.parquetGen(p) || !schemaOk) {
             val built = build(store)
             built.lits.write.mode("overwrite").parquet(tp + "/lits")
             built.postings.write.mode("overwrite").parquet(tp + "/postings")
             built
-          } else {
+          } else if (GraftStore.parquetGen(p + "-delta") >= 0) maintained(store, p, tp)
+          else {
             val spark = store.spark
             val lits = spark.read.parquet(tp + "/lits")
               .persist(StorageLevel.MEMORY_AND_DISK)
@@ -211,5 +226,42 @@ object TextIndex {
       store.lexiconPath.foreach(p => pathCache.put(p, (lexGen, idx)))
     }
     idx
+  }
+
+  /** Durable-commit maintenance: the at-rest postings predate the lexicon's
+    * `-delta` appends (GraftStore.saveInPlace). Instead of re-tokenizing the
+    * corpus, fold the delta in session: literals the commits net-added are
+    * re-derived from the (delta-sized) side dir and REPLACE their at-rest
+    * rows by lit_id (tokenization is deterministic per literal, so the
+    * replace is idempotent across re-adds); literals whose folded refcount
+    * died anti-join away by the lexicon fold's dead list. Rows read: the
+    * delta dir plus ONE pass over the at-rest postings — the same pass the
+    * plain warm path pays; the statement corpus is never touched. This is the
+    * O(delta) analog of the reference maintaining its full-text index inside
+    * addTerms (`rdf/lexicon/LexiconRelation.java:454-456`).
+    */
+  private def maintained(store: GraftStore, p: String, tp: String): TextIndex = {
+    val spark = store.spark
+    import spark.implicits._
+    store.nodeTerms // force the lexicon fold so the dead list is current
+    val deadDf = GraftStore.deadNids(p).toSeq.toDF("lit_id")
+    val added = spark.read.parquet(p + "-delta")
+      .groupBy("nid").agg(first(col("n")).as("n"), sum(col("d")).as("d"))
+      .filter(col("d") > 0 &&
+        col("n")("kind") === Term.KIND_LITERAL && col("n")("dt").isNull)
+      .select(col("nid").as("lit_id"), col("n")("str").as("lit_str"),
+        col("n")("lang").as("lit_lang"))
+      .localCheckpoint()
+    val addedIds = added.select("lit_id")
+    def patch(base: DataFrame): DataFrame = base
+      .join(broadcast(deadDf), Seq("lit_id"), "left_anti")
+      .join(broadcast(addedIds), Seq("lit_id"), "left_anti")
+    val lits = patch(spark.read.parquet(tp + "/lits"))
+      .unionByName(added)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val postings = patch(spark.read.parquet(tp + "/postings"))
+      .unionByName(postingsFor(added))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new TextIndex(postings, lits, lits.count())
   }
 }

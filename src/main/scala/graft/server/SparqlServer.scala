@@ -19,6 +19,20 @@ import java.nio.charset.StandardCharsets
 final class SparqlServer(@volatile private var store: GraftStore, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // Concurrent clients: the JDK server's DEFAULT executor runs every handler
+  // inline on the single dispatcher thread — all clients serialize, and one
+  // slow analytic query blocks the endpoint (the reference serves concurrency
+  // through jetty's pool, NanoSparqlServer.java → ServletContextHandler). A
+  // cached pool lets requests overlap; actual query parallelism is then the
+  // Spark scheduler's business (FAIR pools per request, set in handleQuery).
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicLong()
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"sparql-http-${n.getAndIncrement()}")
+        t.setDaemon(true); t
+      }
+    }))
 
   def boundPort: Int = server.getAddress.getPort
   def currentStore: GraftStore = store
@@ -38,6 +52,11 @@ final class SparqlServer(@volatile private var store: GraftStore, port: Int = 0)
   }
 
   private def handleQuery(ex: HttpExchange, st: GraftStore): Unit = try {
+    // one FAIR pool per serving thread: under spark.scheduler.mode=FAIR,
+    // concurrent clients round-robin task slots instead of queueing behind
+    // the largest job (no-op under the default FIFO mode)
+    st.spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+      Thread.currentThread().getName)
     val raw =
       if (ex.getRequestMethod == "POST")
         new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)

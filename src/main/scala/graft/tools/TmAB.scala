@@ -114,6 +114,10 @@ object TmAB {
       graft.model.GraftStore.load(spark, atRestPath)
     }
     println(f"TMAB close+save+load $tClose%.2f s atRest=${graft.inference.Rdfs.inferredAtRest(closed)}")
+    // stale derived-index dirs from a previous run would otherwise be
+    // incrementally maintained against the wrong base by the save probes below
+    Seq("-lexicon", "-lexicon-delta", "-lexicon-text").foreach(s =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(atRestPath + s)))
 
     // pick nDel customers to retract type rows for, plus one schema-axiom delete
     val custIds = spark.read.parquet(s"$sfDir/customer.parquet")
@@ -252,6 +256,47 @@ object TmAB {
         + f""""mutate_sec":$tMut%.2f,"save_sec":$tSave%.2f,"bytes_written":$written,"""
         + f""""store_bytes":$storeBytes,"frac":${written.toDouble / storeBytes}%.4f,"""
         + s""""reopen_mismatch":$mismatch}""")
+    }
+
+    // ---- derived-index maintenance probe (TMAB-TEXT): after a durable
+    // commit, the text-index warm must fold the lexicon delta (rows read:
+    // delta dir + ONE pass over at-rest postings/lexicon) instead of
+    // re-tokenizing the statement corpus — A/B'd against the full rebuild ----
+    {
+      val lexDir = atRestPath + "-lexicon"
+      val st0 = new graft.model.GraftStore(spark,
+        graft.model.GraftStore.load(spark, atRestPath).statements,
+        lexiconPath = Some(lexDir), atRestPath = Some(atRestPath))
+      // one-time derived-index persist, outside the probe's timed region
+      val (_, tPersist, _) = time {
+        st0.nodeTerms
+        graft.search.TextIndex.forStore(st0)
+      }
+      val k = custIds.last
+      val mut = graft.engine.Update(st0,
+        s"""DELETE DATA { <urn:t:customer:$k> <urn:p:c_name> "Customer#${"%09d".format(k)}" . } ;
+          |INSERT DATA { <urn:doc:tmab1> <urn:p:c_comment> "tmab probe quixotic zephyr text" . }""".stripMargin)
+      val (reopened, tSave, rSave) = time {
+        graft.model.GraftStore.saveInPlace(mut, atRestPath)
+      }
+      val (idx, tWarm, rWarm) = time {
+        val i = graft.search.TextIndex.forStore(reopened)
+        i.postings.count(); i.lits.count(); i
+      }
+      val (fresh, tFull, rFull) = time {
+        val b = graft.search.TextIndex.build(reopened)
+        b.postings.count(); b.lits.count(); b
+      }
+      val key = (df: org.apache.spark.sql.DataFrame) =>
+        df.select(col("token"), col("lit_id"), round(col("weight"), 12))
+      val mismatch = key(idx.postings).exceptAll(key(fresh.postings)).count() +
+        key(fresh.postings).exceptAll(key(idx.postings)).count()
+      val hitNew = idx.search("zephyr").count()
+      val hitDead = idx.search("Customer#%09d".format(k).toLowerCase.split("#")(1)).count()
+      println(f"""TMAB-TEXT {"persist_sec":$tPersist%.2f,"save_sec":$tSave%.2f,"""
+        + f""""save_rows":$rSave,"warm_sec":$tWarm%.2f,"warm_rows":$rWarm,"""
+        + f""""full_sec":$tFull%.2f,"full_rows":$rFull,"postings_mismatch":$mismatch,"""
+        + s""""hit_new":$hitNew,"hit_dead":$hitDead}""")
     }
     spark.stop()
   }

@@ -126,6 +126,82 @@ class SaveInPlaceSpec extends AnyFunSuite {
     assert(!new java.io.File(p + ".staging").exists(), "staging dir must be swapped away")
   }
 
+  test("derived indexes survive the durable commit incrementally") {
+    // Store WITH a persisted lexicon + text postings: a durable commit must
+    // append an O(delta) refcount delta to the lexicon side dir (base files
+    // untouched) and the text index must fold it in session — matching a
+    // from-scratch rebuild — instead of re-tokenizing the corpus.
+    val p = "/tmp/graft-sip-t6"
+    Seq(p, p + "-lexicon", p + "-lexicon-delta", p + "-lexicon-text")
+      .foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    val trig = """
+      @prefix : <urn:sv:> .
+      :g {
+        :d1 :text "alpha beta gamma" .
+        :d2 :text "beta delta" .
+        :d2 :note "solo note" .
+        :gone :text "vanishing doc" .
+      }
+    """
+    def handle(): GraftStore = new GraftStore(spark,
+      GraftStore.load(spark, p).statements,
+      lexiconPath = Some(p + "-lexicon"), atRestPath = Some(p))
+    GraftStore.save(new GraftStore(spark, graft.sources.Rio.readTrig(spark, trig)).statements, p)
+    val st = handle()
+    st.nodeTerms // persist the refcounted lexicon
+    graft.search.TextIndex.forStore(st) // persist the base postings
+    val lexFilesBefore = fileStateFlat(p + "-lexicon")
+    val postFilesBefore = fileStateFlat(p + "-lexicon-text/postings")
+    // delete a whole doc (its literal dies), add a doc with a NEW literal,
+    // and re-assert an EXISTING literal under a second predicate (refcount up,
+    // no postings change)
+    val mutated = Update(st,
+      """DELETE DATA { GRAPH <urn:sv:g> { <urn:sv:gone> <urn:sv:text> "vanishing doc" . } } ;
+        |INSERT DATA { GRAPH <urn:sv:g> {
+        |  <urn:sv:d3> <urn:sv:text> "quantum beta" .
+        |  <urn:sv:d1> <urn:sv:note> "beta delta" . } }""".stripMargin)
+    val reopened = GraftStore.saveInPlace(mutated, p)
+    assert(reopened.lexiconPath === Some(p + "-lexicon"))
+    // O(delta) evidence: delta side dir written, base lexicon + postings files untouched
+    assert(new java.io.File(p + "-lexicon-delta", "_SUCCESS").exists())
+    assert(fileStateFlat(p + "-lexicon") === lexFilesBefore, "base lexicon was rewritten")
+    assert(fileStateFlat(p + "-lexicon-text/postings") === postFilesBefore,
+      "base postings were rewritten")
+    // lexicon exactness after the fold: dead term gone, new term present
+    assert(reopened.nodeTerms.filter(col("n")("str") === "vanishing doc").count() === 0)
+    assert(reopened.nodeTerms.filter(col("n")("str") === "quantum beta").count() === 1)
+    assert(reopened.nodeTerms.filter(col("n")("str") === "urn:sv:gone").count() === 0,
+      "fully-deleted subject must leave the dictionary (zero-length-path domain)")
+    // maintained text index == from-scratch rebuild, row for row
+    val idx = graft.search.TextIndex.forStore(reopened)
+    val fresh = graft.search.TextIndex.build(reopened)
+    def postSet(i: graft.search.TextIndex) =
+      i.postings.select("token", "lit_id", "weight").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e12))).toSet
+    assert(postSet(idx) === postSet(fresh))
+    assert(idx.lits.count() === fresh.lits.count())
+    // search behavior: new doc found, dead doc gone, shared token unduplicated
+    assert(idx.search("quantum").count() === 1)
+    assert(idx.search("vanishing").count() === 0)
+    // second commit re-adding a previously-seen literal: replace-by-lit_id
+    // must stay idempotent (no doubled postings/relevance)
+    val again = Update(reopened,
+      """DELETE DATA { GRAPH <urn:sv:g> { <urn:sv:d3> <urn:sv:text> "quantum beta" . } } ;
+        |INSERT DATA { GRAPH <urn:sv:g> { <urn:sv:d4> <urn:sv:text> "quantum beta" . } }""".stripMargin)
+    val re2 = GraftStore.saveInPlace(again, p)
+    val idx2 = graft.search.TextIndex.forStore(re2)
+    assert(postSet(idx2) === postSet(graft.search.TextIndex.build(re2)))
+    assert(idx2.search("quantum").count() === 1)
+  }
+
+  def fileStateFlat(path: String): Set[(String, Long, Long)] = {
+    val d = new java.io.File(path)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+  }
+
   test("store not loaded from the target path falls back to a full save") {
     val (st, p) = freshStore("t3")
     val other = s"/tmp/graft-sip-t3b"
