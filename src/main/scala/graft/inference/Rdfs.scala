@@ -277,11 +277,15 @@ object Rdfs {
       return None
     // characteristic re-declarations: TRANSITIVE marks are delta-maintainable
     // (the cone treats an en/de-declared property as a whole-property
-    // effective-edge delta — see transOldIds below); any other characteristic
-    // (symmetric/FP/IFP/restriction markers) re-wires rule machinery the
-    // delta arms don't model → recompute
+    // effective-edge delta — see transOldIds below), and SYMMETRIC marks land
+    // in the dIb schema diff as a (p,p) self-pair (r15 — the dIb arm's
+    // premise expansion mirrors the closure's accumulated-edge flip stage);
+    // FP/IFP/restriction markers re-wire rule machinery the delta arms don't
+    // model → recompute
     val markRows = pidRows.filter(_.getBoolean(1))
-    if (markRows.exists(_.getLong(2) != transitiveId)) return None
+    if (markRows.exists(r =>
+        r.getLong(2) != transitiveId && r.getLong(2) != symmetricId))
+      return None
     // sameAs edges in the delta: handled by the equivalence-class diff pass
     // below (saDelta) — no longer an automatic recompute
     val saTouched = deltaPids(sameAsId)
@@ -337,10 +341,35 @@ object Rdfs {
         .map(p => (idOf(p._1), idOf(p._2)) -> p).toMap.values.toSeq
     val scOld = closed(vOld.sc); val scNew = closed(vNew.sc)
     val spOld = closed(vOld.sp); val spNew = closed(vNew.sp)
-    def invBoth(v: Vocab): Seq[(Row, Row)] =
-      ((v.inv ++ v.inv.map(_.swap)).toSeq ++ v.symProps.map(r => (r, r)))
+    // SYMMETRIC re-declarations (r15, the transitive mark-delta pattern):
+    // collectVocab2 shares one characteristic-marker scan between the views
+    // (vOld.symProps == vNew.symProps == the NEW table's truth), so the OLD
+    // symmetric set derives from the mark delta plus one pruned old-view
+    // probe (re-asserts and multi-graph copies keep the schema unchanged).
+    // The en/de-declared property then lands in dIbDel/dIbAdd as a (p,p)
+    // self-pair — the dIb arm's premise expansion (sp*-into flips + inverse-
+    // partner straight copies) mirrors the closure's accumulated-edge flip.
+    val symMarkRows = markRows.filter(_.getLong(2) == symmetricId)
+    val symNewIdSet = vNew.symProps.map(idOf).toSet
+    val symOldRows: Array[Row] =
+      if (symMarkRows.isEmpty) vNew.symProps
+      else {
+        val touchedSym = symMarkRows.map(_.getStruct(3)).map(idOf).distinct
+        val oldHas = t("sym-mark-old-probe")(oldExp
+          .filter(col("p_id") === typeId && col("o")("id") === symmetricId &&
+            col("s")("id").isin(touchedSym: _*))
+          .select(col("s")("id")).distinct().collect().map(_.getLong(0)).toSet)
+        val oldIds = (symNewIdSet -- touchedSym) ++ touchedSym.filter(oldHas)
+        val oldOnly = symMarkRows.map(_.getStruct(3))
+          .filter(r => oldIds(idOf(r)) && !symNewIdSet(idOf(r)))
+          .map(r => idOf(r) -> r).toMap.values.toArray
+        vNew.symProps.filter(r => oldIds(idOf(r))) ++ oldOnly
+      }
+    def invBoth(inv: Array[(Row, Row)], syms: Array[Row]): Seq[(Row, Row)] =
+      ((inv ++ inv.map(_.swap)).toSeq ++ syms.map(r => (r, r)))
         .map(p => (idOf(p._1), idOf(p._2)) -> p).toMap.values.toSeq
-    val ibOld = invBoth(vOld); val ibNew = invBoth(vNew)
+    val ibOld = invBoth(vOld.inv, symOldRows)
+    val ibNew = invBoth(vNew.inv, vNew.symProps)
 
     // FEEDER CLOSURE: the set of predicates whose facts can (through any
     // chain of rdfs7 subproperty steps and inverse/symmetric flips) become
@@ -482,7 +511,7 @@ object Rdfs {
     def feederStates(t0: Long): Set[(Long, Boolean)] =
       feederStatesOf(t0, spNew, vNew.inv, vNew.symProps)
     def feederStatesOld(t0: Long): Set[(Long, Boolean)] =
-      feederStatesOf(t0, spOld, vOld.inv, vOld.symProps)
+      feederStatesOf(t0, spOld, vOld.inv, symOldRows)
     // touched = a data delta lands in an (old or new) feeder partition, OR
     // the schema delta changed the state set itself (ontology edit)
     val transStates: Map[Long, (Set[(Long, Boolean)], Set[(Long, Boolean)])] =
@@ -1404,8 +1433,35 @@ object Rdfs {
           srcs.distinct.map(a => (rowsById(a), tgt))
         }.distinct
       }
+      // a dIb SELF-pair is a SYMMETRIC mark delta (r15): closure()'s
+      // symmetric stage flips the property's ACCUMULATED rows — explicit ∪
+      // rdfs7 copies (the sp*-expanded FLIPS above) ∪ inverseOf outputs. The
+      // inverse partners' rows were flipped once by the earlier stage, so the
+      // symmetric flip lands them as STRAIGHT copies — mint those from the
+      // explicit premise expanded over each partner's own sp-into set. The
+      // non-literal filter carries the inverse stage's resource constraint.
+      val dIbStraight: Seq[(Row, Row)] = if (dIb.isEmpty) Nil else {
+        val spPairs = sp.map(p => (idOf(p._1), idOf(p._2)))
+        val rowsById = (sp.flatMap(p => Seq(p._1, p._2)) ++
+          ib.flatMap(p => Seq(p._1, p._2)) ++
+          dIb.flatMap(p => Seq(p._1, p._2))).map(r => idOf(r) -> r).toMap
+        def spInto(qid: Long): Seq[Long] =
+          qid +: spPairs.collect { case (a, b) if b == qid && a != qid => a }
+        dIb.filter(p => idOf(p._1) == idOf(p._2)).flatMap { case (p0, tgt) =>
+          val pid = idOf(p0)
+          val partners = ib.collect {
+            case (q, t2) if idOf(t2) == pid && idOf(q) != pid => idOf(q) }
+          partners.flatMap(spInto).distinct.map(a => (rowsById(a), tgt))
+        }.distinct
+      }
+      def copyS(facts: DataFrame, ps: Seq[(Row, Row)]) =
+        facts.join(broadcast(asQ(ps)), Seq("p_id"))
+          .filter(col("o")("kind") =!= Term.KIND_LITERAL)
+          .select(col("s"), col("q").as("p"), col("o"))
       val viaSchema = if (dIbX.isEmpty) empty else flip(prunedE(dIbX), dIbX)
-      addStage(viaFact.unionByName(viaSchema))
+      val viaSchemaS =
+        if (dIbStraight.isEmpty) empty else copyS(prunedE(dIbStraight), dIbStraight)
+      addStage(viaFact.unionByName(viaSchema).unionByName(viaSchemaS))
     }
     // hasValue over tainted restriction membership (restriction set itself is
     // delta-invariant per the caller's guards)

@@ -35,7 +35,8 @@ object Concurrency {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.mode",
+        sys.env.getOrElse("GRAFT_SCHED", "FAIR")) // FIFO for the A/B control
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -157,7 +157,22 @@ object TmAB {
       // the symmetric flips stay derivable
       """DELETE DATA { <urn:p:conn>
         |  <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>
-        |  <http://www.w3.org/2002/07/owl#TransitiveProperty> . }""".stripMargin)
+        |  <http://www.w3.org/2002/07/owl#TransitiveProperty> . }""".stripMargin,
+      // symmetric RE-DECLARATION (r15): de-declare :conn's symmetry — the
+      // flipped copies (and the reach pairs they fed) retract as a (p,p)
+      // dIb schema delta + cone statesRem, no recompute
+      """DELETE DATA { <urn:p:conn>
+        |  <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>
+        |  <http://www.w3.org/2002/07/owl#SymmetricProperty> . }""".stripMargin,
+      // symmetric EN-DECLARATION (r15): mark :step symmetric — every :step
+      // row's flip derives as a (p,p) dIb schema arm (:next's cone is
+      // untouched: sym runs AFTER rdfs7, so a symmetric feeder's flips are
+      // not :next edges per the stage grammar)
+      """DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+        |INSERT { <urn:p:step>
+        |  <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>
+        |  <http://www.w3.org/2002/07/owl#SymmetricProperty> . }
+        |WHERE {}""".stripMargin)
 
     def keySet(st: graft.model.GraftStore) = st.statements
       .select(xxhash64(col("s")("id"), col("p")("id"), col("o")("id"),

@@ -697,13 +697,100 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("non-transitive characteristic re-declaration still recomputes") {
+  test("FP/IFP characteristic re-declaration still recomputes") {
     val st = atRest(charBase, "tc5")
     check(st,
       s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
-         |INSERT { GRAPH <urn:cb:g> { <urn:cb:lnk> a <${OWL}SymmetricProperty> . } }
+         |INSERT { GRAPH <urn:cb:g> { <urn:cb:lnk> a <${OWL}FunctionalProperty> . } }
          |WHERE {}""".stripMargin,
       expectDelta = false)
+  }
+
+  // symmetric RE-DECLARATION on a live store (r15): en/de-declaring
+  // owl:SymmetricProperty lands in the dIb schema diff as a (p,p) self-pair —
+  // flips of the property's accumulated rows (explicit, rdfs7 copies, inverse
+  // outputs) derive/retract as an O(delta) schema arm, no recompute
+  val symBase = s"""
+    @prefix : <urn:sy:> .
+    @prefix rdfs: <$RDFS> .
+    @prefix owl: <$OWL> .
+    :g {
+      :knows a owl:SymmetricProperty .
+      :a :knows :b .
+      :b :knows :c .
+      :x :likes :y .
+      :y :likes :z .
+      :m :tight :n .
+      :n :tight :m .
+      :close rdfs:subPropertyOf :knows .
+      :d :close :e .
+      :parentOf owl:inverseOf :childOf .
+      :p1 :parentOf :k1 .
+      :k2 :childOf :p2 .
+    }
+  """
+
+  test("symmetric mark ADDED on a live store: flips derive (delta)") {
+    val st = atRest(symBase, "sy1")
+    check(st,
+      s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+         |INSERT { GRAPH <urn:sy:g> { <urn:sy:likes> a <${OWL}SymmetricProperty> . } }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("symmetric mark REMOVED: flips retract, rdfs7-fed flips included") {
+    // :knows accumulates explicit rows AND rdfs7 copies from :close — the
+    // de-declaration must retract the flips of BOTH (sp*-expanded premise)
+    val st = atRest(symBase, "sy2")
+    check(st,
+      s"DELETE DATA { GRAPH <urn:sy:g> { <urn:sy:knows> a <${OWL}SymmetricProperty> . } }")
+  }
+
+  test("symmetric mark ADDED to a property with explicit both-way rows: no-op flips dedupe") {
+    val st = atRest(symBase, "sy3")
+    check(st,
+      s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+         |INSERT { GRAPH <urn:sy:g> { <urn:sy:tight> a <${OWL}SymmetricProperty> . } }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("symmetric mark ADDED to an inverseOf partner: straight copies derive") {
+    // closure order is inverse THEN symmetric: :parentOf rows flip into
+    // :childOf by inverseOf, then the new symmetric mark flips them BACK as
+    // straight :childOf copies — the dIbStraight premise expansion
+    val st = atRest(symBase, "sy4")
+    check(st,
+      s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+         |INSERT { GRAPH <urn:sy:g> { <urn:sy:childOf> a <${OWL}SymmetricProperty> . } }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("symmetric mark REMOVED from an inverseOf partner: straight copies retract") {
+    val symInvBase = symBase.replace(":parentOf owl:inverseOf :childOf .",
+      ":parentOf owl:inverseOf :childOf .\n      :childOf a owl:SymmetricProperty .")
+    val st = atRest(symInvBase, "sy5")
+    check(st,
+      s"DELETE DATA { GRAPH <urn:sy:g> { <urn:sy:childOf> a <${OWL}SymmetricProperty> . } }")
+  }
+
+  test("symmetric re-declaration of a TRANSITIVE property rides the cone (delta)") {
+    // sym mark change on a transitive property flips its feeder-state
+    // parities — the cone's statesAdd/statesRem arms take the bulk delta
+    val symTransBase = symBase.replace(":knows a owl:SymmetricProperty .",
+      ":knows a owl:SymmetricProperty .\n      :reach a owl:TransitiveProperty .\n      :r1 :reach :r2 .\n      :r2 :reach :r3 .")
+    val st = atRest(symTransBase, "sy6")
+    check(st,
+      s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+         |INSERT { GRAPH <urn:sy:g> { <urn:sy:reach> a <${OWL}SymmetricProperty> . } }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("symmetric mark re-asserted in another graph: schema unchanged, delta path") {
+    val st = atRest(symBase, "sy7")
+    check(st,
+      s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+         |INSERT { GRAPH <urn:sy:g2> { <urn:sy:knows> a <${OWL}SymmetricProperty> . } }
+         |WHERE {}""".stripMargin)
   }
 
   // stage-order feeder grammar: closure() runs rdfs7 over EXPLICIT rows only,
