@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Phase attribution for q_update_insert's fixed per-mutation cost (~5 s for
+  * a 6-row mutation, flat across rounds — r14 verdict #6). Times each op of
+  * the entry separately against the warm sf store, plus the follow-up query,
+  * with the rows-read listener separating data volume from plan/job overhead.
+  *
+  * Usage: runMain graft.tools.UpdProf [sfDir] [iters]
+  */
+object UpdProf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val iters = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-updprof")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong()
+    val jobs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r0 = recordsRead.get(); val j0 = jobs.get()
+      val r = f
+      Thread.sleep(200)
+      println(f"UPDPROF $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+        f"rows=${recordsRead.get() - r0}%9d jobs=${jobs.get() - j0}%3d")
+      r
+    }
+    val store = graft.model.Tpch.store(spark, sfDir)
+    store.statements.count()
+    val ins =
+      """INSERT DATA { <urn:t:region:99> a <urn:c:Region> .
+        |  <urn:t:region:99> <urn:p:r_name> "ATLANTIS" }""".stripMargin
+    val mod =
+      """DELETE { ?r <urn:p:r_name> ?n } INSERT { ?r <urn:p:r_name> "SUNK" }
+        |WHERE { ?r <urn:p:r_name> ?n . FILTER(?n = "ATLANTIS") }""".stripMargin
+    val query =
+      """SELECT ?name (COUNT(*) AS ?cnt) WHERE { ?r a <urn:c:Region> .
+        |OPTIONAL { ?r <urn:p:r_name> ?name } } GROUP BY ?name ORDER BY ?name""".stripMargin
+    for (i <- 1 to iters) {
+      println(s"---- iteration $i")
+      val st1 = t("insert-data")(graft.engine.Update(store, ins))
+      val st2 = t("modify-where")(graft.engine.Update(st1, mod))
+      t("query-agg")(graft.engine.Engine.query(store, query).count())
+      t("query-agg-mutated")(graft.engine.Engine.query(st2, query).count())
+      // decomposition controls: WHERE evaluation alone, and the combined
+      // 2-op entry as the battery runs it
+      t("where-eval-only")(graft.engine.Engine.query(st1,
+        """SELECT ?r ?n WHERE { ?r <urn:p:r_name> ?n . FILTER(?n = "ATLANTIS") }""")
+        .count())
+      t("entry-combined")(graft.engine.Engine.query(
+        graft.engine.Update(store, ins + " ;\n" + mod), query).count())
+      System.gc()
+    }
+    spark.stop()
+  }
+}
