@@ -1826,6 +1826,39 @@ object SparkEntry {
              |  CASE WHEN w=0 THEN 0.0 ELSE 3.0*(CAST(cw AS DOUBLE)*256.0)/w END AS clustering_est
              |FROM s, c, wtot""".stripMargin)),
 
+    // PER-VERTEX sampled clustering (r14 stretch): same md5 edge sub-sampling,
+    // wedges centered per vertex, exact degrees — a join-ready graph-quality
+    // column for filtering at 100 TB; estimates reproduced bit-for-bit by the
+    // oracle
+    ("p_gas_cc_local", ((s: SparkSession, dir: String) => {
+      val li = read(s, dir, "lineitem")
+      val op = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .dropDuplicates("o", "p")
+      val edges = op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.gas.Gas.localClusteringSampled(edges, bits = 1)
+    }): Q,
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+             |e AS (SELECT DISTINCT a.p a, b.p b FROM op a JOIN op b ON a.o=b.o AND a.p<b.p),
+             |deg AS (SELECT v, COUNT(*) AS deg FROM
+             |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+             |es AS (SELECT * FROM e WHERE substr(md5(a||'#'||b),1,1)='0'),
+             |adj AS (SELECT a AS v, b AS n FROM es UNION ALL SELECT b, a FROM es),
+             |wed AS (SELECT x.v, x.n AS u, y.n AS w FROM adj x JOIN adj y
+             |  ON x.v=y.v AND x.n<y.n),
+             |cl AS (SELECT v, COUNT(*) AS closed FROM wed
+             |  JOIN e ON e.a=wed.u AND e.b=wed.w GROUP BY v),
+             |sm AS (SELECT v, COUNT(*) AS sampled FROM wed GROUP BY v)
+             |SELECT CAST(deg.v AS BIGINT) AS vertex, CAST(deg.deg AS BIGINT) AS deg,
+             |  CAST(COALESCE(sm.sampled,0) AS BIGINT) AS sampled_wedges,
+             |  CAST(COALESCE(cl.closed,0) AS BIGINT) AS closed_wedges,
+             |  CAST(COALESCE(cl.closed,0) AS DOUBLE)*256.0 AS tri_est,
+             |  CASE WHEN deg.deg<2 THEN 0.0 ELSE
+             |    CAST(COALESCE(cl.closed,0) AS DOUBLE)*256.0/(deg.deg*(deg.deg-1)/2.0)
+             |  END AS cc_est
+             |FROM deg LEFT JOIN sm ON sm.v=deg.v LEFT JOIN cl ON cl.v=deg.v""".stripMargin)),
+
     ("p_gas_pagerank", ((s: SparkSession, dir: String) => {
       val o = read(s, dir, "orders")
       val edges = o.select(col("o_custkey").as("src"), col("o_orderkey").as("dst"))

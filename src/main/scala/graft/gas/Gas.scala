@@ -379,4 +379,52 @@ object Gas {
       .toDF("sampled_wedges", "closed_wedges", "triangles_est", "clustering_est")
   }
 
+  /** PER-VERTEX sampled clustering coefficients — the r14-verdict stretch
+    * that makes the census tier usable for graph-quality FILTERING at 100 TB
+    * (drop/keep vertices by local clustering, not just report one global
+    * number). Wedges centered at v (unordered neighbor pairs) are sampled by
+    * the same deterministic md5 edge sub-sampling as the global tier — an
+    * UNDIRECTED canonical edge survives iff the md5("a#b") hex prefix is
+    * '0'·bits — so a wedge survives at 16^-2bits and
+    *   tri_est(v) = closed_v · 16^(2·bits)        (unbiased per vertex;
+    *                                               bits=0 is exact)
+    *   cc_est(v)  = tri_est(v) / (d(d−1)/2)       (exact degrees)
+    * Closure probes the FULL adjacency. Cost: the neighbor-pair self-join
+    * runs on the sampled adjacency — Σ(d/16)² pairs, 16^-2bits of the exact
+    * local census — and every vertex keeps a row (deg < 2 or no sampled
+    * wedge → zero estimates), so the output is a per-vertex quality column,
+    * join-ready. md5-on-string is engine-portable: the oracle reproduces the
+    * estimates bit-for-bit.
+    */
+  def localClusteringSampled(edges0: DataFrame, bits: Int = 1): DataFrame = {
+    val e = edges0
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).dropDuplicates("a", "b")
+      .localCheckpoint()
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val keep = substring(md5(concat(col("a").cast("string"), lit("#"),
+      col("b").cast("string"))), 1, bits) === "0" * bits
+    val eS = e.filter(keep)
+    // sampled adjacency, both directions: center v, neighbor n
+    val adjS = eS.select(col("a").as("v"), col("b").as("n"))
+      .unionByName(eS.select(col("b").as("v"), col("a").as("n")))
+    val x = adjS.select(col("v"), col("n").as("u"))
+    val y = adjS.select(col("v"), col("n").as("w"))
+    val wedges = x.join(y, Seq("v")).filter(col("u") < col("w"))
+    val closed = wedges
+      .join(e.select(col("a").as("u"), col("b").as("w")), Seq("u", "w"))
+      .groupBy("v").agg(count(lit(1)).as("closed"))
+    val sampled = wedges.groupBy("v").agg(count(lit(1)).as("sampled"))
+    val inv = math.pow(16.0, 2.0 * bits)
+    deg.join(sampled, Seq("v"), "left").join(closed, Seq("v"), "left")
+      .select(col("v").as("vertex"), col("deg"),
+        coalesce(col("sampled"), lit(0L)).as("sampled_wedges"),
+        coalesce(col("closed"), lit(0L)).as("closed_wedges"),
+        (coalesce(col("closed"), lit(0L)) * inv).as("tri_est"),
+        when(col("deg") < 2, 0.0).otherwise(
+          (coalesce(col("closed"), lit(0L)) * inv) /
+            (col("deg") * (col("deg") - 1) / 2.0)).as("cc_est"))
+  }
+
 }

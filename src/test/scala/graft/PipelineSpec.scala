@@ -195,6 +195,29 @@ class PipelineSpec extends GraftSuite {
       s"clustering_est ${s1.getDouble(3)} should track exact transitivity 1.0")
   }
 
+  test("per-vertex sampled clustering: bits=0 exact, bits=1 unbiased in aggregate") {
+    // disjoint 12-cliques: every vertex has deg 11, tri(v) = C(11,2) = 55,
+    // cc(v) = 1.0 — bits=0 must reproduce those exactly for EVERY vertex
+    val cl = (0 until 50).flatMap { c =>
+      val base = c * 12L
+      for (i <- 0 until 12; j <- i + 1 until 12) yield (base + i, base + j)
+    }.toDF("src", "dst")
+    val ex = Gas.localClusteringSampled(cl, bits = 0)
+    assert(ex.count() === 600L) // every vertex keeps a row
+    assert(ex.filter(col("deg") =!= 11 || col("tri_est") =!= 55.0 ||
+      col("cc_est") =!= 1.0).count() === 0L)
+    // bits=1: per-vertex estimates are noisy (E[closed_v] = 55/256) but the
+    // AGGREGATE is unbiased — the summed tri_est tracks 3·T·(per-vertex sum
+    // counts each triangle at its 3 corners) = 50·220·3/... : Σ tri(v) =
+    // 3·triangles = 3·50·220 = 33000; assert ±50% (deterministic md5, no flake)
+    val s1 = Gas.localClusteringSampled(cl, bits = 1)
+    val tot = s1.agg(sum(col("tri_est"))).first().getDouble(0)
+    assert(math.abs(tot - 33000.0) / 33000.0 <= 0.5,
+      s"summed per-vertex tri_est $tot off 33000")
+    // degrees stay exact regardless of sampling
+    assert(s1.filter(col("deg") =!= 11).count() === 0L)
+  }
+
   test("shard manifest: deterministic routing, one keyed exchange") {
     val out = graft.pipeline.Curate.shardManifest(docs, "doc_id", "text", 4)
     val rows = out.collect()
