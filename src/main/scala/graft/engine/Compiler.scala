@@ -664,9 +664,8 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         // the distinct when the class lives in one graph)
         if (dedupSpo) t.p match {
           case PLink(iri) if !iri.startsWith("?") =>
-            dedupSpo &&= store.multiGraphPO
-              .map(_.contains((TermIds.iriId(iri), TermIds.nodeId(n))))
-              .getOrElse(true)
+            // hint-aware on mutated lineages (no full-store pair scan)
+            dedupSpo &&= store.mayDupPO(TermIds.iriId(iri), TermIds.nodeId(n))
           case _ => ()
         }
     }

@@ -203,7 +203,8 @@ object Update {
         st.withLayout(
           graft.model.StatementLayout(lay.base,
             Vector(graft.model.LayoutSeg(lay.segPids, folded, 0))),
-          hint = Some(st.mayHaveInferred))
+          hint = Some(st.mayHaveInferred),
+          gdelta = Some(Set.empty)) // fold changes no content: child set == parent's
       }
     case None =>
       val rddLeaves = st.statements.queryExecution.optimizedPlan.collectLeaves()
@@ -551,7 +552,7 @@ object Update {
           if (layers >= FOLD_LAYERS) (DfOps.freshLeaf(sliceNew), 0)
           else (sliceNew, layers)
         (store.withLayout(lay.replace(ps, frame2, layers2),
-          hint = Some(mayInf)), committed)
+          hint = Some(mayInf), gdelta = Some(ps.toSet)), committed)
       case None =>
         // pathological delta (>1000 predicates): legacy full-store path
         val base =
@@ -627,7 +628,7 @@ object Update {
           if (layers >= FOLD_LAYERS) (DfOps.freshLeaf(frame0), 0)
           else (frame0, layers)
         (store.withLayout(lay.replace(ps, frame2, layers2),
-          hint = Some(store.mayHaveInferred)), purged(hit))
+          hint = Some(store.mayHaveInferred), gdelta = Some(ps.toSet)), purged(hit))
       case None =>
         val kept = purge(store.statements)
         (store.withStatements(kept.select(GraftStore.columns.map(col): _*)),

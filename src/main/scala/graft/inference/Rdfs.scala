@@ -1334,7 +1334,11 @@ object Rdfs {
           if (layers >= graft.engine.Update.FOLD_LAYERS)
             (graft.engine.DfOps.freshLeaf(sliceNew), 0)
           else (sliceNew, layers)
-        Some(next.withLayout(lay.replace(touched, frame2, layers2)))
+        // graph-probe hint: the TM result's multi-graph set is contained in
+        // the pre-TM store's plus the touched pids (entailments are excluded
+        // from the probes anyway; explicit rows only changed in `touched`)
+        Some(next.withLayout(lay.replace(touched, frame2, layers2),
+          gdelta = Some(touched.toSet)))
       }
     }
     Some(laidOut.getOrElse {

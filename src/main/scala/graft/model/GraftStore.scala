@@ -23,7 +23,8 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
                        val lexiconPath: Option[String] = None,
                        private[graft] val layoutOpt: Option[StatementLayout] = None,
                        private[graft] val inferredHint: Option[Boolean] = None,
-                       private[graft] val atRestPath: Option[String] = None) {
+                       private[graft] val atRestPath: Option[String] = None,
+                       private[graft] val graphHint: Option[(GraftStore, Set[Long])] = None) {
 
   /** Partition-keyed view of this store (base frame + p_id-keyed replacement
     * segments). Mutation paths (Update, delta truth maintenance) rewrite ONLY
@@ -35,11 +36,23 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
     layoutOpt.getOrElse(StatementLayout(statements, Vector.empty))
 
   /** Replace the layout (and derive `statements` from it). The hint carries
-    * forward whether the store may hold Inferred rows (see mayHaveInferred).
+    * forward whether the store may hold Inferred rows (see mayHaveInferred);
+    * `gdelta` = the mutation's touched predicate ids, threading the
+    * multi-graph probes forward (child set ⊆ parent set ∪ delta — see
+    * multiGraphPids) so a chain of mutations never re-pays the full-store
+    * distinct scan the probes cost on a fresh lineage.
     */
   private[graft] def withLayout(l: StatementLayout,
-                                hint: Option[Boolean] = None): GraftStore =
-    new GraftStore(spark, l.assemble, None, Some(l), hint, atRestPath)
+                                hint: Option[Boolean] = None,
+                                gdelta: Option[Set[Long]] = None): GraftStore =
+    new GraftStore(spark, l.assemble, None, Some(l), hint, atRestPath,
+      // flatten to (lineage root, accumulated delta pids): an unbounded
+      // mutation stream must not build a parent chain that pins every
+      // intermediate handle (and its plans) in memory
+      gdelta.map(dp => graphHint match {
+        case Some((root, pdp)) => (root, pdp ++ dp)
+        case None => (this, dp)
+      }))
 
   /** Can this store contain stype=Inferred rows? Probed once per store lineage
     * (parquet row-group stats make the probe metadata-cheap on closure-free
@@ -79,13 +92,33 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
     * anywhere. Driver-side but vocabulary-bounded (distinct predicates), like
     * the inference schema collects.
     */
-  @transient lazy val multiGraphPids: Set[Long] =
-    statements.filter(col("stype") =!= GraftStore.STYPE_INFERRED)
-      .select(col("p_id"),
-        coalesce(col("g")("id"), lit(GraftStore.NULL_GRAPH_ID)).as("__gid"))
-      .distinct()
-      .groupBy("p_id").count().filter(col("count") > 1)
-      .select("p_id").collect().map(_.getLong(0)).toSet
+  @transient lazy val multiGraphPids: Set[Long] = graphHint match {
+    // mutated-lineage hint: the child's multi-graph set is contained in the
+    // parent's plus the mutation's touched pids (an insert can only ADD a pid
+    // to the set; a delete can only shrink it, and keeping it is a correct
+    // over-approximation — the touched pids' scans just keep their distinct).
+    // This replaces a per-mutation FULL-store distinct scan (measured 11.2M
+    // rows / ~2 s per fresh lineage at sf0.1) with set arithmetic; the one
+    // real scan runs once per session on the lineage root.
+    case Some((parent, dp)) => parent.multiGraphPids ++ dp
+    case None =>
+      statements.filter(col("stype") =!= GraftStore.STYPE_INFERRED)
+        .select(col("p_id"),
+          coalesce(col("g")("id"), lit(GraftStore.NULL_GRAPH_ID)).as("__gid"))
+        .distinct()
+        .groupBy("p_id").count().filter(col("count") > 1)
+        .select("p_id").collect().map(_.getLong(0)).toSet
+  }
+
+  /** Hint-aware constant-object duplicate probe: may the (pid, oid) pair put
+    * the same triple in the union default graph twice? A mutated lineage
+    * answers conservatively TRUE for its touched pids and defers the rest to
+    * the parent; the scan-based pair probe runs only on lineage roots.
+    */
+  private[graft] def mayDupPO(pid: Long, oid: Long): Boolean = graphHint match {
+    case Some((parent, dp)) => dp(pid) || parent.mayDupPO(pid, oid)
+    case None => multiGraphPO.map(_.contains((pid, oid))).getOrElse(true)
+  }
 
   /** Can ANY default-graph scan see a cross-graph duplicate? */
   def defaultGraphNeedsDedup: Boolean = multiGraphPids.nonEmpty

@@ -65,6 +65,18 @@ object UpdProf {
       t("where-eval-only")(graft.engine.Engine.query(st1,
         """SELECT ?r ?n WHERE { ?r <urn:p:r_name> ?n . FILTER(?n = "ATLANTIS") }""")
         .count())
+      t("modify-del-only")(graft.engine.Update(st1,
+        """DELETE { ?r <urn:p:r_name> ?n }
+          |WHERE { ?r <urn:p:r_name> ?n . FILTER(?n = "ATLANTIS") }""".stripMargin))
+      t("modify-ins-only")(graft.engine.Update(st1,
+        """INSERT { ?r <urn:p:r_name> "SUNK2" }
+          |WHERE { ?r <urn:p:r_name> ?n . FILTER(?n = "ATLANTIS") }""".stripMargin))
+      t("modify-cross-part")(graft.engine.Update(st1,
+        """DELETE { ?r <urn:p:r_name> ?n } INSERT { ?r <urn:p:r_name2> "SUNK" }
+          |WHERE { ?r <urn:p:r_name> ?n . FILTER(?n = "ATLANTIS") }""".stripMargin))
+      t("modify-same-part")(graft.engine.Update(st1,
+        """DELETE { ?r <urn:p:r_name> ?n } INSERT { ?r <urn:p:r_name> "SUNK" }
+          |WHERE { ?r <urn:p:r_name> ?n . FILTER(?n = "ATLANTIS") }""".stripMargin))
       t("entry-combined")(graft.engine.Engine.query(
         graft.engine.Update(store, ins + " ;\n" + mod), query).count())
       System.gc()

@@ -95,17 +95,19 @@ class SaveInPlaceSpec extends AnyFunSuite {
   }
 
   test("recompute-path TM result saves back to its OWN path (staged swap)") {
-    // A characteristic re-declaration (owl:SymmetricProperty delete) forces
-    // the fixpoint-recompute TM path, whose result drops layout AND
-    // atRestPath via withStatements but still SCANS the original parquet.
-    // saveInPlace's fallback must stage-write + swap, not overwrite-in-place
-    // (a direct mode=overwrite here is Spark's overwrite-while-read error).
+    // A characteristic re-declaration that is NOT delta-maintainable
+    // (owl:FunctionalProperty delete — transitive and symmetric marks ride
+    // the delta path since r14/r15) forces the fixpoint-recompute TM path,
+    // whose result drops layout AND atRestPath via withStatements but still
+    // SCANS the original parquet. saveInPlace's fallback must stage-write +
+    // swap, not overwrite-in-place (a direct mode=overwrite here is Spark's
+    // overwrite-while-read error).
     val p = s"/tmp/graft-sip-t5"
     val trig = s"""
       @prefix : <urn:sv:> .
       @prefix owl: <http://www.w3.org/2002/07/owl#> .
       :g {
-        :knows a owl:SymmetricProperty .
+        :knows a owl:FunctionalProperty .
         :u1 :knows :u2 .
         :u1 :name "one" .
       }
@@ -114,13 +116,13 @@ class SaveInPlaceSpec extends AnyFunSuite {
     GraftStore.save(Rdfs.closureFixpoint(st0).statements, p)
     val st = GraftStore.load(spark, p)
     val mutated = Update.withTruthMaintenance(st,
-      "DELETE DATA { GRAPH <urn:sv:g> { <urn:sv:knows> a <http://www.w3.org/2002/07/owl#SymmetricProperty> . } }")
+      "DELETE DATA { GRAPH <urn:sv:g> { <urn:sv:knows> a <http://www.w3.org/2002/07/owl#FunctionalProperty> . } }")
     assert(Rdfs.lastTmPath === "full",
       "scenario must exercise the recompute path, not the delta path")
     val expected = keys(mutated) // collected BEFORE the write replaces the files
     val reopened = GraftStore.saveInPlace(mutated, p)
     assert(keys(reopened) === expected)
-    // the symmetric-derived inverse must be gone from the durable store
+    // the explicit edge survives the recompute round-trip
     val knows = reopened.statements.filter(col("p")("str") === "urn:sv:knows")
     assert(knows.count() === 1L)
     assert(!new java.io.File(p + ".staging").exists(), "staging dir must be swapped away")
