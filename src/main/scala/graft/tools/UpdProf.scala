@@ -54,6 +54,37 @@ object UpdProf {
     val query =
       """SELECT ?name (COUNT(*) AS ?cnt) WHERE { ?r a <urn:c:Region> .
         |OPTIONAL { ?r <urn:p:r_name> ?name } } GROUP BY ?name ORDER BY ?name""".stripMargin
+    // geo entry decomposition (r15: battery reading rose 4.8 -> 7.6 while
+    // QBench steady state stayed ~2.5-3.0; attribute the first-iteration gap)
+    if (args.contains("geo")) {
+      t("prime-mgp")(store.multiGraphPids)
+      t("prime-inf")(store.mayHaveInferred)
+      t("prime-mgpo")(store.multiGraphPO)
+      for (i <- 1 to iters) {
+        println(s"---- geo iteration $i")
+        val withLoc = t("geo-insert")(graft.engine.Update(store,
+          """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+            |INSERT { ?e <urn:p:loc> ?loc } WHERE {
+            |  ?e <urn:p:event_id> ?id .
+            |  BIND(?id - FLOOR(?id/1.8e3)*1800 AS ?lm)
+            |  BIND(?id*7 AS ?i7)
+            |  BIND(?i7 - FLOOR(?i7/3.6e3)*3600 AS ?gm)
+            |  BIND(?lm/1.0e1 - 9.0e1 AS ?la)
+            |  BIND(?gm/1.0e1 - 1.8e2 AS ?lo)
+            |  BIND(STRDT(CONCAT(STR(?la), "#", STR(?lo)), geo:geoSpatialLiteral) AS ?loc) }""".stripMargin))
+        t("geo-search")(graft.engine.Engine.query(withLoc,
+          """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+            |SELECT ?res ?lat ?lon WHERE {
+            |  ?res geo:search "inCircle" ;
+            |       geo:predicate <urn:p:loc> ;
+            |       geo:spatialCircleCenter "30#40" ;
+            |       geo:spatialCircleRadius "2000" ;
+            |       geo:latValue ?lat ; geo:lonValue ?lon }""".stripMargin)
+          .count())
+        System.gc()
+      }
+      spark.stop(); return
+    }
     for (i <- 1 to iters) {
       println(s"---- iteration $i")
       val st1 = t("insert-data")(graft.engine.Update(store, ins))
