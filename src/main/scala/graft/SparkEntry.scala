@@ -444,6 +444,34 @@ object SparkEntry {
              |UNION ALL SELECT 'urn:t:region:0', 'urn:p:r_regionkey', '0'
              |UNION ALL SELECT 'urn:t:region:0', 'urn:p:r_name', r_name FROM region WHERE r_regionkey=0""".stripMargin)),
 
+    // bound-subject / unbound-predicate star (BSBM Q11 / entity-fetch shape):
+    // pattern 1 binds ?l from a predicate-pruned probe, the ?pr wildcard then
+    // rides the SEEDED subject access path (SubjectIndex sidecar — bucket-dir
+    // pruning + pushed s.id In filter) instead of scanning every partition's
+    // s-column (r15 CONCURRENCY finding 4: 8.2 s solo at sf0.1 unrouted)
+    ("q_subject_star", sq(
+      """SELECT ?pr (COUNT(*) AS ?n) WHERE { ?l <urn:p:l_orderkey> 1 ; ?pr ?v }
+        |GROUP BY ?pr""".stripMargin,
+      oStr("pr"), oLng("n")) _,
+      Some("""WITH l AS (SELECT * FROM lineitem WHERE l_orderkey = 1)
+             |SELECT pr, n FROM (
+             |  SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pr, count(*) AS n FROM l
+             |  UNION ALL SELECT 'urn:p:l_orderkey', count(l_orderkey) FROM l
+             |  UNION ALL SELECT 'urn:fk:l_orderkey', count(l_orderkey) FROM l
+             |  UNION ALL SELECT 'urn:p:l_partkey', count(l_partkey) FROM l
+             |  UNION ALL SELECT 'urn:fk:l_partkey', count(l_partkey) FROM l
+             |  UNION ALL SELECT 'urn:p:l_suppkey', count(l_suppkey) FROM l
+             |  UNION ALL SELECT 'urn:fk:l_suppkey', count(l_suppkey) FROM l
+             |  UNION ALL SELECT 'urn:p:l_linenumber', count(l_linenumber) FROM l
+             |  UNION ALL SELECT 'urn:p:l_quantity', count(l_quantity) FROM l
+             |  UNION ALL SELECT 'urn:p:l_extendedprice', count(l_extendedprice) FROM l
+             |  UNION ALL SELECT 'urn:p:l_discount', count(l_discount) FROM l
+             |  UNION ALL SELECT 'urn:p:l_tax', count(l_tax) FROM l
+             |  UNION ALL SELECT 'urn:p:l_returnflag', count(l_returnflag) FROM l
+             |  UNION ALL SELECT 'urn:p:l_linestatus', count(l_linestatus) FROM l
+             |  UNION ALL SELECT 'urn:p:l_shipdate', count(l_shipdate) FROM l
+             |) t WHERE n > 0""".stripMargin)),
+
     ("q_expr_str", sq(
       """SELECT ?ckey ?up ?l ?pre WHERE { ?c <urn:p:c_custkey> ?ckey ; <urn:p:c_name> ?name .
         |  BIND(UCASE(?name) AS ?up) BIND(STRLEN(?name) AS ?l)

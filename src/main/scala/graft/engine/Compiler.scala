@@ -450,10 +450,7 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
         val seedHere = deferrable(t) && df != null &&
           (bound(t.s.asInstanceOf[VarNode].name) || bound(t.o.asInstanceOf[VarNode].name))
         if (seedHere) df = joinSeededPath(df, t, bound)
-        else {
-          val next = if (isSimpleP(t.p)) scanTriple(t) else pathTriple(t)
-          df = if (df == null) next else joinDf(df, next, "inner")
-        }
+        else df = joinPlainTriple(df, t, bound)
         bound ++= Algebra.tripleVars(t)
       }
       return foldSearch(df)
@@ -463,17 +460,18 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     var df: DataFrame = null
     var bound = Set.empty[String]
     if (plain.nonEmpty) {
-      val scans = plain.map(t => (t, if (isSimpleP(t.p)) scanTriple(t) else pathTriple(t)))
-      // greedy join order: most selective first, prefer var-connected next
-      val ordered = scans.sortBy(s => -score(s._1))
-      val remaining = scala.collection.mutable.ArrayBuffer(ordered: _*)
-      val (t0, d0) = remaining.remove(0)
-      df = d0
+      // greedy join order: most selective first, prefer var-connected next.
+      // Scans materialize at JOIN time (not upfront) so a subject-star triple
+      // can see which of its vars the accumulated solutions already bind and
+      // take the seeded access path.
+      val remaining = scala.collection.mutable.ArrayBuffer(plain.sortBy(t => -score(t)): _*)
+      val t0 = remaining.remove(0)
+      df = joinPlainTriple(null, t0, Set.empty)
       bound = Algebra.tripleVars(t0).toSet
       while (remaining.nonEmpty) {
-        val idx = remaining.indexWhere(s => Algebra.tripleVars(s._1).exists(bound))
-        val (t, next) = remaining.remove(if (idx >= 0) idx else 0)
-        df = joinDf(df, next, "inner")
+        val idx = remaining.indexWhere(t => Algebra.tripleVars(t).exists(bound))
+        val t = remaining.remove(if (idx >= 0) idx else 0)
+        df = joinPlainTriple(df, t, bound)
         bound ++= Algebra.tripleVars(t)
       }
     }
@@ -537,6 +535,58 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     case _ => None
   }
 
+  /** Join the next plain (non-path) triple into the accumulated solutions. A
+    * triple whose predicate is UNBOUND while its subject var is already bound
+    * is the subject-star shape (entity fetch, BSBM Q11): with no predicate to
+    * prune by, an independent scan reads every p_id partition's s-column.
+    * When the store has a subject sidecar (SubjectIndex), evaluate it SEEDED
+    * instead — the binding-propagation analog of the reference's
+    * `bop/join/PipelineJoin.java:113` feeding incoming solutions into the SPO
+    * access path.
+    */
+  private def joinPlainTriple(df: DataFrame, t: Triple, bound: Set[String]): DataFrame = {
+    def plainScan = if (isSimpleP(t.p)) scanTriple(t) else pathTriple(t)
+    if (df == null) return plainScan
+    val seeded = t.s match {
+      case VarNode(sv) if unboundPred(t) && bound(sv) => seededSubjectScan(df, t, sv)
+      case _ => None
+    }
+    seeded.getOrElse(joinDf(df, plainScan, "inner"))
+  }
+
+  /** Predicate gives the scan no pruning dimension (wildcard var, or a plain
+    * negated set — everything BUT a few predicates).
+    */
+  private def unboundPred(t: Triple): Boolean = t.p match {
+    case PLink(i) => i.startsWith("?")
+    case PNeg(set) => !set.exists(_._2)
+    case _ => false
+  }
+
+  /** Seed cap for the subject access path: above this the probe degrades into
+    * a broad In filter with no row-group locality — the plain scan join wins.
+    */
+  private val SEED_CAP = 1024
+
+  /** Evaluate a bound-subject/unbound-predicate triple through the subject
+    * sidecar, seeded by the accumulated solutions' distinct subject ids (one
+    * driver-side collect, capped — the reference's chunked index-nested-loop
+    * does the same binding propagation). None ⇒ shape doesn't pay (no sidecar,
+    * too many seeds) and the caller falls back to the scan join.
+    */
+  private def seededSubjectScan(df: DataFrame, t: Triple, sv: String): Option[DataFrame] = {
+    if (!store.hasSubjectIndex) return None
+    val rows = df.select(col(sv)("id").as("__seed"))
+      .filter(col("__seed").isNotNull)
+      .dropDuplicates("__seed").limit(SEED_CAP + 1).collect()
+    if (rows.length > SEED_CAP) return None
+    val sids = rows.map(_.getLong(0)).toSeq
+    if (sids.isEmpty)
+      // no live seeds: the inner join is empty whatever the scan returns
+      return Some(joinDf(df, scanTriple(t, Some(store.statements.filter(lit(false)))), "inner"))
+    store.subjectSlice(sids).map(sl => joinDf(df, scanTriple(t, Some(sl)), "inner"))
+  }
+
   /** Join a deferred var–var path triple against solutions that already bind one (or
     * both) endpoints, evaluating the path seeded from the bound values.
     */
@@ -594,13 +644,26 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     * `bop/ap/Predicate.java`): constants → pushed-down filters (p via the p_id
     * partition column = POS index selection), variables → projected columns.
     */
-  def scanTriple(t: Triple): DataFrame = {
+  def scanTriple(t: Triple): DataFrame = scanTriple(t, None)
+
+  /** As `scanTriple`, with an optional pre-restricted statements view (the
+    * seeded subject access path hands in its slice; all constant/graph filters
+    * below still apply on top of it).
+    */
+  private[engine] def scanTriple(t: Triple, baseOverride: Option[DataFrame]): DataFrame = {
     // inverse link: swap endpoints
     t.p match {
-      case PInv(p) => return scanTriple(Triple(t.o, p, t.s, t.g))
+      case PInv(p) => return scanTriple(Triple(t.o, p, t.s, t.g), baseOverride)
       case _ => ()
     }
-    var df = store.statements
+    // constant subject → the s-keyed sidecar when the store has one at rest
+    // (the SPO access-path analog, `rdf/spo/SPOKeyOrder.java:112-127`): bucket
+    // dirs + a pushed s.id filter replace the all-partitions s-column scan.
+    // The s.id constant filter below still applies (idempotent on the slice).
+    var df = baseOverride.getOrElse(t.s match {
+      case VarNode(_) => store.statements
+      case n => store.subjectSlice(Seq(TermIds.nodeId(n))).getOrElse(store.statements)
+    })
     // default-graph scans over multi-graph stores need a distinct-SPO filter
     // (RDF merge semantics); applied AFTER the constant filters below so the
     // parquet scan still prunes, and only the pruned slice pays the shuffle

@@ -152,6 +152,45 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
   /** Named-graph view (g bound). */
   def namedGraphs: DataFrame = statements.filter(col("g").isNotNull)
 
+  /** Current statements whose subject id ∈ `sids`, served from the s-keyed
+    * sidecar (SubjectIndex) when one is at rest for this store — the SPO
+    * access-path analog (`rdf/spo/SPOKeyOrder.java:112-127`): bucket dirs
+    * prune the scan to the seeds' `s_b` values, the pushed In filter on
+    * `s.id` prunes row groups inside them. Layered exactly like the
+    * statements view itself: at-rest base (minus partitions the in-session
+    * layout replaced) + durable-commit delta fold + in-session segments.
+    * None ⇒ no sidecar (not at-rest, or stale) — caller scans the
+    * predicate-partitioned layout as before.
+    */
+  /** Is an s-keyed sidecar at rest (and current) for this store? Cheap probe
+    * for the compiler's seeded route — checked BEFORE paying a driver collect
+    * of the seed ids.
+    */
+  private[graft] def hasSubjectIndex: Boolean =
+    atRestPath.exists(p => SubjectIndex.forPath(spark, p).isDefined)
+
+  private[graft] def subjectSlice(sids: Seq[Long]): Option[DataFrame] =
+    atRestPath.flatMap { path =>
+      SubjectIndex.forPath(spark, path).map { h =>
+        val buckets = sids.map(id => java.lang.Math.floorMod(id, h.nb).toInt).distinct
+        val sidFilter = col("s")("id").isin(sids: _*)
+        val bkFilter = col("s_b").isin(buckets: _*)
+        val base = h.base.filter(bkFilter && sidFilter)
+          .select(GraftStore.columns.map(col): _*)
+        var out = h.delta match {
+          case Some(d) =>
+            SubjectIndex.fold(base, d.filter(bkFilter && sidFilter).drop("s_b"))
+          case None => base
+        }
+        val segP = layout.segPids
+        if (segP.nonEmpty)
+          out = out.filter(!col("p_id").isin(segP.toSeq: _*))
+            .unionByName(layout.slice(segP.toSeq).filter(sidFilter)
+              .select(GraftStore.columns.map(col): _*))
+        out
+      }
+    }
+
   // a mutated store's lexicon must be rebuilt from its own statements, not the cache
   def withStatements(df: DataFrame): GraftStore = new GraftStore(spark, df, None)
 
@@ -331,6 +370,9 @@ object GraftStore {
   private[graft] def invalidateLex(p: String): Unit = {
     lexCache.filterInPlace { case ((path, _), _) => path != p }
     deadCache.filterInPlace { case ((path, _), _) => path != p }
+    // the text index keys its path cache on the same lexicon generation; a
+    // same-mtime-tick commit must roll it too or it serves stale postings
+    graft.search.TextIndex.invalidatePath(p)
   }
 
   /** Dead-term ids for lexicon path `p` at its current generation (empty until
@@ -378,9 +420,20 @@ object GraftStore {
               val folded = withD.groupBy("nid")
                 .agg(first(col("n")).as("n"), sum(col("d")).as("refs"))
                 .sortWithinPartitions("nid").localCheckpoint()
-              (folded.filter(col("refs") > 0).select("n", "nid"),
-                folded.filter(col("refs") <= 0).select("nid")
-                  .collect().map(_.getLong(0)))
+              val deadDf = folded.filter(col("refs") <= 0).select("nid")
+              // COUNT valve on the dead-term list: it materializes as a driver
+              // array (and a TextIndex broadcast — TextIndex.scala maintained),
+              // and the byte valve alone doesn't bound it — a burst DELETE can
+              // land millions of dead TERMS while staying under 2% of BYTES.
+              // Past the valve, force the lexicon compaction (dead terms leave
+              // the base; postings rebuild amortized against that rewrite).
+              if (deadDf.limit((DEAD_TERM_VALVE + 1).toInt).count() > DEAD_TERM_VALVE) {
+                compactLexicon(spark, p)
+                (shapeLex(spark.read.parquet(p).select("n", "nid")),
+                  Array.empty[Long])
+              } else
+                (folded.filter(col("refs") > 0).select("n", "nid"),
+                  deadDf.collect().map(_.getLong(0)))
             }
           } else {
             // cold build: checkpoint the shaped refcounted lexicon FIRST, then
@@ -432,7 +485,30 @@ object GraftStore {
     * per-predicate histogram is vocabulary-sized: a map-side-combined count
     * aggregate, broadcast back onto the rows.
     */
+  /** Delete the derived-index dirs tied to statements path `path` (lexicon,
+    * its delta side dir, persisted text postings, subject index) and roll the
+    * in-session caches. A full statements rewrite invalidates them all; any
+    * caller rebuilding a store at `path` must not leave them behind (r15
+    * advice: TmAB deleted them by hand, every other direct `save` caller
+    * silently maintained derived indexes against the wrong base).
+    */
+  private[graft] def dropDerived(spark: SparkSession, path: String): Unit = {
+    val lexDir = path + "-lexicon"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(lexDir, lexDir + "-delta", lexDir + "-text",
+        SubjectIndex.dir(path), SubjectIndex.deltaDir(path))
+      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    invalidateLex(lexDir)
+    SubjectIndex.invalidate(path)
+  }
+
   def save(df: DataFrame, path: String): Unit = {
+    // rebuilding the statements at `path` orphans whatever derived indexes
+    // were persisted next to it — drop them up front (no-op on fresh paths,
+    // including a bulk load's concurrent lexicon/text builds, which only
+    // create their dirs after this synchronous cleanup has run)
+    dropDerived(df.sparkSession, path)
     val conf = df.sparkSession.conf
     val prev = conf.get("spark.sql.maxConcurrentOutputFileWriters", "0")
     conf.set("spark.sql.maxConcurrentOutputFileWriters", "128")
@@ -484,13 +560,7 @@ object GraftStore {
   def saveInPlace(store: GraftStore, path: String): GraftStore = {
     val spark = store.spark
     val lexDir = path + "-lexicon"
-    def deleteDerived(): Unit = {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq(lexDir, lexDir + "-delta", lexDir + "-text")
-        .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
-      invalidateLex(lexDir)
-    }
+    def deleteDerived(): Unit = dropDerived(spark, path)
     def reopen(withLex: Boolean): GraftStore = {
       val st = load(spark, path)
       if (withLex) new GraftStore(spark, st.statements,
@@ -518,37 +588,46 @@ object GraftStore {
       // a full rewrite means the persisted derived indexes describe the old
       // store: drop them; the reopened handle rebuilds (and re-persists)
       // exactly from the new statements on first use
-      if (hadLex) deleteDerived()
+      deleteDerived()
       return reopen(hadLex)
     }
     val repl = store.layout.slice(touched.toSeq)
       .select(columns.map(col): _*).localCheckpoint()
-    // ---- derived-index delta, computed BEFORE the overwrite replaces files:
+    // ---- derived-index deltas, computed BEFORE the overwrite replaces files:
     // old rows of the touched partitions (pruned parquet read) diffed against
-    // the replacement rows, folded to per-term refcount deltas — everything
-    // here is O(touched partitions). A legacy pre-refcount lexicon cannot be
-    // maintained; its dirs are dropped below and rebuilt lazily.
+    // the replacement rows — ONE row-level diff feeds both maintenance paths
+    // (lexicon refcounts, subject sidecar); everything here is O(touched
+    // partitions). A legacy pre-refcount lexicon cannot be maintained; its
+    // dirs are dropped below and rebuilt lazily.
     val lexRefs = hadLex &&
       (try spark.read.parquet(lexDir).columns.contains("refs")
       catch { case _: Exception => false })
-    val lexDelta: Option[DataFrame] = if (!lexRefs) None else Some {
-      val old = spark.read.parquet(path)
-        .filter(col("p_id").isin(touched.toSeq: _*))
-        .select(columns.map(col): _*)
-      val diff = old.withColumn("__t", lit(-1L))
-        .unionByName(repl.withColumn("__t", lit(1L)))
-        .groupBy(col("s")("id").as("__sk"), col("p_id"),
-          col("o")("id").as("__ok"),
-          coalesce(col("g")("id"), lit(NULL_GRAPH_ID)).as("__gk"), col("stype"))
-        .agg(sum(col("__t")).as("__d"), first(col("s")).as("s"),
-          first(col("o")).as("o"))
-        .filter(col("__d") =!= 0)
+    // sidecar valid for the PRE-commit base? (the overwrite rolls the
+    // generation, so this must be probed first)
+    val sidxNb: Option[Long] = SubjectIndex.forPath(spark, path).map(_.nb)
+    val rowDiff: Option[DataFrame] =
+      if (!lexRefs && sidxNb.isEmpty) None
+      else Some {
+        val old = spark.read.parquet(path)
+          .filter(col("p_id").isin(touched.toSeq: _*))
+          .select(columns.map(col): _*)
+        old.withColumn("__t", lit(-1L))
+          .unionByName(repl.withColumn("__t", lit(1L)))
+          .groupBy(col("s")("id").as("__sk"), col("p_id"),
+            col("o")("id").as("__ok"),
+            coalesce(col("g")("id"), lit(NULL_GRAPH_ID)).as("__gk"), col("stype"))
+          .agg(sum(col("__t")).as("__d"), first(col("s")).as("s"),
+            first(col("p")).as("p"), first(col("o")).as("o"),
+            first(col("g")).as("g"))
+          .filter(col("__d") =!= 0)
+          .localCheckpoint() // eager: materialized before the files are replaced
+      }
+    val lexDelta: Option[DataFrame] = if (!lexRefs) None else rowDiff.map { diff =>
       diff.select(col("s").as("n"), col("__d"))
         .unionByName(diff.select(col("o").as("n"), col("__d")))
         .groupBy(col("n")("id").as("nid"))
         .agg(first(col("n")).as("n"), sum(col("__d")).as("d"))
         .filter(col("d") =!= 0)
-        .localCheckpoint() // eager: materialized before the files are replaced
     }
     // same clustering as save(): full files per predicate dir, writer count
     // scaled to the partition's row count — but the histogram here is
@@ -585,6 +664,21 @@ object GraftStore {
     // where no write job ran
     val succ = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
     fs.create(succ, true).close()
+    // subject-sidecar maintenance rides the same rowDiff: bucket-partitioned
+    // ±1 appends + re-stamp at the new statements generation, valve-compacted
+    sidxNb match {
+      case Some(nb) =>
+        rowDiff.foreach { d =>
+          SubjectIndex.appendDelta(d, path, nb)
+          SubjectIndex.maybeCompact(spark, path)
+        }
+      case None =>
+        // no sidecar valid for the pre-commit base: drop any stale dirs so a
+        // later probe rebuilds from the new base instead of serving old rows
+        Seq(SubjectIndex.dir(path), SubjectIndex.deltaDir(path))
+          .foreach(p2 => fs.delete(new org.apache.hadoop.fs.Path(p2), true))
+        SubjectIndex.invalidate(path)
+    }
     lexDelta match {
       case Some(d) =>
         // append the refcount delta (rolls the lexicon generation); compact
@@ -597,7 +691,11 @@ object GraftStore {
         maybeCompactLexicon(spark, lexDir)
         invalidateLex(lexDir)
       case None if hadLex =>
-        deleteDerived() // legacy pre-refcount lexicon: rebuild lazily
+        // legacy pre-refcount lexicon: drop just the lexicon family (rebuilt
+        // lazily from the new statements); the sidecar maintains independently
+        Seq(lexDir, lexDir + "-delta", lexDir + "-text")
+          .foreach(p2 => fs.delete(new org.apache.hadoop.fs.Path(p2), true))
+        invalidateLex(lexDir)
       case None => ()
     }
     reopen(hadLex)
@@ -607,6 +705,11 @@ object GraftStore {
     if (f.isDirectory)
       Option(f.listFiles()).map(_.iterator.map(treeBytes).sum).getOrElse(0L)
     else f.length()
+
+  /** Dead-term driver-array bound (see the COUNT valve in `cachedLex`); var so
+    * a spec can exercise the valve without minting a million terms.
+    */
+  private[graft] var DEAD_TERM_VALVE: Long = 1000000L
 
   /** Fold the lexicon's `-delta` side dir into the base once it outgrows 2%
     * of the base (floor 16 MB). The valve bounds both the read-time fold's
@@ -619,6 +722,13 @@ object GraftStore {
     val dDir = lexDir + "-delta"
     val db = treeBytes(new java.io.File(dDir))
     if (db <= math.max(16L << 20, treeBytes(new java.io.File(lexDir)) / 50)) return
+    compactLexicon(spark, lexDir)
+  }
+
+  /** Unconditional delta→base fold (dead terms leave the base). */
+  private def compactLexicon(spark: SparkSession, lexDir: String): Unit = {
+    val dDir = lexDir + "-delta"
+    if (parquetGen(dDir) < 0) return
     val folded = spark.read.parquet(lexDir)
       .select(col("nid"), col("n"), col("refs").as("d"))
       .unionByName(spark.read.parquet(dDir).select(col("nid"), col("n"), col("d")))

@@ -217,20 +217,28 @@ object Tpch {
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.duration.Duration
+          val sidx = Future(SubjectIndex.build(stmts, path))
           val jobs = Seq(
             Future(GraftStore.save(stmts, path)),
             Future { staged.nodeTerms; () },
             Future { graft.search.TextIndex.forStore(staged); () })
-          jobs.foreach(Await.result(_, Duration.Inf))
+          (jobs :+ sidx.map(_ => ())).foreach(Await.result(_, Duration.Inf))
+          // stamp after save() is at rest so the recorded generation is the
+          // real statements `_SUCCESS` mtime
+          SubjectIndex.stamp(path, Await.result(sidx, Duration.Inf))
         } else {
           GraftStore.save(stmts, path)
           staged.nodeTerms
           graft.search.TextIndex.forStore(staged)
+          SubjectIndex.stamp(path, SubjectIndex.build(stmts, path))
         }
         stmts.unpersist(false) // staging blocks are dead once the store is at rest
       }
+      // stores written before the subject access path existed get their
+      // sidecar here, once, at open — never lazily inside a query
+      SubjectIndex.ensure(spark, path)
       val st = new GraftStore(spark, GraftStore.load(spark, path).statements,
-        lexiconPath = Some(path + "-lexicon"))
+        lexiconPath = Some(path + "-lexicon"), atRestPath = Some(path))
       st.nodeTerms // shared via the path-keyed cache after a cold load
       graft.search.TextIndex.forStore(st)
       st

@@ -180,6 +180,13 @@ object TextIndex {
   private val pathCache =
     scala.collection.concurrent.TrieMap.empty[String, (Long, TextIndex)]
 
+  /** Drop the path-keyed entry for lexicon path `p`. Called by
+    * `GraftStore.invalidateLex` after a durable commit: the entry is keyed on
+    * the lexicon generation (`_SUCCESS` mtime), and two commits landing within
+    * one filesystem mtime tick would otherwise serve the pre-commit postings.
+    */
+  private[graft] def invalidatePath(p: String): Unit = pathCache.remove(p)
+
   /** Per-store index handle. A store with a lexicon path also parquet-persists its
     * postings alongside (the reference maintains its full-text index at load,
     * `rdf/store/DataLoader.java` → text indexer hook) — later sessions re-open the

@@ -128,6 +128,50 @@ class SaveInPlaceSpec extends AnyFunSuite {
     assert(!new java.io.File(p + ".staging").exists(), "staging dir must be swapped away")
   }
 
+  test("mass-DELETE dead terms trip the COUNT valve: compaction, bounded driver list") {
+    // the dead-term list materializes as a driver array (GraftStore.deadNids)
+    // and a TextIndex broadcast; the 2%-of-BYTES valve alone doesn't bound the
+    // TERM count — past DEAD_TERM_VALVE the fold must compact instead
+    val p = "/tmp/graft-sip-t8"
+    Seq(p, p + "-lexicon", p + "-lexicon-delta", p + "-lexicon-text",
+        p + "-sidx", p + "-sidx-delta")
+      .foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    val trig = """
+      @prefix : <urn:sv:> .
+      :g {
+        :k1 :tag "t-one" .
+        :k2 :tag "t-two" .
+        :k3 :tag "t-three" .
+        :keep :tag "t-keep" .
+      }
+    """
+    def handle(): GraftStore = new GraftStore(spark,
+      GraftStore.load(spark, p).statements,
+      lexiconPath = Some(p + "-lexicon"), atRestPath = Some(p))
+    GraftStore.save(new GraftStore(spark, graft.sources.Rio.readTrig(spark, trig)).statements, p)
+    handle().nodeTerms // persist the refcounted lexicon
+    val prev = GraftStore.DEAD_TERM_VALVE
+    GraftStore.DEAD_TERM_VALVE = 2
+    try {
+      // one burst kills 3 subjects + 3 literals — 6 dead terms > valve
+      val mutated = Update(handle(),
+        """DELETE DATA { GRAPH <urn:sv:g> {
+          |  <urn:sv:k1> <urn:sv:tag> "t-one" .
+          |  <urn:sv:k2> <urn:sv:tag> "t-two" .
+          |  <urn:sv:k3> <urn:sv:tag> "t-three" . } }""".stripMargin)
+      val reopened = GraftStore.saveInPlace(mutated, p)
+      reopened.nodeTerms // forces the fold → COUNT valve → compaction
+      assert(!new java.io.File(p + "-lexicon-delta").exists(),
+        "past the valve the delta must fold into the base, not drive a dead list")
+      assert(GraftStore.deadNids(p + "-lexicon").isEmpty,
+        "dead list must never materialize past the valve")
+      // exactness preserved through the compaction path
+      assert(reopened.nodeTerms.filter(col("n")("str") === "t-one").count() === 0)
+      assert(reopened.nodeTerms.filter(col("n")("str") === "urn:sv:k1").count() === 0)
+      assert(reopened.nodeTerms.filter(col("n")("str") === "t-keep").count() === 1)
+    } finally GraftStore.DEAD_TERM_VALVE = prev
+  }
+
   test("derived indexes survive the durable commit incrementally") {
     // Store WITH a persisted lexicon + text postings: a durable commit must
     // append an O(delta) refcount delta to the lexicon side dir (base files
