@@ -20,13 +20,14 @@ import org.apache.spark.sql.SparkSession
   * spark.scheduler.mode=FAIR and the server assigns one pool per serving
   * thread, so clients round-robin task slots instead of convoying.
   *
-  * Usage: runMain graft.tools.Concurrency [sfDir] [clients] [mixesPerClient]
+  * Usage: runMain graft.tools.Concurrency [sfDir] [clients(,list)] [mixesPerClient]
   */
 object Concurrency {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val clients = args.lift(1).map(_.toInt).getOrElse(4)
+    // comma list characterizes the saturation curve (e.g. "2,4,8")
+    val clientCounts = args.lift(1).getOrElse("4").split(",").map(_.trim.toInt).toSeq
     val mixesPer = args.lift(2).map(_.toInt).getOrElse(4)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -167,7 +168,7 @@ object Concurrency {
         System.err.println(s"[warm] $n: ${e.getMessage.take(200)}") }
     }
     runClients(1, "baseline")
-    runClients(clients, "concurrent")
+    clientCounts.foreach(n => runClients(n, s"c$n"))
     server.stop()
     spark.stop()
   }
