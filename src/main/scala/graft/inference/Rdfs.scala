@@ -277,14 +277,14 @@ object Rdfs {
       return None
     // characteristic re-declarations: TRANSITIVE marks are delta-maintainable
     // (the cone treats an en/de-declared property as a whole-property
-    // effective-edge delta — see transOldIds below), and SYMMETRIC marks land
+    // effective-edge delta — see transOldIds below), SYMMETRIC marks land
     // in the dIb schema diff as a (p,p) self-pair (r15 — the dIb arm's
-    // premise expansion mirrors the closure's accumulated-edge flip stage);
-    // FP/IFP/restriction markers re-wire rule machinery the delta arms don't
-    // model → recompute
+    // premise expansion mirrors the closure's accumulated-edge flip stage),
+    // and FP/IFP marks feed the sameAs class diff with the pairs they mint
+    // (r16 — see the fpBase section below); RESTRICTION markers re-wire rule
+    // machinery the delta arms don't model → recompute
     val markRows = pidRows.filter(_.getBoolean(1))
-    if (markRows.exists(r =>
-        r.getLong(2) != transitiveId && r.getLong(2) != symmetricId))
+    if (markRows.exists(r => r.getLong(2) == restrictionId))
       return None
     // sameAs edges in the delta: handled by the equivalence-class diff pass
     // below (saDelta) — no longer an automatic recompute
@@ -326,9 +326,9 @@ object Rdfs {
     // alias map IS the at-rest all-pairs sameAs partition (Case A: classes
     // unchanged), and a sameAs-edge delta rebuilds the affected classes and
     // diffs the all-pairs sets (Case B). Interactions with the OTHER non-local
-    // families (FP/IFP-derived pairs, directly-touched transitive properties)
-    // still fall back below.
-    val saPresent = expHasSameAs || saTouched
+    // families (directly-touched transitive properties) still fall back
+    // below. `saPresent` (final form) is derived in the fpBase section once
+    // the FP/IFP minted-pair state is known.
 
     def idOf(r: Row): Long = r.getAs[Long]("id")
     def ids(ps: Seq[(Row, Row)]): Set[(Long, Long)] =
@@ -341,30 +341,40 @@ object Rdfs {
         .map(p => (idOf(p._1), idOf(p._2)) -> p).toMap.values.toSeq
     val scOld = closed(vOld.sc); val scNew = closed(vNew.sc)
     val spOld = closed(vOld.sp); val spNew = closed(vNew.sp)
-    // SYMMETRIC re-declarations (r15, the transitive mark-delta pattern):
-    // collectVocab2 shares one characteristic-marker scan between the views
-    // (vOld.symProps == vNew.symProps == the NEW table's truth), so the OLD
-    // symmetric set derives from the mark delta plus one pruned old-view
-    // probe (re-asserts and multi-graph copies keep the schema unchanged).
-    // The en/de-declared property then lands in dIbDel/dIbAdd as a (p,p)
-    // self-pair — the dIb arm's premise expansion (sp*-into flips + inverse-
-    // partner straight copies) mirrors the closure's accumulated-edge flip.
-    val symMarkRows = markRows.filter(_.getLong(2) == symmetricId)
-    val symNewIdSet = vNew.symProps.map(idOf).toSet
-    val symOldRows: Array[Row] =
-      if (symMarkRows.isEmpty) vNew.symProps
+    // Characteristic re-declarations (the r14/r15 mark-delta pattern,
+    // generalized): collectVocab2 shares one characteristic-marker scan
+    // between the views (vOld.<char>Props == vNew.<char>Props == the NEW
+    // table's truth), so each OLD characteristic set derives from the mark
+    // delta plus one pruned old-view probe (re-asserts and multi-graph copies
+    // keep the schema unchanged).
+    // SYMMETRIC: the en/de-declared property lands in dIbDel/dIbAdd as a
+    // (p,p) self-pair — the dIb arm's premise expansion (sp*-into flips +
+    // inverse-partner straight copies) mirrors the closure's accumulated-edge
+    // flip. FP/IFP (r16): the old/new sets gate the minted-pair class-diff
+    // work in the fpBase section below.
+    def oldCharRows(charId: Long, newRows: Array[Row], tag: String): Array[Row] = {
+      val mk = markRows.filter(_.getLong(2) == charId)
+      if (mk.isEmpty) newRows
       else {
-        val touchedSym = symMarkRows.map(_.getStruct(3)).map(idOf).distinct
-        val oldHas = t("sym-mark-old-probe")(oldExp
-          .filter(col("p_id") === typeId && col("o")("id") === symmetricId &&
-            col("s")("id").isin(touchedSym: _*))
+        val newIdSet = newRows.map(idOf).toSet
+        val touchedP = mk.map(_.getStruct(3)).map(idOf).distinct
+        val oldHas = t(tag)(oldExp
+          .filter(col("p_id") === typeId && col("o")("id") === charId &&
+            col("s")("id").isin(touchedP: _*))
           .select(col("s")("id")).distinct().collect().map(_.getLong(0)).toSet)
-        val oldIds = (symNewIdSet -- touchedSym) ++ touchedSym.filter(oldHas)
-        val oldOnly = symMarkRows.map(_.getStruct(3))
-          .filter(r => oldIds(idOf(r)) && !symNewIdSet(idOf(r)))
+        val oldIds = (newIdSet -- touchedP) ++ touchedP.filter(oldHas)
+        val oldOnly = mk.map(_.getStruct(3))
+          .filter(r => oldIds(idOf(r)) && !newIdSet(idOf(r)))
           .map(r => idOf(r) -> r).toMap.values.toArray
-        vNew.symProps.filter(r => oldIds(idOf(r))) ++ oldOnly
+        newRows.filter(r => oldIds(idOf(r))) ++ oldOnly
       }
+    }
+    val symOldRows: Array[Row] =
+      oldCharRows(symmetricId, vNew.symProps, "sym-mark-old-probe")
+    val funcOldRows: Array[Row] =
+      oldCharRows(functionalId, vNew.funcProps, "fp-mark-old-probe")
+    val invFuncOldRows: Array[Row] =
+      oldCharRows(invFunctionalId, vNew.invFuncProps, "ifp-mark-old-probe")
     def invBoth(inv: Array[(Row, Row)], syms: Array[Row]): Seq[(Row, Row)] =
       ((inv ++ inv.map(_.swap)).toSeq ++ syms.map(r => (r, r)))
         .map(p => (idOf(p._1), idOf(p._2)) -> p).toMap.values.toSeq
@@ -392,40 +402,8 @@ object Rdfs {
     def restrictionMintsInto(closureF: Set[Long]): Boolean =
       (vOld.restrictions ++ vNew.restrictions).exists(r => closureF(idOf(r._2)))
 
-    // FP/IFP are non-local ONLY when the delta can touch their premise facts:
-    // the rules derive owl:sameAs from two facts of a functional property, so
-    // a delta that never touches an FP/IFP property's feeder cone (the
-    // property itself, subproperty chains, inverse partners, restrictions
-    // minting into the cone, transitive pairs of a cone member) cannot change
-    // their conclusions. A store whose ontology merely DECLARES functional
-    // properties no longer pays the full recompute for every unrelated
-    // delete. Any materialized sameAs state (explicit guarded above; inferred
-    // probed below, pruned to the sameAs partition) still falls back —
-    // substitution entailments are corpus-wide. Re-declarations are caught by
-    // the charMarks guard.
-    val fpBase = (vOld.funcProps ++ vNew.funcProps ++
-      vOld.invFuncProps ++ vNew.invFuncProps).map(idOf).toSet
-    if (fpBase.nonEmpty) {
-      // FP/IFP can MINT sameAs pairs: combined with materialized sameAs state
-      // the class structure is no longer the explicit partition alone →
-      // recompute (the delta pass's alias maps would under-approximate)
-      if (saPresent) return None
-      val fpCone = feederClosure(fpBase)
-      if (fpCone(typeId)) return None
-      if (deltaPids.exists(fpCone)) return None
-      if (restrictionMintsInto(fpCone)) return None
-      if ((vOld.transProps ++ vNew.transProps).exists(r => fpCone(idOf(r))) ||
-          markRows.nonEmpty && markRows.exists(r => fpCone(r.getStruct(3)
-            .getAs[Long]("id"))))
-        return None
-      if (minus(spOld, spNew).exists(p => fpCone(idOf(p._2))) ||
-          minus(spNew, spOld).exists(p => fpCone(idOf(p._2)))) return None
-      if (minus(ibOld, ibNew).exists(p => fpCone(idOf(p._1)) || fpCone(idOf(p._2))) ||
-          minus(ibNew, ibOld).exists(p => fpCone(idOf(p._1)) || fpCone(idOf(p._2))))
-        return None
-      if (t("inf-sameas-probe")(
-          !inf.filter(col("p_id") === sameAsId).limit(1).isEmpty)) return None
-    }
+    // (FP/IFP handling moved below the feeder-state definitions — the minted-
+    // pair machinery needs the materializer grammar.)
 
     // Transitive reachability is non-local. The delta-cone pass handles a
     // transitive property t touched directly OR through a FEEDER partition —
@@ -512,6 +490,104 @@ object Rdfs {
       feederStatesOf(t0, spNew, vNew.inv, vNew.symProps)
     def feederStatesOld(t0: Long): Set[(Long, Boolean)] =
       feederStatesOf(t0, spOld, vOld.inv, symOldRows)
+
+    // ---- FP/IFP (r16): minted-pair deltas ride the sameAs class diff ----
+    // The rules derive owl:sameAs from two facts of a functional property
+    // ((x p y),(x p z) → y sameAs z; IFP the mirror). Their entire effect on
+    // the entailment set flows THROUGH the equivalence classes, and the
+    // at-rest sameAs partition already encodes the OLD classes (closure()
+    // materializes all pairs, minted or explicit). So a delta that
+    // re-declares FP/IFP marks or lands facts in an FP/IFP property's feeder
+    // partitions no longer recomputes: the NEW minted pairs (premise frames
+    // translated per the materializer grammar, exactly the transitive cone's
+    // discipline) join the explicit pairs as class-connectivity inputs, and
+    // the existing class diff (saDelta Case B) derives the lost/new pairs and
+    // their substitution cascades. What still recomputes: rdf:type or
+    // restriction outputs feeding the premise cone, transitive pairs in the
+    // cone (premises would include fixpoint output), trans/sym re-declarations
+    // on cone members, and sp/inverseOf schema deltas into the cone (the
+    // premise translation below is computed under the NEW view only).
+    val fpNewIds = vNew.funcProps.map(idOf).toSet
+    val fpOldIds = funcOldRows.map(idOf).toSet
+    val ifpNewIds = vNew.invFuncProps.map(idOf).toSet
+    val ifpOldIds = invFuncOldRows.map(idOf).toSet
+    val fpBase = fpNewIds ++ fpOldIds ++ ifpNewIds ++ ifpOldIds
+    val fpMarksChanged =
+      fpNewIds != fpOldIds || ifpNewIds != ifpOldIds
+    var fpFeederTouched = false
+    if (fpBase.nonEmpty) {
+      val fpCone = feederClosure(fpBase)
+      if (fpCone(typeId)) return None
+      if (restrictionMintsInto(fpCone)) return None
+      if ((vOld.transProps ++ vNew.transProps).exists(r => fpCone(idOf(r))) ||
+          markRows.exists(r => (r.getLong(2) == transitiveId ||
+            r.getLong(2) == symmetricId) && fpCone(idOf(r.getStruct(3)))))
+        return None
+      if (minus(spOld, spNew).exists(p => fpCone(idOf(p._2))) ||
+          minus(spNew, spOld).exists(p => fpCone(idOf(p._2)))) return None
+      if (minus(ibOld, ibNew).exists(p => fpCone(idOf(p._1)) || fpCone(idOf(p._2))) ||
+          minus(ibNew, ibOld).exists(p => fpCone(idOf(p._1)) || fpCone(idOf(p._2))))
+        return None
+      fpFeederTouched = fpBase.exists(p =>
+        feederStates(p).exists(s => deltaPids(s._1)))
+      // plan-width valve on the minted-pair premise scans (cf. the transitive
+      // cone's 256-state valve) — applies whenever the class diff will run
+      // and therefore compute the minted pairs
+      if ((fpMarksChanged || fpFeederTouched || saTouched) &&
+          fpBase.iterator.map(p => feederStates(p).size).sum > 64)
+        return None
+    }
+    // the class diff must re-run whenever FP/IFP minting may have changed
+    val fpClassWork = fpBase.nonEmpty && (fpMarksChanged || fpFeederTouched)
+    // inferred sameAs rows can only stem from explicit sameAs (guarded via
+    // expHasSameAs/saTouched) or FP/IFP minting — probe only when FP vocab
+    // exists, pruned to the sameAs partition
+    val infHasSameAs = fpBase.nonEmpty && t("inf-sameas-probe")(
+      !inf.filter(col("p_id") === sameAsId).limit(1).isEmpty)
+    val saPresent = expHasSameAs || saTouched || infHasSameAs || fpClassWork
+
+    /** FP/IFP-minted sameAs id pairs under the NEW view over the NEW facts,
+      * plus a term dictionary for the minted endpoints (they may never have
+      * appeared in a sameAs partition). Premise frames follow closure()'s
+      * materialization: feeder partitions translated per parity, flips drop
+      * literal objects (dInv2/dSym), FP keys on subject and requires resource
+      * objects, IFP keys on object. Pruned to the feeder partitions.
+      */
+    def mintedNewPairs(): (DataFrame, DataFrame) = {
+      val fams = Seq((fpNewIds, true), (ifpNewIds, false))
+      val parts = fams.flatMap { case (pids, isFp) =>
+        pids.toSeq.flatMap { p =>
+          feederStates(p).toSeq.map { case (src, flip) =>
+            val part = newExp.filter(col("p_id") === src)
+            val eff =
+              if (!flip) part.select(col("s"), col("o"))
+              else part.filter(col("o")("kind") =!= Term.KIND_LITERAL)
+                .select(col("o").as("s"), col("s").as("o"))
+            val f = if (isFp)
+              eff.filter(col("o")("kind") =!= Term.KIND_LITERAL)
+                .select(col("s")("id").as("k"), col("o").as("v"))
+            else eff.select(col("o")("id").as("k"), col("s").as("v"))
+            f.select(lit(p).as("__fp"), col("k"), col("v"))
+          }
+        }
+      }
+      if (parts.isEmpty) {
+        val e = newExp.select(col("s")("id").as("a"), col("o")("id").as("b"))
+          .filter(lit(false))
+        return (e, newExp.select(col("s")("id").as("nid"), col("s").as("n"))
+          .filter(lit(false)))
+      }
+      val f = parts.reduce(_.unionByName(_)).withColumn("vid", col("v")("id"))
+      val keys = f.select("__fp", "k", "vid")
+        .dropDuplicates("__fp", "k", "vid").localCheckpoint()
+      val pairs = keys.join(keys.withColumnRenamed("vid", "vid2"), Seq("__fp", "k"))
+        .filter(col("vid") =!= col("vid2"))
+        .select(col("vid").as("a"), col("vid2").as("b"))
+        .dropDuplicates("a", "b")
+      val dict = f.select(col("vid").as("nid"), col("v").as("n"))
+        .dropDuplicates("nid")
+      (pairs, dict)
+    }
     // touched = a data delta lands in an (old or new) feeder partition, OR
     // the schema delta changed the state set itself (ontology edit)
     val transStates: Map[Long, (Set[(Long, Boolean)], Set[(Long, Boolean)])] =
@@ -839,7 +915,10 @@ object Rdfs {
     // class diff + substitution joins replace the proofs.
     val saDelta: Option[SaDelta] =
       if (!saPresent) None
-      else if (!saTouched) {
+      else if (!saTouched && !fpClassWork) {
+        // Case A: classes unchanged (no sameAs-edge delta, no FP/IFP minting
+        // change) — the at-rest partition IS the alias map, whether its pairs
+        // came from explicit edges or FP/IFP minting
         val alias = next.statements.filter(col("p_id") === sameAsId)
           .select(col("s")("id").as("xid"), col("o").as("alias"))
         Some(SaDelta(alias, alias, None, None, None, None))
@@ -860,8 +939,15 @@ object Rdfs {
           .select(col("s")("id").as("a"), col("o")("id").as("b"))
           .join(addSaIds, Seq("a", "b"), "left_anti")
           .unionByName(remSaIds).dropDuplicates("a", "b")
-        val newExpIdsDf = exp.filter(col("p_id") === sameAsId)
+        // NEW-view class connectivity: explicit pairs ∪ FP/IFP-minted pairs
+        // (the minted endpoints' terms extend the dictionary below — they may
+        // never have appeared in a sameAs partition before)
+        val minted: Option[(DataFrame, DataFrame)] =
+          if (fpBase.isEmpty) None else Some(mintedNewPairs())
+        val newExpIdsDf = (exp.filter(col("p_id") === sameAsId)
           .select(col("s")("id").as("a"), col("o")("id").as("b"))
+          +: minted.map(_._1).toSeq)
+          .reduce(_.unionByName(_))
           .dropDuplicates("a", "b")
         import org.apache.spark.sql.types.{LongType, StructField, StructType}
         val pairT = StructType(Seq(StructField("a", LongType), StructField("b", LongType)))
@@ -943,12 +1029,17 @@ object Rdfs {
             (dDelDf0, dAddDf0, promDf0,
               dDelDf0.count(), dAddDf0.count(), promDf0.count(), None)
           }
-        // id → term dictionary from the sameAs partitions (old view)
-        val saNodes = saCur.select(col("s").as("n"))
+        // id → term dictionary from the sameAs partitions (old view), plus
+        // the FP/IFP-minted endpoints' terms from the premise scan
+        val saNodes = (saCur.select(col("s").as("n"))
           .unionByName(saCur.select(col("o").as("n")))
           .unionByName(remSaRows.select(col("s").as("n")))
           .unionByName(remSaRows.select(col("o").as("n")))
-          .withColumn("nid", col("n")("id")).dropDuplicates("nid").localCheckpoint()
+          .withColumn("nid", col("n")("id"))
+          +: minted.map(_._2.select(col("n"), col("nid"))).toSeq)
+          .map(_.select(col("n"), col("nid")))
+          .reduce(_.unionByName(_))
+          .dropDuplicates("nid").localCheckpoint()
         def toSpo(ids: DataFrame): DataFrame = ids
           .join(saNodes.select(col("nid").as("a"), col("n").as("s")), Seq("a"))
           .join(saNodes.select(col("nid").as("b"), col("n").as("o")), Seq("b"))

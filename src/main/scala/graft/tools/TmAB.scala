@@ -94,9 +94,21 @@ object TmAB {
         "<http://www.w3.org/2002/07/owl#TransitiveProperty> .",
       "<urn:p:conn> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> " +
         "<http://www.w3.org/2002/07/owl#SymmetricProperty> .")
+    // FP slice (r16): N/10 violating fact pairs under :badge (declared
+    // functional in the base store — its minted sameAs pairs are at rest) and
+    // N/10 under :badge2 (left undeclared — the en-declaration scenario mints
+    // its pairs through the class diff)
+    val nFp = math.max(2, nChains / 10)
+    val fpNt = (0 until nFp).flatMap { i =>
+      Seq(s"<urn:fpu:$i> <urn:p:badge> <urn:bdg:$i> .",
+        s"<urn:fpu:$i> <urn:p:badge> <urn:bdg2:$i> .",
+        s"<urn:fpv:$i> <urn:p:badge2> <urn:bv:$i> .",
+        s"<urn:fpv:$i> <urn:p:badge2> <urn:bv2:$i> .")
+    } :+ ("<urn:p:badge> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> " +
+      "<http://www.w3.org/2002/07/owl#FunctionalProperty> .")
     val chainNt = (0 until nChains).flatMap { c =>
       (0 until 9).map(i => s"<urn:ch:$c:$i> <urn:p:next> <urn:ch:$c:${i + 1}> .")
-    } ++ sameNt ++ feederNt :+ ("<urn:p:next> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> " +
+    } ++ sameNt ++ feederNt ++ fpNt :+ ("<urn:p:next> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> " +
       "<http://www.w3.org/2002/07/owl#TransitiveProperty> .")
     val raw1 = graft.engine.Update(raw0,
       s"INSERT DATA { ${domAxioms.mkString("\n")} }")
@@ -180,6 +192,19 @@ object TmAB {
         |INSERT { <urn:p:step>
         |  <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>
         |  <http://www.w3.org/2002/07/owl#SymmetricProperty> . }
+        |WHERE {}""".stripMargin,
+      // FP UN-DECLARATION (r16): de-declare :badge — its at-rest minted
+      // sameAs pairs (and their all-pairs closure) retract via the class
+      // diff, no recompute
+      """DELETE DATA { <urn:p:badge>
+        |  <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>
+        |  <http://www.w3.org/2002/07/owl#FunctionalProperty> . }""".stripMargin,
+      // FP EN-DECLARATION (r16): declare :badge2 functional — its violating
+      // fact pairs mint sameAs classes through the minted-pair class diff
+      """DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
+        |INSERT { <urn:p:badge2>
+        |  <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>
+        |  <http://www.w3.org/2002/07/owl#FunctionalProperty> . }
         |WHERE {}""".stripMargin)
 
     def keySet(st: graft.model.GraftStore) = st.statements

@@ -96,18 +96,21 @@ class SaveInPlaceSpec extends AnyFunSuite {
 
   test("recompute-path TM result saves back to its OWN path (staged swap)") {
     // A characteristic re-declaration that is NOT delta-maintainable
-    // (owl:FunctionalProperty delete — transitive and symmetric marks ride
-    // the delta path since r14/r15) forces the fixpoint-recompute TM path,
-    // whose result drops layout AND atRestPath via withStatements but still
-    // SCANS the original parquet. saveInPlace's fallback must stage-write +
-    // swap, not overwrite-in-place (a direct mode=overwrite here is Spark's
-    // overwrite-while-read error).
+    // (owl:Restriction marker delete — transitive/symmetric marks ride the
+    // delta path since r14/r15, FP/IFP since r16) forces the fixpoint-
+    // recompute TM path, whose result drops layout AND atRestPath via
+    // withStatements but still SCANS the original parquet. saveInPlace's
+    // fallback must stage-write + swap, not overwrite-in-place (a direct
+    // mode=overwrite here is Spark's overwrite-while-read error).
     val p = s"/tmp/graft-sip-t5"
     val trig = s"""
       @prefix : <urn:sv:> .
       @prefix owl: <http://www.w3.org/2002/07/owl#> .
       :g {
-        :knows a owl:FunctionalProperty .
+        :R a owl:Restriction .
+        :R owl:onProperty :flag .
+        :R owl:hasValue :yes .
+        :u1 a :R .
         :u1 :knows :u2 .
         :u1 :name "one" .
       }
@@ -116,7 +119,7 @@ class SaveInPlaceSpec extends AnyFunSuite {
     GraftStore.save(Rdfs.closureFixpoint(st0).statements, p)
     val st = GraftStore.load(spark, p)
     val mutated = Update.withTruthMaintenance(st,
-      "DELETE DATA { GRAPH <urn:sv:g> { <urn:sv:knows> a <http://www.w3.org/2002/07/owl#FunctionalProperty> . } }")
+      "DELETE DATA { GRAPH <urn:sv:g> { <urn:sv:R> a <http://www.w3.org/2002/07/owl#Restriction> . } }")
     assert(Rdfs.lastTmPath === "full",
       "scenario must exercise the recompute path, not the delta path")
     val expected = keys(mutated) // collected BEFORE the write replaces the files

@@ -304,7 +304,7 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u1> a <urn:x:C> . } }")
   }
 
-  test("fallback: delete touching the functional property's own partition") {
+  test("delete in the FP property's own partition: minted-pair diff, delta path (r16)") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
@@ -314,11 +314,10 @@ class TmDeltaSpec extends AnyFunSuite {
       }
     """
     val st = atRest(t, "t18")
-    check(st, "DELETE DATA { GRAPH <urn:x:g5> { <urn:x:p1> <urn:x:ssn> <urn:x:id1> . } }",
-      expectDelta = false)
+    check(st, "DELETE DATA { GRAPH <urn:x:g5> { <urn:x:p1> <urn:x:ssn> <urn:x:id1> . } }")
   }
 
-  test("fallback: delete touching a subproperty feeding the functional property") {
+  test("delete in a subproperty feeding the FP property: premise translation, delta path (r16)") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix rdfs: <$RDFS> .
@@ -330,11 +329,10 @@ class TmDeltaSpec extends AnyFunSuite {
       }
     """
     val st = atRest(t, "t19")
-    check(st, "DELETE DATA { GRAPH <urn:x:g5> { <urn:x:p1> <urn:x:taxId> <urn:x:id1> . } }",
-      expectDelta = false)
+    check(st, "DELETE DATA { GRAPH <urn:x:g5> { <urn:x:p1> <urn:x:taxId> <urn:x:id1> . } }")
   }
 
-  test("fallback: FP violation materialized sameAs forces recompute on any delete") {
+  test("FP-minted sameAs at rest, unrelated delete: Case A alias maps, delta path (r16)") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
@@ -344,8 +342,7 @@ class TmDeltaSpec extends AnyFunSuite {
       }
     """
     val st = atRest(t, "t20")
-    check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u1> a <urn:x:C> . } }",
-      expectDelta = false)
+    check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u1> a <urn:x:C> . } }")
   }
 
   test("sameAs store: fact delete of an aliased node stays on the delta path") {
@@ -458,15 +455,14 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("fallback: explicit sameAs combined with FP declarations still recomputes") {
+  test("explicit sameAs + FP vocabulary: unrelated delete stays on the delta path (r16)") {
     val t = saBase + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
       :g6 { :ssn a owl:FunctionalProperty . }
     """
     val st = atRest(t, "sa7")
-    check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:m> <urn:x:name> \"m\" . } }",
-      expectDelta = false)
+    check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:m> <urn:x:name> \"m\" . } }")
   }
 
   test("phantom delete (row absent) is a no-op on the statement set") {
@@ -697,13 +693,12 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("FP/IFP characteristic re-declaration still recomputes") {
+  test("FP re-declaration on clean data rides the delta path (r16)") {
     val st = atRest(charBase, "tc5")
     check(st,
       s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
          |INSERT { GRAPH <urn:cb:g> { <urn:cb:lnk> a <${OWL}FunctionalProperty> . } }
-         |WHERE {}""".stripMargin,
-      expectDelta = false)
+         |WHERE {}""".stripMargin)
   }
 
   // symmetric RE-DECLARATION on a live store (r15): en/de-declaring
@@ -869,5 +864,125 @@ class TmDeltaSpec extends AnyFunSuite {
       "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u1> a <urn:x:C> . " +
         "<urn:x:u2> <urn:x:name> \"two\" . } }", expectDelta = false)
     finally sys.props.remove("graft.tm.deltaCap")
+  }
+
+  // ---- FP/IFP re-declarations + premise-data deltas on the delta path (r16):
+  // minted sameAs pairs feed the class diff; the at-rest sameAs partition
+  // encodes the OLD classes, so only the NEW minted set is ever computed ----
+
+  val fpBase1 = s"""
+    @prefix : <urn:fp:> .
+    @prefix rdfs: <$RDFS> .
+    @prefix owl: <$OWL> .
+    :g {
+      :Person rdfs:subClassOf :Agent .
+      :mbox rdfs:domain :Person .
+      :p1 :mbox :m1 .
+      :p2 :mbox :m1 .
+      :p1 :age :a33 .
+      :p2 :nick "pp" .
+      :p3 :ssn :s1 .
+      :p3 :ssn :s2 .
+      :s1 :label :L1 .
+    }
+  """
+
+  test("fp declare (dirty data): minted sameAs + substitution cascade, delta path") {
+    val st = atRest(fpBase1, "fp1")
+    check(st,
+      s"""DELETE { <urn:fp:none> <urn:fp:never> <urn:fp:nope> . }
+         |INSERT { GRAPH <urn:fp:g> { <urn:fp:ssn> a <${OWL}FunctionalProperty> . } }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("fp un-declare: minted pairs + substituted copies retract, delta path") {
+    val st = atRest(fpBase1 +
+      s"\n<urn:fp:ssn> a <${OWL}FunctionalProperty> .", "fp2")
+    check(st, s"DELETE DATA { <urn:fp:ssn> a <${OWL}FunctionalProperty> . }")
+  }
+
+  test("fp declare on clean data: no pairs minted, delta path") {
+    val st = atRest(fpBase1, "fp3")
+    check(st,
+      s"""DELETE { <urn:fp:none> <urn:fp:never> <urn:fp:nope> . }
+         |INSERT { GRAPH <urn:fp:g> { <urn:fp:age> a <${OWL}FunctionalProperty> . } }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("fp premise delete: the violating fact goes, minted pair + cascade retract") {
+    val st = atRest(fpBase1 +
+      s"\n<urn:fp:ssn> a <${OWL}FunctionalProperty> .", "fp4")
+    check(st, "DELETE DATA { GRAPH <urn:fp:g> { <urn:fp:p3> <urn:fp:ssn> <urn:fp:s2> . } }")
+  }
+
+  test("fp premise insert: first violation mints a pair into a clean FP store") {
+    val st = atRest(fpBase1 +
+      s"\n<urn:fp:age> a <${OWL}FunctionalProperty> .", "fp5")
+    check(st,
+      """DELETE { <urn:fp:none> <urn:fp:never> <urn:fp:nope> . }
+        |INSERT { GRAPH <urn:fp:g> { <urn:fp:p1> <urn:fp:age> <urn:fp:a34> . } }
+        |WHERE {}""".stripMargin)
+  }
+
+  test("ifp declare: object-keyed minting + domain/rdfs9 over substituted copies") {
+    val st = atRest(fpBase1, "fp6")
+    check(st,
+      s"""DELETE { <urn:fp:none> <urn:fp:never> <urn:fp:nope> . }
+         |INSERT { GRAPH <urn:fp:g> { <urn:fp:mbox> a <${OWL}InverseFunctionalProperty> . } }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("fp with a subPropertyOf feeder: rdfs7 copies are premise facts") {
+    // :ssn2 ⊑ :ssn — the p3 fact arrives via :ssn2 and must still violate
+    val st = atRest(fpBase1 +
+      s"""
+      <urn:fp:ssn2> <${RDFS}subPropertyOf> <urn:fp:ssn> .
+      <urn:fp:p4> <urn:fp:ssn> <urn:fp:s3> .
+      <urn:fp:p4> <urn:fp:ssn2> <urn:fp:s4> .
+      """, "fp7")
+    check(st,
+      s"""DELETE { <urn:fp:none> <urn:fp:never> <urn:fp:nope> . }
+         |INSERT { GRAPH <urn:fp:g> { <urn:fp:ssn> a <${OWL}FunctionalProperty> . } }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("fp with an inverseOf feeder: flipped copies are premise facts") {
+    val st = atRest(fpBase1 +
+      s"""
+      <urn:fp:ssnOf> <${OWL}inverseOf> <urn:fp:ssn> .
+      <urn:fp:s3> <urn:fp:ssnOf> <urn:fp:p4> .
+      <urn:fp:p4> <urn:fp:ssn> <urn:fp:s4> .
+      """, "fp8")
+    check(st,
+      s"""DELETE { <urn:fp:none> <urn:fp:never> <urn:fp:nope> . }
+         |INSERT { GRAPH <urn:fp:g> { <urn:fp:ssn> a <${OWL}FunctionalProperty> . } }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("fp declare alongside standing explicit sameAs: classes merge across sources") {
+    val st = atRest(fpBase1 +
+      s"\n<urn:fp:s1> <${OWL}sameAs> <urn:fp:s9> .", "fp9")
+    check(st,
+      s"""DELETE { <urn:fp:none> <urn:fp:never> <urn:fp:nope> . }
+         |INSERT { GRAPH <urn:fp:g> { <urn:fp:ssn> a <${OWL}FunctionalProperty> . } }
+         |WHERE {}""".stripMargin)
+  }
+
+  test("unrelated delete on a store with FP-minted sameAs at rest: Case A delta") {
+    // minted pairs exist (inferred sameAs) but the delta never touches the
+    // cone or the marks — previously an automatic recompute (r15 residue)
+    val st = atRest(fpBase1 +
+      s"\n<urn:fp:ssn> a <${OWL}FunctionalProperty> .", "fp10")
+    check(st, "DELETE DATA { GRAPH <urn:fp:g> { <urn:fp:p2> <urn:fp:nick> \"pp\" . } }")
+  }
+
+  test("restriction re-declaration still recomputes (guarded residue)") {
+    val st = atRest(fpBase1 + s"""
+      <urn:fp:R> a <${OWL}Restriction> .
+      <urn:fp:R> <${OWL}onProperty> <urn:fp:flag> .
+      <urn:fp:R> <${OWL}hasValue> <urn:fp:yes> .
+      """, "fp11")
+    check(st, s"DELETE DATA { <urn:fp:R> a <${OWL}Restriction> . }",
+      expectDelta = false)
   }
 }
