@@ -137,7 +137,7 @@ object Bench {
     val harness = s"""{"session":${f(sessionSec)},"warmup":${f(warmupSec)},""" +
       s""""closed_store":${f(closedSec)},"gc":${f(gcSec)},"gc_runs":$gcRuns}"""
     val line =
-      s"""{"queries":$qs,"metric":"total","value":${f(total)},"unit":"sec","load_sec":${f(loadSec)},"load_cold":$loadCold,"load_state":"$loadState","harness":$harness,"sf":"$sfShort","notes":"q_truth_maint basis changed in r12 (DRed over warmed at-rest store; pre-r12 totals not comparable for that entry); q_geo_service basis changed in r14 (warmup() pre-compiles the entry's events-scale INSERT plan over the REAL sf store, pre-warming its input caches) and AGAIN in r15 (warmup() also pre-runs the entry's geo:search half and primes the store's root-lineage probes - multiGraphPids/mayHaveInferred; pre-r15 readings for that entry are not comparable)"}"""
+      s"""{"queries":$qs,"metric":"total","value":${f(total)},"unit":"sec","load_sec":${f(loadSec)},"load_cold":$loadCold,"load_state":"$loadState","harness":$harness,"sf":"$sfShort","notes":"q_truth_maint basis changed in r12 (DRed over warmed at-rest store; pre-r12 totals not comparable for that entry); q_geo_service basis changed in r14 (warmup() pre-compiles the entry's events-scale INSERT plan over the REAL sf store, pre-warming its input caches) and AGAIN in r15 (warmup() also pre-runs the entry's geo:search half and primes the store's root-lineage probes - multiGraphPids/mayHaveInferred; pre-r15 readings for that entry are not comparable); load basis changed in r16 (cold load builds the SubjectIndex s-keyed sidecar as a 4th fan-out job, and a warm open of a pre-r16 store pays a one-time sidecar build - pre-r16 load_sec not comparable on cold/first-open runs)"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Exception => () } // read-only cwd must not fail the bench
     println(line)
