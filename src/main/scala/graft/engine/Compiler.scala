@@ -747,8 +747,16 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       ps.tail.foreach(p2 => df = df.filter(col(ps.head)("id") === col(p2)("id")))
     }
     val sels = byVar.toSeq.map { case (v, ps) => col(ps.head).as(v) }
+    // accurate spread input for constant-predicate scans of an unmutated
+    // partition: the at-rest dir's bytes (optimizer stats on a path-based
+    // read never reflect partition pruning — see GraftStore.partitionDiskBytes)
+    val bytesHint = t.p match {
+      case PLink(iri) if !iri.startsWith("?") && baseOverride.isEmpty =>
+        store.scanBytesFor(TermIds.iriId(iri))
+      case _ => None
+    }
     if (sels.isEmpty) df.select(lit(1).as("__exists")).limit(1).drop("__exists")
-    else if (spreadScans) DfOps.spread(df.select(sels: _*))
+    else if (spreadScans) DfOps.spread(df.select(sels: _*), bytesHint)
     else df.select(sels: _*)
   }
 

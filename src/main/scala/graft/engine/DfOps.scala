@@ -55,14 +55,33 @@ object DfOps {
     * run single-threaded; one cheap round-robin shuffle restores parallelism. No-op
     * when the input is already wide enough (the at-scale case).
     */
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame, actualBytes: Option[Long] = None): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // Decide from the optimizer's size estimate, not .rdd.getNumPartitions: the
     // .rdd probe forces a full physical-planning pass per call (~10× the cost of
     // stats, measured), and the planned RDD is then thrown away. ≥4 MB/core means
     // the scan already splits wide enough that a round-robin shuffle buys nothing.
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes >= BigInt(target) * (4L << 20)) df else df.repartition(target)
+    // `actualBytes` (the store's at-rest dir size for the pruned partition)
+    // overrides the estimate: path-based reads keep FULL-store stats after
+    // pruning, so without it a big store never spreads — a 39 MB/1M-row scan
+    // feeding per-row-fat BIND compute ran 3-wide on 32 cores (measured 30 s
+    // of q_geo_service's 33 s at ~sf1).
+    actualBytes match {
+      // accurate-bytes path (statement-store scans): unlike the stats path it
+      // can SEE per-row-scale scans, so it also applies a floor — below ~1 MB
+      // the round-robin exchange costs more than the parallelism buys (a
+      // 20 KB mutation WHERE scan must keep its shuffle-free single-stage
+      // shape; measured +1 s on q_update_insert without the floor). Above it
+      // spread: even a 4 MB/100k-row scan feeding per-row-fat BIND compute
+      // (~50 µs/row) halves on the exchange (q_geo_service sf0.1 measured).
+      case Some(b) =>
+        if (b >= (1L << 20) && BigInt(b) < BigInt(target) * (4L << 20))
+          df.repartition(target)
+        else df
+      case None =>
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (bytes >= BigInt(target) * (4L << 20)) df else df.repartition(target)
+    }
   }
 
   /** Global row_number WITHOUT a single-partition window: range-repartition on the

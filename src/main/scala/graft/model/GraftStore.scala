@@ -169,6 +169,38 @@ final class GraftStore(val spark: SparkSession, val statements: DataFrame,
   private[graft] def hasSubjectIndex: Boolean =
     atRestPath.exists(p => SubjectIndex.forPath(spark, p).isDefined)
 
+  /** On-disk bytes per `p_id` partition dir of the at-rest base. Path-based
+    * parquet reads never get partition pruning into OPTIMIZER stats (Spark's
+    * PruneFileSourcePartitions needs a CatalogFileIndex), so every pruned
+    * scan plans against full-store sizeInBytes — the compiler's spread
+    * decision (and anything else sizing a pruned scan) would misfire by the
+    * store/partition ratio. One driver FS listing per store open,
+    * vocabulary-bounded (one entry per predicate).
+    */
+  @transient private[graft] lazy val partitionDiskBytes: Map[Long, Long] =
+    atRestPath.map { path =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).iterator
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("p_id="))
+          .flatMap { d =>
+            scala.util.Try(d.getPath.getName.substring(5).toLong).toOption
+              .map(pid => pid -> fs.listStatus(d.getPath).iterator
+                .filter(_.isFile).map(_.getLen).sum)
+          }.toMap
+      } catch { case _: Exception => Map.empty[Long, Long] }
+    }.getOrElse(Map.empty)
+
+  /** Actual bytes a constant-predicate scan will read, when knowable: the
+    * at-rest dir size, unless the in-session layout replaced that partition
+    * (segment frames are in-memory — size unknown → None, caller falls back
+    * to plan stats).
+    */
+  private[graft] def scanBytesFor(pid: Long): Option[Long] =
+    if (atRestPath.isEmpty || layout.segPids.contains(pid)) None
+    else Some(partitionDiskBytes.getOrElse(pid, 0L))
+
   private[graft] def subjectSlice(sids: Seq[Long]): Option[DataFrame] =
     atRestPath.flatMap { path =>
       SubjectIndex.forPath(spark, path).map { h =>

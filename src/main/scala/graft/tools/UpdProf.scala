@@ -27,20 +27,35 @@ object UpdProf {
     spark.sparkContext.setLogLevel("WARN")
     val recordsRead = new java.util.concurrent.atomic.AtomicLong()
     val jobs = new java.util.concurrent.atomic.AtomicLong()
+    val jobT0 = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong()
+    val runMs = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (te.taskMetrics != null)
+          if (te.taskMetrics != null) {
             recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
-        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
+            runMs.addAndGet(te.taskMetrics.executorRunTime)
+          }
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet()
+          jobT0.put(js.jobId, System.nanoTime())
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = jobT0.remove(je.jobId)
+          if (t0 != null)
+            println(f"UPDPROF   job ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        }
       })
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r0 = recordsRead.get(); val j0 = jobs.get()
+      val c0 = cpuNs.get(); val m0 = runMs.get()
       val r = f
       Thread.sleep(200)
       println(f"UPDPROF $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
-        f"rows=${recordsRead.get() - r0}%9d jobs=${jobs.get() - j0}%3d")
+        f"rows=${recordsRead.get() - r0}%9d jobs=${jobs.get() - j0}%3d " +
+        f"cpu=${(cpuNs.get() - c0) / 1e9}%7.1f run=${(runMs.get() - m0) / 1e3}%7.1f")
       r
     }
     val store = graft.model.Tpch.store(spark, sfDir)
@@ -62,6 +77,37 @@ object UpdProf {
       t("prime-mgpo")(store.multiGraphPO)
       for (i <- 1 to iters) {
         println(s"---- geo iteration $i")
+        // WHERE-evaluation control: the INSERT's pattern+BINDs as a bare
+        // SELECT, so (geo-insert − geo-where) attributes delta construction
+        // + the withLayout fold separately from pattern evaluation
+        t("geo-where-only")(graft.engine.Engine.query(store,
+          """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+            |SELECT ?e ?loc WHERE {
+            |  ?e <urn:p:event_id> ?id .
+            |  BIND(?id - FLOOR(?id/1.8e3)*1800 AS ?lm)
+            |  BIND(?id*7 AS ?i7)
+            |  BIND(?i7 - FLOOR(?i7/3.6e3)*3600 AS ?gm)
+            |  BIND(?lm/1.0e1 - 9.0e1 AS ?la)
+            |  BIND(?gm/1.0e1 - 1.8e2 AS ?lo)
+            |  BIND(STRDT(CONCAT(STR(?la), "#", STR(?lo)), geo:geoSpatialLiteral) AS ?loc) }""".stripMargin)
+          .count())
+        // force the BIND expression work (CONCAT/STR/term minting) without
+        // materializing rows: hash every field of both output terms
+        t("geo-bind-forced")(graft.engine.Engine.query(store,
+          """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+            |SELECT ?e ?loc WHERE {
+            |  ?e <urn:p:event_id> ?id .
+            |  BIND(?id - FLOOR(?id/1.8e3)*1800 AS ?lm)
+            |  BIND(?id*7 AS ?i7)
+            |  BIND(?i7 - FLOOR(?i7/3.6e3)*3600 AS ?gm)
+            |  BIND(?lm/1.0e1 - 9.0e1 AS ?la)
+            |  BIND(?gm/1.0e1 - 1.8e2 AS ?lo)
+            |  BIND(STRDT(CONCAT(STR(?la), "#", STR(?lo)), geo:geoSpatialLiteral) AS ?loc) }""".stripMargin)
+          .select(org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("e")("id"),
+              org.apache.spark.sql.functions.col("loc")("id"),
+              org.apache.spark.sql.functions.col("loc")("str")).as("h"))
+          .agg(org.apache.spark.sql.functions.expr("bit_xor(h)")).collect())
         val withLoc = t("geo-insert")(graft.engine.Update(store,
           """PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
             |INSERT { ?e <urn:p:loc> ?loc } WHERE {
