@@ -845,7 +845,9 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
       val stepped = frontier.select(col("a"), col("b").as("m"))
         .join(edges.select(col("a").as("m"), col("b")), Seq("m"))
         .select("a", "b").dropDuplicates("a", "b")
-      frontier = stepped.join(acc, Seq("a", "b"), "left_anti").localCheckpoint()
+      // LAZY checkpoint + count: one fused job per round instead of an eager
+      // materialization job followed by a count job (see Gas.bfs)
+      frontier = stepped.join(acc, Seq("a", "b"), "left_anti").localCheckpoint(false)
       n = frontier.count()
       // accumulator stays a lazy union tree over checkpointed frontiers — re-reads
       // cached blocks, no per-round re-materialization
@@ -921,14 +923,14 @@ final class Compiler(val store: GraftStore, ds: DatasetSpec,
     val edges = oriented.repartition(col("a")).dropDuplicates("a", "b")
       .sortWithinPartitions("a").localCheckpoint()
     val seeds = seeds0.select(col("seed").as("a")).dropDuplicates("a")
-    var acc = edges.join(seeds, Seq("a")).localCheckpoint()
+    var acc = edges.join(seeds, Seq("a")).localCheckpoint(false)
     var frontier = acc
-    var n = frontier.count()
+    var n = frontier.count() // fused materialize+count (see closureIds)
     while (n > 0) {
       val stepped = frontier.select(col("a"), col("b").as("m"))
         .join(edges.select(col("a").as("m"), col("b")), Seq("m"))
         .select("a", "b").dropDuplicates("a", "b")
-      frontier = stepped.join(acc, Seq("a", "b"), "left_anti").localCheckpoint()
+      frontier = stepped.join(acc, Seq("a", "b"), "left_anti").localCheckpoint(false)
       n = frontier.count()
       if (n > 0) acc = acc.unionByName(DfOps.reid(frontier))
     }

@@ -51,10 +51,14 @@ object Gas {
     var n = 1L
     while (n > 0 && level < maxIter) {
       level += 1
+      // LAZY checkpoint + count: the count() job itself materializes the
+      // checkpoint blocks — one job per round instead of an eager-checkpoint
+      // job followed by a count job (guide §1.2: remove passes; measured ~2
+      // jobs/round → 1 on a 40-job BFS)
       val next = frontier.join(adj, col("vertex") === col("src"))
         .select(col("dst").as("vertex")).dropDuplicates("vertex")
         .join(visited, Seq("vertex"), "left_anti")
-        .withColumn("level", lit(level)).localCheckpoint()
+        .withColumn("level", lit(level)).localCheckpoint(false)
       n = next.count()
       // frontiers are checkpointed; the visited accumulator is a shallow union tree
       // over materialized nodes — no checkpoint needed per round
@@ -94,13 +98,17 @@ object Gas {
       val cand = frontier.join(adj, col("vertex") === col("src"))
         .select(col("seed"), col("dst").as("vertex"), (col("dist") + col("weight")).as("nd"))
         .groupBy("seed", "vertex").agg(min("nd").as("nd"))
+      // lazy checkpoint + count fusion (see bfs): one job per round
       val improved = cand.join(dist, Seq("seed", "vertex"), "left_outer")
         .filter(col("dist").isNull || col("nd") < col("dist"))
-        .select(col("seed"), col("vertex"), col("nd").as("dist")).localCheckpoint()
+        .select(col("seed"), col("vertex"), col("nd").as("dist")).localCheckpoint(false)
       n = improved.count()
       if (n > 0) {
+        // dist stays checkpointed (re-joined each round) but LAZY: the next
+        // round's count job (or the caller's final action) materializes it —
+        // no standalone materialization job per round
         dist = dist.join(improved, Seq("seed", "vertex"), "left_anti")
-          .unionByName(graft.engine.DfOps.reid(improved)).localCheckpoint() // dist is re-joined each round: keep materialized
+          .unionByName(graft.engine.DfOps.reid(improved)).localCheckpoint(false)
         frontier = improved
       }
     }
@@ -144,7 +152,7 @@ object Gas {
         .select(col("vertex"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label2"),
           col("label"))
-        .localCheckpoint() // materialize once; changed-count, delta and next labels reuse it
+        .localCheckpoint(false) // lazy: the changed-count job materializes it; delta and next labels reuse the blocks
       // jump only on slow convergence of a LARGE frontier: not-halving signals
       // high diameter, but a small hovering tail frontier makes propagation
       // cheap while the jump still costs a full |V| self-join — there the jump
@@ -152,12 +160,16 @@ object Gas {
       // |V| keeps the jump for wavefronts that actually dominate the runtime.
       val updated = if (iter < jumpAfter || changed * 2 < prevChanged ||
           changed * 20 < nV) prop else {
+        // prop self-joins here: materialize it first (one job) so the join's
+        // two concurrently-running input stages read blocks instead of each
+        // recomputing prop's lineage
+        prop.count()
         val m = prop.select(col("vertex").as("__mv"), col("label2").as("__ml"))
         prop.join(m, col("label2") === col("__mv"), "left_outer")
           .select(col("vertex"),
             least(col("label2"), coalesce(col("__ml"), col("label2"))).as("label2"),
             col("label"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       prevChanged = changed
       changed = updated.filter(col("label2") < col("label")).count()
@@ -187,26 +199,31 @@ object Gas {
     // dangling vertex set (no out-edges) as a semi-join probe for the mass sum.
     // out is already hash-partitioned + sorted on src, so the count window runs
     // in place — no exchange, no sort, no join
+    // static per-iteration inputs checkpoint LAZILY: the first iteration's
+    // jobs materialize them once; no standalone materialization jobs
     val adjDeg = out.withColumn("outdeg",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val danglingV = vertices.join(out.select("src").dropDuplicates("src"),
         col("vertex") === col("src"), "left_anti")
-      .select("vertex").localCheckpoint()
+      .select("vertex").localCheckpoint(false)
     var ranks = vertices.withColumn("rank", lit(1.0 / nV)).localCheckpoint()
     for (_ <- 1 to iters) {
       val contribs = ranks.join(adjDeg, col("vertex") === col("src"))
         .select(col("dst").as("vertex"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("vertex").agg(sum("c").as("recv"))
-      // dangling mass as a lazy 1-row frame, broadcast into the update
-      val dangling = ranks.join(danglingV, Seq("vertex"), "left_semi")
-        .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
+      // dangling mass as a DRIVER SCALAR off the (already materialized) rank
+      // blocks: one bounded 1-row fetch replaces the per-iteration
+      // BroadcastExchange build job + crossJoin — same arithmetic, same FP
+      // order (the sum still runs distributed), ~2 fewer jobs per iteration
+      val dm = ranks.join(danglingV, Seq("vertex"), "left_semi")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dm")).first().getDouble(0)
       val inbound = vertices.join(contribs, Seq("vertex"), "left_outer")
         .select(col("vertex"), coalesce(col("recv"), lit(0.0)).as("recv"))
-      ranks = inbound.crossJoin(broadcast(dangling))
+      ranks = inbound
         .select(col("vertex"),
           (lit((1.0 - damping) / nV) +
-            lit(damping) * (col("recv") + col("__dm") / nV)).as("rank"))
+            lit(damping) * (col("recv") + lit(dm) / nV)).as("rank"))
         .localCheckpoint()
     }
     ranks
@@ -244,17 +261,17 @@ object Gas {
       .filter(col("ds") + col("dt") === col("d_total"))
       .select("vertex").dropDuplicates("vertex")
     val adj = undirected(edges)
-    var out = spSet.withColumn("depth", lit(0)).localCheckpoint()
+    var out = spSet.withColumn("depth", lit(0)).localCheckpoint(false)
     var frontier = out
-    var total = out.count()
+    var total = out.count() // materializes the lazy checkpoint — one fused job
     var depth = 0
     while (total < n && depth < maxIter && frontier != null) {
       depth += 1
       val next = frontier.join(adj, col("vertex") === col("src"))
         .select(col("dst").as("vertex")).dropDuplicates("vertex")
         .join(out, Seq("vertex"), "left_anti")
-        .withColumn("depth", lit(depth)).localCheckpoint()
-      val c = next.count()
+        .withColumn("depth", lit(depth)).localCheckpoint(false)
+      val c = next.count() // fused materialize+count (see bfs)
       if (c == 0) frontier = null
       else {
         val room = n - total

@@ -18,6 +18,33 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default createImageInputStream backs every probe with a DISK
+  // cache file (create+write+delete in java.io.tmpdir PER ROW) — pure
+  // overhead for in-memory byte[] payloads. Memory-cached streams decode
+  // identically. (guide §1.2: fix per-task work once the job shape is right)
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Cheap magic-byte sniff for the formats the JDK's ImageIO can actually
+    * read (JPEG/PNG/GIF/BMP/TIFF/WBMP): constructing an ImageInputStream and
+    * walking the reader registry per row costs ~100 µs even when no reader
+    * matches, which at corpus scale is the whole metadata pass. Payloads
+    * without a known signature return false and take the same None path the
+    * registry walk would have taken — byte-identical results. WBMP has no
+    * magic; its header starts 0x00 0x00, matched exactly.
+    */
+  private def imageMagic(b: Array[Byte]): Boolean =
+    (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) || // JPEG
+    (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||  // PNG
+    (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||          // GIF
+    (b(0) == 'B' && b(1) == 'M') ||                                        // BMP
+    (b(0) == 'I' && b(1) == 'I' && b(2) == 0x2a && b(3) == 0) ||           // TIFF LE
+    (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2a) ||           // TIFF BE
+    (b(0) == 0 && b(1) == 0)                                               // WBMP
+  private def audioMagic(b: Array[Byte]): Boolean =
+    (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||          // WAV
+    (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') ||          // AIFF
+    (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')             // AU
+
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("width", IntegerType),
@@ -33,6 +60,7 @@ object Multimodal {
     */
   def decodeReal(bytes: Array[Byte]): Option[Row] = try {
     if (bytes == null || bytes.length < 8) None
+    else if (!imageMagic(bytes)) None // same None the reader-registry walk returns
     else {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -55,6 +83,7 @@ object Multimodal {
     * writer is deterministic for a given JDK). None for non-image payloads.
     */
   def resizeReal(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = try {
+    if (bytes == null || bytes.length < 8 || !imageMagic(bytes)) return None
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     if (img == null) None
     else {
@@ -75,6 +104,7 @@ object Multimodal {
     * [-1, 1] — the classic tiny-thumbnail embedding. None for non-images.
     */
   def featuresReal(bytes: Array[Byte], dim: Int): Option[Array[Float]] = try {
+    if (bytes == null || bytes.length < 8 || !imageMagic(bytes)) return None
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     if (img == null) None
     else {
@@ -107,6 +137,7 @@ object Multimodal {
     */
   def decodeAudioReal(bytes: Array[Byte]): Option[Row] = try {
     if (bytes == null || bytes.length < 12) None
+    else if (!audioMagic(bytes)) None // same None getAudioFileFormat's throw becomes
     else {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(bytes))
@@ -281,8 +312,15 @@ object Multimodal {
   def withPayload(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("payload", col(textCol).cast(BinaryType))
 
-  /** Decode metadata partition-wise: binary column → typed meta struct. */
-  def decodeMeta(df: DataFrame, binCol: String): DataFrame = {
+  /** Decode metadata partition-wise: binary column → typed meta struct.
+    * Input is spread across the session's cores first: the codec work is
+    * per-row-fat and opaque to Catalyst, and a small corpus (or a pruned
+    * scan) otherwise runs it on the scan's few file splits — measured 3 tasks
+    * on 32 cores for the whole battery's media pass (guide §2.6 idle
+    * capacity; spread() is a no-op when the scan is already wide).
+    */
+  def decodeMeta(df0: DataFrame, binCol: String): DataFrame = {
+    val df = graft.engine.DfOps.spread(df0)
     val inSchema = df.schema
     val schema = StructType(inSchema.fields :+ StructField("meta", metaSchema))
     val idx = inSchema.fieldIndex(binCol)
@@ -299,8 +337,10 @@ object Multimodal {
     df.sparkSession.createDataFrame(rows, schema)
   }
 
-  /** Feature extraction: binary column → dense float vector (batch-iterated). */
-  def extractFeatures(df: DataFrame, binCol: String, dim: Int = 64): DataFrame = {
+  /** Feature extraction: binary column → dense float vector (batch-iterated).
+    * Spread like decodeMeta — per-row-fat opaque compute. */
+  def extractFeatures(df0: DataFrame, binCol: String, dim: Int = 64): DataFrame = {
+    val df = graft.engine.DfOps.spread(df0)
     val inSchema = df.schema
     val schema = StructType(inSchema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
@@ -341,7 +381,8 @@ object Multimodal {
   /** Resize to (w, h): binary column → resized binary + updated meta dims,
     * batch-iterated partition-wise like the other codec stages.
     */
-  def resize(df: DataFrame, binCol: String, w: Int, h: Int): DataFrame = {
+  def resize(df0: DataFrame, binCol: String, w: Int, h: Int): DataFrame = {
+    val df = graft.engine.DfOps.spread(df0)
     val inSchema = df.schema
     val schema = StructType(inSchema.fields :+
       StructField("resized", BinaryType) :+

@@ -678,4 +678,37 @@ class PipelineSpec extends GraftSuite {
     val d2 = byDoc(2L).map(r => r._2 -> r._3).toMap
     assert(d2("cat") > d2.getOrElse("the", 0.0))
   }
+
+  test("multimodal magic sniff preserves real-decode and stub fallback") {
+    import graft.pipeline.Multimodal
+    // a real 3x2 PNG: the sniffed fast path must still REALLY decode it
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val meta = Multimodal.decodeReal(png)
+    assert(meta.isDefined && meta.get.getString(0) == "png" &&
+      meta.get.getInt(1) == 3 && meta.get.getInt(2) == 2)
+    assert(Multimodal.resizeReal(png, 4, 4).isDefined)
+    assert(Multimodal.featuresReal(png, 4).isDefined)
+    // a real WAV header: the audio path must still decode format + duration
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+    val data = new Array[Byte](8000) // 1 s of frames
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 8000)
+    val wbos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wbos)
+    val audio = Multimodal.decodeAudioReal(wbos.toByteArray)
+    assert(audio.isDefined && audio.get.getString(0) == "wave" &&
+      audio.get.getLong(3) == 1000L)
+    // text payloads (no magic) take the same None/stub path as the old
+    // reader-registry walk — byte-identical results, none of the cost
+    val text = "plain ascii document text".getBytes("UTF-8")
+    assert(Multimodal.decodeReal(text).isEmpty)
+    assert(Multimodal.decodeAudioReal(text).isEmpty)
+    assert(Multimodal.resizeReal(text, 4, 4).isEmpty)
+    assert(Multimodal.featuresReal(text, 4).isEmpty)
+  }
 }
