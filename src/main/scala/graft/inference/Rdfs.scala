@@ -1888,8 +1888,23 @@ object Rdfs {
         col("o")("id").isin(charIds :+ restrictionId: _*))
       .select(col("p_id"), col("s"), col("o"), col("o")("id").as("o_id"))
   }
+  /** Cheap emptiness probe for the characteristic/restriction markers: the
+    * full charPart scan decodes the WHOLE rdf:type partition's s/o term
+    * structs (strings included) just to find marker rows that are absent on
+    * schema-less data (TMPROF measured the vocab action at 0.75–1.4 s, almost
+    * all of it this decode). Projecting only the 8-byte id fields lets the
+    * parquet reader skip every string column; one extra tiny job buys the
+    * skip of the expensive one whenever the probe comes back empty.
+    */
+  private def hasCharMarks(df: DataFrame): Boolean = {
+    val charIds = Seq(transitiveId, symmetricId, functionalId, invFunctionalId)
+    !df.filter(col("p_id") === typeId &&
+        col("o")("id").isin(charIds :+ restrictionId: _*))
+      .select(col("p_id")).limit(1).isEmpty
+  }
   private def vocabFilter(df: DataFrame): DataFrame =
-    vocabSchemaPart(df).unionByName(vocabCharPart(df))
+    if (hasCharMarks(df)) vocabSchemaPart(df).unionByName(vocabCharPart(df))
+    else vocabSchemaPart(df)
 
   private[inference] def collectVocab(stmts: DataFrame): Vocab =
     vocabFromRows(vocabFilter(stmts).collect())
@@ -1903,9 +1918,16 @@ object Rdfs {
     */
   private[inference] def collectVocab2(oldStmts: DataFrame,
                                        newStmts: DataFrame): (Vocab, Vocab, Boolean) = {
-    val rows = vocabSchemaPart(oldStmts).withColumn("__old", lit(true))
-      .unionByName(vocabSchemaPart(newStmts).withColumn("__old", lit(false)))
-      .unionByName(vocabCharPart(newStmts).withColumn("__old", lit(null)))
+    // char-marker arm gated by the id-only probe (see hasCharMarks): on
+    // marker-free data the tagged action skips the type-partition struct
+    // decode entirely
+    val charArm =
+      if (hasCharMarks(newStmts)) Some(vocabCharPart(newStmts).withColumn("__old", lit(null)))
+      else None
+    val rows = (Seq(
+      vocabSchemaPart(oldStmts).withColumn("__old", lit(true)),
+      vocabSchemaPart(newStmts).withColumn("__old", lit(false))) ++ charArm)
+      .reduce(_.unionByName(_))
       .unionByName(newStmts.filter(col("p_id") === sameAsId).limit(1)
         .select(col("p_id"), col("s"), col("o"), col("o")("id").as("o_id"))
         .withColumn("__old", lit(null)))

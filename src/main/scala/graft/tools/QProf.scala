@@ -32,8 +32,17 @@ object QProf {
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger; val taskMs = new AtomicLong
     val shufRead = new AtomicLong; val shufWrite = new AtomicLong
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobWall = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        jobStart.put(j.jobId, System.nanoTime())
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val t0 = jobStart.remove(j.jobId)
+        if (t0 != 0L) jobWall.add((j.jobId, (System.nanoTime() - t0) / 1000000L))
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -53,7 +62,7 @@ object QProf {
     for (n <- names; i <- 1 to iters) {
       val fn = graft.SparkEntry.queries(n)
       jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0)
-      shufRead.set(0); shufWrite.set(0)
+      shufRead.set(0); shufWrite.set(0); jobWall.clear(); jobStart.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       val rows = fn(spark, sfDir).count()
@@ -62,6 +71,13 @@ object QProf {
       Thread.sleep(300)
       spark.sparkContext.removeSparkListener(listener)
       println(f"""QPROF {"name":"$n","iter":$i,"sec":$sec%.2f,"jobs":${jobs.get},"stages":${stages.get},"tasks":${tasks.get},"task_sec":${taskMs.get / 1e3}%.1f,"shuf_read_mb":${shufRead.get / 1048576.0}%.1f,"shuf_write_mb":${shufWrite.get / 1048576.0}%.1f,"rows":$rows}""")
+      if (sys.env.contains("QPROF_JOBS")) {
+        import scala.jdk.CollectionConverters._
+        val jw = jobWall.asScala.toSeq.sortBy(-_._2)
+        val total = jw.map(_._2).sum
+        println(s"QPROF_JOBS $n total_job_wall_ms=$total top=" +
+          jw.take(12).map { case (id, ms) => s"j$id:${ms}ms" }.mkString(","))
+      }
       System.gc()
     }
     spark.stop()
