@@ -86,6 +86,8 @@ object Bench {
     // it up instead of forcing a GC per entry forever).
     def storageUsed(): Long = spark.sparkContext.getExecutorMemoryStatus
       .values.map { case (max, rem) => max - rem }.sum
+    val storageMax: Long = spark.sparkContext.getExecutorMemoryStatus
+      .values.map(_._1).sum
     var waterline = storageUsed()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -106,7 +108,17 @@ object Bench {
         // deltas must not cost the next query memory, but an idle full GC
         // per entry is pure harness tax (see waterline above)
         val tg = System.nanoTime()
-        if (storageUsed() > waterline + (768L << 20)) {
+        // r16 measurement fix (disclosed in notes): the +768 MB growth trigger
+        // alone can NEVER fire once the storage region is full — eviction caps
+        // apparent growth below the threshold — so dead checkpoint blocks were
+        // never drained and battery entries thrashed against a full cache
+        // (MemoryStore eviction warnings, entries 2-3× their solo times). A
+        // second near-capacity trigger (≥75% of the region and ≥128 MB above
+        // the post-GC anchor) drains the dead blocks; re-anchoring keeps it
+        // from firing when the high water is all live data.
+        val used = storageUsed()
+        if (used > waterline + (768L << 20) ||
+            (used > storageMax / 4 * 3 && used > waterline + (128L << 20))) {
           System.gc()
           gcRuns += 1
           Thread.sleep(100) // let the cleaner drain before re-anchoring
@@ -137,7 +149,7 @@ object Bench {
     val harness = s"""{"session":${f(sessionSec)},"warmup":${f(warmupSec)},""" +
       s""""closed_store":${f(closedSec)},"gc":${f(gcSec)},"gc_runs":$gcRuns}"""
     val line =
-      s"""{"queries":$qs,"metric":"total","value":${f(total)},"unit":"sec","load_sec":${f(loadSec)},"load_cold":$loadCold,"load_state":"$loadState","harness":$harness,"sf":"$sfShort","notes":"q_truth_maint basis changed in r12 (DRed over warmed at-rest store; pre-r12 totals not comparable for that entry); q_geo_service basis changed in r14 (warmup() pre-compiles the entry's events-scale INSERT plan over the REAL sf store, pre-warming its input caches) and AGAIN in r15 (warmup() also pre-runs the entry's geo:search half and primes the store's root-lineage probes - multiGraphPids/mayHaveInferred; pre-r15 readings for that entry are not comparable); load basis changed in r16 (cold load builds the SubjectIndex s-keyed sidecar as a 4th fan-out job, and a warm open of a pre-r16 store pays a one-time sidecar build - pre-r16 load_sec not comparable on cold/first-open runs)"}"""
+      s"""{"queries":$qs,"metric":"total","value":${f(total)},"unit":"sec","load_sec":${f(loadSec)},"load_cold":$loadCold,"load_state":"$loadState","harness":$harness,"sf":"$sfShort","notes":"q_truth_maint basis changed in r12 (DRed over warmed at-rest store; pre-r12 totals not comparable for that entry); q_geo_service basis changed in r14 (warmup() pre-compiles the entry's events-scale INSERT plan over the REAL sf store, pre-warming its input caches) and AGAIN in r15 (warmup() also pre-runs the entry's geo:search half and primes the store's root-lineage probes - multiGraphPids/mayHaveInferred; pre-r15 readings for that entry are not comparable); load basis changed in r16 (cold load builds the SubjectIndex s-keyed sidecar as a 4th fan-out job, and a warm open of a pre-r16 store pays a one-time sidecar build - pre-r16 load_sec not comparable on cold/first-open runs); between-entry GC basis changed in r16 (a near-capacity trigger drains dead checkpoint blocks that the growth-only waterline could never see once the storage region filled - battery entries no longer thrash a full cache, so r15 battery-context readings for scan-heavy entries are not comparable)"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Exception => () } // read-only cwd must not fail the bench
     println(line)

@@ -220,11 +220,15 @@ object Gas {
         .agg(coalesce(sum("rank"), lit(0.0)).as("__dm")).first().getDouble(0)
       val inbound = vertices.join(contribs, Seq("vertex"), "left_outer")
         .select(col("vertex"), coalesce(col("recv"), lit(0.0)).as("recv"))
+      // LAZY checkpoint: the next iteration's dangling-mass fetch is the
+      // single next consumer and materializes these blocks inside its own
+      // job (the final iteration's ranks materialize under the caller's
+      // action) — no standalone materialization job per iteration
       ranks = inbound
         .select(col("vertex"),
           (lit((1.0 - damping) / nV) +
             lit(damping) * (col("recv") + lit(dm) / nV)).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks
   }
