@@ -391,6 +391,23 @@ object Term {
       .when(kind === KIND_BNODE, bnode(str))
       .otherwise(literalFromParts(str, dt, lang))
 
+  /** fromParts for positions whose grammar admits only IRI/bnode (subject,
+    * graph): every ParsedQuad producer (N-Triples scanner, RDF/XML, JSON-LD,
+    * Turtle) emits only those kinds there, so inlining the full literal mint —
+    * a several-thousand-node when-tree (datatype dispatch, int-family bounds,
+    * date canonicalization) — is pure codegen weight. Three fromParts copies
+    * in one load projection pushed the generated method past janino's 64 KB
+    * ceiling and the whole parse stage fell back to interpreted eval; using
+    * this builder for s/g keeps exactly one literal tree (the object's) in
+    * the projection. A malformed literal-in-subject line (accepted silently
+    * before) still mints an opaque literal term; only its would-be inline
+    * num/lng/ts canonicalization differs, a domain no producer reaches.
+    */
+  def fromPartsResource(kind: Column, str: Column, dt: Column, lang: Column): Column =
+    when(kind === KIND_IRI, iri(str))
+      .when(kind === KIND_BNODE, bnode(str))
+      .otherwise(mk(lit(KIND_LITERAL), str, dt, lang, nullDbl, nullLng, nullTs))
+
   /** A term column that is NULL (unbound). */
   def nullTerm: Column = lit(null).cast(schema)
 }

@@ -113,12 +113,17 @@ object Rio {
       .toDF())
 
   private def statementsFromParsed(parsed: DataFrame): DataFrame = {
+    // s/g ride the resource-only builder: three full fromParts literal trees in
+    // one projection overflowed janino's 64 KB method ceiling (whole-stage
+    // codegen fell back to interpreted on the bulk parse path); subjects and
+    // graphs are IRI/bnode in every producer, so only the object keeps the
+    // literal mint (see Term.fromPartsResource)
     GraftStore.assemble(parsed.select(
-      Term.fromParts(col("sKind"), col("sStr"), lit(null).cast("string"), lit(null).cast("string")).as("s"),
+      Term.fromPartsResource(col("sKind"), col("sStr"), lit(null).cast("string"), lit(null).cast("string")).as("s"),
       Term.iri(col("pStr")).as("p"),
       Term.fromParts(col("oKind"), col("oStr"), col("oDt"), col("oLang")).as("o"),
       when(col("gStr").isNotNull,
-        Term.fromParts(col("gKind"), col("gStr"), lit(null).cast("string"), lit(null).cast("string")))
+        Term.fromPartsResource(col("gKind"), col("gStr"), lit(null).cast("string"), lit(null).cast("string")))
         .otherwise(Term.nullTerm).as("g"),
       lit(GraftStore.STYPE_EXPLICIT).cast("byte").as("stype")))
   }
