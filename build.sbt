@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Run suites CONCURRENTLY inside the one forked test JVM: the suite corpus is
+// ~81 min sequential (TmDelta slices + the TCK dominate) but almost entirely
+// tiny-data Spark jobs that interleave fine on one shared local session. One
+// JVM keeps the store/lexicon caches shared and avoids cross-process races on
+// /tmp/graft-store. The TM scenario corpus is pre-sliced into 6 suites
+// (TmDeltaScenarios) so its 43 min parallelize too.
+Test / testForkedParallel := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
@@ -28,3 +35,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// concurrent suites share the one test JVM — give it more headroom than a
+// single-suite run needs (appended last, so it wins over the -Xmx above)
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "16g")}"

@@ -89,6 +89,9 @@ object Bench {
     val storageMax: Long = spark.sparkContext.getExecutorMemoryStatus
       .values.map(_._1).sum
     var waterline = storageUsed()
+    // secondary (near-capacity) GC threshold; escalates while the region is
+    // full of LIVE data so the trigger cannot degrade to a GC per entry
+    var nearCapFloor = 128L << 20
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -118,11 +121,22 @@ object Bench {
         // from firing when the high water is all live data.
         val used = storageUsed()
         if (used > waterline + (768L << 20) ||
-            (used > storageMax / 4 * 3 && used > waterline + (128L << 20))) {
+            (used > storageMax / 4 * 3 && used > waterline + nearCapFloor)) {
           System.gc()
           gcRuns += 1
           Thread.sleep(100) // let the cleaner drain before re-anchoring
           waterline = storageUsed()
+          // r17 (advice): when the near-capacity GC freed little — the high
+          // water is LIVE data, not dead checkpoint blocks — the re-anchored
+          // waterline sits near capacity and the 128 MB secondary threshold
+          // would fire a full GC on every subsequent entry (the per-entry
+          // harness tax the waterline exists to avoid). Escalate the
+          // threshold toward the primary 768 MB band while the region stays
+          // live-hot; any GC that actually drains blocks resets it.
+          nearCapFloor =
+            if (waterline > storageMax / 4 * 3 && used - waterline < (128L << 20))
+              math.min(nearCapFloor * 2, 768L << 20)
+            else 128L << 20
         }
         gcSec += (System.nanoTime() - tg) / 1e9
         if (ok) Some(s) else None

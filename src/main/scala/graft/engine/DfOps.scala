@@ -39,14 +39,27 @@ object DfOps {
     * has known super-linear planning cost on wide union fixpoint plans, so the
     * inference/update paths lose nothing by running without it.
     */
+  // refcounted: the flag lives on the SHARED session conf, and TM/update work
+  // now runs concurrently (parallel test suites, future concurrent mutations).
+  // A plain set/restore bracket would re-enable propagation while a sibling
+  // invocation is mid-checkpoint, re-poisoning its leaf. Restore only when the
+  // LAST concurrent invocation exits; `prev` is captured at first entry.
+  private val ncLock = new Object
+  private var ncDepth = 0
+  private var ncPrev: Option[String] = None
   def noConstraints[A](spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
     val k = "spark.sql.constraintPropagation.enabled"
-    val prev = spark.conf.getOption(k)
-    spark.conf.set(k, "false")
+    ncLock.synchronized {
+      if (ncDepth == 0) { ncPrev = spark.conf.getOption(k); spark.conf.set(k, "false") }
+      ncDepth += 1
+    }
     try f
-    finally prev match {
-      case Some(v) => spark.conf.set(k, v)
-      case None => spark.conf.unset(k)
+    finally ncLock.synchronized {
+      ncDepth -= 1
+      if (ncDepth == 0) ncPrev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
     }
   }
 

@@ -187,9 +187,33 @@ object Rdfs {
           .filter(col("stype") === GraftStore.STYPE_INFERRED).localCheckpoint())))
 
   /** Which TM path the last Update.withTruthMaintenance took ("delta" |
-    * "full" | "none") — test/diagnostic instrumentation only.
+    * "full" | "none") — test/diagnostic instrumentation only. Thread-local:
+    * every reader (Dev probes, TmAB, the TM suites) inspects it on the thread
+    * that just performed the update, and suites now run concurrently in one
+    * test JVM — a process-global would race across suites.
     */
-  @volatile var lastTmPath: String = "none"
+  private val lastTmPathTl: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "none")
+  def lastTmPath: String = lastTmPathTl.get()
+  def lastTmPath_=(v: String): Unit = lastTmPathTl.set(v)
+
+  /** Thread-local overlay for the `graft.tm.*` tuning valves (deltaCap,
+    * cone.driverMax, sa.driverMax, sa.pairCap). The TM suites force specific
+    * code paths by shrinking a valve for one scenario; with suites running
+    * concurrently in one JVM, a `sys.props` mutation would reroute every
+    * OTHER in-flight scenario too. The valves are read on the mutating
+    * thread (driver-side plan construction), so a thread-confined overlay is
+    * exact; `sys.props` stays honored as the process-wide default.
+    */
+  private val tmPropsTl: ThreadLocal[Map[String, String]] =
+    ThreadLocal.withInitial(() => Map.empty[String, String])
+  def withTmProps[A](kv: (String, String)*)(f: => A): A = {
+    val prev = tmPropsTl.get()
+    tmPropsTl.set(prev ++ kv)
+    try f finally tmPropsTl.set(prev)
+  }
+  private def tmProp(name: String): Option[String] =
+    tmPropsTl.get().get(name).orElse(sys.props.get(name))
 
   /** sameAs delta state for truthMaintainDelta: alias maps (xid → alias term;
     * OLD for the over-delete pass, NEW for re-derivation and the insert side)
@@ -250,7 +274,7 @@ object Rdfs {
     // hash joins sized by the delta — a bulk mutation past broadcastable size
     // is better served by the recompute (count on the checkpointed frame is
     // metadata-cheap). -Dgraft.tm.deltaCap overrides for tests.
-    val deltaCap = sys.props.get("graft.tm.deltaCap")
+    val deltaCap = tmProp("graft.tm.deltaCap")
       .map(_.toLong).getOrElse(10000000L)
 
     // ---- bounded delta probes + non-local-family fallback guards ----
@@ -753,7 +777,7 @@ object Rdfs {
         val eCnt = eNew.count()
         // -Dgraft.tm.cone.driverMax overrides the collect bound (tests set 0
         // to force the distributed loops; default 2M edges)
-        val driverMax = sys.props.get("graft.tm.cone.driverMax")
+        val driverMax = tmProp("graft.tm.cone.driverMax")
           .map(_.toLong).getOrElse(2000000L)
         val driverBfs: Option[(DataFrame, DataFrame)] =
           if (eCnt > driverMax) None else {
@@ -965,7 +989,7 @@ object Rdfs {
         // approaches corpus scale) still routes there.
         // -Dgraft.tm.sa.driverMax overrides the collect bound (tests set 0 to
         // force the distributed class diff)
-        val cap = sys.props.get("graft.tm.sa.driverMax")
+        val cap = tmProp("graft.tm.sa.driverMax")
           .map(_.toInt).getOrElse(2000000)
         val (oldArr, newArr, remArr) = t("sa-collect")((
           oldIdsDf.limit(cap + 1).collect().map(r => (r.getLong(0), r.getLong(1))),
@@ -1009,7 +1033,7 @@ object Rdfs {
               .select(col("component").as("__c"), col("vertex").as("nid"))
             // pair-count valve on the ESTIMATE (Σ size²) before the self-join
             // mints a quadratic frame; -Dgraft.tm.sa.pairCap overrides
-            val pairCap = sys.props.get("graft.tm.sa.pairCap")
+            val pairCap = tmProp("graft.tm.sa.pairCap")
               .map(_.toLong).getOrElse(64000000L)
             val est = members.groupBy("__c").count()
               .agg(sum(col("count") * col("count")).as("e"))
@@ -1142,11 +1166,14 @@ object Rdfs {
     // arm — a delta whose taint cone reaches corpus scale (a mega equivalence
     // class, a hub-heavy schema) is better served by the recompute than by a
     // corpus-sized broadcast (count on the checkpointed frame is metadata-cheap)
-    if (suspects.count() > 10000000L) return None
+    // ONE action serves both valves: the mega-cone bound and the emptiness
+    // gate below (a separate isEmpty probe was a whole extra job per pass)
+    val nSuspects = t("suspects-count")(suspects.count())
+    if (nSuspects > 10000000L) return None
     val sKeys = keyed(suspects).select("__sk", "__pk", "__ok")
 
     // ---- re-derive suspects from (explicit ∪ non-suspect inferred), NEW schema
-    val lostKeys = if (t("suspects-empty-probe")(suspects.isEmpty)) sKeys else t("rederive+lost") {
+    val lostKeys = if (nSuspects == 0) sKeys else t("rederive+lost") {
       val keptInf = keyed(inf)
         .join(broadcast(sKeys), Seq("__sk", "__pk", "__ok"), "left_anti")
         .drop("__sk", "__pk", "__ok")
@@ -1625,8 +1652,15 @@ object Rdfs {
           .select(col("s"), Term.iri(Term.RDF_TYPE).as("p"), col("cls").as("o"))
       val viaFact = if (sc.isEmpty) empty
         else r9(taint.filter(col("p_id") === typeId), sc)
+      // the dSc arm is the pass's one data-sized scan (the whole rdf:type
+      // partition); the join immediately keys o.id to the dSc SOURCE classes,
+      // a driver-known vocabulary-sized set — pre-filtering on it is implied
+      // by the inner join and reaches the parquet scan (row-group skipping +
+      // rows never decoded), so the pass reads the affected classes' type
+      // rows, not the partition
       val viaSchema = if (dSc.isEmpty) empty
-        else r9(allFacts.filter(col("p_id") === typeId), dSc)
+        else r9(allFacts.filter(col("p_id") === typeId &&
+          col("o")("id").isin(dSc.map(p => idOf(p._1)).distinct: _*)), dSc)
       addStage(viaFact.unionByName(viaSchema))
     }
     // hasValue second firing over the late (dom/rng/rdfs9-derived) type taint
@@ -1810,9 +1844,14 @@ object Rdfs {
             .filter(col("o")("kind") =!= Term.KIND_LITERAL)
             .select(col("o").as("s"), Term.iri(Term.RDF_TYPE).as("p"),
               col("cls").as("o"))),
-        // rdfs9: premise (x type a) relevant iff x is a suspect type subject
+        // rdfs9: premise (x type a) relevant iff x is a suspect type subject.
+        // The o.id pre-filter (the sc2 SOURCE classes, driver-known and
+        // vocabulary-sized) is implied by the tid join below but reaches the
+        // parquet scan — without it this arm re-reads the whole rdf:type
+        // partition, the re-derivation pass's one data-sized scan
         if (sc2.isEmpty) None else Some(
-          base.filter(col("p_id") === typeId)
+          base.filter(col("p_id") === typeId &&
+              col("o")("id").isin(sc2.map(p => idOf(p._1)).distinct: _*))
             .join(broadcast(suspTypeSubj), col("s")("id") === col("__sid"), "left_semi")
             .join(broadcast(pd(sc2, "a", "b")
               .select(col("a")("id").as("tid"), col("b").as("cls"))),

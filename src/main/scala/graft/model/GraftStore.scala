@@ -541,17 +541,22 @@ object GraftStore {
     // including a bulk load's concurrent lexicon/text builds, which only
     // create their dirs after this synchronous cleanup has run)
     dropDerived(df.sparkSession, path)
-    val conf = df.sparkSession.conf
-    val prev = conf.get("spark.sql.maxConcurrentOutputFileWriters", "0")
-    conf.set("spark.sql.maxConcurrentOutputFileWriters", "128")
+    // Concurrent-writer posture is set ONCE and never restored: a set/restore
+    // bracket here raced concurrent saves on the shared session conf — one
+    // save's `finally` dropped the setting to 0 while another was planning its
+    // write job, which then required a sort order the frame doesn't deliver
+    // and died with FileAlreadyExistsException in the dynamic-partition writer
+    // (measured: 5 of 6 concurrent test-suite saves failed exactly this way).
+    // The value is a write-path constant of this store format, not a per-call
+    // choice, so a monotonic set-once is both race-free and faithful.
+    df.sparkSession.conf.set("spark.sql.maxConcurrentOutputFileWriters", "128")
     val nb = df.groupBy("p_id").count().select(col("p_id"),
       greatest(lit(1L), least(lit(16L), ceil(col("count") / 250000.0d).cast("long")))
         .as("__nb"))
-    try df.join(broadcast(nb), Seq("p_id"))
+    df.join(broadcast(nb), Seq("p_id"))
       .repartition(col("p_id"), pmod(col("s")("id"), col("__nb")))
       .drop("__nb")
       .write.mode("overwrite").partitionBy("p_id").parquet(path)
-    finally conf.set("spark.sql.maxConcurrentOutputFileWriters", prev)
   }
 
   def load(spark: SparkSession, path: String): GraftStore =
@@ -666,24 +671,21 @@ object GraftStore {
     // touched-partition-sized, and doubles as the empty-partition detector
     val hist = repl.groupBy("p_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val conf = spark.conf
-    val prevMode = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    val prevWriters = conf.get("spark.sql.maxConcurrentOutputFileWriters", "0")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    conf.set("spark.sql.maxConcurrentOutputFileWriters", "128")
-    try {
-      if (hist.nonEmpty) {
-        val nb = hist.toSeq.map { case (p, c) =>
-          (p, math.max(1L, math.min(16L, math.ceil(c / 250000.0d).toLong))) }
-        val nbDf = spark.createDataFrame(nb).toDF("p_id", "__nb")
-        repl.join(broadcast(nbDf), Seq("p_id"))
-          .repartition(col("p_id"), pmod(col("s")("id"), col("__nb")))
-          .drop("__nb")
-          .write.mode("overwrite").partitionBy("p_id").parquet(path)
-      }
-    } finally {
-      conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-      conf.set("spark.sql.maxConcurrentOutputFileWriters", prevWriters)
+    // dynamic partition overwrite rides a PER-WRITE option, not a session-conf
+    // set/restore bracket: the bracket raced concurrent writers on the shared
+    // session conf (a concurrent full save() planned under `dynamic` would
+    // silently keep stale partition dirs; see save()'s writer-count note for
+    // the measured dual failure). The writer count is set-once in save().
+    spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "128")
+    if (hist.nonEmpty) {
+      val nb = hist.toSeq.map { case (p, c) =>
+        (p, math.max(1L, math.min(16L, math.ceil(c / 250000.0d).toLong))) }
+      val nbDf = spark.createDataFrame(nb).toDF("p_id", "__nb")
+      repl.join(broadcast(nbDf), Seq("p_id"))
+        .repartition(col("p_id"), pmod(col("s")("id"), col("__nb")))
+        .drop("__nb")
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("p_id").parquet(path)
     }
     // dynamic overwrite only replaces partitions PRESENT in the written frame:
     // a touched partition whose rows were all deleted must have its directory

@@ -22,7 +22,10 @@ object Multimodal {
   // cache file (create+write+delete in java.io.tmpdir PER ROW) — pure
   // overhead for in-memory byte[] payloads. Memory-cached streams decode
   // identically. (guide §1.2: fix per-task work once the job shape is right)
-  javax.imageio.ImageIO.setUseCache(false)
+  // The JVM-global mutation is DELIBERATE and invoked lazily at the top of
+  // each decode helper (r16 advice: not as a hidden side effect of object
+  // initialization that only lands if/when this object happens to load first).
+  private lazy val imageIoInit: Unit = javax.imageio.ImageIO.setUseCache(false)
 
   /** Cheap magic-byte sniff for the formats the JDK's ImageIO can actually
     * read (JPEG/PNG/GIF/BMP/TIFF/WBMP): constructing an ImageInputStream and
@@ -59,6 +62,7 @@ object Multimodal {
     * stub, so the operator contract covers every payload.
     */
   def decodeReal(bytes: Array[Byte]): Option[Row] = try {
+    imageIoInit
     if (bytes == null || bytes.length < 8) None
     else if (!imageMagic(bytes)) None // same None the reader-registry walk returns
     else {
@@ -83,6 +87,7 @@ object Multimodal {
     * writer is deterministic for a given JDK). None for non-image payloads.
     */
   def resizeReal(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = try {
+    imageIoInit
     if (bytes == null || bytes.length < 8 || !imageMagic(bytes)) return None
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     if (img == null) None
@@ -104,6 +109,7 @@ object Multimodal {
     * [-1, 1] — the classic tiny-thumbnail embedding. None for non-images.
     */
   def featuresReal(bytes: Array[Byte], dim: Int): Option[Array[Float]] = try {
+    imageIoInit
     if (bytes == null || bytes.length < 8 || !imageMagic(bytes)) return None
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     if (img == null) None

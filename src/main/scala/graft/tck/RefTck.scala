@@ -63,9 +63,32 @@ object RefTck {
         seen += nm
         (nm, w.rq, w.data, w.srx)
       }
-    (sameName ++ wired)
-      .filter(_._1.contains(filter))
-      .map { case (nm, rq, data, srx) => runCase(spark, dir, nm, rq, data, srx) }
+    val cases = (sameName ++ wired).filter(_._1.contains(filter))
+    // The corpus is embarrassingly parallel (per-case store, pure comparison,
+    // tiny concurrent Spark jobs), EXCEPT the handful of cases whose setup
+    // mutates process-global state (service/function registries, the geo
+    // datatype registry, a session conf flag — see testSetup): those must not
+    // overlap anything. Fan the bulk over a fixed pool, drain it, then run
+    // the specials sequentially; report in the original corpus order.
+    def serialOnly(n: String): Boolean =
+      n.startsWith("custom-function") || n.startsWith("include_") ||
+        Set("query-hints-08", "query-hints-08b", "query-hints-09",
+          "query-hints-10", "sparql11-service-001", "sparql11-service-002",
+          "stored-query-001", "geo-custom-precisiontest", "ticket_944")(n)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val done = try {
+      val fut = cases.collect { case (nm, rq, data, srx) if !serialOnly(nm) =>
+        nm -> pool.submit(new java.util.concurrent.Callable[Outcome] {
+          def call(): Outcome = runCase(spark, dir, nm, rq, data, srx)
+        })
+      }
+      fut.map { case (nm, f) => nm -> f.get() }.toMap
+    } finally pool.shutdown()
+    cases.map {
+      case (nm, rq, data, srx) if serialOnly(nm) =>
+        runCase(spark, dir, nm, rq, data, srx)
+      case (nm, _, _, _) => done(nm)
+    }
   }
 
   final case class WiredCase(name: String, rq: String, data: Seq[String], srx: String)

@@ -29,8 +29,11 @@ object PlanExplain {
     graft.model.Tpch.store(spark, sfDir).statements.count()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     for (n <- names) {
-      val fn = graft.SparkEntry.queries(n)
+      // lookup inside the try: a mistyped name prints the FAILED line and the
+      // remaining entries still dump (r16 advice)
       try {
+        val fn = graft.SparkEntry.queries.getOrElse(n,
+          sys.error(s"unknown entry (not in SparkEntry.queries)"))
         val df = fn(spark, sfDir)
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)

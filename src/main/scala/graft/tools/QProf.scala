@@ -60,7 +60,12 @@ object QProf {
       if (namesArg == "all") graft.SparkEntry.queries.keys.toSeq.sorted
       else namesArg.split(",").toSeq
     for (n <- names; i <- 1 to iters) {
-      val fn = graft.SparkEntry.queries(n)
+      // missing names and mid-run failures report per entry instead of
+      // crashing the whole profiler (r16 advice)
+      val fnOpt = graft.SparkEntry.queries.get(n)
+      if (fnOpt.isEmpty) { println(s"QPROF $n SKIPPED: unknown entry") }
+      else try {
+      val fn = fnOpt.get
       jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0)
       shufRead.set(0); shufWrite.set(0); jobWall.clear(); jobStart.clear()
       spark.sparkContext.addSparkListener(listener)
@@ -79,6 +84,11 @@ object QProf {
           jw.take(12).map { case (id, ms) => s"j$id:${ms}ms" }.mkString(","))
       }
       System.gc()
+      } catch { case e: Throwable =>
+        try spark.sparkContext.removeSparkListener(listener)
+        catch { case _: Throwable => () }
+        println(s"QPROF $n FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -711,4 +711,26 @@ class PipelineSpec extends GraftSuite {
     assert(Multimodal.resizeReal(text, 4, 4).isEmpty)
     assert(Multimodal.featuresReal(text, 4).isEmpty)
   }
+
+  test("magic-byte sniff covers exactly the registered decoder SPIs") {
+    // The sniff short-circuits the per-row reader-registry walk on the
+    // invariant that the registry can read ONLY the sniffed formats. A new
+    // classpath SPI (e.g. a WebP ImageIO plugin) would silently bypass real
+    // decode for formats the registry could then read — fail loudly instead
+    // (r16 advice).
+    val sniffedImage = Set("jpeg", "jpg", "png", "gif", "bmp", "tif", "tiff",
+      "wbmp")
+    val registryImage = javax.imageio.ImageIO.getReaderFormatNames
+      .map(_.toLowerCase).toSet
+    assert(registryImage.subsetOf(sniffedImage),
+      s"ImageIO registry reads formats the magic sniff never routes to it: " +
+        s"${(registryImage -- sniffedImage).toSeq.sorted.mkString(", ")} — " +
+        "extend Multimodal.imageMagic or the invariant breaks silently")
+    val sniffedAudio = Set("wave", "wav", "aiff", "aiff-c", "au", "snd")
+    val registryAudio = javax.sound.sampled.AudioSystem.getAudioFileTypes
+      .map(_.toString.toLowerCase).toSet
+    assert(registryAudio.subsetOf(sniffedAudio),
+      s"audio SPI registry exceeds the magic sniff: " +
+        s"${(registryAudio -- sniffedAudio).toSeq.sorted.mkString(", ")}")
+  }
 }

@@ -12,8 +12,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * promotion case (an entailment suppressed by an explicit copy must surface as
   * Inferred when the copy is deleted but it stays derivable).
   */
-class TmDeltaSpec extends AnyFunSuite {
+abstract class TmDeltaScenarios(part: Int, of: Int) extends AnyFunSuite {
   lazy val spark = Dev.session(8)
+
+  /** Register every scenario once, but materialize only this class's modulo
+    * slice as ScalaTest cases: the file's 77 scenarios total ~43 min of
+    * Spark-fixpoint wall, which single-handedly blew the CI test budget when
+    * they ran as one sequential suite. The slices are separate suites, so the
+    * forked-parallel test runner executes them concurrently; names and bodies
+    * are untouched and the union of the slices is exactly the original suite.
+    */
+  private var scenarioIdx = -1
+  protected def scenario(name: String)(body: => Unit): Unit = {
+    scenarioIdx += 1
+    if (scenarioIdx % of == part) test(name)(body)
+  }
 
   val RDFS = "http://www.w3.org/2000/01/rdf-schema#"
   val OWL = "http://www.w3.org/2002/07/owl#"
@@ -67,36 +80,36 @@ class TmDeltaSpec extends AnyFunSuite {
     }
   """
 
-  test("instance type delete: dependent rdfs9 entailments retract") {
+  scenario("instance type delete: dependent rdfs9 entailments retract") {
     val st = atRest(base, "t1")
     check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u1> a <urn:x:C> . } }")
   }
 
-  test("schema subClassOf delete: transitive closure entailments retract") {
+  scenario("schema subClassOf delete: transitive closure entailments retract") {
     val st = atRest(base, "t2")
     check(st,
       s"DELETE DATA { GRAPH <urn:x:g> { <urn:x:B> <${RDFS}subClassOf> <urn:x:A> . } }")
   }
 
-  test("domain-axiom delete: rdfs2 types retract unless otherwise derivable") {
+  scenario("domain-axiom delete: rdfs2 types retract unless otherwise derivable") {
     val st = atRest(base, "t3")
     check(st,
       s"DELETE DATA { GRAPH <urn:x:g> { <urn:x:name> <${RDFS}domain> <urn:x:B> . } }")
   }
 
-  test("instance fact delete: domain/range entailments retract") {
+  scenario("instance fact delete: domain/range entailments retract") {
     val st = atRest(base, "t4")
     check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u2> <urn:x:name> \"two\" . } }")
   }
 
-  test("promotion: explicit copy of a derivable type deleted, stays as Inferred") {
+  scenario("promotion: explicit copy of a derivable type deleted, stays as Inferred") {
     // u6 a :B is explicit AND derivable via domain(name)=B once u6 has a name
     val t = base.replace(":u6 a :B .", ":u6 a :B ; :name \"six\" .")
     val st = atRest(t, "t5")
     check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u6> a <urn:x:B> . } }")
   }
 
-  test("multi-step rederivation through a promoted intermediate") {
+  scenario("multi-step rederivation through a promoted intermediate") {
     // delete u1's explicit :C type while :C-membership is separately derivable:
     // (x type C) ← domain(cname)=C; the suspect (x type B)/(x type A) must
     // re-derive THROUGH the promoted (x type C)
@@ -107,13 +120,13 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u1> a <urn:x:C> . } }")
   }
 
-  test("subPropertyOf delete: rdfs7 entailments retract") {
+  scenario("subPropertyOf delete: rdfs7 entailments retract") {
     val st = atRest(base, "t7")
     check(st,
       s"DELETE DATA { GRAPH <urn:x:g> { <urn:x:nick> <${RDFS}subPropertyOf> <urn:x:name> . } }")
   }
 
-  test("mixed Modify: delete one axiom, insert another") {
+  scenario("mixed Modify: delete one axiom, insert another") {
     val st = atRest(base, "t8")
     check(st,
       s"""DELETE { GRAPH <urn:x:g> { <urn:x:C> <${RDFS}subClassOf> <urn:x:B> . } }
@@ -121,7 +134,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE { }""".stripMargin)
   }
 
-  test("insert-only closure delta: new subclass axiom derives new types") {
+  scenario("insert-only closure delta: new subclass axiom derives new types") {
     val st = atRest(base, "t9")
     // Modify with empty delete still routes through TM (retracts=true for
     // Modify) — the insert side must derive the new entailments
@@ -131,7 +144,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE { }""".stripMargin)
   }
 
-  test("inverse-of entailments retract with the instance fact") {
+  scenario("inverse-of entailments retract with the instance fact") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
@@ -144,7 +157,7 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:x:g2> { <urn:x:p1> <urn:x:parentOf> <urn:x:p2> . } }")
   }
 
-  test("transitive edge delete: downstream closure pairs retract (delta cone)") {
+  scenario("transitive edge delete: downstream closure pairs retract (delta cone)") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
@@ -159,7 +172,7 @@ class TmDeltaSpec extends AnyFunSuite {
       "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:a> <urn:x:anc> <urn:x:b> . } }")
   }
 
-  test("transitive edge delete with an alternate path: pair survives") {
+  scenario("transitive edge delete with an alternate path: pair survives") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
@@ -174,7 +187,7 @@ class TmDeltaSpec extends AnyFunSuite {
       "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:b> <urn:x:anc> <urn:x:c> . } }")
   }
 
-  test("transitive promotion: explicit edge still derivable becomes Inferred") {
+  scenario("transitive promotion: explicit edge still derivable becomes Inferred") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
@@ -189,7 +202,7 @@ class TmDeltaSpec extends AnyFunSuite {
       "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:a> <urn:x:anc> <urn:x:c> . } }")
   }
 
-  test("transitive edge insert: new reach pairs derive (delta cone forward)") {
+  scenario("transitive edge insert: new reach pairs derive (delta cone forward)") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
@@ -206,7 +219,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE { }""".stripMargin)
   }
 
-  test("transitive delete cascades into range types through the lost pairs") {
+  scenario("transitive delete cascades into range types through the lost pairs") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix rdfs: <$RDFS> .
@@ -223,7 +236,7 @@ class TmDeltaSpec extends AnyFunSuite {
       "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:b> <urn:x:anc> <urn:x:c> . } }")
   }
 
-  test("transitive cycle delete terminates and retracts exactly") {
+  scenario("transitive cycle delete terminates and retracts exactly") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
@@ -238,7 +251,7 @@ class TmDeltaSpec extends AnyFunSuite {
       "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:b> <urn:x:anc> <urn:x:a> . } }")
   }
 
-  test("transitive cone distributed path (driver collect disabled) is identical") {
+  scenario("transitive cone distributed path (driver collect disabled) is identical") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
@@ -248,15 +261,13 @@ class TmDeltaSpec extends AnyFunSuite {
       }
     """
     val st = atRest(t, "t11i")
-    sys.props("graft.tm.cone.driverMax") = "0"
-    try check(st,
+    Rdfs.withTmProps("graft.tm.cone.driverMax" -> "0")(check(st,
       """DELETE { <urn:x:a> <urn:x:anc> <urn:x:c> . }
         |INSERT { <urn:x:d> <urn:x:anc> <urn:x:e> . }
-        |WHERE {}""".stripMargin)
-    finally sys.props.remove("graft.tm.cone.driverMax")
+        |WHERE {}""".stripMargin))
   }
 
-  test("transitive property fed by a subproperty stays on the delta path") {
+  scenario("transitive property fed by a subproperty stays on the delta path") {
     // pre-r13 this recomputed; the cone now runs over the EFFECTIVE base
     // edges (feeder partitions translated per parity), so it stays O(delta)
     val t = base + s"""
@@ -274,7 +285,7 @@ class TmDeltaSpec extends AnyFunSuite {
       "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:b> <urn:x:anc> <urn:x:c> . } }")
   }
 
-  test("symmetric transitive property stays on the delta path") {
+  scenario("symmetric transitive property stays on the delta path") {
     // pre-r13 this recomputed; symmetric = a flipped self-feeder state
     val t = base + s"""
       @prefix : <urn:x:> .
@@ -289,7 +300,7 @@ class TmDeltaSpec extends AnyFunSuite {
       "DELETE DATA { GRAPH <urn:x:g3> { <urn:x:a> <urn:x:conn> <urn:x:b> . } }")
   }
 
-  test("FP declared but untouched: unrelated delete stays on the delta path") {
+  scenario("FP declared but untouched: unrelated delete stays on the delta path") {
     // an ontology that merely declares a FunctionalProperty (clean data — no
     // sameAs ever derived) must not pay the recompute for unrelated deletes
     val t = base + s"""
@@ -304,7 +315,7 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u1> a <urn:x:C> . } }")
   }
 
-  test("delete in the FP property's own partition: minted-pair diff, delta path (r16)") {
+  scenario("delete in the FP property's own partition: minted-pair diff, delta path (r16)") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
@@ -317,7 +328,7 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:x:g5> { <urn:x:p1> <urn:x:ssn> <urn:x:id1> . } }")
   }
 
-  test("delete in a subproperty feeding the FP property: premise translation, delta path (r16)") {
+  scenario("delete in a subproperty feeding the FP property: premise translation, delta path (r16)") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix rdfs: <$RDFS> .
@@ -332,7 +343,7 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:x:g5> { <urn:x:p1> <urn:x:taxId> <urn:x:id1> . } }")
   }
 
-  test("FP-minted sameAs at rest, unrelated delete: Case A alias maps, delta path (r16)") {
+  scenario("FP-minted sameAs at rest, unrelated delete: Case A alias maps, delta path (r16)") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
@@ -345,7 +356,7 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u1> a <urn:x:C> . } }")
   }
 
-  test("sameAs store: fact delete of an aliased node stays on the delta path") {
+  scenario("sameAs store: fact delete of an aliased node stays on the delta path") {
     val t = base + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
@@ -376,12 +387,12 @@ class TmDeltaSpec extends AnyFunSuite {
     }
   """
 
-  test("sameAs: deleting a member fact retracts its substituted copies (delta)") {
+  scenario("sameAs: deleting a member fact retracts its substituted copies (delta)") {
     val st = atRest(saBase, "sa1")
     check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:m> <urn:x:name> \"m\" . } }")
   }
 
-  test("sameAs: removed fact still derivable via an alias copy is promoted") {
+  scenario("sameAs: removed fact still derivable via an alias copy is promoted") {
     val t = saBase + """
       @prefix : <urn:x:> .
       :g2 { :n :name "m" . }
@@ -390,13 +401,13 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:m> <urn:x:name> \"m\" . } }")
   }
 
-  test("sameAs edge delete splits the class: lost pairs + lost copies retract") {
+  scenario("sameAs edge delete splits the class: lost pairs + lost copies retract") {
     val st = atRest(saBase, "sa3")
     check(st,
       s"DELETE DATA { GRAPH <urn:x:g> { <urn:x:n> <${OWL}sameAs> <urn:x:o2> . } }")
   }
 
-  test("sameAs edge delete with an alternate connection: pairs survive, edge promotes") {
+  scenario("sameAs edge delete with an alternate connection: pairs survive, edge promotes") {
     val t = saBase + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
@@ -407,7 +418,7 @@ class TmDeltaSpec extends AnyFunSuite {
       s"DELETE DATA { GRAPH <urn:x:g> { <urn:x:n> <${OWL}sameAs> <urn:x:o2> . } }")
   }
 
-  test("sameAs edge insert merges two classes: new pairs + member substitutions") {
+  scenario("sameAs edge insert merges two classes: new pairs + member substitutions") {
     val st = atRest(saBase, "sa5")
     check(st,
       s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
@@ -415,39 +426,32 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("sameAs past the driver bound: split runs the DISTRIBUTED class diff") {
+  scenario("sameAs past the driver bound: split runs the DISTRIBUTED class diff") {
     // -Dgraft.tm.sa.driverMax=0 forces the pointer-jumping-CC + anti-join
     // path that replaces the driver union-find past 2M collected pairs —
     // plain data growth must not fall back to the full recompute
     val st = atRest(saBase, "sa9")
-    sys.props("graft.tm.sa.driverMax") = "0"
-    try check(st,
-      s"DELETE DATA { GRAPH <urn:x:g> { <urn:x:n> <${OWL}sameAs> <urn:x:o2> . } }")
-    finally sys.props.remove("graft.tm.sa.driverMax")
+    Rdfs.withTmProps("graft.tm.sa.driverMax" -> "0")(check(st,
+      s"DELETE DATA { GRAPH <urn:x:g> { <urn:x:n> <${OWL}sameAs> <urn:x:o2> . } }"))
   }
 
-  test("sameAs past the driver bound: merge runs the DISTRIBUTED class diff") {
+  scenario("sameAs past the driver bound: merge runs the DISTRIBUTED class diff") {
     val st = atRest(saBase, "sa10")
-    sys.props("graft.tm.sa.driverMax") = "0"
-    try check(st,
+    Rdfs.withTmProps("graft.tm.sa.driverMax" -> "0")(check(st,
       s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
          |INSERT { <urn:x:o2> <${OWL}sameAs> <urn:x:q> . }
-         |WHERE {}""".stripMargin)
-    finally sys.props.remove("graft.tm.sa.driverMax")
+         |WHERE {}""".stripMargin))
   }
 
-  test("sameAs distributed diff: pair-estimate valve still routes to recompute") {
+  scenario("sameAs distributed diff: pair-estimate valve still routes to recompute") {
     val st = atRest(saBase, "sa11")
-    sys.props("graft.tm.sa.driverMax") = "0"
-    sys.props("graft.tm.sa.pairCap") = "1"
-    try check(st,
+    Rdfs.withTmProps("graft.tm.sa.driverMax" -> "0",
+        "graft.tm.sa.pairCap" -> "1")(check(st,
       s"DELETE DATA { GRAPH <urn:x:g> { <urn:x:n> <${OWL}sameAs> <urn:x:o2> . } }",
-      expectDelta = false)
-    finally { sys.props.remove("graft.tm.sa.driverMax")
-      sys.props.remove("graft.tm.sa.pairCap") }
+      expectDelta = false))
   }
 
-  test("sameAs: member fact insert derives substituted copies forward (delta)") {
+  scenario("sameAs: member fact insert derives substituted copies forward (delta)") {
     val st = atRest(saBase, "sa6")
     check(st,
       s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
@@ -455,7 +459,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("explicit sameAs + FP vocabulary: unrelated delete stays on the delta path (r16)") {
+  scenario("explicit sameAs + FP vocabulary: unrelated delete stays on the delta path (r16)") {
     val t = saBase + s"""
       @prefix : <urn:x:> .
       @prefix owl: <$OWL> .
@@ -465,12 +469,12 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:m> <urn:x:name> \"m\" . } }")
   }
 
-  test("phantom delete (row absent) is a no-op on the statement set") {
+  scenario("phantom delete (row absent) is a no-op on the statement set") {
     val st = atRest(base, "t13")
     check(st, "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u9> a <urn:x:C> . } }")
   }
 
-  test("phantom re-insert of an existing axiom keeps the old vocabulary intact") {
+  scenario("phantom re-insert of an existing axiom keeps the old vocabulary intact") {
     // X ⊑ Y already exists; the Modify re-inserts it (zero actual delta) while
     // deleting u7's only support. BOTH (u7 type X) and (u7 type Y) must
     // retract — a candidate-buffer add would subtract the pre-existing axiom
@@ -491,7 +495,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE { }""".stripMargin)
   }
 
-  test("insert of a triple into a second graph keeps the first graph's copy in the old view") {
+  scenario("insert of a triple into a second graph keeps the first graph's copy in the old view") {
     // B ⊑ A lives in :g; the update inserts a copy into :g2 (novel per quad)
     // and deletes u2's name. The old-state reconstruction must retain the :g
     // copy — an (s,p,o)-keyed subtraction would drop both, lose B ⊑ A from
@@ -502,7 +506,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |INSERT DATA { GRAPH <urn:x:g2> { <urn:x:B> <${RDFS}subClassOf> <urn:x:A> . } }""".stripMargin)
   }
 
-  test("chained mutations stay on the delta path (result re-committed at rest)") {
+  scenario("chained mutations stay on the delta path (result re-committed at rest)") {
     val st = atRest(base, "t21")
     val st1 = Update.withTruthMaintenance(st,
       "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u1> a <urn:x:C> . } }")
@@ -521,7 +525,7 @@ class TmDeltaSpec extends AnyFunSuite {
     assert(st2.statements.count() === full.statements.count())
   }
 
-  test("same triple deleted from two graphs promotes ONE Inferred row") {
+  scenario("same triple deleted from two graphs promotes ONE Inferred row") {
     // u6 a :B is explicit in :g AND :g2, and derivable via domain(name)=B;
     // deleting both copies must mint exactly one promoted Inferred row
     val t = base.replace(":u6 a :B .", ":u6 a :B ; :name \"six\" .") + """
@@ -553,19 +557,19 @@ class TmDeltaSpec extends AnyFunSuite {
     }
   """
 
-  test("subproperty-fed transitive: deleting a feeder edge retracts reach") {
+  scenario("subproperty-fed transitive: deleting a feeder edge retracts reach") {
     // :b part :c feeds anc; e→a→b→c→d chains break at b
     val st = atRest(feederBase, "tf1")
     check(st, "DELETE DATA { GRAPH <urn:f:g> { <urn:f:b> <urn:f:part> <urn:f:c> . } }")
   }
 
-  test("inverse-fed transitive: deleting the flipped feeder edge retracts reach") {
+  scenario("inverse-fed transitive: deleting the flipped feeder edge retracts reach") {
     // :d childOf :c is the flipped base edge (c anc d)
     val st = atRest(feederBase, "tf2")
     check(st, "DELETE DATA { GRAPH <urn:f:g> { <urn:f:d> <urn:f:childOf> <urn:f:c> . } }")
   }
 
-  test("feeder insert: a new subproperty edge extends reach incrementally") {
+  scenario("feeder insert: a new subproperty edge extends reach incrementally") {
     // pure inserts skip TM (retracts gate) — drive it as a Modify, like t11d
     val st = atRest(feederBase, "tf3")
     check(st,
@@ -574,14 +578,14 @@ class TmDeltaSpec extends AnyFunSuite {
         |WHERE { }""".stripMargin)
   }
 
-  test("mixed feeder mutation: delete one feeder edge, insert another") {
+  scenario("mixed feeder mutation: delete one feeder edge, insert another") {
     val st = atRest(feederBase, "tf4")
     check(st,
       """DELETE DATA { GRAPH <urn:f:g> { <urn:f:a> <urn:f:part> <urn:f:b> . } } ;
         |INSERT DATA { GRAPH <urn:f:g> { <urn:f:b> <urn:f:childOf> <urn:f:a> . } }""".stripMargin)
   }
 
-  test("promotion with a feeder backup: deleted explicit edge stays reachable") {
+  scenario("promotion with a feeder backup: deleted explicit edge stays reachable") {
     // (a anc b) explicit AND (a part b): deleting the explicit copy must
     // promote it to Inferred (still in reach via the feeder partition)
     val t = feederBase.replace(":a :part :b .", ":a :part :b . :a :anc :b .")
@@ -589,7 +593,7 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:f:g> { <urn:f:a> <urn:f:anc> <urn:f:b> . } }")
   }
 
-  test("symmetric transitive property: edge delete retracts both orientations") {
+  scenario("symmetric transitive property: edge delete retracts both orientations") {
     val t = s"""
       @prefix : <urn:f2:> .
       @prefix owl: <$OWL> .
@@ -609,13 +613,13 @@ class TmDeltaSpec extends AnyFunSuite {
   // treats the affected partition's rows as a bulk effective-edge delta
   // instead of falling back to the full recompute (ontology edits on a live
   // store are O(touched partitions))
-  test("sp-edge DELETE into the cone: feeder partition's reach retracts (delta)") {
+  scenario("sp-edge DELETE into the cone: feeder partition's reach retracts (delta)") {
     val st = atRest(feederBase, "ts1")
     check(st,
       s"DELETE DATA { GRAPH <urn:f:g> { <urn:f:part> <${RDFS}subPropertyOf> <urn:f:anc> . } }")
   }
 
-  test("sp-edge INSERT into the cone: new feeder's rows extend reach (delta)") {
+  scenario("sp-edge INSERT into the cone: new feeder's rows extend reach (delta)") {
     // :extra holds edges but is not yet a subproperty of :anc
     val t = feederBase.replace(":e :anc :a .", ":e :anc :a . :x :extra :e .")
     val st = atRest(t, "ts2")
@@ -625,13 +629,13 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("inverseOf-edge DELETE into the cone: flipped feeder's reach retracts") {
+  scenario("inverseOf-edge DELETE into the cone: flipped feeder's reach retracts") {
     val st = atRest(feederBase, "ts3")
     check(st,
       s"DELETE DATA { GRAPH <urn:f:g> { <urn:f:childOf> <${OWL}inverseOf> <urn:f:anc> . } }")
   }
 
-  test("inverseOf-edge INSERT into the cone: new flipped feeder extends reach") {
+  scenario("inverseOf-edge INSERT into the cone: new flipped feeder extends reach") {
     val t = feederBase.replace(":e :anc :a .", ":e :anc :a . :a :pred :z .")
     val st = atRest(t, "ts4")
     check(st,
@@ -640,7 +644,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("mixed schema+data delta into the cone stays on the delta path") {
+  scenario("mixed schema+data delta into the cone stays on the delta path") {
     val st = atRest(feederBase, "ts5")
     check(st,
       s"""DELETE DATA { GRAPH <urn:f:g> {
@@ -665,7 +669,7 @@ class TmDeltaSpec extends AnyFunSuite {
     }
   """
 
-  test("transitive mark ADDED on a live store: closure pairs derive (delta)") {
+  scenario("transitive mark ADDED on a live store: closure pairs derive (delta)") {
     val st = atRest(charBase, "tc1")
     check(st,
       s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
@@ -673,19 +677,19 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("transitive mark REMOVED: reach pairs retract, explicit edges stay") {
+  scenario("transitive mark REMOVED: reach pairs retract, explicit edges stay") {
     val st = atRest(charBase, "tc2")
     check(st,
       s"DELETE DATA { GRAPH <urn:cb:g> { <urn:cb:anc> a <${OWL}TransitiveProperty> . } }")
   }
 
-  test("transitive mark REMOVED with a feeder: rdfs7 copies survive the retraction") {
+  scenario("transitive mark REMOVED with a feeder: rdfs7 copies survive the retraction") {
     val st = atRest(feederBase, "tc3")
     check(st,
       s"DELETE DATA { GRAPH <urn:f:g> { <urn:f:anc> a <${OWL}TransitiveProperty> . } }")
   }
 
-  test("transitive mark re-asserted in another graph: schema unchanged, delta path") {
+  scenario("transitive mark re-asserted in another graph: schema unchanged, delta path") {
     val st = atRest(charBase, "tc4")
     check(st,
       s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
@@ -693,7 +697,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("FP re-declaration on clean data rides the delta path (r16)") {
+  scenario("FP re-declaration on clean data rides the delta path (r16)") {
     val st = atRest(charBase, "tc5")
     check(st,
       s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
@@ -725,7 +729,7 @@ class TmDeltaSpec extends AnyFunSuite {
     }
   """
 
-  test("symmetric mark ADDED on a live store: flips derive (delta)") {
+  scenario("symmetric mark ADDED on a live store: flips derive (delta)") {
     val st = atRest(symBase, "sy1")
     check(st,
       s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
@@ -733,7 +737,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("symmetric mark REMOVED: flips retract, rdfs7-fed flips included") {
+  scenario("symmetric mark REMOVED: flips retract, rdfs7-fed flips included") {
     // :knows accumulates explicit rows AND rdfs7 copies from :close — the
     // de-declaration must retract the flips of BOTH (sp*-expanded premise)
     val st = atRest(symBase, "sy2")
@@ -741,7 +745,7 @@ class TmDeltaSpec extends AnyFunSuite {
       s"DELETE DATA { GRAPH <urn:sy:g> { <urn:sy:knows> a <${OWL}SymmetricProperty> . } }")
   }
 
-  test("symmetric mark ADDED to a property with explicit both-way rows: no-op flips dedupe") {
+  scenario("symmetric mark ADDED to a property with explicit both-way rows: no-op flips dedupe") {
     val st = atRest(symBase, "sy3")
     check(st,
       s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
@@ -749,7 +753,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("symmetric mark ADDED to an inverseOf partner: straight copies derive") {
+  scenario("symmetric mark ADDED to an inverseOf partner: straight copies derive") {
     // closure order is inverse THEN symmetric: :parentOf rows flip into
     // :childOf by inverseOf, then the new symmetric mark flips them BACK as
     // straight :childOf copies — the dIbStraight premise expansion
@@ -760,7 +764,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("symmetric mark REMOVED from an inverseOf partner: straight copies retract") {
+  scenario("symmetric mark REMOVED from an inverseOf partner: straight copies retract") {
     val symInvBase = symBase.replace(":parentOf owl:inverseOf :childOf .",
       ":parentOf owl:inverseOf :childOf .\n      :childOf a owl:SymmetricProperty .")
     val st = atRest(symInvBase, "sy5")
@@ -768,7 +772,7 @@ class TmDeltaSpec extends AnyFunSuite {
       s"DELETE DATA { GRAPH <urn:sy:g> { <urn:sy:childOf> a <${OWL}SymmetricProperty> . } }")
   }
 
-  test("symmetric re-declaration of a TRANSITIVE property rides the cone (delta)") {
+  scenario("symmetric re-declaration of a TRANSITIVE property rides the cone (delta)") {
     // sym mark change on a transitive property flips its feeder-state
     // parities — the cone's statesAdd/statesRem arms take the bulk delta
     val symTransBase = symBase.replace(":knows a owl:SymmetricProperty .",
@@ -780,7 +784,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("symmetric mark re-asserted in another graph: schema unchanged, delta path") {
+  scenario("symmetric mark re-asserted in another graph: schema unchanged, delta path") {
     val st = atRest(symBase, "sy7")
     check(st,
       s"""DELETE { <urn:x:none> <urn:x:never> <urn:x:nope> . }
@@ -793,7 +797,7 @@ class TmDeltaSpec extends AnyFunSuite {
   // feeder under subPropertyOf, or inverseOf-a-subproperty) never materializes
   // t-edges, and the delta cone must not treat such predicates as feeders
   // (phantom effective edges would break the delta-vs-recompute invariant)
-  test("symmetric FEEDER under subPropertyOf: flipped copies are not t-edges") {
+  scenario("symmetric FEEDER under subPropertyOf: flipped copies are not t-edges") {
     // :part is symmetric and ⊑ :anc; dSym's flipped :part rows are NOT
     // rdfs7-copied to :anc (stage order), so deleting (b part d) must not
     // leave the cone minting reach pairs from the flipped orientation
@@ -813,7 +817,7 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:sf:g> { <urn:sf:b> <urn:sf:part> <urn:sf:d> . } }")
   }
 
-  test("inverseOf-a-subproperty: flip-then-rdfs7 path is not a feeder") {
+  scenario("inverseOf-a-subproperty: flip-then-rdfs7 path is not a feeder") {
     // :q inverseOf :part, :part ⊑ :anc — dInv2's (b part c) copy of (c q b)
     // exists as an Inferred :part row but is NOT rdfs7-copied to :anc; the
     // surviving :q row must not surface as a phantom :anc effective edge
@@ -835,7 +839,7 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:iq:g> { <urn:iq:b> <urn:iq:part> <urn:iq:d> . } }")
   }
 
-  test("symmetric TARGET with a subproperty feeder: all four parities are real") {
+  scenario("symmetric TARGET with a subproperty feeder: all four parities are real") {
     // :conn itself symmetric+transitive with :part ⊑ :conn — here the final
     // dSym flip DOES apply to the rdfs7 copies, so (part, flipped) is a
     // legitimate state and the restricted grammar must keep it
@@ -854,16 +858,14 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:st:g> { <urn:st:a> <urn:st:part> <urn:st:b> . } }")
   }
 
-  test("delta-size valve: a bulk delta routes to the recompute, same result") {
+  scenario("delta-size valve: a bulk delta routes to the recompute, same result") {
     // every retraction/novelty key set rides a broadcast hash join sized by
     // the delta — past the (prop-overridable) cap the pass must fall back to
     // the fixpoint recompute rather than force a corpus-sized broadcast
     val st = atRest(base, "t17")
-    sys.props("graft.tm.deltaCap") = "1"
-    try check(st,
+    Rdfs.withTmProps("graft.tm.deltaCap" -> "1")(check(st,
       "DELETE DATA { GRAPH <urn:x:g> { <urn:x:u1> a <urn:x:C> . " +
-        "<urn:x:u2> <urn:x:name> \"two\" . } }", expectDelta = false)
-    finally sys.props.remove("graft.tm.deltaCap")
+        "<urn:x:u2> <urn:x:name> \"two\" . } }", expectDelta = false))
   }
 
   // ---- FP/IFP re-declarations + premise-data deltas on the delta path (r16):
@@ -887,7 +889,7 @@ class TmDeltaSpec extends AnyFunSuite {
     }
   """
 
-  test("fp declare (dirty data): minted sameAs + substitution cascade, delta path") {
+  scenario("fp declare (dirty data): minted sameAs + substitution cascade, delta path") {
     val st = atRest(fpBase1, "fp1")
     check(st,
       s"""DELETE { <urn:fp:none> <urn:fp:never> <urn:fp:nope> . }
@@ -895,13 +897,13 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("fp un-declare: minted pairs + substituted copies retract, delta path") {
+  scenario("fp un-declare: minted pairs + substituted copies retract, delta path") {
     val st = atRest(fpBase1 +
       s"\n<urn:fp:ssn> a <${OWL}FunctionalProperty> .", "fp2")
     check(st, s"DELETE DATA { <urn:fp:ssn> a <${OWL}FunctionalProperty> . }")
   }
 
-  test("fp declare on clean data: no pairs minted, delta path") {
+  scenario("fp declare on clean data: no pairs minted, delta path") {
     val st = atRest(fpBase1, "fp3")
     check(st,
       s"""DELETE { <urn:fp:none> <urn:fp:never> <urn:fp:nope> . }
@@ -909,13 +911,13 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("fp premise delete: the violating fact goes, minted pair + cascade retract") {
+  scenario("fp premise delete: the violating fact goes, minted pair + cascade retract") {
     val st = atRest(fpBase1 +
       s"\n<urn:fp:ssn> a <${OWL}FunctionalProperty> .", "fp4")
     check(st, "DELETE DATA { GRAPH <urn:fp:g> { <urn:fp:p3> <urn:fp:ssn> <urn:fp:s2> . } }")
   }
 
-  test("fp premise insert: first violation mints a pair into a clean FP store") {
+  scenario("fp premise insert: first violation mints a pair into a clean FP store") {
     val st = atRest(fpBase1 +
       s"\n<urn:fp:age> a <${OWL}FunctionalProperty> .", "fp5")
     check(st,
@@ -924,7 +926,7 @@ class TmDeltaSpec extends AnyFunSuite {
         |WHERE {}""".stripMargin)
   }
 
-  test("ifp declare: object-keyed minting + domain/rdfs9 over substituted copies") {
+  scenario("ifp declare: object-keyed minting + domain/rdfs9 over substituted copies") {
     val st = atRest(fpBase1, "fp6")
     check(st,
       s"""DELETE { <urn:fp:none> <urn:fp:never> <urn:fp:nope> . }
@@ -932,7 +934,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("fp with a subPropertyOf feeder: rdfs7 copies are premise facts") {
+  scenario("fp with a subPropertyOf feeder: rdfs7 copies are premise facts") {
     // :ssn2 ⊑ :ssn — the p3 fact arrives via :ssn2 and must still violate
     val st = atRest(fpBase1 +
       s"""
@@ -946,7 +948,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("fp with an inverseOf feeder: flipped copies are premise facts") {
+  scenario("fp with an inverseOf feeder: flipped copies are premise facts") {
     val st = atRest(fpBase1 +
       s"""
       <urn:fp:ssnOf> <${OWL}inverseOf> <urn:fp:ssn> .
@@ -959,7 +961,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("fp declare alongside standing explicit sameAs: classes merge across sources") {
+  scenario("fp declare alongside standing explicit sameAs: classes merge across sources") {
     val st = atRest(fpBase1 +
       s"\n<urn:fp:s1> <${OWL}sameAs> <urn:fp:s9> .", "fp9")
     check(st,
@@ -968,7 +970,7 @@ class TmDeltaSpec extends AnyFunSuite {
          |WHERE {}""".stripMargin)
   }
 
-  test("unrelated delete on a store with FP-minted sameAs at rest: Case A delta") {
+  scenario("unrelated delete on a store with FP-minted sameAs at rest: Case A delta") {
     // minted pairs exist (inferred sameAs) but the delta never touches the
     // cone or the marks — previously an automatic recompute (r15 residue)
     val st = atRest(fpBase1 +
@@ -976,7 +978,7 @@ class TmDeltaSpec extends AnyFunSuite {
     check(st, "DELETE DATA { GRAPH <urn:fp:g> { <urn:fp:p2> <urn:fp:nick> \"pp\" . } }")
   }
 
-  test("restriction re-declaration still recomputes (guarded residue)") {
+  scenario("restriction re-declaration still recomputes (guarded residue)") {
     val st = atRest(fpBase1 + s"""
       <urn:fp:R> a <${OWL}Restriction> .
       <urn:fp:R> <${OWL}onProperty> <urn:fp:flag> .
@@ -986,3 +988,11 @@ class TmDeltaSpec extends AnyFunSuite {
       expectDelta = false)
   }
 }
+
+/** The 6 concurrent slices of the TM scenario corpus (see TmDeltaScenarios). */
+class TmDeltaSpec extends TmDeltaScenarios(0, 6)
+class TmDeltaBSpec extends TmDeltaScenarios(1, 6)
+class TmDeltaCSpec extends TmDeltaScenarios(2, 6)
+class TmDeltaDSpec extends TmDeltaScenarios(3, 6)
+class TmDeltaESpec extends TmDeltaScenarios(4, 6)
+class TmDeltaFSpec extends TmDeltaScenarios(5, 6)
