@@ -916,10 +916,15 @@ object SparkEntry {
           col("cnt"), col("cents").cast("long").as("cents"))
       val qn = "qsw_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // AvailableNow: drain everything in bounded micro-batches then self-stop —
-      // the battery measures the operator, not open-ended trigger polling
-      val q = agg.writeStream.format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .outputMode("complete").start()
+      // the battery measures the operator, not open-ended trigger polling.
+      // State-sized partitioning (see streamStatePartitions): hour×type window
+      // state is tiny here, and 32 state-store provider inits serialize on the
+      // process-wide loadedProviders lock
+      val q = withStatePartitions(s, streamStatePartitions(s, dir, "events.parquet")) {
+        agg.writeStream.format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("complete").start()
+      }
       try q.awaitTermination() finally q.stop()
       // detach the result from the memory sink so the sink table (one per
       // invocation) is dropped instead of accumulating across battery runs
@@ -942,9 +947,13 @@ object SparkEntry {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
       val dedup = stream.select(md5(col("text")).as("h")).dropDuplicates("h")
       val qn = "qsd_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = dedup.writeStream.format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .outputMode("append").start()
+      // state-sized partitioning (see streamStatePartitions): first-seen hash
+      // state per partition is kilobytes at this SF
+      val q = withStatePartitions(s, streamStatePartitions(s, dir, "documents.parquet")) {
+        dedup.writeStream.format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append").start()
+      }
       try q.awaitTermination() finally q.stop()
       // evaluate eagerly and drop the sink table: the memory sink holds every
       // unique hash row in driver memory, one table per invocation otherwise
@@ -1105,6 +1114,32 @@ object SparkEntry {
     pipeline.Events.tsEpochUs(df.schema("ts").dataType)
   private def tsStamp(dt: org.apache.spark.sql.types.DataType): Column =
     pipeline.Events.tsStamp(dt)
+
+  /** Stateful-stream shuffle partitioning sized to the STATE, not the batch
+    * CPUs. Every state partition instantiates its own state-store provider
+    * per micro-batch, and provider init serializes process-wide (the
+    * `StateStore.loadedProviders` lock — thread dumps show 32 tasks queued
+    * BLOCKED on it, ~1.1 s each of non-CPU wall, while checkpoint-dir
+    * creation runs under the lock). Kilobyte state across 32 stores is pure
+    * store-init overhead; derive the count from the source bytes instead
+    * (~32 MB of source per state partition), clamped to the session's
+    * configured parallelism so real-scale state still fans out.
+    */
+  private def streamStatePartitions(s: SparkSession, dir: String, file: String): Int = {
+    val bytes = new java.io.File(s"$dir/$file").length()
+    val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(8, math.min(cap, ((bytes + (32L << 20) - 1) / (32L << 20)).toInt))
+  }
+
+  /** Bracket a streaming-query START with the state-sized shuffle-partition
+    * count (the stream pins its state partitioning at start; the conf is
+    * restored immediately after so batch planning is untouched). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(start: => T): T = {
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = s.conf.get(spKey)
+    s.conf.set(spKey, n.toString)
+    try start finally s.conf.set(spKey, spPrev)
+  }
 
   private val pipelineQueries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -2460,15 +2495,14 @@ object SparkEntry {
       // and self-stops — wall time reflects the join, not trigger spin-up.
       // Stateful partition count sizes to the STATE, not the batch CPUs: a
       // stream-stream join instantiates 4 state stores per shuffle partition,
-      // so 32 partitions of kilobyte state is pure store-init overhead (at
-      // real scale this knob rises with state volume, per query)
-      val spKey = "spark.sql.shuffle.partitions"
-      val spPrev = s.conf.get(spKey)
-      s.conf.set(spKey, "8")
-      val q = try joined.writeStream.format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .outputMode("append").start()
-      finally s.conf.set(spKey, spPrev)
+      // so 32 partitions of kilobyte state is pure store-init overhead
+      // (streamStatePartitions derives the count from source bytes — 8 at
+      // this SF, rising with state volume at real scale)
+      val q = withStatePartitions(s, streamStatePartitions(s, dir, "events.parquet")) {
+        joined.writeStream.format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append").start()
+      }
       try q.awaitTermination() finally q.stop()
       val out = s.table(qn).localCheckpoint()
       s.catalog.dropTempView(qn)
@@ -2499,15 +2533,13 @@ object SparkEntry {
       val mergeKey = "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition"
       val prev = s.conf.getOption(mergeKey)
       s.conf.set(mergeKey, "true")
-      // state-sized partitioning (see q_stream_join): session state here is
-      // tiny, so fewer state-store instances beat batch parallelism
-      val spKey = "spark.sql.shuffle.partitions"
-      val spPrev = s.conf.get(spKey)
-      s.conf.set(spKey, "8")
-      val q = try agg.writeStream.format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .outputMode("complete").start()
-      finally s.conf.set(spKey, spPrev)
+      // state-sized partitioning (see streamStatePartitions): session state
+      // here is tiny, so fewer state-store instances beat batch parallelism
+      val q = withStatePartitions(s, streamStatePartitions(s, dir, "events.parquet")) {
+        agg.writeStream.format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("complete").start()
+      }
       try q.awaitTermination() finally {
         q.stop()
         prev match { case Some(v) => s.conf.set(mergeKey, v); case None => s.conf.unset(mergeKey) }
