@@ -103,9 +103,14 @@ object Bench {
       // min over SUCCESSFUL iterations only — a fast-failing run must not mask
       // honest slow successes; all-fail reports the -1.0 sentinel
       val secs = (1 to iters).flatMap { _ =>
+        val stBefore = storageUsed()
         val t = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val s = (System.nanoTime() - t) / 1e9
+        // memory-thrash tracing (VERDICT r16 #5), OFF by default: per-entry
+        // storage occupancy on stderr, outside the driver's stdout contract
+        if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
+          System.err.println(f"BENCHTRACE $name%-24s ${s}%7.2f s storage ${stBefore / 1e6}%8.1f -> ${storageUsed() / 1e6}%8.1f MB of ${storageMax / 1e6}%.0f")
         // between queries (outside the timed region): GC when dead
         // localCheckpoint blocks have accumulated — one query's committed
         // deltas must not cost the next query memory, but an idle full GC

@@ -173,26 +173,47 @@ object Exprs {
   }
 
   // ---- arithmetic (MathBOp.java / MathUtility.java xsd promotion) ----
+  /** IEEE-754 double arithmetic over the operands' `num` fields: x/0 → ±INF,
+    * 0/0 → NaN (ANSI-mode Divide throws DIVIDE_BY_ZERO for every numeric type,
+    * so the INF/NaN results are reconstructed from the operand signs around
+    * try_divide). Shared by the general promotion chain and the static-double
+    * fast path.
+    */
+  private def arithNum(op: String, l: Column, r: Column): Column = op match {
+    case "+" => fNum(l) + fNum(r)
+    case "-" => fNum(l) - fNum(r)
+    case "*" => fNum(l) * fNum(r)
+    case "/" =>
+      // CAST(-0.0 AS STRING) = "-0.0": the sign bit of a zero divisor survives the
+      // string cast (Spark's atan2 normalizes -0.0 away, so that trick fails)
+      val divNeg = fNum(r).cast(StringType).startsWith("-")
+      when(fNum(r) =!= 0.0, try_divide(fNum(l), fNum(r)))
+        .when(fNum(l) > 0.0,
+          when(divNeg, lit(Double.NegativeInfinity)).otherwise(lit(Double.PositiveInfinity)))
+        .when(fNum(l) < 0.0,
+          when(divNeg, lit(Double.PositiveInfinity)).otherwise(lit(Double.NegativeInfinity)))
+        .otherwise(lit(Double.NaN))
+  }
+
+  /** xsd promotion (MathBOp): when EITHER operand is statically an xsd:double,
+    * a successful result is an xsd:double — the integer (`bothInt`) and exact
+    * (`bothExact`) branches of the general chain are statically false, so this
+    * emits ONLY the double branch. Catalyst tree ~3× smaller per arithmetic
+    * node (the three-way mint when-chain is the bulk of a BIND's plan), and
+    * the per-row `bothExact` probe — which parses the operands' lexical forms
+    * as decimals — never runs. Error/unbound outcomes are identical to the
+    * general chain: non-numeric or null operands → nullTerm either way.
+    */
+  def arithDouble(op: String, l: Column, r: Column): Column = {
+    val num = arithNum(op, l, r)
+    when(l.isNull || r.isNull || !(isNumericT(l) && isNumericT(r)), Term.nullTerm)
+      .when(num.isNotNull, Term.doubleLit(num))
+      .otherwise(Term.nullTerm)
+  }
+
   def arith(op: String, l: Column, r: Column): Column = {
     val bothInt = isInt(l) && isInt(r)
-    // double path follows IEEE-754 (xsd:double): x/0 → ±INF, 0/0 → NaN. ANSI-mode
-    // Divide throws DIVIDE_BY_ZERO for every numeric type, so the INF/NaN results
-    // are reconstructed from the operand signs around try_divide.
-    val num = op match {
-      case "+" => fNum(l) + fNum(r)
-      case "-" => fNum(l) - fNum(r)
-      case "*" => fNum(l) * fNum(r)
-      case "/" =>
-        // CAST(-0.0 AS STRING) = "-0.0": the sign bit of a zero divisor survives the
-        // string cast (Spark's atan2 normalizes -0.0 away, so that trick fails)
-        val divNeg = fNum(r).cast(StringType).startsWith("-")
-        when(fNum(r) =!= 0.0, try_divide(fNum(l), fNum(r)))
-          .when(fNum(l) > 0.0,
-            when(divNeg, lit(Double.NegativeInfinity)).otherwise(lit(Double.PositiveInfinity)))
-          .when(fNum(l) < 0.0,
-            when(divNeg, lit(Double.PositiveInfinity)).otherwise(lit(Double.NegativeInfinity)))
-          .otherwise(lit(Double.NaN))
-    }
+    val num = arithNum(op, l, r)
     // long path must not abort the query under ANSI mode: try_* yields NULL on
     // overflow, which falls through to the double (promoted) result
     val lngOp = op match {
@@ -263,12 +284,36 @@ object Exprs {
   }
 
   // ======== expression compilation ========
-  final case class Env(columns: Set[String], overrides: Map[String, Column] = Map.empty) {
+  /** `kinds` carries statically-inferred result kinds for staged temp columns
+    * (see staticDouble / stageSubexprs) — "double" means: if the column is a
+    * non-error result, it is an xsd:double literal.
+    */
+  final case class Env(columns: Set[String], overrides: Map[String, Column] = Map.empty,
+                       kinds: Map[String, String] = Map.empty) {
     def termOf(name: String): Column =
       overrides.getOrElse(name,
         if (columns(name)) col(quoted(name)) else Term.nullTerm)
   }
   private def quoted(name: String): String = "`" + name + "`"
+
+  /** Statically-known double-ness of an expression's SUCCESSFUL result: true
+    * means "if this evaluates without a type error, the value is an xsd:double
+    * literal" (errors/unbound are unaffected — callers keep their guards).
+    * Drives the slim arithmetic mint: per MathBOp promotion, one double
+    * operand fixes the result type regardless of the other operand's runtime
+    * kind. FLOOR/CEIL/ABS preserve the argument's type; ROUND does NOT (a
+    * double rounds to an INTEGRAL numeric here — MathUtility Math.round →
+    * long), so it must not propagate.
+    */
+  private def staticDouble(e: Expr, env: Env): Boolean = e match {
+    case EConst(LitNode(_, Some(Term.XSD_DOUBLE), _)) => true // xsd:float is NOT double
+    case EVar(n) => env.kinds.get(n).contains("double")
+    case EBinary("+" | "-" | "*" | "/", l, r) =>
+      staticDouble(l, env) || staticDouble(r, env)
+    case EUnary("-", x) => staticDouble(x, env)
+    case ECall("FLOOR" | "CEIL" | "ABS", Seq(a)) => staticDouble(a, env)
+    case _ => false
+  }
 
   /** Compile to a term-struct Column. */
   def term(e: Expr, env: Env): Column = e match {
@@ -276,8 +321,13 @@ object Exprs {
     case EConst(n) => constTerm(n)
     case EBinary("&&" | "||" | "=" | "!=" | "<" | "<=" | ">" | ">=", _, _) =>
       boolTerm(bool(e, env))
-    case EBinary(op, l, r) => arith(op, term(l, env), term(r, env))
+    case EBinary(op, l, r) =>
+      if (staticDouble(e, env)) arithDouble(op, term(l, env), term(r, env))
+      else arith(op, term(l, env), term(r, env))
     case EUnary("!", _) => boolTerm(bool(e, env))
+    case EUnary("-", x) if staticDouble(x, env) =>
+      val t = term(x, env)
+      when(isNumericT(t), Term.doubleLit(-fNum(t))).otherwise(Term.nullTerm)
     case EUnary("-", x) =>
       val t = term(x, env)
       val negLng = try_subtract(lit(0L), fLng(t)) // Long.MinValue negation overflows under ANSI
@@ -355,8 +405,12 @@ object Exprs {
     var df = df0; var env = env0; var temps = List.empty[String]
     def alias(x: Expr): Expr = {
       val name = s"__stg${stageIds.incrementAndGet()}"
+      // static kind survives the temp-column rewrite: the outer expression's
+      // EVar(name) resolves the staged node's double-ness through env.kinds,
+      // so a BIND chain of double arithmetic plans slim mints end to end
+      val k = if (staticDouble(x, env)) Map(name -> "double") else Map.empty[String, String]
       df = df.withColumn(name, term(x, env))
-      env = env.copy(columns = env.columns + name)
+      env = env.copy(columns = env.columns + name, kinds = env.kinds ++ k)
       temps ::= name
       EVar(name)
     }
@@ -509,6 +563,7 @@ object Exprs {
         boolTerm(when(a0.isNull || a1.isNull, nullB)
           .when(range === "*", tag =!= "")
           .otherwise(tag === range || tag.startsWith(concat(range, lit("-")))))
+      case "ABS" if staticDouble(argEs.head, env) => numeric1d(a0, abs(fNum(a0)))
       case "ABS" => numeric1(a0, abs(fNum(a0)), abs(fLng(a0)), abs(fDec(a0)))
       // fn:round = round half toward +∞ (ROUND(-2.5) = -2), i.e. floor(x + 0.5) —
       // NOT Spark's HALF_UP round (which gives -3). The reference's ROUND on a
@@ -521,7 +576,9 @@ object Exprs {
             .when(isDec(a0), Term.decimalLit(floor(fDec(a0) + lit(0.5))))
             .otherwise(Term.intLit(floor(fNum(a0) + 0.5d).cast(LongType))))
           .otherwise(Term.nullTerm)
+      case "CEIL" if staticDouble(argEs.head, env) => numeric1d(a0, ceil(fNum(a0)).cast(DoubleType))
       case "CEIL" => numeric1(a0, ceil(fNum(a0)).cast(DoubleType), fLng(a0), ceil(fDec(a0)))
+      case "FLOOR" if staticDouble(argEs.head, env) => numeric1d(a0, floor(fNum(a0)).cast(DoubleType))
       case "FLOOR" => numeric1(a0, floor(fNum(a0)).cast(DoubleType), fLng(a0), floor(fDec(a0)))
       case "RAND" => Term.doubleLit(rand())
       case "NOW" => Term.tsLit(current_timestamp())
@@ -596,6 +653,14 @@ object Exprs {
       when(isInt(t), Term.intLit(lng))
         .when(isDec(t), Term.decimalLit(dec))
         .otherwise(Term.doubleLit(dbl)))
+      .otherwise(Term.nullTerm)
+
+  /** numeric1 for a statically-double argument: the int/decimal mint branches
+    * are statically dead (see staticDouble), so only the double branch is
+    * planned — the same result for every input the guard admits.
+    */
+  private def numeric1d(t: Column, dbl: Column): Column =
+    when(t.isNotNull && isNumericT(t), Term.doubleLit(dbl))
       .otherwise(Term.nullTerm)
 
   private def dtPart(t: Column, part: Column): Column =
