@@ -19,9 +19,11 @@ object ScaleStress {
     val base = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val out = s"/tmp/graft-scale/x$k"
     val spark = SparkSession.builder()
-      .master("local[32]")
+      // SPARK_GRAFT_CPUS honored like Bench: the x10 scaling read needs a
+      // low-core control run against the same warm amplified store
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scale-stress")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
